@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.WhitespaceCsv
+import graft.retail.RetailQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * (from [[Oracles]]) unless the operator is not SQL-expressible in DuckDB
+  * (then the driver records a weaker rows-only check). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RetailQueries.q5(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_filter_cat"          -> (RetailQueries.q1 _),
+    "q2_count_distinct_mag"  -> (RetailQueries.q2 _),
+    "q3_count_distinct_fab"  -> (RetailQueries.q3 _),
+    "q4_avg_prod_per_fab"    -> (RetailQueries.q4 _),
+    "q5_top_magasins"        -> (RetailQueries.q5 _),
+    "q6_top_magasins_cat"    -> (RetailQueries.q6 _),
+    "q7_mag_per_month"       -> (RetailQueries.q7 _),
+    "q8_score_evolution"     -> (RetailQueries.q8 _),
+    "q9_top1"                -> (RetailQueries.q9 _),
+    "q10_avg_fab_top10"      -> (RetailQueries.q10 _),
+    "q11_score_sante_months" -> (RetailQueries.q11 _),
+    "q12_ingest"             -> (WhitespaceCsv.q12 _),
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. */
+  def oracleSql: Map[String, String] = Oracles.retail
 }

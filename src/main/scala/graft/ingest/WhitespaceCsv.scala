@@ -1,0 +1,70 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's ETL ingest pipeline (SURVEY.md §2.1 S1–S4), Spark-first.
+  *
+  * Reference behavior being reproduced
+  * (/root/reference/etl_project/data.py):
+  *  - S1 data.py:5-6   — whitespace-delimited CSV, regex `\s+` split, header
+  *  - S2 data.py:9-10  — lowercase all column names
+  *  - S3 data.py:13-14 — `yyyyMMdd` integer → real date
+  *  - S4 data.py:41-42 — overwrite table sink
+  *
+  * Spark has no regex CSV delimiter, so S1 is `spark.read.text` + a codegen'd
+  * `split(trim(value), "\\s+")` projection — a narrow, shuffle-free pipeline
+  * that scales to any number of input files/partitions. Only the single
+  * header line is fetched to the driver (same contract as a CSV header read;
+  * at multi-file scale a per-file header variant would use
+  * `input_file_name()` — the fixture format has one header file, like the
+  * reference's two fixed CSVs).
+  */
+object WhitespaceCsv {
+
+  /** S1 + S2: parse into all-string columns named by the lowercased header. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    val header = raw.head().getString(0)
+    val cols = header.trim.split("\\s+").map(_.toLowerCase)
+    raw
+      .filter(col("value") =!= header && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("t"))
+      .filter(size(col("t")) === cols.length)
+      .select(cols.zipWithIndex.map { case (c, i) => col("t").getItem(i).as(c) }.toSeq: _*)
+  }
+
+  /** S3: `dateid` yyyyMMdd → DateType; every other column → LongType
+    * (reference ids are integers, data.py:21-38; LongType for 100 TB keys). */
+  def typed(df: DataFrame): DataFrame =
+    df.select(df.columns.map {
+      case "dateid" => to_date(col("dateid"), "yyyyMMdd").as("dateid")
+      case c        => col(c).cast("long").as(c)
+    }.toSeq: _*)
+
+  /** Full EP-A pipeline: parse → lowercase → coerce → overwrite-sink →
+    * read back (data.py end-to-end, incl. the S4 round-trip). */
+  def ingest(spark: SparkSession, csvPath: String, sinkPath: String): DataFrame = {
+    typed(read(spark, csvPath)).write.mode("overwrite").parquet(sinkPath)
+    spark.read.parquet(sinkPath)
+  }
+
+  val fixturePath = "/root/repo/src/test/resources/fixtures/pointsDeVente-tous.csv"
+
+  /** Q12 (SURVEY.md §2.9): ingest the reconstructed reference-format fixture
+    * and summarize — count, date range, id sums — proving S1–S4 end to end. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val sink = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    ingest(spark, fixturePath, s"$sink/points_de_vente")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        date_format(min(col("dateid")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("dateid")), "yyyy-MM-dd").as("max_date"),
+        sum(col("prodid")).as("sum_prodid"),
+        sum(col("catid")).as("sum_catid"),
+        sum(col("fabid")).as("sum_fabid"),
+        sum(col("magid")).as("sum_magid"))
+  }
+}

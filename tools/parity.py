@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local t2 parity check: compare Verify parquet output vs DuckDB oracle.
+
+Mimics the driver: load oracle_sql.json, run each SQL in DuckDB over the
+base parquet tables, load our parquet result, sort columns by name, sort
+rows, compare values.
+"""
+import sys, json, glob
+import duckdb, pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+con = duckdb.connect()
+for p in glob.glob(f'{sf}/*.parquet'):
+    t = p.split('/')[-1].replace('.parquet', '')
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f'FAIL {name}: duckdb error: {e}')
+        fails.append(name); continue
+    try:
+        got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f'{out}/{name}/*.parquet'))])
+    except Exception as e:
+        print(f'FAIL {name}: missing spark output: {e}')
+        fails.append(name); continue
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(list(got.columns)) .reset_index(drop=True)
+    if list(exp.columns) != list(got.columns):
+        print(f'FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}')
+        fails.append(name); continue
+    if len(exp) != len(got):
+        print(f'FAIL {name}: rows exp={len(exp)} got={len(got)}')
+        fails.append(name); continue
+    # value-level compare, exact (hash-style)
+    mismatch = None
+    for c in exp.columns:
+        ev, gv = exp[c].tolist(), got[c].tolist()
+        ev = [str(x) for x in ev]; gv = [str(x) for x in gv]
+        if ev != gv:
+            bad = next(i for i in range(len(ev)) if ev[i] != gv[i])
+            mismatch = (c, bad, ev[bad], gv[bad]); break
+    if mismatch:
+        c, i, e, g = mismatch
+        print(f'FAIL {name}: col {c} row {i}: oracle={e} spark={g}')
+        fails.append(name)
+    else:
+        print(f'OK   {name} ({len(exp)} rows)')
+print(f'\n{len(oracle)-len(fails)}/{len(oracle)} pass')
+sys.exit(1 if fails else 0)
