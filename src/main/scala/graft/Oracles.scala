@@ -129,7 +129,7 @@ object Oracles {
          |  FROM top10 t LEFT JOIN best b ON t.magid = b.magid)
          |SELECT magid, total_produits, nb_produits_fab,
          |       ROUND(pct_raw, 6) AS percentage,
-         |       (SELECT ROUND(AVG(CASE WHEN total_produits <> 0 THEN pct_raw END), 6) FROM j) AS average
+         |       (SELECT ROUND(COALESCE(AVG(CASE WHEN total_produits <> 0 THEN pct_raw END), 0.0::DOUBLE), 6) FROM j) AS average
          |FROM j
          |ORDER BY magid""".stripMargin),
 
@@ -156,7 +156,7 @@ object Oracles {
          |  GROUP BY s.mois_annee)
          |SELECT mois_annee,
          |       ROUND(COALESCE(avg_raw, 0.0::DOUBLE), 6) AS avg_percentage,
-         |       (SELECT ROUND(AVG(avg_raw), 6) FROM monthly) AS average
+         |       (SELECT ROUND(COALESCE(AVG(avg_raw), 0.0::DOUBLE), 6) FROM monthly) AS average
          |FROM monthly
          |ORDER BY mois_annee""".stripMargin),
 
@@ -177,5 +177,161 @@ object Oracles {
         |       CAST(SUM(a[4]::BIGINT) AS BIGINT) AS sum_fabid,
         |       CAST(SUM(a[5]::BIGINT) AS BIGINT) AS sum_magid
         |FROM data""".stripMargin,
+  )
+
+  /** Shared CTEs for the text-pipeline oracles: lowercased whitespace
+    * tokens, and (distinct) 3-token shingle sets. DuckDB standard strings
+    * do NOT process backslash escapes, so `\s` here reaches RE2 as-is
+    * (the Spark side passes the same regex through Scala "\\s"). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source, text,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |shingled AS (
+      |  SELECT *, CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE []::VARCHAR[] END AS sh
+      |  FROM toks)""".stripMargin
+
+  val pipeline: Map[String, String] = Map(
+    "eq1_exact_dup_count" ->
+      "SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_count FROM documents",
+
+    "eq2_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       ROUND(AVG(length(text)), 6) AS avg_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "eq3_hourly_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "eq4_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |un AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |sims AS (
+        |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |  FROM un GROUP BY vec_id)
+        |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
+        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "eq5_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  FROM flags),
+        |per AS (SELECT user_id, session_id, COUNT(*) AS session_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       CAST(SUM(session_events) AS BIGINT) AS n_events,
+        |       MAX(session_events) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "eq6_sliding_windows" ->
+      """WITH ex AS (
+        |  SELECT event_type, user_id,
+        |         time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) - k.k * INTERVAL '15 minutes' AS ws
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "eq7_token_stats" ->
+      """SELECT lang,
+        |  CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS total_re_tokens,
+        |  ROUND(AVG(len(regexp_split_to_array(trim(lower(text)), '\s+'))), 6) AS avg_ws_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "eq8_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |         length(text) AS nc,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |         least(nc / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |         alpha::DOUBLE / nc AS alpha_ratio,
+        |         len(list_filter(toks, t -> t IN ('the', 'a', 'data', 'value')))::DOUBLE / len(toks) AS stop_ratio
+        |  FROM q)
+        |SELECT doc_id, n_tokens,
+        |       ROUND(alpha_ratio, 6) AS alpha_ratio,
+        |       ROUND(stop_ratio, 6) AS stop_ratio,
+        |       ROUND(0.4::DOUBLE * len_score + 0.4::DOUBLE * alpha_ratio
+        |           + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "eq9_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS cnt_en,
+        |    len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'de'))) AS cnt_fr,
+        |    len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ein'))) AS cnt_de,
+        |    len(list_filter(toks, x -> x IN ('el', 'los', 'las', 'y', 'un'))) AS cnt_es,
+        |    len(list_filter(toks, x -> x IN ('的', '是', '了', '在', '我'))) AS cnt_zh
+        |  FROM t)
+        |SELECT lang AS true_lang,
+        |  CASE WHEN cnt_en >= cnt_fr AND cnt_en >= cnt_de AND cnt_en >= cnt_es AND cnt_en >= cnt_zh THEN 'en'
+        |       WHEN cnt_fr >= cnt_en AND cnt_fr >= cnt_de AND cnt_fr >= cnt_es AND cnt_fr >= cnt_zh THEN 'fr'
+        |       WHEN cnt_de >= cnt_en AND cnt_de >= cnt_fr AND cnt_de >= cnt_es AND cnt_de >= cnt_zh THEN 'de'
+        |       WHEN cnt_es >= cnt_en AND cnt_es >= cnt_fr AND cnt_es >= cnt_de AND cnt_es >= cnt_zh THEN 'es'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  COUNT(*) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "eq10_fingerprint" -> (s"WITH $toksCte\n" +
+      """SELECT doc_id, len(sh) AS n_shingles,
+        |       list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fingerprint
+        |FROM shingled ORDER BY doc_id""".stripMargin),
+
+    "eq11_dedup_keep_first" ->
+      """SELECT source, COUNT(*) AS n_kept FROM (
+        |  SELECT source FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "eq12_jaccard_pairs" -> (s"WITH $toksCte,\n" +
+      """s AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
+        |ex AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+        |         MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM p)
+        |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin),
+
+    "eq13_embedding_neardups" ->
+      """WITH un AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |sims AS (
+        |  SELECT vec_a, vec_b, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |  FROM un GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims
+        |WHERE sim >= 0.5::DOUBLE ORDER BY vec_a, vec_b""".stripMargin,
+
+    "eq14_media_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       ascii(text) AS first_byte,
+        |       md5(text) AS checksum,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

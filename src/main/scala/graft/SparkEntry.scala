@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WhitespaceCsv
+import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 import graft.retail.RetailQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,9 +30,30 @@ object SparkEntry {
     "q10_avg_fab_top10"      -> (RetailQueries.q10 _),
     "q11_score_sante_months" -> (RetailQueries.q11 _),
     "q12_ingest"             -> (WhitespaceCsv.q12 _),
+    // LLM-data-pipeline extension surface (SURVEY.md §2.8)
+    "eq1_exact_dup_count"    -> (Dedup.exactDupCount _),
+    "eq2_text_stats"         -> (TextAnalysis.textStats _),
+    "eq3_hourly_windows"     -> (EventOps.hourly _),
+    "eq4_cosine_topk"        -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "eq5_sessionize"         -> (EventOps.sessionize _),
+    "eq6_sliding_windows"    -> (EventOps.sliding _),
+    "eq7_token_stats"        -> (TextAnalysis.tokenStats _),
+    "eq8_quality_score"      -> (TextAnalysis.qualityScore _),
+    "eq9_lang_id"            -> (TextAnalysis.langId _),
+    "eq10_fingerprint"       -> (TextAnalysis.fingerprint _),
+    "eq11_dedup_keep_first"  -> (Dedup.dedupKeepFirst _),
+    "eq12_jaccard_pairs"     -> (Dedup.jaccardPairs _),
+    "eq13_embedding_neardups" -> (Dedup.embeddingNearDups _),
+    "eq14_media_meta"        -> (Multimodal.mediaMeta _),
+    // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
+    // records rows-only checks); correctness pinned by ScalaTest instead
+    "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
+    "x2_simhash_pairs"       -> (Dedup.simhashPairs _),
+    "x3_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "x4_media_features"      -> (Multimodal.featuresSummary _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. */
-  def oracleSql: Map[String, String] = Oracles.retail
+  def oracleSql: Map[String, String] = Oracles.retail ++ Oracles.pipeline
 }

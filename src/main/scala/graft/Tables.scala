@@ -22,7 +22,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+      // Spark's TimestampType (micros) refuses outright. Read nanos as a
+      // long and integer-divide to micros: `ts div 1000`, NOT `/1000` —
+      // epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range, so a
+      // double division would silently corrupt timestamps.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register every base table plus the pdv/produits views as temp views.
     * Idempotent; cheap (metadata only — reads parquet footers, no data). */

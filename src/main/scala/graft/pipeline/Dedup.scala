@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The deduplication family over `documents` (training-data-pipeline
+  * surface): exact, exact-keep-first, n-gram Jaccard (exact, inverted
+  * index), MinHash+LSH (approximate candidates, exact verify), SimHash
+  * (hamming-bucketed), and embedding-cosine near-dup.
+  *
+  * Scale posture: every variant is a shuffle-on-key program —
+  * hash-partition by content hash / shingle / band / bit-chunk — with no
+  * driver-side state. The quadratic risk lives only in candidate-pair
+  * verification, which each approximate method bounds by bucketing.
+  */
+object Dedup {
+
+  /** E-Q1 — exact duplicate count via content hash (`sha2`): at 100 TB you
+    * group on the 256-bit digest, never on the document bytes. */
+  def exactDupCount(spark: SparkSession, dir: String): DataFrame =
+    exactDupCountDf(Tables.load(spark, dir, "documents"))
+
+  def exactDupCountDf(docs: DataFrame): DataFrame =
+    docs
+      .agg((count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("dup_count"))
+
+  /** Exact dedup keeping the smallest doc_id per content
+    * (hash-partitioned window, `row_number`). Reports survivors per source. */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepFirstDf(Tables.load(spark, dir, "documents"))
+
+  def dedupKeepFirstDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+
+  /** doc_id + distinct 3-token shingle set + set size. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    shingleSetsDf(Tables.load(spark, dir, "documents"))
+
+  private def shingleSetsDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles3(TextAnalysis.tokens(col("text")))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Exact n-gram Jaccard near-dup pairs (sim ≥ 0.2) via the inverted-index
+    * self-join: explode shingles, join on shingle, count common, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). This is the exact-but-distributed baseline —
+    * the shuffle key is the shingle, so co-occurrence counting is local.
+    * At 100 TB you'd add prefix filtering and drop ultra-frequent shingles
+    * (stop-shingles) to bound join fan-out; MinHash below is the cheaper
+    * approximate path. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsDf(Tables.load(spark, dir, "documents"))
+
+  def jaccardPairsDf(docs: DataFrame): DataFrame = {
+    val ex = shingleSetsDf(docs)
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 64
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows // 16
+
+  /** MinHash + LSH near-dup pairs: 64 xxhash64 permutations → minhash
+    * signature; 16 bands × 4 rows → band buckets; candidates are pairs
+    * sharing a band bucket; candidates verified with EXACT Jaccard ≥ 0.2
+    * so false positives cost only the verify join. At 16 bands × 4 rows the
+    * miss probability for sim ≥ 0.5 pairs is ≤ (1-0.5⁴)¹⁶ ≈ 0.36 — the
+    * knob to turn for recall; the exact [[jaccardPairs]] is the oracle-true
+    * variant. No oracle entry (xxhash64 has no DuckDB equivalent). */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsDf(Tables.load(spark, dir, "documents"))
+
+  def minhashLshPairsDf(docs: DataFrame): DataFrame = {
+    val sets = shingleSetsDf(docs).filter(col("sz") > 0)
+    val sig = sets.withColumn("sig",
+      transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+        array_min(transform(col("sh"), s => xxhash64(i, s)))))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        hash(slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1,
+    * sign of the vote is the fingerprint bit. Near-dup pairs = hamming
+    * distance ≤ 6, found by the pigeonhole chunk join (4 × 16-bit chunks:
+    * any pair at distance ≤ 6 shares at least one chunk... with 4 chunks
+    * distance ≤ 3 guarantees a shared chunk; ≤ 6 is best-effort recall the
+    * test pins). Chunk join keeps the candidate set far below the cross
+    * product at scale. No oracle (xxhash64). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsDf(Tables.load(spark, dir, "documents"))
+
+  def simhashPairsDf(docs: DataFrame): DataFrame = {
+    val tokenHashes = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sim = tokenHashes.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "chunk_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (sim ≥ 0.5), brute-force quadratic —
+    * the exactness baseline at test scale; the bucketed scale path is
+    * [[Similarity.ivfTopK]]'s IVF layout. Dot products fold the arrays
+    * left-to-right in double, matching the oracle's unnest-order sum. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsDf(Tables.load(spark, dir, "embeddings"))
+
+  def embeddingNearDupsDf(e: DataFrame): DataFrame = {
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.5)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

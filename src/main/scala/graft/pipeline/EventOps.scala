@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.8 E5, batch
+  * form — the streaming form with watermarks lives in
+  * [[graft.streaming.StreamingOps]] and is held to batch parity by test).
+  *
+  * All three shapes shuffle once on their natural keys and aggregate
+  * partially map-side; nothing is collected to the driver. At 100 TB the
+  * `events` source would be date-partitioned so the window queries prune to
+  * the scanned time range.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type: the canonical
+    * `groupBy(window(...))` aggregation. Window start rendered ISO for
+    * oracle parity (DuckDB `time_bucket`). */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    hourlyDf(Tables.load(spark, dir, "events"))
+
+  def hourlyDf(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4 windows
+    * (Spark expands via the `window` generator — no self-join). Distinct
+    * users per window is exact. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    slidingDf(Tables.load(spark, dir, "events"))
+
+  def slidingDf(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(window(col("ts"), "1 hour", "15 minutes").getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_start", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap, the batch analogue of
+    * `session_window`: lag → session-start flags → running session ids →
+    * per-session sizes → per-user stats. Both running windows use the
+    * default RANGE frame so timestamp ties get identical values in Spark
+    * and DuckDB. One shuffle on user_id; sessions never leave their
+    * partition. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeDf(Tables.load(spark, dir, "events"))
+
+  def sessionizeDf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs = 30L * 60 * 1000000
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("session_events"))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("session_events")).as("n_events"),
+        max(col("session_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (training-data-pipeline surface): media
+  * payloads as opaque `binary` columns + typed metadata, with decode /
+  * feature-extraction as partition-batched transforms.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[FakeDecoder]]) — the Spark-side
+  * plumbing (schema, batch shape, partitioning) is real and tested. The
+  * `documents.text` bytes stand in for media payloads so the pipeline runs
+  * on driver fixtures.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata, the at-rest layout for media
+    * at 100 TB (payloads in parquet binary columns, metadata columns for
+    * predicate pushdown so scans prune without touching payload bytes). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+                      width: Int, height: Int)
+
+  /** Extracted feature vector per media item. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
+                           feature: Array[Float])
+
+  /** STUB decoder — stands in for an image/audio codec (libjpeg, ffmpeg…)
+    * that is not in this container. Deterministic on the payload bytes so
+    * tests are stable. The partition-batched call shape below is the real
+    * contract: a codec would be initialized once per partition (not per
+    * row) exactly where this object is referenced. */
+  object FakeDecoder {
+    /** "Decode" a payload into a fixed-size feature vector: byte histogram
+      * folded to 8 buckets. A real decoder would decompress + resize +
+      * embed here. */
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val buckets = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        buckets((payload(i) & 0xFF) % 8) += 1f
+        i += 1
+      }
+      buckets
+    }
+  }
+
+  /** Synthesize the media table from documents: payload = UTF-8 bytes,
+    * fake image metadata derived deterministically from doc stats. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract, partition-batched: `mapPartitions` so a real
+    * codec pays its init cost once per partition and the iterator keeps the
+    * pipeline streaming (no partition-sized materialization). This is the
+    * one place the module leaves Catalyst — by design, codecs are black
+    * boxes. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { r =>
+        val f = FakeDecoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length.toLong,
+          r.payload.foldLeft(0L)((s, b) => s + (b & 0xFF)), f)
+      }
+    }
+  }
+
+  /** Oracle-checked slice of the pipeline: payload metadata computed with
+    * pure built-ins (octet_length / ascii / md5) — DuckDB-expressible, so
+    * the binary plumbing is hash-verified even though the decoder is a
+    * stub. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        ascii(col("text")).as("first_byte"),
+        md5(encode(col("text"), "UTF-8")).as("checksum"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"))
+      .orderBy("doc_id")
+
+  /** Features summary as a DataFrame query (drives the mapPartitions path
+    * end-to-end; rows-only check — the stub decoder has no SQL oracle). */
+  def featuresSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir))
+      .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      .orderBy("doc_id")
+  }
+}

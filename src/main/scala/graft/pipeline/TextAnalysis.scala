@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.8 E4 +
+  * the training-data-pipeline surface): per-language stats, token counting
+  * (whitespace + BPE-ish regex), quality scoring, n-gram language ID, and
+  * content fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * regexp_* / higher-order array functions) — no UDFs, so whole-stage
+  * codegen spans the full per-document pipeline and the only shuffle is the
+  * final small groupBy. Per-document arithmetic is single-row and therefore
+  * bit-deterministic across partitionings.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array of the lowercased text. */
+  private[pipeline] def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** E-Q2 — per-language corpus stats. Integer sums are exact in double, so
+    * the average is order-insensitive. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsDf(Tables.load(spark, dir, "documents"))
+
+  def textStatsDf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(length(col("text"))), 6).as("avg_len"))
+      .orderBy("lang")
+
+  /** Token counting, two tokenizers: whitespace words and a BPE-ish regex
+    * (letter runs | single digits | single punctuation) of the kind used to
+    * pre-estimate LLM token budgets. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStatsDf(Tables.load(spark, dir, "documents"))
+
+  def tokenStatsDf(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+      .groupBy("lang")
+      .agg(
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        round(avg(col("ws_tokens")), 6).as("avg_ws_tokens"))
+      .orderBy("lang")
+
+  private val Stopwords = Seq("the", "a", "data", "value")
+
+  /** Per-document quality score: length saturation, alphabetic ratio,
+    * stopword ratio — the heuristic trio of C4-style corpus filters.
+    * Single-pass, no shuffle (final sort only). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreDf(Tables.load(spark, dir, "documents"))
+
+  def qualityScoreDf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("len_score",
+        least(length(col("text")) / lit(500.0), lit(1.0)))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isin(Stopwords: _*))).cast("double")
+          / col("n_tokens"))
+    docs.select(
+      col("doc_id"),
+      col("n_tokens"),
+      round(col("alpha_ratio"), 6).as("alpha_ratio"),
+      round(col("stop_ratio"), 6).as("stop_ratio"),
+      round(lit(0.4) * col("len_score") + lit(0.4) * col("alpha_ratio")
+        + lit(0.2) * (lit(1.0) - col("stop_ratio")), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-token vocabularies per language, deterministic priority order
+    * en > fr > de > es > zh on ties. */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "fr" -> Seq("le", "la", "les", "et", "de"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** n-gram-heuristic language ID: count marker-token hits per language,
+    * argmax with fixed priority. Output is the (true lang × predicted lang)
+    * confusion matrix. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdDf(Tables.load(spark, dir, "documents"))
+
+  def langIdDf(docs: DataFrame): DataFrame = {
+    val withCounts = Markers.foldLeft(
+      docs.withColumn("toks", tokens(col("text")))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"cnt_$l", size(filter(col("toks"), t => t.isin(words: _*))))
+    }
+    val langs = Markers.map(_._1)
+    val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"cnt_$l") >= col(s"cnt_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+    withCounts
+      .withColumn("predicted_lang", predicted)
+      .groupBy(col("lang").as("true_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "predicted_lang")
+  }
+
+  /** 3-token shingle array of a document (shared with the dedup family). */
+  private[pipeline] def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Document fingerprinting: min-of-md5 over 3-token shingles (the
+    * winnowing/min-hash primitive, one hash). Rows with <3 tokens
+    * fingerprint as NULL in both engines. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintDf(Tables.load(spark, dir, "documents"))
+
+  def fingerprintDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sh", shingles3(tokens(col("text"))))
+      .select(
+        col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        array_min(transform(col("sh"), s => md5(s.cast("binary")))).as("fingerprint"))
+      .orderBy("doc_id")
+}

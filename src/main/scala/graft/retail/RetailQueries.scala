@@ -165,8 +165,8 @@ object RetailQueries {
       .withColumn("nb_produits_fab", coalesce(col("nb_produits_fab"), lit(0L)))
       .withColumn("pct_raw",
         col("nb_produits_fab").cast("double") / col("total_produits") * lit(100.0))
-    val avgRow = rows.agg(round(
-      avg(when(col("total_produits") =!= 0, col("pct_raw"))), 6).as("average"))
+    val avgRow = rows.agg(round(coalesce(
+      avg(when(col("total_produits") =!= 0, col("pct_raw"))), lit(0.0)), 6).as("average"))
     rows
       .select(col("magid"), col("total_produits"), col("nb_produits_fab"),
         round(col("pct_raw"), 6).as("percentage"))
@@ -198,7 +198,7 @@ object RetailQueries {
       .groupBy("mois_annee")
       .agg(avg(when(col("nb").isNotNull && col("total_produits") =!= 0,
         col("nb").cast("double") / col("total_produits") * lit(100.0))).as("avg_raw"))
-    val avgRow = monthly.agg(round(avg(col("avg_raw")), 6).as("average"))
+    val avgRow = monthly.agg(round(coalesce(avg(col("avg_raw")), lit(0.0)), 6).as("average"))
     monthly
       .select(col("mois_annee"),
         round(coalesce(col("avg_raw"), lit(0.0)), 6).as("avg_percentage"))

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dup count on a literal fixture with known duplicates") {
+    val docs = docsDf(Seq(
+      (0L, "a b c", "en", "s", 5L), (1L, "a b c", "en", "s", 5L),
+      (2L, "a b c", "en", "s", 5L), (3L, "x y z", "en", "s", 5L)))
+    assert(Dedup.exactDupCountDf(docs).head().getLong(0) == 2L)
+  }
+
+  test("dedup keep-first keeps the smallest doc_id per content") {
+    val docs = docsDf(Seq(
+      (5L, "a b c", "en", "s1", 5L), (1L, "a b c", "en", "s2", 5L),
+      (3L, "x y z", "en", "s1", 5L)))
+    val kept = Dedup.dedupKeepFirstDf(docs).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept == Map("s1" -> 1, "s2" -> 1)) // doc 1 (s2) beats doc 5 (s1)
+  }
+
+  test("jaccard pairs: identical docs sim 1.0; disjoint docs absent") {
+    val docs = docsDf(Seq(
+      (0L, "the quick brown fox jumps", "en", "s", 25L),
+      (1L, "the quick brown fox jumps", "en", "s", 25L),
+      (2L, "pack my box with five dozen", "en", "s", 27L)))
+    val pairs = Dedup.jaccardPairsDf(docs).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0 && pairs(0).getLong(1) == 1)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash-LSH pairs are a subset of exact pairs and recall all high-sim pairs (sf0.001)") {
+    val exact = Dedup.jaccardPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val lsh = Dedup.minhashLshPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // verified candidates can never contain a non-pair (exact verify step)
+    lsh.foreach { case (k, j) => assert(exact.contains(k) && exact(k) == j) }
+    // every sim >= 0.5 pair must be recalled at 16x4 banding on this data
+    exact.filter(_._2 >= 0.5).keys.foreach(k => assert(lsh.contains(k), s"missed $k"))
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val docs = docsDf(Seq(
+      (0L, "spark shuffles hash partitions across executors nightly", "en", "s", 10L),
+      (1L, "spark shuffles hash partitions across executors nightly", "en", "s", 10L),
+      (2L, "completely unrelated words about gardening tomatoes rain", "en", "s", 10L)))
+    val pairs = Dedup.simhashPairsDf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+  }
+
+  test("embedding near-dups: identical vectors sim 1.0") {
+    val e = Seq(
+      (0L, Array(1f, 2f, 3f), 0), (1L, Array(1f, 2f, 3f), 0),
+      (2L, Array(-3f, 1f, 0.2f), 1)).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupsDf(e).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0 && pairs(0).getLong(1) == 1)
+    assert(math.abs(pairs(0).getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("cosine top-k: 5 rows, sims non-increasing, all in [-1, 1]") {
+    val top = Similarity.cosineTopK(spark, Sf).collect()
+    assert(top.length == 5)
+    val sims = top.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sortBy(-_)))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("IVF top-k: approximate results are true similarities; bounded by the brute-force top") {
+    val brute = Similarity.cosineTopK(spark, Sf, k = 50).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("sim")).toMap
+    val ivf = Similarity.ivfTopK(spark, Sf).collect()
+    assert(ivf.length == 5)
+    // every IVF hit reports the same similarity the exact scorer computes
+    ivf.foreach(r => assert(brute.get(r.getLong(0)).forall(b => math.abs(b - r.getAs[Double]("sim")) < 1e-9)))
+    val bruteTop = brute.values.max
+    assert(ivf.map(_.getAs[Double]("sim")).max <= bruteTop + 1e-12)
+  }
+
+  test("sessionize: 30-minute gap splits sessions (literal fixture)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.sessionizeDf(events).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2), row.getLong(3)))).toMap
+    assert(r(7L) == ((2L, 3L, 2L))) // 2 sessions, 3 events, max 2 per session
+    assert(r(8L) == ((1L, 1L, 1L)))
+  }
+
+  test("sessionize boundary: exactly 30:00 gap stays in one session, 30:00.000001 splits") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-02 10:30:00.000001"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.sessionizeDf(events).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(1L) == 1L && r(2L) == 2L)
+  }
+
+  test("quality score: hand-computed on a literal doc") {
+    val docs = docsDf(Seq((0L, "the cat", "en", "s", 7L)))
+    val r = TextAnalysis.qualityScoreDf(docs).head()
+    // toks=[the,cat] n_tokens=2 len=7 alpha=6 stop=1
+    assert(r.getAs[Int]("n_tokens") == 2)
+    assert(math.abs(r.getAs[Double]("alpha_ratio") - 6.0 / 7) < 1e-6)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 0.5) < 1e-6)
+    val q = 0.4 * (7 / 500.0) + 0.4 * (6.0 / 7) + 0.2 * 0.5
+    assert(math.abs(r.getAs[Double]("quality") - q) < 1e-6)
+  }
+
+  test("fingerprint: identical texts share fingerprints; <3-token docs get null") {
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "too short", "en", "s", 9L)))
+    val r = TextAnalysis.fingerprintDf(docs).collect()
+    assert(r(0).getString(2) == r(1).getString(2))
+    assert(r(0).getAs[Int]("n_shingles") == 2)
+    assert(r(2).isNullAt(2) && r(2).getAs[Int]("n_shingles") == 0)
+  }
+
+  test("langId: marker votes win; ties resolve by priority order") {
+    val docs = docsDf(Seq(
+      (0L, "le chat et la souris", "fr", "s", 20L),   // fr markers: le, et, la, de?
+      (1L, "the dog of the yard", "en", "s", 19L),
+      (2L, "nothing matches here", "zh", "s", 20L)))  // all counts 0 -> 'en' by priority
+    val m = TextAnalysis.langIdDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.contains(("fr", "fr")))
+    assert(m.contains(("en", "en")))
+    assert(m.contains(("zh", "en")))
+  }
+
+  test("multimodal: stub decoder is deterministic; features preserve byte counts") {
+    val media = Multimodal.mediaTable(spark, Sf)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.feature.sum.toLong == f.n_bytes) // histogram buckets sum to byte count
+    }
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.byte_sum).sorted.sameElements(again.map(_.byte_sum).sorted))
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ingest.WhitespaceCsv
+import graft.retail.RetailQueries
+
+class RetailQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1: filtered projection, only STANDARD rows, ISO dates") {
+    val rows = RetailQueries.q1(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(2) == "STANDARD"))
+    assert(rows.forall(_.getString(0).matches("\\d{4}-\\d{2}-\\d{2}")))
+  }
+
+  test("q2/q3: scalar count-distincts are positive and bounded") {
+    val mag = RetailQueries.q2(spark, Sf).head().getLong(0)
+    val fab = RetailQueries.q3(spark, Sf).head().getLong(0)
+    assert(mag > 0 && mag <= 100)  // 100 suppliers in the fixture family
+    assert(fab > 0 && fab <= 25)   // Brand#1..Brand#25
+  }
+
+  test("q5: top-k is sorted desc with magid tie-break and is a subset of the full ranking") {
+    val top = RetailQueries.q5(spark, Sf).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    top.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+        assert(sa > sb || (sa == sb && a.getAs[Long]("magid") < b.getAs[Long]("magid")))
+      case _ =>
+    }
+  }
+
+  test("q5 tie-break on a tie-heavy micro-fixture: identical scores order by magid asc") {
+    // four stores with identical (fab, cat, prod, cnt) profiles
+    val pdv = Seq.tabulate(4) { m =>
+      Seq(("2022-01-01", 1L, "C", "F", m.toLong), ("2022-01-02", 2L, "C", "F", m.toLong))
+    }.flatten.toDF("dateid", "prodid", "catid", "fabid", "magid")
+      .withColumn("dateid", to_date(col("dateid")))
+    val scored = pdv.groupBy("magid")
+      .agg(countDistinct("fabid").as("f"), countDistinct("catid").as("c"),
+        countDistinct("prodid").as("p"), count(lit(1)).as("n"))
+      .withColumn("score", round(col("f") * 0.1 + col("c") * 0.2 + col("p") * 0.3 + col("n") * 0.4, 6))
+      .orderBy(col("score").desc, col("magid").asc)
+    assert(scored.select("magid").as[Long].collect().sameElements(Array(0L, 1L, 2L, 3L)))
+  }
+
+  test("q8: safe ratio never yields null/NaN/Inf and months are sorted") {
+    val rows = RetailQueries.q8(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score_sante")
+      assert(!s.isNaN && !s.isInfinite && s >= 0.0 && s <= 100.0)
+    }
+    val months = rows.map(_.getString(0))
+    assert(months.sameElements(months.sorted))
+  }
+
+  test("q9: returns exactly the best store among q5's top-10") {
+    val top10 = RetailQueries.q5(spark, Sf).select("magid").as[Long].collect().toSet
+    val best = RetailQueries.q9(spark, Sf).collect()
+    assert(best.length == 1)
+    assert(top10.contains(best(0).getAs[Long]("magid")))
+  }
+
+  test("q10: percentages coherent with counts; average over all 10 stores") {
+    val rows = RetailQueries.q10(spark, Sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("percentage")
+      val expect = r.getAs[Long]("nb_produits_fab").toDouble /
+        r.getAs[Long]("total_produits") * 100.0
+      assert(math.abs(pct - expect) < 1e-6)
+    }
+    val avg = rows.map(_.getAs[Double]("average")).distinct
+    assert(avg.length == 1) // scalar broadcast to every row
+  }
+
+  test("q11 dual semantics: gapless spine; zero months excluded from the scalar mean") {
+    val rows = RetailQueries.q11(spark, Sf).collect()
+    assert(rows.length == 45) // 1995-01 .. 1998-09
+    val months = rows.map(_.getString(0))
+    assert(months.head == "1995-01" && months.last == "1998-09")
+    assert(months.sameElements(months.sorted))
+    val nonZero = rows.map(_.getAs[Double]("avg_percentage")).filter(_ != 0.0)
+    if (nonZero.isEmpty) {
+      // no month has data: reference emits 0.0 (views.py:335 count guard)
+      assert(rows.forall(_.getAs[Double]("average") == 0.0))
+    } else {
+      val expected = BigDecimal(nonZero.sum / nonZero.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = rows.head.getAs[Double]("average")
+      // means are computed pre-rounding in the engine; allow 1e-5 for re-derivation
+      assert(math.abs(got - expected) < 1e-5, s"got $got expected ~$expected")
+    }
+  }
+
+  test("ingest: whitespace CSV parses tabs/runs-of-spaces, lowercases, coerces dates") {
+    val df = WhitespaceCsv.typed(WhitespaceCsv.read(spark,
+      "/root/repo/src/test/resources/fixtures/produits-tous.csv"))
+    assert(df.columns.toSeq == Seq("dateid", "prodid", "catid", "fabid"))
+    assert(df.count() == 5)
+    assert(df.schema("dateid").dataType.typeName == "date")
+    val dates = df.select(date_format(col("dateid"), "yyyy-MM-dd")).as[String].collect().sorted
+    assert(dates.head == "2022-01-01" && dates.last == "2022-12-31")
+  }
+
+  test("ingest date round-trip yyyyMMdd -> date -> iso is lossless (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalatest.prop.Configuration
+    val gen = for {
+      y <- Gen.choose(1980, 2030); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, java.time.YearMonth.of(y, m).lengthOfMonth)
+    } yield (y, m, d)
+    val prop = forAll(gen) { case (y, m, d) =>
+      val raw = f"$y%04d$m%02d$d%02d"
+      val iso = f"$y%04d-$m%02d-$d%02d"
+      val got = Seq(raw).toDF("dateid")
+        .select(date_format(to_date(col("dateid"), "yyyyMMdd"), "yyyy-MM-dd"))
+        .head().getString(0)
+      got == iso
+    }
+    val _ = Configuration
+    org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+      .status match {
+      case org.scalacheck.Test.Passed | org.scalacheck.Test.Proved(_) => ()
+      case s => fail(s"property failed: $s")
+    }
+  }
+
+  test("q12: ingest summary matches the authored fixture") {
+    val r: Row = WhitespaceCsv.q12(spark, Sf).head()
+    assert(r.getAs[Long]("n_rows") == 20)
+    assert(r.getAs[String]("min_date") == "2022-01-01")
+    assert(r.getAs[String]("max_date") == "2023-06-15")
+    assert(r.getAs[Long]("sum_prodid") == (1 to 19).sum + 1) // dup row repeats prodid 1
+  }
+}

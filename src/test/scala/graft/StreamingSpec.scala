@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.EventOps
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling windows match the batch plan and drop late data past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamed = StreamingOps.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode("append")
+      .start()
+    // batch 1: two closed-to-be hours of data
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "view", 1.0),
+      (ts("2024-01-01 10:55:00"), "view", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0))
+    q.processAllAvailable()
+    // batch 2: watermark pusher far in the future closes both windows...
+    mem.addData((ts("2024-01-01 23:00:00"), "view", 8.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the long-closed 10:00 window must be dropped
+    mem.addData((ts("2024-01-01 10:30:00"), "view", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly_out")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("2024-01-01 10:00:00", "view")) == ((2L, 3.0))) // late 100.0 NOT added
+    assert(got(("2024-01-01 11:00:00", "click")) == ((1L, 4.0)))
+    assert(!got.contains(("2024-01-01 23:00:00", "view"))) // still open, not emitted
+  }
+
+  test("streaming session windows agree with the batch lag-based sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.sessionCounts(
+      mem.toDF().toDF("ts", "user_id")
+        .withColumn("event_type", lit("view")).withColumn("value", lit(1.0)))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:10:00"), 7L),
+      (ts("2024-01-01 12:00:00"), 7L), (ts("2024-01-01 10:00:00"), 8L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 00:00:00"), 99L)) // watermark pusher
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // batch twin on the same rows
+    val batch = EventOps.sessionizeDf(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sessions(7L) == batch(7L))
+    assert(sessions(8L) == batch(8L))
+  }
+}
