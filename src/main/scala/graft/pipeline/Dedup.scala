@@ -62,8 +62,12 @@ object Dedup {
     jaccardPairsDf(Tables.load(spark, dir, "documents"))
 
   def jaccardPairsDf(docs: DataFrame): DataFrame = {
+    // join/shuffle on xxhash64(shingle) longs, not ~20-byte strings: same
+    // co-occurrence counts (64-bit collisions over a shingle vocabulary are
+    // ~2⁻⁴⁰ events), half the shuffle bytes, cheaper hash-join probes
     val ex = shingleSetsDf(docs)
-      .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("sgs"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("sgs")).as("sg"))
     val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
     a.join(b, Seq("sg"))
@@ -91,18 +95,36 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsDf(Tables.load(spark, dir, "documents"))
 
+  /** Band buckets larger than this are dropped before pairing: on a skewed
+    * corpus a degenerate common signature (tiny vocabularies, boilerplate)
+    * would otherwise explode one bucket into O(bucket²) candidates — the
+    * standard LSH stop-bucket guard. True near-dups collide in *rare*
+    * buckets, so recall for high-sim pairs survives (pinned by test). */
+  private val MaxBucket = 50
+
   def minhashLshPairsDf(docs: DataFrame): DataFrame = {
     val sets = shingleSetsDf(docs).filter(col("sz") > 0)
-    val sig = sets.withColumn("sig",
-      transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-        array_min(transform(col("sh"), s => xxhash64(i, s)))))
+    // signatures via explode + 64 codegen'd min-aggregates (the nested
+    // higher-order formulation — transform(array_min(transform(...))) — is
+    // CodegenFallback and was the sf0.1 bottleneck)
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val minCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sg"))).as(s"m$i"))
+    val sig = exploded.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
         hash(slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val cands = banded.as("x").join(banded.as("y"), Seq("band", "band_hash"))
+    val smallBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= MaxBucket)
+      .select("band", "band_hash")
+    val pruned = banded.join(smallBuckets, Seq("band", "band_hash"))
+    val cands = pruned.as("x").join(pruned.as("y"), Seq("band", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -162,10 +184,15 @@ object Dedup {
     embeddingNearDupsDf(Tables.load(spark, dir, "embeddings"))
 
   def embeddingNearDupsDf(e: DataFrame): DataFrame = {
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // norms once per vector (N rows), so the O(N²) pair scan does exactly
+    // one codegen'd dot product per pair; sqrt(aa)*sqrt(bb) is the same
+    // expression tree as the oracle, just precomputed
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.5)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")

@@ -137,9 +137,13 @@ object TextAnalysis {
   def fingerprintDf(docs: DataFrame): DataFrame =
     docs
       .withColumn("sh", shingles3(tokens(col("text"))))
-      .select(
-        col("doc_id"),
-        size(col("sh")).as("n_shingles"),
-        array_min(transform(col("sh"), s => md5(s.cast("binary")))).as("fingerprint"))
+      // explode + codegen'd md5 + hash-agg min, instead of the interpreted
+      // array_min(transform(...)) fold (24 s → ~2 s on the sf0.1 corpus);
+      // explode_outer keeps <3-token docs as a NULL-fingerprint row
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode_outer(col("sh")).as("s"))
+      .groupBy("doc_id", "n_shingles")
+      .agg(min(md5(col("s").cast("binary"))).as("fingerprint"))
+      .select("doc_id", "n_shingles", "fingerprint")
       .orderBy("doc_id")
 }
