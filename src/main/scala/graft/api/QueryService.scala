@@ -1,0 +1,251 @@
+package graft.api
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's HTTP query surface
+  * (`GET /api/produits/?type=...&catID=...`), re-expressed as a typed
+  * service: a sealed `QueryType` ADT replaces the string-keyed QUERY_MAP
+  * (views.py:9-89), `Params` replaces raw GET params, and errors are typed
+  * values mirroring the reference's status codes —
+  * unknown type → 400 (views.py:113-114), missing param → 400
+  * (views.py:143-145), missing database → 404 (views.py:92-96), empty
+  * top-10 → 404 (views.py:122-123, 133-134).
+  *
+  * Queries are parameterized HERE (typed, injected as Column literals — no
+  * string interpolation into SQL, fixing the reference's injection-by-
+  * construction B3, views.py:143). The frozen-parameter t2 variants in
+  * [[graft.retail.RetailQueries]] remain the oracle-checked contract; this
+  * layer drives the same plan shapes with caller-supplied parameters.
+  */
+object QueryService {
+
+  sealed trait QueryType
+  object QueryType {
+    case object Cat extends QueryType
+    case object MagCat extends QueryType
+    case object FabCat extends QueryType
+    case object AvgProdPerFab extends QueryType
+    case object TopMagasins extends QueryType
+    case object TopMagasinsCat extends QueryType
+    case object NbMagCatDate extends QueryType
+    case object ScoreEvolution extends QueryType
+    case object Top1 extends QueryType
+    case object AvgCatFab10Mag extends QueryType
+    case object ScoreSanteTousLesMois extends QueryType
+
+    /** Dispatch table mirroring QUERY_MAP keys + the three special-cased
+      * types (views.py:113). */
+    val byName: Map[String, QueryType] = Map(
+      "cat" -> Cat, "mag-cat" -> MagCat, "fab-cat" -> FabCat,
+      "avg-prod-per-fab" -> AvgProdPerFab, "top-magasins" -> TopMagasins,
+      "top-magasins-cat" -> TopMagasinsCat, "nb-mag-cat-date" -> NbMagCatDate,
+      "score-evolution" -> ScoreEvolution, "top-1" -> Top1,
+      "avg-cat-fab-10-mag" -> AvgCatFab10Mag,
+      "score-sante-touts-les-mois" -> ScoreSanteTousLesMois)
+  }
+
+  /** Raw request parameters (all optional, like GET params). */
+  final case class Params(
+      catId: Option[String] = None,
+      fabId: Option[String] = None,
+      annee: Option[Int] = None,
+      debut: Option[String] = None,
+      fin: Option[String] = None,
+      asOf: Option[String] = None)
+
+  sealed trait ApiError { def status: Int; def message: String }
+  object ApiError {
+    /** views.py:113-114 */
+    final case class UnknownQueryType(name: String) extends ApiError {
+      val status = 400; val message = s"Type de requête inconnu: $name"
+    }
+    /** views.py:143-145 */
+    final case class MissingParam(name: String) extends ApiError {
+      val status = 400; val message = s"Paramètre manquant: $name"
+    }
+    /** views.py:92-96 */
+    final case class NotFound(what: String) extends ApiError {
+      val status = 404; val message = s"$what non trouvée"
+    }
+    /** views.py:122-123 — empty phase-1 result in a composite */
+    final case class EmptyResult(detail: String) extends ApiError {
+      val status = 404; val message = detail
+    }
+  }
+  import ApiError._
+  import QueryType._
+
+  /** Entry point mirroring `api_produits_filtre`: resolve the type string,
+    * check the data source exists, validate params, build the plan. */
+  def run(spark: SparkSession, dir: String, typeName: String, p: Params): Either[ApiError, DataFrame] =
+    for {
+      qt <- QueryType.byName.get(typeName).toRight(UnknownQueryType(typeName))
+      _ <- checkDb(spark, dir)
+      df <- build(spark, dir, qt, p)
+    } yield df
+
+  /** S8 — db existence check (views.py:92-96), as a typed error. */
+  private def checkDb(spark: SparkSession, dir: String): Either[ApiError, Unit] =
+    Try(Tables.load(spark, dir, "lineitem").schema).toEither.left
+      .map(_ => NotFound("Base de données"))
+      .map(_ => ())
+
+  private def need[A](v: Option[A], name: String): Either[ApiError, A] =
+    v.toRight(MissingParam(name))
+
+  def build(spark: SparkSession, dir: String, qt: QueryType, p: Params): Either[ApiError, DataFrame] = {
+    val pdv = Tables.pdv(spark, dir)
+    val produits = Tables.produits(spark, dir)
+    qt match {
+      case Cat => need(p.catId, "catID").map(c => produits.filter(col("catid") === c))
+
+      case MagCat => need(p.catId, "catID").map(c =>
+        pdv.filter(col("catid") === c)
+          .agg(countDistinct(col("magid")).as("total_magasins")))
+
+      case FabCat => need(p.catId, "catID").map(c =>
+        produits.filter(col("catid") === c)
+          .agg(countDistinct(col("fabid")).as("total_fabricants")))
+
+      case AvgProdPerFab => for {
+        c <- need(p.catId, "catID"); d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
+      } yield produits
+        .filter(col("catid") === c && col("dateid").between(d, f))
+        .groupBy("fabid").agg(countDistinct(col("prodid")).as("product_count"))
+        .agg(avg(col("product_count")).as("avg_products_per_fab"))
+
+      case TopMagasins => for {
+        d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
+      } yield topMagasins(pdv, d, f)
+
+      case TopMagasinsCat => for {
+        c <- need(p.catId, "catID"); d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
+      } yield topMagasinsCat(pdv, c, d, f)
+
+      case NbMagCatDate => for {
+        c <- need(p.catId, "catID"); a <- need(p.annee, "annee")
+      } yield pdv
+        .filter(col("catid") === c && year(col("dateid")) === a)
+        .groupBy(date_format(col("dateid"), "yyyy-MM").as("mois"))
+        .agg(countDistinct(col("magid")).as("nbmag"))
+        .orderBy("mois")
+
+      case ScoreEvolution => for {
+        c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
+        asOf = p.asOf.getOrElse("1998-09-01")
+      } yield pdv
+        .filter(col("catid") === c && col("dateid").between("1995-01-01", asOf))
+        .groupBy(date_format(col("dateid"), "yyyy-MM").as("mois"))
+        .agg(count(lit(1)).as("total_ventes"),
+          sum(when(col("fabid") === fab, 1).otherwise(0)).as("ventes_fab"))
+        .withColumn("score_sante", coalesce(
+          col("ventes_fab") * lit(100.0) /
+            when(col("total_ventes") === 0, lit(null)).otherwise(col("total_ventes")),
+          lit(0.0)))
+        .orderBy("mois")
+
+      case Top1 => for {
+        c <- need(p.catId, "catID"); d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
+        top = topMagasins(pdv, d, f).select("magid")
+        _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
+      } yield pdv
+        .filter(col("catid") === c)
+        .join(broadcast(top), Seq("magid"), "left_semi")
+        .groupBy("magid")
+        .agg(countDistinct(col("fabid")).as("total_fabricants"),
+          countDistinct(col("prodid")).as("total_produits"),
+          count(lit(1)).as("total_ventes"))
+        .withColumn("score",
+          col("total_produits") * 0.3 + col("total_ventes") * 0.6 + col("total_fabricants") * 0.1)
+        .orderBy(col("score").desc, col("magid").asc)
+        .limit(1)
+
+      case AvgCatFab10Mag => for {
+        c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
+        d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
+        top = topMagasinsCat(pdv, c, d, f).select("magid", "total_produits")
+        _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
+      } yield {
+        val best = pdv.filter(col("catid") === c && col("fabid") === fab)
+          .join(broadcast(top.select("magid")), Seq("magid"), "left_semi")
+          .groupBy("magid").agg(countDistinct(col("prodid")).as("nb_produits_fab"))
+        val rows = top.join(best, Seq("magid"), "left_outer")
+          .withColumn("nb_produits_fab", coalesce(col("nb_produits_fab"), lit(0L)))
+          .withColumn("pct_raw",
+            col("nb_produits_fab").cast("double") / col("total_produits") * lit(100.0))
+        val avgRow = rows.agg(coalesce(
+          avg(when(col("total_produits") =!= 0, col("pct_raw"))), lit(0.0)).as("average"))
+        rows.select(col("magid"), col("total_produits"), col("nb_produits_fab"),
+          col("pct_raw").as("percentage"))
+          .crossJoin(broadcast(avgRow))
+          .orderBy("magid")
+      }
+
+      case ScoreSanteTousLesMois => for {
+        c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
+        asOf = p.asOf.getOrElse("1998-09-01")
+        top = topMagasinsCat(pdv, c, "1995-01-01", asOf).select("magid", "total_produits")
+        _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
+      } yield {
+        val perMonth = pdv.filter(col("catid") === c && col("fabid") === fab)
+          .join(broadcast(top.select("magid")), Seq("magid"), "left_semi")
+          .groupBy(col("magid"), date_format(col("dateid"), "yyyy-MM").as("mois_annee"))
+          .agg(countDistinct(col("prodid")).as("nb"))
+        val spine = spark.range(1)
+          .select(explode(expr(
+            s"sequence(to_date('1995-01-01'), to_date('$asOf'), interval 1 month)")).as("m"))
+          .select(date_format(col("m"), "yyyy-MM").as("mois_annee"))
+        val monthly = spine.crossJoin(broadcast(top))
+          .join(perMonth, Seq("magid", "mois_annee"), "left_outer")
+          .groupBy("mois_annee")
+          .agg(avg(when(col("nb").isNotNull && col("total_produits") =!= 0,
+            col("nb").cast("double") / col("total_produits") * lit(100.0))).as("avg_raw"))
+        val avgRow = monthly.agg(coalesce(avg(col("avg_raw")), lit(0.0)).as("average"))
+        monthly.select(col("mois_annee"),
+          coalesce(col("avg_raw"), lit(0.0)).as("avg_percentage"))
+          .crossJoin(broadcast(avgRow))
+          .orderBy("mois_annee")
+      }
+    }
+  }
+
+  /** Empty-result guard for composites (views.py:122-123, 133-134). The
+    * probe is a `limit(1)` head — O(1) work, never a fact-table collect. */
+  private def nonEmpty(df: DataFrame, detail: String): Either[ApiError, Unit] =
+    if (df.limit(1).isEmpty) Left(EmptyResult(detail)) else Right(())
+
+  private def topMagasins(pdv: DataFrame, debut: String, fin: String): DataFrame =
+    pdv.filter(col("dateid").between(debut, fin))
+      .groupBy("magid")
+      .agg(countDistinct(col("fabid")).as("total_fabricants"),
+        countDistinct(col("catid")).as("total_categories"),
+        countDistinct(col("prodid")).as("total_produits"),
+        count(lit(1)).as("total_ventes"))
+      .withColumn("score",
+        col("total_fabricants") * 0.1 + col("total_categories") * 0.2 +
+          col("total_produits") * 0.3 + col("total_ventes") * 0.4)
+      .orderBy(col("score").desc, col("magid").asc)
+      .limit(10)
+
+  private def topMagasinsCat(pdv: DataFrame, cat: String, debut: String, fin: String): DataFrame =
+    pdv.filter(col("catid") === cat && col("dateid").between(debut, fin))
+      .groupBy("magid")
+      .agg(countDistinct(col("fabid")).as("total_fabricants"),
+        countDistinct(col("prodid")).as("total_produits"),
+        count(lit(1)).as("total_ventes"))
+      .withColumn("score",
+        col("total_fabricants") * 0.1 + col("total_produits") * 0.3 +
+          col("total_ventes") * 0.6)
+      .orderBy(col("score").desc, col("magid").asc)
+      .limit(10)
+
+  /** S7 — JSON result envelope (views.py:152-154): records-style JSON
+    * strings. Driver-side collect is bounded: every QueryType's result is
+    * top-k / aggregate-sized, never fact-sized. */
+  def toJson(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.api.QueryService
+import graft.api.QueryService.{ApiError, Params}
+
+class QueryServiceSpec extends SparkSpec {
+
+  test("unknown query type -> 400 UnknownQueryType (views.py:113-114)") {
+    val r = QueryService.run(spark, Sf, "nope", Params())
+    assert(r == Left(ApiError.UnknownQueryType("nope")))
+  }
+
+  test("missing param -> 400 MissingParam (views.py:143-145)") {
+    val r = QueryService.run(spark, Sf, "cat", Params())
+    assert(r == Left(ApiError.MissingParam("catID")))
+    val r2 = QueryService.run(spark, Sf, "top-magasins", Params(debut = Some("1995-01-01")))
+    assert(r2 == Left(ApiError.MissingParam("fin")))
+  }
+
+  test("missing database -> 404 NotFound (views.py:92-96)") {
+    val r = QueryService.run(spark, "/nonexistent/dir", "cat", Params(catId = Some("STANDARD")))
+    assert(r == Left(ApiError.NotFound("Base de données")))
+  }
+
+  test("empty phase-1 result in a composite -> 404 EmptyResult (views.py:122-123)") {
+    val r = QueryService.run(spark, Sf, "avg-cat-fab-10-mag", Params(
+      catId = Some("NO_SUCH_CAT"), fabId = Some("Brand#12"),
+      debut = Some("1995-01-01"), fin = Some("1996-12-31")))
+    assert(r.left.toOption.exists(_.isInstanceOf[ApiError.EmptyResult]))
+  }
+
+  test("parameterized queries agree with the frozen t2 variants") {
+    val viaApi = QueryService.run(spark, Sf, "mag-cat", Params(catId = Some("STANDARD")))
+      .toOption.get.head().getLong(0)
+    val frozen = graft.retail.RetailQueries.q2(spark, Sf).head().getLong(0)
+    assert(viaApi == frozen)
+
+    val top = QueryService.run(spark, Sf, "top-magasins-cat", Params(
+      catId = Some("STANDARD"), debut = Some("1995-01-01"), fin = Some("1996-12-31")))
+      .toOption.get.select("magid").collect().map(_.getLong(0))
+    val frozenTop = graft.retail.RetailQueries.q6(spark, Sf)
+      .select("magid").collect().map(_.getLong(0))
+    assert(top.sameElements(frozenTop))
+  }
+
+  test("results serialize to records-style JSON (views.py:152-154)") {
+    val df = QueryService.run(spark, Sf, "fab-cat", Params(catId = Some("STANDARD"))).toOption.get
+    val json = QueryService.toJson(df)
+    assert(json.length == 1)
+    assert(json.head.contains("\"total_fabricants\":"))
+  }
+}
