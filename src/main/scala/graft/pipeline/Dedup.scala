@@ -48,26 +48,25 @@ object Dedup {
   private def shingleSetsDf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        array_distinct(TextAnalysis.shingles3(TextAnalysis.tokens(col("text")))).as("sh"))
+        graft.functions.ShingleExpressions.shingle_hashes(col("text"), 3).as("sh"))
       .withColumn("sz", size(col("sh")))
 
   /** Exact n-gram Jaccard near-dup pairs (sim ≥ 0.2) via the inverted-index
-    * self-join: explode shingles, join on shingle, count common, compute
-    * |A∩B| / (|A|+|B|-|A∩B|). This is the exact-but-distributed baseline —
-    * the shuffle key is the shingle, so co-occurrence counting is local.
-    * At 100 TB you'd add prefix filtering and drop ultra-frequent shingles
-    * (stop-shingles) to bound join fan-out; MinHash below is the cheaper
-    * approximate path. */
+    * self-join: explode shingle hashes (8-byte keys from the native
+    * [[graft.functions.ShingleExpressions.ShingleHashes]] expression), join
+    * on shingle, count common, J = |A∩B| / (|A|+|B|-|A∩B|). Join fan-out is
+    * Σ df² over shingle document frequencies — benign when no shingle is
+    * ultra-frequent (this corpus: max df 25, Σdf² ≈ 2.8M at sf0.1). For
+    * skew-heavy corpora where Σdf² explodes, [[jaccardPairsPrefixDf]] is
+    * the lossless prefix-filtered variant. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsDf(Tables.load(spark, dir, "documents"))
 
+  private val JaccardThreshold = 0.2
+
   def jaccardPairsDf(docs: DataFrame): DataFrame = {
-    // join/shuffle on xxhash64(shingle) longs, not ~20-byte strings: same
-    // co-occurrence counts (64-bit collisions over a shingle vocabulary are
-    // ~2⁻⁴⁰ events), half the shuffle bytes, cheaper hash-join probes
-    val ex = shingleSetsDf(docs)
-      .select(col("doc_id"), col("sz"), explode(col("sh")).as("sgs"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("sgs")).as("sg"))
+    val ex = shingleSetsDf(docs).filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
     val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
     a.join(b, Seq("sg"))
@@ -76,7 +75,45 @@ object Dedup {
       .agg(count(lit(1)).as("common"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PPJoin-style prefix-filtered variant of [[jaccardPairsDf]] — identical
+    * output, built for corpora where frequent shingles make the plain
+    * inverted join's Σdf² fan-out explode (boilerplate-heavy web crawls):
+    *
+    *  1. global canonical shingle order = (document frequency ASC, hash) —
+    *     rare shingles first;
+    *  2. each doc indexes only its (sz − ⌈t·sz⌉ + 1)-prefix. Prefix
+    *     theorem: J(A,B) ≥ t ⟹ |A∩B| ≥ max(⌈t·|A|⌉, ⌈t·|B|⌉) ⟹ the
+    *     prefixes intersect — no qualifying pair is lost;
+    *  3. candidate pairs verified with the exact set intersection.
+    *
+    * The join then fans out only on rare shingles. Pinned equal to the
+    * plain variant by test. */
+  def jaccardPairsPrefixDf(docs: DataFrame): DataFrame = {
+    val t = JaccardThreshold
+    val sets = shingleSetsDf(docs).filter(col("sz") > 0)
+    val ex = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sg").asc)
+    val prefix = ex.join(freq, Seq("sg"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+      .select(col("doc_id"), col("sg"))
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("sg"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -108,6 +145,8 @@ object Dedup {
     // higher-order formulation — transform(array_min(transform(...))) — is
     // CodegenFallback and was the sf0.1 bottleneck)
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+    // sg is already a 64-bit shingle hash; the 64 "permutations" re-hash the
+    // long with a distinct seed column — all codegen'd
     val minCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sg"))).as(s"m$i"))
     val sig = exploded.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)

@@ -19,7 +19,7 @@ import graft.Tables
 object TextAnalysis {
 
   /** Whitespace token array of the lowercased text. */
-  private[pipeline] def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private[graft] def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   /** E-Q2 — per-language corpus stats. Integer sums are exact in double, so
     * the average is order-insensitive. */
@@ -121,7 +121,7 @@ object TextAnalysis {
   }
 
   /** 3-token shingle array of a document (shared with the dedup family). */
-  private[pipeline] def shingles3(toks: Column): Column =
+  private[graft] def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3), i =>
         concat_ws(" ",
@@ -136,7 +136,7 @@ object TextAnalysis {
 
   def fingerprintDf(docs: DataFrame): DataFrame =
     docs
-      .withColumn("sh", shingles3(tokens(col("text"))))
+      .withColumn("sh", graft.functions.ShingleExpressions.shingles(col("text"), 3))
       // explode + codegen'd md5 + hash-agg min, instead of the interpreted
       // array_min(transform(...)) fold (24 s → ~2 s on the sf0.1 corpus);
       // explode_outer keeps <3-token docs as a NULL-fingerprint row

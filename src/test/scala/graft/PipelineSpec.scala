@@ -36,6 +36,16 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    val plain = Dedup.jaccardPairsDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val prefix = Dedup.jaccardPairsPrefixDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(plain.nonEmpty)
+    assert(plain.sameElements(prefix))
+  }
+
   test("minhash-LSH pairs are a subset of exact pairs and recall all high-sim pairs (sf0.001)") {
     val exact = Dedup.jaccardPairs(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
