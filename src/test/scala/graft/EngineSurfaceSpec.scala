@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PartitionedLayout
+
+/** Covers the remaining SURVEY.md §2 surface rows: S5 (SQL over registered
+  * views), the month-partitioned at-rest layout (§4 partition pruning), and
+  * the E6 typed Aggregator showcase. */
+class EngineSurfaceSpec extends SparkSpec {
+
+  test("S5: Tables.register exposes all base tables + pdv/produits to spark.sql") {
+    Tables.register(spark, Sf)
+    val viaSql = spark.sql(
+      "SELECT COUNT(DISTINCT magid) AS total_magasins FROM pdv WHERE catid = 'STANDARD'")
+      .head().getLong(0)
+    val viaDf = retail.RetailQueries.q2(spark, Sf).head().getLong(0)
+    assert(viaSql == viaDf)
+    Tables.base.foreach(t => assert(spark.catalog.tableExists(t), t))
+  }
+
+  test("month-partitioned layout: same results, and the plan prunes partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    PartitionedLayout.writeMonthPartitioned(spark, Sf, out)
+    // correctness: partitioned Q7 == view-based Q7
+    val part = PartitionedLayout.q7Partitioned(spark, out, 1995).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val view = retail.RetailQueries.q7(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(part.sameElements(view))
+    // pruning: the mois predicate must reach the file index as a partition
+    // filter, not a data filter
+    val plan = PartitionedLayout.read(spark, out)
+      .filter(col("mois") === "1995-06")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("1995-06"),
+      s"expected partition filter in plan:\n$plan")
+  }
+
+  test("E6 Aggregator: single-pass typed weighted score equals the Expand-plan score") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.types._
+    val inSchema = StructType(Seq(
+      StructField("fabid", StringType), StructField("catid", StringType),
+      StructField("prodid", LongType)))
+    val scoreUdaf = udaf(graft.functions.WeightedScore.q5Aggregator, Encoders.row(inSchema))
+    val viaAgg = Tables.pdv(spark, Sf)
+      .filter(col("dateid").between("1995-01-01", "1996-12-31"))
+      .groupBy("magid").agg(round(scoreUdaf(col("fabid"), col("catid"), col("prodid")), 6).as("score"))
+    val viaExpand = retail.RetailQueries.q5(spark, Sf).select("magid", "score")
+    val m1 = viaAgg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaExpand.collect().foreach { r =>
+      assert(m1(r.getLong(0)) == r.getDouble(1), s"magid ${r.getLong(0)}")
+    }
+  }
+}
