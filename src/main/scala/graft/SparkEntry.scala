@@ -51,6 +51,8 @@ object SparkEntry {
     "x2_simhash_pairs"       -> (Dedup.simhashPairs _),
     "x3_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x4_media_features"      -> (Multimodal.featuresSummary _),
+    "x5_lsh_topk"            -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x6_approx_distinct"     -> (Dedup.approxDistinct _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -27,6 +27,18 @@ object Dedup {
     docs
       .agg((count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("dup_count"))
 
+  /** HLL opt-in for A1-class count-distincts (SURVEY.md §2.2 A1 note): the
+    * oracle queries stay exact, but at 100 TB-cardinality you trade the
+    * Expand-plan exact distinct for a mergeable HyperLogLog++ sketch. Test
+    * pins relative error < 5%. Rows-only check (approximate by design). */
+  def approxDistinctDf(pdv: DataFrame): DataFrame =
+    pdv.agg(
+      approx_count_distinct(col("magid"), 0.02).as("approx_magasins"),
+      approx_count_distinct(col("prodid"), 0.02).as("approx_produits"))
+
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctDf(Tables.pdv(spark, dir))
+
   /** Exact dedup keeping the smallest doc_id per content
     * (hash-partitioned window, `row_number`). Reports survivors per source. */
   def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =

@@ -43,6 +43,49 @@ object Similarity {
       .limit(k)
   }
 
+  private val LshBits = 8
+
+  /** Deterministic ±1 hyperplanes for sign-random-projection (seeded —
+    * offline-trainable state, like IVF centroids). */
+  private def hyperplanes(dim: Int): Seq[Array[Float]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(LshBits)(Array.fill(dim)(if (rng.nextBoolean()) 1f else -1f))
+  }
+
+  /** SRP-LSH bucket id of a vector column: bit j = sign(v · h_j). The dots
+    * are codegen'd [[dot]] calls against literal hyperplane arrays. */
+  private def srpBucket(v: Column, hps: Seq[Array[Float]]): Column =
+    hps.zipWithIndex.map { case (h, j) =>
+      when(dot(v, typedLit(h)) > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Sign-random-projection LSH approximate top-k — the hash-bucketed
+    * alternative to [[ivfTopK]]: 8 ±1-hyperplane bits bucket every vector
+    * (one narrow pass, written once at scale — bit count scales with log of
+    * corpus size); the query multi-probes its own bucket plus all
+    * hamming ≤ 2 neighbors (37 of 256 buckets), and only those candidates
+    * are scored exactly. Recall vs [[cosineTopK]] is pinned by test. */
+  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val dim = e.selectExpr("size(embedding)").head().getInt(0)
+    val hps = hyperplanes(dim)
+    val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), hps))
+    // driver-side: the query's bucket id (1-row collect) -> probe buckets
+    val qBucket = bucketed.filter(col("bucket").isNotNull && col("vec_id") === queryId)
+      .select("bucket").head().getInt(0)
+    val probes = (qBucket +:
+      (0 until LshBits).map(j => qBucket ^ (1 << j))) ++
+      (for { i <- 0 until LshBits; j <- i + 1 until LshBits }
+        yield qBucket ^ (1 << i) ^ (1 << j))
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    bucketed
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF-style approximate top-k: a deterministic centroid subset (every
     * 40th vector — a stand-in for k-means, which would be trained offline),
     * each vector assigned to its nearest centroid (broadcast argmin — one

@@ -96,6 +96,26 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.map(_.getAs[Double]("sim")).max <= bruteTop + 1e-12)
   }
 
+  test("SRP-LSH top-k: true similarities, bounded by brute force, recall >= 1") {
+    val brute = Similarity.cosineTopK(spark, Sf, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("sim")).toMap
+    val lsh = Similarity.lshTopK(spark, Sf).collect()
+    assert(lsh.nonEmpty && lsh.length <= 5)
+    val full = Similarity.cosineTopK(spark, Sf, k = 500).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("sim")).toMap
+    lsh.foreach(r => assert(math.abs(full(r.getLong(0)) - r.getAs[Double]("sim")) < 1e-9))
+    assert(lsh.map(_.getLong(0)).count(brute.contains) >= 1)
+  }
+
+  test("approx count-distinct within 5% of exact") {
+    val pdv = graft.Tables.pdv(spark, Sf)
+    val exact = pdv.agg(countDistinct(col("magid")), countDistinct(col("prodid")))
+      .head()
+    val approx = Dedup.approxDistinctDf(pdv).head()
+    assert(math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.05)
+    assert(math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
+  }
+
   test("sessionize: 30-minute gap splits sessions (literal fixture)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
