@@ -53,6 +53,7 @@ object SparkEntry {
     "x4_media_features"      -> (Multimodal.featuresSummary _),
     "x5_lsh_topk"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "x6_approx_distinct"     -> (Dedup.approxDistinct _),
+    "x7_salted_agg"          -> (EventOps.saltedEventTotals _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -51,6 +51,27 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("window_start", "event_type")
 
+  /** Two-phase salted aggregation — the skew pattern for hot grouping keys
+    * (here: only 5 event_type values, so a plain groupBy funnels the whole
+    * table through ≤5 reducers at scale). Phase 1 aggregates on
+    * (key, salt ∈ [0,32)), spreading each hot key over 32 reducers; phase 2
+    * merges the 32 partials per key. Sums of counts/doubles re-associate, so
+    * results equal the direct groupBy (pinned by test; double sums up to
+    * reordering — use the direct form when hash-exactness vs an oracle
+    * matters). AQE's skew-join split handles the join-side analogue
+    * automatically. */
+  def saltedEventTotalsDf(events: DataFrame, saltBuckets: Int = 32): DataFrame =
+    events
+      .withColumn("salt", pmod(hash(col("event_id")), lit(saltBuckets)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 6).as("total_value"))
+      .orderBy("event_type")
+
+  def saltedEventTotals(spark: SparkSession, dir: String): DataFrame =
+    saltedEventTotalsDf(Tables.load(spark, dir, "events"))
+
   /** Sessionization with a 30-minute inactivity gap, the batch analogue of
     * `session_window`: lag → session-start flags → running session ids →
     * per-session sizes → per-user stats. Both running windows use the

@@ -116,6 +116,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
   }
 
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val events = graft.Tables.load(spark, Sf, "events")
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = EventOps.saltedEventTotalsDf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.map(t => (t._1, t._2)).sameElements(direct.map(t => (t._1, t._2))))
+    salted.zip(direct).foreach { case (s, d) => assert(math.abs(s._3 - d._3) < 1e-4) }
+  }
+
   test("sessionize: 30-minute gap splits sessions (literal fixture)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
