@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.8 E5). Each op takes a
   * (possibly streaming) events DataFrame `(ts timestamp, event_type string,
@@ -32,6 +33,57 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startMs: Long, lastMs: Long, n: Int)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Int)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API for session logic `session_window` can't express
+    * (here it reimplements the same 30-minute gap, as the worked example).
+    * State = the one open session per user; event-time timeout fires once
+    * the watermark passes last-activity + gap, emitting the closed session
+    * and clearing state — so state size is O(active users), never
+    * O(events). Input must carry a watermark on `ts`. */
+  def statefulSessions(events: Dataset[UserEvent]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, it: Iterator[UserEvent],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      def close(s: OpenSession) = ClosedSession(userId,
+        new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).toIterator
+        state.remove()
+        out
+      } else {
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var cur = state.getOption
+        it.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+          val t = ev.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs > GapMs =>
+              closed += close(s)
+              cur = Some(OpenSession(t, t, 1))
+            case Some(s) =>
+              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+            case None =>
+              cur = Some(OpenSession(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + GapMs)
+        }
+        closed.iterator
+      }
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program

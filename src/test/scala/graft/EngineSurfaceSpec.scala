@@ -37,6 +37,25 @@ class EngineSurfaceSpec extends SparkSpec {
       s"expected partition filter in plan:\n$plan")
   }
 
+  test("bucketed layout: co-located fact/dim join plans without a shuffle exchange") {
+    import graft.sources.BucketedLayout
+    // disable broadcast so the join strategy question is SMJ-vs-shuffle,
+    // which is what bucketing answers at 100 TB (dims don't broadcast there)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketedLayout.writeBucketed(spark, Sf)
+      val joined = BucketedLayout.pdvBucketed(spark)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      // same row count as the view-based pdv
+      assert(joined.count() == Tables.pdv(spark, Sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql(s"DROP TABLE IF EXISTS ${BucketedLayout.LineitemTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${BucketedLayout.PartTable}")
+    }
+  }
+
   test("E6 Aggregator: single-pass typed weighted score equals the Expand-plan score") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.udaf

@@ -45,6 +45,37 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(("2024-01-01 23:00:00", "view"))) // still open, not emitted
   }
 
+  test("flatMapGroupsWithState sessionizer: event-time timeout closes sessions, state is per-user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .as[StreamingOps.UserEvent](org.apache.spark.sql.Encoders.product)
+    val q = StreamingOps.statefulSessions(events)
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:10:00"), 7L),
+      (ts("2024-01-01 12:00:00"), 7L), (ts("2024-01-01 10:00:00"), 8L))
+    q.processAllAvailable()
+    // the 12:00 arrival closed 7's first session in-batch; 8's session and
+    // 7's second remain open until the watermark passes last+30min
+    mem.addData((ts("2024-01-02 00:00:00"), 99L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-03 00:00:00"), 99L)) // push watermark past user 99 too
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stateful_out")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.count(_._1 == 7L) == 2)
+    val s7 = got.filter(_._1 == 7L)
+    assert(s7(0)._4 == 2 && s7(1)._4 == 1) // 2-event session then 1-event
+    assert(got.count(_._1 == 8L) == 1 && got.filter(_._1 == 8L).head._4 == 1)
+  }
+
   test("streaming session windows agree with the batch lag-based sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
