@@ -36,6 +36,22 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("native ShingleExpressions match the declarative HOF formulation they replaced") {
+    import graft.functions.ShingleExpressions
+    val docs = graft.Tables.load(spark, Sf, "documents").limit(50)
+    // Shingles == shingles3(tokens(...))
+    val both = docs.select(
+      ShingleExpressions.shingles(col("text"), 3).as("native"),
+      TextAnalysis.shingles3(TextAnalysis.tokens(col("text"))).as("declarative"))
+    assert(both.filter(not(col("native") === col("declarative"))).isEmpty)
+    // ShingleHashes == distinct xxhash64 of the string shingles
+    val hashes = docs.select(
+      ShingleExpressions.shingle_hashes(col("text"), 3).as("native"),
+      array_distinct(transform(
+        TextAnalysis.shingles3(TextAnalysis.tokens(col("text"))), s => xxhash64(s))).as("declarative"))
+    assert(hashes.filter(not(col("native") === col("declarative"))).isEmpty)
+  }
+
   test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     val plain = Dedup.jaccardPairsDf(docs).collect()

@@ -110,6 +110,22 @@ class RetailQueriesSpec extends SparkSpec {
     assert(dates.head == "2022-01-01" && dates.last == "2022-12-31")
   }
 
+  test("ingest: malformed rows (wrong arity) are dropped, not mis-parsed") {
+    val tmp = java.nio.file.Files.createTempFile("graft_malformed", ".csv")
+    java.nio.file.Files.writeString(tmp,
+      """DateID  ProdID  CatID
+        |20220101  1  10
+        |20220102  2
+        |20220103  3  30  999
+        |
+        |20220104  4  40
+        |""".stripMargin)
+    val df = WhitespaceCsv.read(spark, tmp.toString)
+    // 2-token and 4-token rows and the blank line are dropped; 2 good rows remain
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("dateid", "prodid", "catid"))
+  }
+
   test("ingest date round-trip yyyyMMdd -> date -> iso is lossless (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
