@@ -224,7 +224,7 @@ object Oracles {
       """WITH flags AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) > 1800000000
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (

@@ -28,9 +28,18 @@ object Tables {
       // long and integer-divide to micros: `ts div 1000`, NOT `/1000` —
       // epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range, so a
       // double division would silently corrupt timestamps.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      // scope the legacy flag to this one read: schema conversion happens
+      // at read() time, so restoring right after keeps unrelated parquet
+      // reads on the loud unsupported-type error path
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

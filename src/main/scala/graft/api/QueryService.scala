@@ -219,30 +219,13 @@ object QueryService {
   private def nonEmpty(df: DataFrame, detail: String): Either[ApiError, Unit] =
     if (df.limit(1).isEmpty) Left(EmptyResult(detail)) else Right(())
 
+  // one implementation of the weighted top-10s, shared with the frozen t2
+  // variants (graft.retail.RetailQueries) — no drift
   private def topMagasins(pdv: DataFrame, debut: String, fin: String): DataFrame =
-    pdv.filter(col("dateid").between(debut, fin))
-      .groupBy("magid")
-      .agg(countDistinct(col("fabid")).as("total_fabricants"),
-        countDistinct(col("catid")).as("total_categories"),
-        countDistinct(col("prodid")).as("total_produits"),
-        count(lit(1)).as("total_ventes"))
-      .withColumn("score",
-        col("total_fabricants") * 0.1 + col("total_categories") * 0.2 +
-          col("total_produits") * 0.3 + col("total_ventes") * 0.4)
-      .orderBy(col("score").desc, col("magid").asc)
-      .limit(10)
+    graft.retail.RetailQueries.topMagasins(pdv, debut, fin)
 
   private def topMagasinsCat(pdv: DataFrame, cat: String, debut: String, fin: String): DataFrame =
-    pdv.filter(col("catid") === cat && col("dateid").between(debut, fin))
-      .groupBy("magid")
-      .agg(countDistinct(col("fabid")).as("total_fabricants"),
-        countDistinct(col("prodid")).as("total_produits"),
-        count(lit(1)).as("total_ventes"))
-      .withColumn("score",
-        col("total_fabricants") * 0.1 + col("total_produits") * 0.3 +
-          col("total_ventes") * 0.6)
-      .orderBy(col("score").desc, col("magid").asc)
-      .limit(10)
+    graft.retail.RetailQueries.topMagasinsCat(pdv, cat, debut, fin)
 
   /** S7 — JSON result envelope (views.py:152-154): records-style JSON
     * strings. Driver-side collect is bounded: every QueryType's result is

@@ -31,7 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleExpressions {
 
   private def tokenize(s: UTF8String): Array[String] =
-    s.toString.toLowerCase.trim.split("\\s+")
+    // UTF8String.toLowerCase (locale-agnostic, = Spark `lower`) then
+    // UTF8String.trim (strips 0x20 only, = Spark `trim`) — Java's
+    // String.trim/toLowerCase differ (strips all ≤U+0020; default-locale)
+    // and would diverge from the column formulation on tab/newline-prefixed
+    // or locale-sensitive text
+    s.toLowerCase.trim.toString.split("\\s+")
 
   private def shingleAt(toks: Array[String], i: Int, n: Int): String = {
     val sb = new java.lang.StringBuilder(toks(i))

@@ -30,9 +30,14 @@ object WhitespaceCsv {
     val header = raw.head().getString(0)
     val cols = header.trim.split("\\s+").map(_.toLowerCase)
     raw
-      .filter(col("value") =!= header && length(trim(col("value"))) > 0)
+      .filter(length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("t"))
       .filter(size(col("t")) === cols.length)
+      // drop header rows by first-token match (same rule as the q12 DuckDB
+      // oracle: lower(a[1]) <> '<first header col>') — robust to repeated /
+      // re-spaced headers in multi-file inputs, and never drops a data line
+      // that merely byte-equals the header
+      .filter(lower(col("t").getItem(0)) =!= lit(cols(0)))
       .select(cols.zipWithIndex.map { case (c, i) => col("t").getItem(i).as(c) }.toSeq: _*)
   }
 

@@ -86,9 +86,13 @@ object EventOps {
     val gapUs = 30L * 60 * 1000000
     val sessions = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // >= gap splits: matches session_window's [start, last+gap) windows,
+      // where an event exactly at last+gap does NOT merge — keeps the
+      // batch, session_window, and flatMapGroupsWithState variants in
+      // agreement on the boundary
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(byUser))
       .groupBy("user_id", "session_id")

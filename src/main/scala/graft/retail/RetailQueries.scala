@@ -64,8 +64,14 @@ object RetailQueries {
     * on identical values in both engines; `magid ASC` breaks ties
     * (SURVEY.md §7 risk 3). `TakeOrderedAndProject` — no full sort. */
   private[graft] def top10AllCats(spark: SparkSession, dir: String): DataFrame =
-    Tables.pdv(spark, dir)
-      .filter(col("dateid").between(Debut, Fin))
+    topMagasins(Tables.pdv(spark, dir), Debut, Fin)
+
+  /** Parameterized Q5 body — the ONE implementation of the all-category
+    * weighted top-10, shared by the frozen t2 variant above and the typed
+    * API layer ([[graft.api.QueryService]]). */
+  private[graft] def topMagasins(pdv: DataFrame, debut: String, fin: String): DataFrame =
+    pdv
+      .filter(col("dateid").between(debut, fin))
       .groupBy("magid")
       .agg(
         countDistinct(col("fabid")).as("total_fabricants"),
@@ -83,8 +89,12 @@ object RetailQueries {
   /** Shared body of Q6 (`top-magasins-cat`, views.py:45-60): same shape,
     * category-filtered, weights 0.1/0.3/0.6, no catid distinct. */
   private[graft] def top10Cat(spark: SparkSession, dir: String): DataFrame =
-    Tables.pdv(spark, dir)
-      .filter(col("catid") === Cat && col("dateid").between(Debut, Fin))
+    topMagasinsCat(Tables.pdv(spark, dir), Cat, Debut, Fin)
+
+  /** Parameterized Q6 body (weights 0.1/0.3/0.6), shared with the API layer. */
+  private[graft] def topMagasinsCat(pdv: DataFrame, cat: String, debut: String, fin: String): DataFrame =
+    pdv
+      .filter(col("catid") === cat && col("dateid").between(debut, fin))
       .groupBy("magid")
       .agg(
         countDistinct(col("fabid")).as("total_fabricants"),
@@ -208,16 +218,5 @@ object RetailQueries {
 
   /** Q11's top-10 uses the wider window debut..asof (views.py:131). */
   private[graft] def top10CatAsOf(spark: SparkSession, dir: String): DataFrame =
-    Tables.pdv(spark, dir)
-      .filter(col("catid") === Cat && col("dateid").between(Debut, AsOf))
-      .groupBy("magid")
-      .agg(
-        countDistinct(col("fabid")).as("total_fabricants"),
-        countDistinct(col("prodid")).as("total_produits"),
-        count(lit(1)).as("total_ventes"))
-      .withColumn("score", round(
-        col("total_fabricants") * 0.1 + col("total_produits") * 0.3 +
-          col("total_ventes") * 0.6, 6))
-      .orderBy(col("score").desc, col("magid").asc)
-      .limit(10)
+    topMagasinsCat(Tables.pdv(spark, dir), Cat, Debut, AsOf)
 }

@@ -64,7 +64,7 @@ object StreamingOps {
         it.toSeq.sortBy(_.ts.getTime).foreach { ev =>
           val t = ev.ts.getTime
           cur match {
-            case Some(s) if t - s.lastMs > GapMs =>
+            case Some(s) if t - s.lastMs >= GapMs =>
               closed += close(s)
               cur = Some(OpenSession(t, t, 1))
             case Some(s) =>

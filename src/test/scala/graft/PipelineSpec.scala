@@ -158,13 +158,13 @@ class PipelineSpec extends SparkSpec {
     assert(r(8L) == ((1L, 1L, 1L)))
   }
 
-  test("sessionize boundary: exactly 30:00 gap stays in one session, 30:00.000001 splits") {
+  test("sessionize boundary: 29:59.999999 gap merges, exactly 30:00 splits (session_window semantics)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
-      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:29:59.999999"), 1L, "view", 1.0, "{}"),
       (3L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0, "{}"),
-      (4L, ts("2024-01-02 10:30:00.000001"), 2L, "view", 1.0, "{}"))
+      (4L, ts("2024-01-02 10:30:00"), 2L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val r = EventOps.sessionizeDf(events).collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
