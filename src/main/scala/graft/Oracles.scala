@@ -326,6 +326,42 @@ object Oracles {
         |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims
         |WHERE sim >= 0.5::DOUBLE ORDER BY vec_a, vec_b""".stripMargin,
 
+    "eq15_json_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "eq16_revenue_by_nation" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders,
+        |       COUNT(DISTINCT c_custkey) AS n_customers,
+        |       ROUND(SUM(l_quantity), 6) AS total_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "eq17_top_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS total_qty, COUNT(*) AS n_items
+        |  FROM lineitem GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT n_name, s_suppkey, total_qty, n_items,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY total_qty DESC, s_suppkey ASC) AS rank
+        |  FROM per_supp
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, CAST(rank AS INT) AS rank, s_suppkey,
+        |       ROUND(total_qty, 6) AS total_qty, n_items
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY n_name, rank""".stripMargin,
+
     "eq14_media_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

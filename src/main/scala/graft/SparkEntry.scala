@@ -45,6 +45,9 @@ object SparkEntry {
     "eq12_jaccard_pairs"     -> (Dedup.jaccardPairs _),
     "eq13_embedding_neardups" -> (Dedup.embeddingNearDups _),
     "eq14_media_meta"        -> (Multimodal.mediaMeta _),
+    "eq15_json_props"        -> (graft.star.StarQueries.jsonProps _),
+    "eq16_revenue_by_nation" -> (graft.star.StarQueries.revenueByNation _),
+    "eq17_top_suppliers"     -> (graft.star.StarQueries.topSuppliersPerNation _),
     // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
     // records rows-only checks); correctness pinned by ScalaTest instead
     "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),

@@ -1,0 +1,81 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Queries over the full driver star schema (region/nation/customer/
+  * orders/lineitem/supplier) and the JSON event payloads — the engine
+  * surface beyond the reference's two tables: multi-way join planning,
+  * semi-structured extraction, and partitioned window analytics.
+  *
+  * Hash-determinism discipline for the oracle: aggregate only
+  * order-insensitive quantities — counts, COUNT(DISTINCT), sums of
+  * integer-valued doubles (exact in double), and money as integer CENTS
+  * (`round(price*100)` per element, then an exact integer sum) — never a
+  * raw double sum, whose accumulation order differs between engines.
+  */
+object StarQueries {
+
+  /** eq15 — JSON property extraction over `events.props` (semi-structured
+    * column surface): per event type, count + sum + distinct of `$.k`.
+    * get_json_object is codegen'd; no UDF. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("total_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+
+  /** eq16 — the classic star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region, revenue by (region, customer nation). Five-way join left
+    * entirely to Catalyst/AQE: at test scale the four dimension sides all
+    * broadcast; at 100 TB the customer side becomes a shuffled hash join on
+    * the same declarative plan. Revenue summed as exact integer cents. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        round(sum(col("l_quantity")), 6).as("total_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** eq17 — partitioned window ranking: top-3 suppliers by shipped quantity
+    * within each nation (`row_number` over a nation partition, suppkey
+    * tie-break). Quantity totals are integer-valued doubles — exact. */
+  def topSuppliersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val byNation = Window.partitionBy("n_name")
+      .orderBy(col("total_qty").desc, col("s_suppkey").asc)
+    perSupp
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(byNation))
+      .filter(col("rank") <= 3)
+      .select(col("n_name"), col("rank"), col("s_suppkey"),
+        round(col("total_qty"), 6).as("total_qty"), col("n_items"))
+      .orderBy("n_name", "rank")
+  }
+}

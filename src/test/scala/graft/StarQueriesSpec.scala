@@ -1,0 +1,38 @@
+package graft
+
+import graft.star.StarQueries
+
+class StarQueriesSpec extends SparkSpec {
+
+  test("eq15: JSON extraction totals are coherent with event counts") {
+    val rows = StarQueries.jsonProps(spark, Sf).collect()
+    assert(rows.length == 5) // click/error/purchase/signup/view
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)                    // n_events
+      assert(r.getLong(3) <= 101)                 // distinct_k bounded by domain
+      assert(r.getLong(2) >= 0)                   // total_k
+    }
+  }
+
+  test("eq16: star join covers every customer nation once, revenue positive") {
+    val rows = StarQueries.revenueByNation(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach(r => assert(r.getAs[Long]("revenue_cents") > 0))
+    // item count reconciles with the full lineitem when summed
+    val totalItems = rows.map(_.getAs[Long]("n_items")).sum
+    assert(totalItems == Tables.load(spark, Sf, "lineitem").count())
+  }
+
+  test("eq17: exactly <=3 suppliers per nation, ranks 1..3, qty descending within nation") {
+    val rows = StarQueries.topSuppliersPerNation(spark, Sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val ranks = g.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to g.length))
+      val qtys = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("total_qty"))
+      assert(qtys.sameElements(qtys.sortBy(-_)))
+    }
+  }
+}
