@@ -362,6 +362,24 @@ object Oracles {
         |FROM ranked WHERE rank <= 3
         |ORDER BY n_name, rank""".stripMargin,
 
+    "eq18_asof_attribution" ->
+      """WITH v AS (SELECT user_id, ts::TIMESTAMP AS vts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts::TIMESTAMP AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |       strftime(v.vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |       CAST(epoch_us(p.pts) - epoch_us(v.vts) AS BIGINT) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.pts
+        |ORDER BY event_id""".stripMargin,
+
+    "eq19_range_pairs" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us FROM events)
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.us - b.us) < 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
     "eq14_media_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

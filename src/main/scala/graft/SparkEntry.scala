@@ -48,6 +48,8 @@ object SparkEntry {
     "eq15_json_props"        -> (graft.star.StarQueries.jsonProps _),
     "eq16_revenue_by_nation" -> (graft.star.StarQueries.revenueByNation _),
     "eq17_top_suppliers"     -> (graft.star.StarQueries.topSuppliersPerNation _),
+    "eq18_asof_attribution"  -> (graft.operators.TemporalJoins.asOfAttribution _),
+    "eq19_range_pairs"       -> (graft.operators.TemporalJoins.rangePairsPerUser _),
     // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
     // records rows-only checks); correctness pinned by ScalaTest instead
     "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
