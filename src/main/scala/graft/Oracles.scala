@@ -380,6 +380,36 @@ object Oracles {
         |  AND abs(a.us - b.us) < 300000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
+    "eq20_rollup_revenue" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "eq21_daily_pivot" ->
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "eq22_value_percentiles" ->
+      """SELECT event_type,
+        |       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+        |       ROUND(MIN(value), 6) AS vmin,
+        |       ROUND(MAX(value), 6) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "eq14_media_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

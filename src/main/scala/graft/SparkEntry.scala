@@ -50,6 +50,9 @@ object SparkEntry {
     "eq17_top_suppliers"     -> (graft.star.StarQueries.topSuppliersPerNation _),
     "eq18_asof_attribution"  -> (graft.operators.TemporalJoins.asOfAttribution _),
     "eq19_range_pairs"       -> (graft.operators.TemporalJoins.rangePairsPerUser _),
+    "eq20_rollup_revenue"    -> (graft.star.AggSurface.rollupRevenue _),
+    "eq21_daily_pivot"       -> (graft.star.AggSurface.dailyEventPivot _),
+    "eq22_value_percentiles" -> (graft.star.AggSurface.valuePercentiles _),
     // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
     // records rows-only checks); correctness pinned by ScalaTest instead
     "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),

@@ -1,0 +1,64 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregation surface beyond the reference's GROUP BY: rollup subtotals,
+  * pivot, and exact interpolated percentiles. All oracle-checked — the
+  * subtotal NULLs are rendered as 'ALL' so the hash compare is unambiguous,
+  * and percentiles use the exact linear-interpolation definition shared by
+  * Spark's `percentile` and DuckDB's `quantile_cont`. */
+object AggSurface {
+
+  /** eq20 — ROLLUP over (region, nation): per-nation rows, per-region
+    * subtotals, grand total in one pass (Expand-planned). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_items"), col("revenue_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** eq21 — pivot: daily event counts, one column per event type (explicit
+    * value list for a stable schema — at scale an unbounded pivot would
+    * need a distinct-values pass first). */
+  def dailyEventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("day")
+
+  /** eq22 — exact interpolated percentiles of `value` per event type
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`; both sort-exact, so
+    * unlike approx sketches this hash-matches). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"))
+      .orderBy("event_type")
+}
