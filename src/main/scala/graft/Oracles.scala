@@ -410,6 +410,15 @@ object Oracles {
         |       ROUND(MAX(value), 6) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "eq23_audience_set_ops" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM b)) AS n_view_only,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM b)) AS n_both,
+        |  (SELECT COUNT(*) FROM v WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_view_only_anti,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM v UNION SELECT * FROM b)) AS n_any""".stripMargin,
+
     "eq14_media_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

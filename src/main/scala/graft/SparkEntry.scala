@@ -53,6 +53,7 @@ object SparkEntry {
     "eq20_rollup_revenue"    -> (graft.star.AggSurface.rollupRevenue _),
     "eq21_daily_pivot"       -> (graft.star.AggSurface.dailyEventPivot _),
     "eq22_value_percentiles" -> (graft.star.AggSurface.valuePercentiles _),
+    "eq23_audience_set_ops"  -> (graft.star.AggSurface.audienceSetOps _),
     // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
     // records rows-only checks); correctness pinned by ScalaTest instead
     "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),

@@ -48,6 +48,24 @@ object AggSurface {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** eq23 — set operations + anti-join semantics (SURVEY.md §2.6): user
+    * audiences by behavior. `except`/`intersect` are Spark's set operators
+    * (EXCEPT/INTERSECT DISTINCT); the view-only count is also exactly a
+    * left-anti join — one op, two formulations, same oracle. */
+  def audienceSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
+    val viewers = users("view")
+    val buyers = users("purchase")
+    val viewOnly = viewers.except(buyers)
+    val both = viewers.intersect(buyers)
+    val anti = viewers.join(buyers, Seq("user_id"), "left_anti")
+    viewOnly.agg(count(lit(1)).as("n_view_only"))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .crossJoin(anti.agg(count(lit(1)).as("n_view_only_anti")))
+      .crossJoin(viewers.union(buyers).distinct().agg(count(lit(1)).as("n_any")))
+  }
+
   /** eq22 — exact interpolated percentiles of `value` per event type
     * (Spark `percentile` ≡ DuckDB `quantile_cont`; both sort-exact, so
     * unlike approx sketches this hash-matches). */
