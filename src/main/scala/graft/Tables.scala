@@ -54,9 +54,12 @@ object Tables {
 
   /** The fact view. Column pruning + filter pushdown reach the parquet scans
     * because this is a pure declarative plan (no action, no collect). */
-  def pdv(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = load(spark, sfDir, "lineitem")
-    val pt = load(spark, sfDir, "part")
+  def pdv(spark: SparkSession, sfDir: String): DataFrame =
+    pdvOf(load(spark, sfDir, "lineitem"), load(spark, sfDir, "part"))
+
+  /** The one pdv join+projection, shared with the bucketed layout so the
+    * column mapping cannot drift between the two physical strategies. */
+  def pdvOf(li: DataFrame, pt: DataFrame): DataFrame =
     li.join(pt, li("l_partkey") === pt("p_partkey"))
       .select(
         li("l_shipdate").cast("date").as("dateid"),
@@ -64,7 +67,6 @@ object Tables {
         pt("p_type").as("catid"),
         pt("p_brand").as("fabid"),
         li("l_suppkey").as("magid"))
-  }
 
   def produits(spark: SparkSession, sfDir: String): DataFrame =
     pdv(spark, sfDir).select("dateid", "prodid", "catid", "fabid")

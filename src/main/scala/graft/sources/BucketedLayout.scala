@@ -33,15 +33,6 @@ object BucketedLayout {
 
   /** The pdv join over the bucketed tables — same columns as
     * [[Tables.pdv]], planned shuffle-free when autoBucketedScan kicks in. */
-  def pdvBucketed(spark: SparkSession): DataFrame = {
-    val li = spark.table(LineitemTable)
-    val pt = spark.table(PartTable)
-    li.join(pt, li("l_partkey") === pt("p_partkey"))
-      .select(
-        li("l_shipdate").cast("date").as("dateid"),
-        li("l_partkey").as("prodid"),
-        pt("p_type").as("catid"),
-        pt("p_brand").as("fabid"),
-        li("l_suppkey").as("magid"))
-  }
+  def pdvBucketed(spark: SparkSession): DataFrame =
+    Tables.pdvOf(spark.table(LineitemTable), spark.table(PartTable))
 }

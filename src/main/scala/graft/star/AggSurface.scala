@@ -15,15 +15,7 @@ object AggSurface {
   /** eq20 — ROLLUP over (region, nation): per-nation rows, per-region
     * subtotals, grand total in one pass (Expand-planned). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    val n = Tables.load(spark, dir, "nation")
-    val r = Tables.load(spark, dir, "region")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(n, c("c_nationkey") === n("n_nationkey"))
-      .join(r, n("n_regionkey") === r("r_regionkey"))
+    StarQueries.starJoin(spark, dir)
       .rollup(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -53,10 +45,17 @@ object AggSurface {
     * (EXCEPT/INTERSECT DISTINCT); the view-only count is also exactly a
     * left-anti join — one op, two formulations, same oracle. */
   def audienceSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-    def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
-    val viewers = users("view")
-    val buyers = users("purchase")
+    // one per-user conditional aggregate feeds every branch: each set-op
+    // branch recomputes only the small flags frame, not a per-branch
+    // filter+distinct over the raw events (the 100 TB version would
+    // persist `flags`; Spark has no within-query CTE materialization)
+    val flags = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+    val viewers = flags.filter(col("v") === 1).select("user_id")
+    val buyers = flags.filter(col("b") === 1).select("user_id")
     val viewOnly = viewers.except(buyers)
     val both = viewers.intersect(buyers)
     val anti = viewers.join(buyers, Seq("user_id"), "left_anti")

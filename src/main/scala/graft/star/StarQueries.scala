@@ -33,12 +33,11 @@ object StarQueries {
         countDistinct(col("k")).as("distinct_k"))
       .orderBy("event_type")
 
-  /** eq16 — the classic star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
-    * region, revenue by (region, customer nation). Five-way join left
-    * entirely to Catalyst/AQE: at test scale the four dimension sides all
-    * broadcast; at 100 TB the customer side becomes a shuffled hash join on
-    * the same declarative plan. Revenue summed as exact integer cents. */
-  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+  /** The five-way lineitem⋈orders⋈customer⋈nation⋈region join, shared by
+    * the revenue and rollup queries. Left entirely to Catalyst/AQE: at test
+    * scale the four dimension sides all broadcast; at 100 TB the customer
+    * side becomes a shuffled hash join on the same declarative plan. */
+  private[star] def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val o = Tables.load(spark, dir, "orders")
     val c = Tables.load(spark, dir, "customer")
@@ -48,6 +47,12 @@ object StarQueries {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
+  }
+
+  /** eq16 — revenue by (region, customer nation), summed as exact integer
+    * cents so the hash compare is immune to double accumulation order. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    starJoin(spark, dir)
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_items"),

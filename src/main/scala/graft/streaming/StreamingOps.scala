@@ -67,8 +67,17 @@ object StreamingOps {
             case Some(s) if t - s.lastMs >= GapMs =>
               closed += close(s)
               cur = Some(OpenSession(t, t, 1))
+            case Some(s) if s.startMs - t >= GapMs =>
+              // late (within-watermark) straggler older than the open
+              // session by a full gap: it is its own, already-closed
+              // session — emit it; the open session is untouched
+              closed += ClosedSession(userId,
+                new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
             case Some(s) =>
-              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+              // merge; a late straggler inside the gap window may extend
+              // the session BACKWARD, so take min on start as well
+              cur = Some(OpenSession(
+                math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
             case None =>
               cur = Some(OpenSession(t, t, 1))
           }

@@ -76,6 +76,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 8L) == 1 && got.filter(_._1 == 8L).head._4 == 1)
   }
 
+  test("flatMapGroupsWithState: late within-watermark straggler extends the session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .as[StreamingOps.UserEvent](org.apache.spark.sql.Encoders.product)
+    val q = StreamingOps.statefulSessions(events)
+      .writeStream.format("memory").queryName("straggler_out")
+      .outputMode("append").start()
+    // batch 1: event at 12:00 -> watermark 11:50
+    mem.addData((ts("2024-01-01 12:00:00"), 7L))
+    q.processAllAvailable()
+    // batch 2: LATE but within-watermark event at 11:51, inside the gap
+    // window of the open session -> must extend it backward, not corrupt it
+    mem.addData((ts("2024-01-01 11:51:00"), 7L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 00:00:00"), 99L)) // close via watermark
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-03 00:00:00"), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val s7 = spark.table("straggler_out").collect()
+      .filter(_.getLong(0) == 7L)
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+    assert(s7.length == 1)
+    assert(s7(0) == (("2024-01-01 11:51:00.0", "2024-01-01 12:00:00.0", 2)))
+  }
+
   test("streaming session windows agree with the batch lag-based sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
