@@ -28,18 +28,18 @@ object Tables {
       // long and integer-divide to micros: `ts div 1000`, NOT `/1000` —
       // epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range, so a
       // double division would silently corrupt timestamps.
-      // scope the legacy flag to this one read: schema conversion happens
-      // at read() time, so restoring right after keeps unrelated parquet
-      // reads on the loud unsupported-type error path
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
+      // The flag must hold at BOTH analysis time (schema conversion) and
+      // execution time — the scan consults it when executing, and a
+      // set-read-restore scoping forked the event scans onto a ~3× slower
+      // path (measured at sf0.1: eq5 1.0→4.4 s). So it stays set for the
+      // session. Known trade-off: a later read of an UNRELATED
+      // TIMESTAMP(NANOS) parquet in the same session would silently get
+      // LongType epoch-nanos instead of the unsupported-type error; this
+      // engine reads only the fixture tables, where events is the sole
+      // nanos source.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
