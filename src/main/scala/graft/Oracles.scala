@@ -419,6 +419,26 @@ object Oracles {
         |  (SELECT COUNT(*) FROM v WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_view_only_anti,
         |  (SELECT COUNT(*) FROM (SELECT * FROM v UNION SELECT * FROM b)) AS n_any""".stripMargin,
 
+    "eq24_daily_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY day)
+        |SELECT day, n_events,
+        |       ROUND(AVG(n_events) OVER (ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+        |       MAX(n_events) OVER (ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS peak7
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "eq25_above_avg_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey AS s_suppkey, ROUND(total_qty, 6) AS total_qty
+        |FROM per_supp
+        |WHERE total_qty > (SELECT AVG(total_qty) FROM per_supp)
+        |ORDER BY s_suppkey""".stripMargin,
+
     "eq14_media_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

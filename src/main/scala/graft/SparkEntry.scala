@@ -54,6 +54,8 @@ object SparkEntry {
     "eq21_daily_pivot"       -> (graft.star.AggSurface.dailyEventPivot _),
     "eq22_value_percentiles" -> (graft.star.AggSurface.valuePercentiles _),
     "eq23_audience_set_ops"  -> (graft.star.AggSurface.audienceSetOps _),
+    "eq24_daily_moving_avg"  -> (graft.star.AggSurface.dailyMovingAverage _),
+    "eq25_above_avg_suppliers" -> (graft.star.AggSurface.aboveAvgSuppliers _),
     // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
     // records rows-only checks); correctness pinned by ScalaTest instead
     "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),

@@ -48,6 +48,39 @@ object AggSurface {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** eq24 — 7-day moving average of daily event volume: an analytic window
+    * FRAME (`rowsBetween(-6, 0)`) over the day-ordered aggregate — the
+    * window-function surface beyond ranking/cumulative. The frame runs
+    * over ~30 daily rows post-aggregation, so the window stage is trivial
+    * at any fact scale. */
+  def dailyMovingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg(col("n_events")).over(w), 6))
+      .withColumn("peak7", max(col("n_events")).over(w))
+      .orderBy("day")
+  }
+
+  /** eq25 — scalar-subquery shape through the SQL surface (S5): suppliers
+    * whose shipped quantity exceeds the all-supplier average. Runs via
+    * `spark.sql` over the registered views — Catalyst plans the subquery as
+    * a broadcast scalar. */
+  def aboveAvgSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    spark.sql(
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey AS s_suppkey, ROUND(total_qty, 6) AS total_qty
+        |FROM per_supp
+        |WHERE total_qty > (SELECT AVG(total_qty) FROM per_supp)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** eq23 — set operations + anti-join semantics (SURVEY.md §2.6): user
     * audiences by behavior. `except`/`intersect` are Spark's set operators
     * (EXCEPT/INTERSECT DISTINCT); the view-only count is also exactly a

@@ -94,6 +94,16 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup — the training-pipeline dedup primitive in
+    * streaming form: `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes, so duplicate events arriving within
+    * the watermark horizon are dropped with bounded state (an unbounded
+    * `dropDuplicates` would grow state forever at 100 TB/day rates). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */

@@ -56,6 +56,34 @@ class EngineSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a join-driven month predicate prunes the partitioned fact") {
+    import graft.sources.PartitionedLayout
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    PartitionedLayout.writeMonthPartitioned(spark, Sf, out)
+    // a tiny dimension of months, selectively filtered — the fact-side scan
+    // should receive a dynamicpruning expression on the mois partition col
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+    // dim as a parquet relation (DPP's benefit estimation needs a real
+    // relation on the filtering side; a literal LocalRelation is folded)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    import spark.implicits._
+    Seq(("1995-06", "june"), ("1995-07", "july"), ("1996-01", "jan"))
+      .toDF("mois", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = PartitionedLayout.read(spark, out)
+      .join(dim.filter(col("label") === "june"), Seq("mois"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter in:\n$plan")
+    assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("E6 Aggregator: single-pass typed weighted score equals the Expand-plan score") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.udaf

@@ -104,6 +104,25 @@ class StreamingSpec extends SparkSpec {
     assert(s7(0) == (("2024-01-01 11:51:00.0", "2024-01-01 12:00:00.0", 2)))
   }
 
+  test("streaming dedup: duplicate event ids within the watermark horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingOps.dedupEvents(
+      mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // same event_id again (at-least-once replay) + a genuinely new event
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L)))
+  }
+
   test("streaming session windows agree with the batch lag-based sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
