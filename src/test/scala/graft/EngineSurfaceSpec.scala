@@ -84,6 +84,33 @@ class EngineSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // 50k rows all on one key vs a tiny uniform side; with toy-sized skew
+    // thresholds AQE must mark the sort-merge join partition as skewed and
+    // split it — the runtime re-plan the engine relies on for hot keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    try {
+      val skewed = spark.range(50000).select(lit(0L).as("k"), col("id").as("payload"))
+        .union(spark.range(200).select((col("id") % 10 + 1).as("k"), col("id")))
+      val dim = spark.range(11).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = skewed.join(dim, Seq("k"))
+      // drive THIS DataFrame's own query execution (count() would build a
+      // separate aggregated plan and leave this one un-finalized)
+      assert(joined.collect().length == 50200)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew="), s"expected a skew-handled join in:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    }
+  }
+
   test("E6 Aggregator: single-pass typed weighted score equals the Expand-plan score") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.udaf
