@@ -168,7 +168,7 @@ object Oracles {
         |toks AS (
         |  SELECT regexp_split_to_array(trim(line), '\s+') AS a
         |  FROM raw WHERE trim(line) <> ''),
-        |data AS (SELECT a FROM toks WHERE lower(a[1]) <> 'dateid')
+        |data AS (SELECT a FROM toks WHERE len(a) = 5 AND lower(a[1]) <> 'dateid')
         |SELECT COUNT(*) AS n_rows,
         |       CAST(MIN(strptime(a[1], '%Y%m%d')::DATE) AS VARCHAR) AS min_date,
         |       CAST(MAX(strptime(a[1], '%Y%m%d')::DATE) AS VARCHAR) AS max_date,

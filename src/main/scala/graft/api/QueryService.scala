@@ -68,6 +68,10 @@ object QueryService {
     final case class MissingParam(name: String) extends ApiError {
       val status = 400; val message = s"Paramètre manquant: $name"
     }
+    /** typed replacement for what the reference would 500 on */
+    final case class InvalidParam(name: String, value: String) extends ApiError {
+      val status = 400; val message = s"Paramètre invalide: $name=$value"
+    }
     /** views.py:92-96 */
     final case class NotFound(what: String) extends ApiError {
       val status = 404; val message = s"$what non trouvée"
@@ -86,17 +90,27 @@ object QueryService {
     for {
       qt <- QueryType.byName.get(typeName).toRight(UnknownQueryType(typeName))
       _ <- checkDb(spark, dir)
-      df <- build(spark, dir, qt, p)
+      // any table resolution failure build() hits beyond the probe (e.g. a
+      // dir missing part.parquet) still surfaces as the typed 404, never a
+      // raw AnalysisException out of the Either contract
+      df <- Try(build(spark, dir, qt, p)).toEither.left
+        .map(_ => NotFound("Base de données"): ApiError)
+        .flatMap(identity)
     } yield df
 
-  /** S8 — db existence check (views.py:92-96), as a typed error. */
+  /** S8 — db existence check (views.py:92-96), as a typed error: both pdv
+    * inputs must resolve. */
   private def checkDb(spark: SparkSession, dir: String): Either[ApiError, Unit] =
-    Try(Tables.load(spark, dir, "lineitem").schema).toEither.left
+    Try { Tables.load(spark, dir, "lineitem").schema; Tables.load(spark, dir, "part").schema }
+      .toEither.left
       .map(_ => NotFound("Base de données"))
       .map(_ => ())
 
   private def need[A](v: Option[A], name: String): Either[ApiError, A] =
     v.toRight(MissingParam(name))
+
+  private def parseDate(v: String, name: String): Either[ApiError, java.time.LocalDate] =
+    Try(java.time.LocalDate.parse(v)).toEither.left.map(_ => InvalidParam(name, v))
 
   def build(spark: SparkSession, dir: String, qt: QueryType, p: Params): Either[ApiError, DataFrame] = {
     val pdv = Tables.pdv(spark, dir)
@@ -168,49 +182,17 @@ object QueryService {
       case AvgCatFab10Mag => for {
         c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
         d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
-        top = topMagasinsCat(pdv, c, d, f).select("magid", "total_produits")
+        top = topMagasinsCat(pdv, c, d, f)
         _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
-      } yield {
-        val best = pdv.filter(col("catid") === c && col("fabid") === fab)
-          .join(broadcast(top.select("magid")), Seq("magid"), "left_semi")
-          .groupBy("magid").agg(countDistinct(col("prodid")).as("nb_produits_fab"))
-        val rows = top.join(best, Seq("magid"), "left_outer")
-          .withColumn("nb_produits_fab", coalesce(col("nb_produits_fab"), lit(0L)))
-          .withColumn("pct_raw",
-            col("nb_produits_fab").cast("double") / col("total_produits") * lit(100.0))
-        val avgRow = rows.agg(coalesce(
-          avg(when(col("total_produits") =!= 0, col("pct_raw"))), lit(0.0)).as("average"))
-        rows.select(col("magid"), col("total_produits"), col("nb_produits_fab"),
-          col("pct_raw").as("percentage"))
-          .crossJoin(broadcast(avgRow))
-          .orderBy("magid")
-      }
+      } yield graft.retail.RetailQueries.avgFabTop10(pdv, c, fab, d, f)
 
       case ScoreSanteTousLesMois => for {
         c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
-        asOf = p.asOf.getOrElse("1998-09-01")
-        top = topMagasinsCat(pdv, c, "1995-01-01", asOf).select("magid", "total_produits")
+        asOf <- parseDate(p.asOf.getOrElse("1998-09-01"), "asOf")
+        top = topMagasinsCat(pdv, c, "1995-01-01", asOf.toString)
         _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
-      } yield {
-        val perMonth = pdv.filter(col("catid") === c && col("fabid") === fab)
-          .join(broadcast(top.select("magid")), Seq("magid"), "left_semi")
-          .groupBy(col("magid"), date_format(col("dateid"), "yyyy-MM").as("mois_annee"))
-          .agg(countDistinct(col("prodid")).as("nb"))
-        val spine = spark.range(1)
-          .select(explode(expr(
-            s"sequence(to_date('1995-01-01'), to_date('$asOf'), interval 1 month)")).as("m"))
-          .select(date_format(col("m"), "yyyy-MM").as("mois_annee"))
-        val monthly = spine.crossJoin(broadcast(top))
-          .join(perMonth, Seq("magid", "mois_annee"), "left_outer")
-          .groupBy("mois_annee")
-          .agg(avg(when(col("nb").isNotNull && col("total_produits") =!= 0,
-            col("nb").cast("double") / col("total_produits") * lit(100.0))).as("avg_raw"))
-        val avgRow = monthly.agg(coalesce(avg(col("avg_raw")), lit(0.0)).as("average"))
-        monthly.select(col("mois_annee"),
-          coalesce(col("avg_raw"), lit(0.0)).as("avg_percentage"))
-          .crossJoin(broadcast(avgRow))
-          .orderBy("mois_annee")
-      }
+      } yield graft.retail.RetailQueries.scoreSanteMonths(
+        spark, pdv, c, fab, java.time.LocalDate.parse("1995-01-01"), asOf)
     }
   }
 

@@ -35,8 +35,9 @@ object WhitespaceCsv {
       .filter(size(col("t")) === cols.length)
       // drop header rows by first-token match (same rule as the q12 DuckDB
       // oracle: lower(a[1]) <> '<first header col>') — robust to repeated /
-      // re-spaced headers in multi-file inputs, and never drops a data line
-      // that merely byte-equals the header
+      // re-spaced headers in multi-file inputs; note this drops ANY line
+      // whose first token equals the first header column case-insensitively
+      // (fine for this format: data first-tokens are numeric dates)
       .filter(lower(col("t").getItem(0)) =!= lit(cols(0)))
       .select(cols.zipWithIndex.map { case (c, i) => col("t").getItem(i).as(c) }.toSeq: _*)
   }
@@ -61,7 +62,9 @@ object WhitespaceCsv {
   /** Q12 (SURVEY.md §2.9): ingest the reconstructed reference-format fixture
     * and summarize — count, date range, id sums — proving S1–S4 end to end. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
-    val sink = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    // fixed sink path: overwrite mode replaces it each run instead of
+    // leaking a fresh temp dir per invocation (Bench runs every query twice)
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_ingest_sink"
     ingest(spark, fixturePath, s"$sink/points_de_vente")
       .agg(
         count(lit(1)).as("n_rows"),

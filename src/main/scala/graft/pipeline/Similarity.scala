@@ -70,9 +70,14 @@ object Similarity {
     val dim = e.selectExpr("size(embedding)").head().getInt(0)
     val hps = hyperplanes(dim)
     val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), hps))
-    // driver-side: the query's bucket id (1-row collect) -> probe buckets
-    val qBucket = bucketed.filter(col("bucket").isNotNull && col("vec_id") === queryId)
-      .select("bucket").head().getInt(0)
+    // driver-side: the query's bucket id (1-row collect) -> probe buckets;
+    // unknown queryId -> empty result, same contract as cosineTopK/ivfTopK
+    val qRow = bucketed.filter(col("bucket").isNotNull && col("vec_id") === queryId)
+      .select("bucket").take(1)
+    if (qRow.isEmpty)
+      return e.filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("sim"))
+    val qBucket = qRow(0).getInt(0)
     val probes = (qBucket +:
       (0 until LshBits).map(j => qBucket ^ (1 << j))) ++
       (for { i <- 0 until LshBits; j <- i + 1 until LshBits }

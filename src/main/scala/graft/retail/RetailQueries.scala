@@ -163,10 +163,15 @@ object RetailQueries {
     * (views.py:234-249). Python's `(best/top)*100` float order is preserved.
     * The scalar is attached via a 1-row crossJoin (broadcast), not a global
     * window — no single-partition shuffle of the row set. */
-  def q10(spark: SparkSession, dir: String): DataFrame = {
-    val top10 = top10Cat(spark, dir).select("magid", "total_produits")
-    val best = Tables.pdv(spark, dir)
-      .filter(col("catid") === Cat && col("fabid") === Fab)
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    avgFabTop10(Tables.pdv(spark, dir), Cat, Fab, Debut, Fin)
+
+  /** Parameterized Q10 body — shared with the typed API layer. */
+  private[graft] def avgFabTop10(pdv: DataFrame, cat: String, fab: String,
+                                 debut: String, fin: String): DataFrame = {
+    val top10 = topMagasinsCat(pdv, cat, debut, fin).select("magid", "total_produits")
+    val best = pdv
+      .filter(col("catid") === cat && col("fabid") === fab)
       .join(broadcast(top10.select("magid")), Seq("magid"), "left_semi")
       .groupBy("magid")
       .agg(countDistinct(col("prodid")).as("nb_produits_fab"))
@@ -191,16 +196,28 @@ object RetailQueries {
     * faithful to views.py:294), then the dual semantics of views.py:317-335:
     * emitted rows zero-fill empty months, but both means skip them
     * (avg(when(...)) ignores nulls). */
-  def q11(spark: SparkSession, dir: String): DataFrame = {
-    val top10 = top10CatAsOf(spark, dir).select("magid", "total_produits")
-    val perMonth = Tables.pdv(spark, dir)
-      .filter(col("catid") === Cat && col("fabid") === Fab)
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    scoreSanteMonths(spark, Tables.pdv(spark, dir), Cat, Fab,
+      java.time.LocalDate.parse(Debut), java.time.LocalDate.parse(AsOf))
+
+  /** Parameterized Q11 body — shared with the typed API layer. The spine
+    * bounds are typed dates injected as literals (never interpolated into
+    * SQL text — reference bug B3 stays fixed at this layer too). */
+  private[graft] def scoreSanteMonths(spark: SparkSession, pdv: DataFrame,
+      cat: String, fab: String, debut: java.time.LocalDate,
+      asOf: java.time.LocalDate): DataFrame = {
+    val top10 = topMagasinsCat(pdv, cat, debut.toString, asOf.toString)
+      .select("magid", "total_produits")
+    val perMonth = pdv
+      .filter(col("catid") === cat && col("fabid") === fab)
       .join(broadcast(top10.select("magid")), Seq("magid"), "left_semi")
       .groupBy(col("magid"), date_format(col("dateid"), "yyyy-MM").as("mois_annee"))
       .agg(countDistinct(col("prodid")).as("nb"))
     val spine = spark.range(1)
-      .select(explode(expr(
-        s"sequence(to_date('$Debut'), to_date('$AsOf'), interval 1 month)")).as("m"))
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf(debut)),
+        lit(java.sql.Date.valueOf(asOf)),
+        expr("interval 1 month"))).as("m"))
       .select(date_format(col("m"), "yyyy-MM").as("mois_annee"))
     val monthly = spine
       .crossJoin(broadcast(top10))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * twin of `hourly` is hash-checked as eq3). Tests drive these with
   * `MemoryStream` and hold them to batch parity.
   */
-object StreamingOps {
+object StreamingOps extends Serializable {
 
   /** Tumbling 1-hour counts with a 10-minute watermark: in append mode a
     * window emits once the watermark passes its end, and later-than-
@@ -59,34 +59,27 @@ object StreamingOps {
         state.remove()
         out
       } else {
-        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-        var cur = state.getOption
-        it.toSeq.sortBy(_.ts.getTime).foreach { ev =>
-          val t = ev.ts.getTime
-          cur match {
-            case Some(s) if t - s.lastMs >= GapMs =>
-              closed += close(s)
-              cur = Some(OpenSession(t, t, 1))
-            case Some(s) if s.startMs - t >= GapMs =>
-              // late (within-watermark) straggler older than the open
-              // session by a full gap: it is its own, already-closed
-              // session — emit it; the open session is untouched
-              closed += ClosedSession(userId,
-                new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
-            case Some(s) =>
-              // merge; a late straggler inside the gap window may extend
-              // the session BACKWARD, so take min on start as well
-              cur = Some(OpenSession(
-                math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
-            case None =>
-              cur = Some(OpenSession(t, t, 1))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + GapMs)
-        }
-        closed.iterator
+        // interval merge over {open-session} ∪ {batch events}, sorted by
+        // start: handles late within-watermark stragglers uniformly —
+        // straggler chains merge with EACH OTHER (not just with the open
+        // session), and a straggler inside the open session's gap window
+        // extends it backward. Matches the batch sessionizer on any input
+        // the watermark admits.
+        val intervals =
+          (state.getOption.map(s => (s.startMs, s.lastMs, s.n)).toList ++
+            it.map(ev => (ev.ts.getTime, ev.ts.getTime, 1)).toList)
+            .sortBy(_._1)
+        val merged = intervals.foldLeft(List.empty[(Long, Long, Int)]) {
+          case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe < GapMs =>
+            (ps, math.max(pe, e), pn + n) :: tail
+          case (acc, iv) => iv :: acc
+        } // newest-first
+        val open = merged.head
+        state.update(OpenSession(open._1, open._2, open._3))
+        state.setTimeoutTimestamp(open._2 + GapMs)
+        merged.tail.reverse.map { case (s, e, n) =>
+          ClosedSession(userId, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n)
+        }.iterator
       }
     }
     events

@@ -43,6 +43,20 @@ class QueryServiceSpec extends SparkSpec {
     assert(top.sameElements(frozenTop))
   }
 
+  test("malformed asOf -> typed 400 InvalidParam, never a parse exception or silent empty result") {
+    val r = QueryService.run(spark, Sf, "score-sante-touts-les-mois", Params(
+      catId = Some("STANDARD"), fabId = Some("Brand#12"),
+      asOf = Some("1998-09-01'), interval 1 month))--")))
+    assert(r == Left(ApiError.InvalidParam("asOf", "1998-09-01'), interval 1 month))--")))
+  }
+
+  test("data dir with lineitem but missing part -> typed 404, not a raw AnalysisException") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    Tables.load(spark, Sf, "lineitem").write.parquet(s"$dir/lineitem.parquet")
+    val r = QueryService.run(spark, dir, "cat", Params(catId = Some("STANDARD")))
+    assert(r == Left(ApiError.NotFound("Base de données")))
+  }
+
   test("results serialize to records-style JSON (views.py:152-154)") {
     val df = QueryService.run(spark, Sf, "fab-cat", Params(catId = Some("STANDARD"))).toOption.get
     val json = QueryService.toJson(df)
