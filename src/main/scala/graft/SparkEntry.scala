@@ -65,6 +65,7 @@ object SparkEntry {
     "x5_lsh_topk"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "x6_approx_distinct"     -> (Dedup.approxDistinct _),
     "x7_salted_agg"          -> (EventOps.saltedEventTotals _),
+    "x8_approx_percentiles"  -> (graft.star.AggSurface.approxPercentiles _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -81,6 +81,18 @@ object AggSurface {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** x8 — approximate percentiles (`percentile_approx`, the mergeable
+    * KLL-style sketch for 100 TB-cardinality distributions). Approximate by
+    * design → no SQL oracle; the error bound vs the exact [[valuePercentiles]]
+    * is pinned by test. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 1000)"), 6).as("p50_approx"),
+        round(expr("percentile_approx(value, 0.9, 1000)"), 6).as("p90_approx"))
+      .orderBy("event_type")
+
   /** eq23 — set operations + anti-join semantics (SURVEY.md §2.6): user
     * audiences by behavior. `except`/`intersect` are Spark's set operators
     * (EXCEPT/INTERSECT DISTINCT); the view-only count is also exactly a

@@ -7,6 +7,9 @@ import graft.sources.PartitionedLayout
 /** Covers the remaining SURVEY.md §2 surface rows: S5 (SQL over registered
   * views), the month-partitioned at-rest layout (§4 partition pruning), and
   * the E6 typed Aggregator showcase. */
+case class PdvRow(dateid: java.sql.Date, prodid: Long, catid: String,
+                  fabid: String, magid: Long)
+
 class EngineSurfaceSpec extends SparkSpec {
 
   test("S5: Tables.register exposes all base tables + pdv/produits to spark.sql") {
@@ -109,6 +112,28 @@ class EngineSurfaceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
     }
+  }
+
+  test("q1 plan: predicate pushed into the part scan, read schemas pruned, top-k never full-sorts q5") {
+    val q1Plan = retail.RetailQueries.q1(spark, Sf).queryExecution.executedPlan.toString
+    assert(q1Plan.contains("PushedFilters") && q1Plan.contains("EqualTo(p_type,STANDARD)"),
+      s"expected pushed p_type filter in:\n$q1Plan")
+    // projection pruning: the lineitem scan must not read quantity/price cols
+    assert(!q1Plan.contains("l_extendedprice") && !q1Plan.contains("l_quantity"))
+    val q5Plan = retail.RetailQueries.q5(spark, Sf).queryExecution.executedPlan.toString
+    assert(q5Plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$q5Plan")
+    assert(q5Plan.contains("Expand"), "multi-distinct should plan via Expand")
+  }
+
+  test("typed Dataset API: case-class pipeline agrees with the DataFrame plan") {
+    import spark.implicits._
+    val ds = Tables.pdv(spark, Sf).as[PdvRow]
+    val typedCount = ds.filter(_.catid == "STANDARD")
+      .groupByKey(_.magid).count().collect().toMap
+    val untyped = Tables.pdv(spark, Sf).filter(col("catid") === "STANDARD")
+      .groupBy("magid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(typedCount == untyped)
   }
 
   test("E6 Aggregator: single-pass typed weighted score equals the Expand-plan score") {

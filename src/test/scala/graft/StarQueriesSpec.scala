@@ -25,6 +25,16 @@ class StarQueriesSpec extends SparkSpec {
     assert(totalItems == Tables.load(spark, Sf, "lineitem").count())
   }
 
+  test("x8: approximate percentiles land within 5% of the exact interpolated values") {
+    val exact = graft.star.AggSurface.valuePercentiles(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    graft.star.AggSurface.approxPercentiles(spark, Sf).collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.05)
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.05)
+    }
+  }
+
   test("eq17: exactly <=3 suppliers per nation, ranks 1..3, qty descending within nation") {
     val rows = StarQueries.topSuppliersPerNation(spark, Sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, g) =>
