@@ -21,24 +21,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The events fixture's at-rest schema: ts is parquet TIMESTAMP(NANOS),
+    * which Spark's TimestampType (micros) refuses outright during schema
+    * inference. Declaring ts as LongType reads the raw INT64 epoch-nanos
+    * directly — no inference, no session-global
+    * `spark.sql.legacy.parquet.nanosAsLong` flag (which would silently
+    * change how any OTHER nanos parquet in the same session reads). */
+  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-      // Spark's TimestampType (micros) refuses outright. Read nanos as a
-      // long and integer-divide to micros: `ts div 1000`, NOT `/1000` —
-      // epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range, so a
-      // double division would silently corrupt timestamps.
-      // The flag must hold at BOTH analysis time (schema conversion) and
-      // execution time — the scan consults it when executing, and a
-      // set-read-restore scoping forked the event scans onto a ~3× slower
-      // path (measured at sf0.1: eq5 1.0→4.4 s). So it stays set for the
-      // session. Known trade-off: a later read of an UNRELATED
-      // TIMESTAMP(NANOS) parquet in the same session would silently get
-      // LongType epoch-nanos instead of the unsupported-type error; this
-      // engine reads only the fixture tables, where events is the sole
-      // nanos source.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      // Integer-divide nanos to micros: `ts div 1000`, NOT `/1000` —
+      // epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range, so a double
+      // division would silently corrupt timestamps.
+      spark.read.schema(eventsSchema).parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

@@ -80,6 +80,11 @@ object QueryService {
     final case class EmptyResult(detail: String) extends ApiError {
       val status = 404; val message = detail
     }
+    /** typed 500: a genuine engine defect (bad plan, codegen failure) must
+      * surface as itself, never be masked as a missing database. */
+    final case class Internal(detail: String) extends ApiError {
+      val status = 500; val message = s"Erreur interne: $detail"
+    }
   }
   import ApiError._
   import QueryType._
@@ -90,13 +95,25 @@ object QueryService {
     for {
       qt <- QueryType.byName.get(typeName).toRight(UnknownQueryType(typeName))
       _ <- checkDb(spark, dir)
-      // any table resolution failure build() hits beyond the probe (e.g. a
-      // dir missing part.parquet) still surfaces as the typed 404, never a
-      // raw AnalysisException out of the Either contract
+      // source-resolution failures build() hits beyond the probe (e.g. a dir
+      // missing part.parquet) surface as the typed 404; every OTHER failure
+      // (planner bug, codegen error, NPE) is a typed 500 — never masked as a
+      // missing database
       df <- Try(build(spark, dir, qt, p)).toEither.left
-        .map(_ => NotFound("Base de données"): ApiError)
+        .map(mapBuildFailure)
         .flatMap(identity)
     } yield df
+
+  /** Failure taxonomy for `build()`: only missing-source analysis errors map
+    * to the reference's 404 (views.py:92-96); anything else is a defect and
+    * reports as a typed 500. */
+  private[graft] def mapBuildFailure(e: Throwable): ApiError = e match {
+    case a: org.apache.spark.sql.AnalysisException
+        if Option(a.getCondition).exists(c =>
+          c.startsWith("PATH_NOT_FOUND") || c.startsWith("TABLE_OR_VIEW_NOT_FOUND")) =>
+      NotFound("Base de données")
+    case other => Internal(other.toString.take(200))
+  }
 
   /** S8 — db existence check (views.py:92-96), as a typed error: both pdv
     * inputs must resolve. */
@@ -108,6 +125,12 @@ object QueryService {
 
   private def need[A](v: Option[A], name: String): Either[ApiError, A] =
     v.toRight(MissingParam(name))
+
+  /** Absent as-of defaults to today, matching the reference's
+    * `date.today()` (views.py:128). The frozen t2 oracle variants in
+    * [[graft.retail.RetailQueries]] pass an explicit date and stay
+    * deterministic. */
+  private def defaultAsOf: String = java.time.LocalDate.now().toString
 
   private def parseDate(v: String, name: String): Either[ApiError, java.time.LocalDate] =
     Try(java.time.LocalDate.parse(v)).toEither.left.map(_ => InvalidParam(name, v))
@@ -151,9 +174,9 @@ object QueryService {
 
       case ScoreEvolution => for {
         c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
-        asOf = p.asOf.getOrElse("1998-09-01")
+        asOf <- parseDate(p.asOf.getOrElse(defaultAsOf), "asOf")
       } yield pdv
-        .filter(col("catid") === c && col("dateid").between("1995-01-01", asOf))
+        .filter(col("catid") === c && col("dateid").between("1995-01-01", asOf.toString))
         .groupBy(date_format(col("dateid"), "yyyy-MM").as("mois"))
         .agg(count(lit(1)).as("total_ventes"),
           sum(when(col("fabid") === fab, 1).otherwise(0)).as("ventes_fab"))
@@ -188,7 +211,7 @@ object QueryService {
 
       case ScoreSanteTousLesMois => for {
         c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
-        asOf <- parseDate(p.asOf.getOrElse("1998-09-01"), "asOf")
+        asOf <- parseDate(p.asOf.getOrElse(defaultAsOf), "asOf")
         top = topMagasinsCat(pdv, c, "1995-01-01", asOf.toString)
         _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
       } yield graft.retail.RetailQueries.scoreSanteMonths(

@@ -57,8 +57,12 @@ object AggSurface {
     val daily = Tables.load(spark, dir, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"))
+    // partitionBy(lit(1)): the frame is inherently global (one ~30-row
+    // day-ordered series post-aggregation — bounded at any fact scale), but
+    // an empty partitionSpec makes WindowExec log a single-partition warning
+    // per run; the constant key is the same single partition, silently.
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy("day").rowsBetween(-6, 0)
+      .partitionBy(lit(1)).orderBy("day").rowsBetween(-6, 0)
     daily
       .withColumn("ma7", round(avg(col("n_events")).over(w), 6))
       .withColumn("peak7", max(col("n_events")).over(w))

@@ -57,6 +57,29 @@ class QueryServiceSpec extends SparkSpec {
     assert(r == Left(ApiError.NotFound("Base de données")))
   }
 
+  test("a genuinely broken plan reports as a typed 500, never as NotFound") {
+    import org.apache.spark.sql.AnalysisException
+    // arbitrary engine defect -> Internal
+    assert(QueryService.mapBuildFailure(new RuntimeException("boom"))
+      .isInstanceOf[ApiError.Internal])
+    // bad column reference (a planner-visible defect) -> Internal
+    val bad = intercept[AnalysisException] {
+      Tables.load(spark, Sf, "part")
+        .select(org.apache.spark.sql.functions.col("no_such_col")).schema
+    }
+    assert(QueryService.mapBuildFailure(bad).isInstanceOf[ApiError.Internal])
+    // missing source path -> the reference's 404
+    val missing = intercept[AnalysisException] {
+      spark.read.parquet("/nonexistent/never.parquet").schema
+    }
+    assert(QueryService.mapBuildFailure(missing) == ApiError.NotFound("Base de données"))
+  }
+
+  test("events loads via explicit schema; no session-global nanosAsLong flag") {
+    assert(Tables.load(spark, Sf, "events").limit(1).count() == 1)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
+  }
+
   test("results serialize to records-style JSON (views.py:152-154)") {
     val df = QueryService.run(spark, Sf, "fab-cat", Params(catId = Some("STANDARD"))).toOption.get
     val json = QueryService.toJson(df)
