@@ -127,7 +127,7 @@ object TextCountExpressions {
     cnt
   }
 
-  private abstract class CountExpr extends UnaryExpression with CodegenFallback {
+  sealed abstract class CountExpr extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
   }
 
@@ -161,14 +161,14 @@ object TextCountExpressions {
     ColumnBridge.column(f(ColumnBridge.expression(lower(text))))
 
   /** Whitespace token count of the lowercased text. */
-  def ws_token_count(text: Column): Column = wrap(WsTokenCount)(text)
+  def ws_token_count(text: Column): Column = wrap(WsTokenCount(_))(text)
 
   /** BPE-ish token count (letter runs | digits | other chars) of the
     * lowercased text. */
-  def re_token_count(text: Column): Column = wrap(ReTokenCount)(text)
+  def re_token_count(text: Column): Column = wrap(ReTokenCount(_))(text)
 
   /** Count of a-z code points in the lowercased text. */
-  def alpha_count(text: Column): Column = wrap(AlphaCount)(text)
+  def alpha_count(text: Column): Column = wrap(AlphaCount(_))(text)
 
   /** Count of whitespace tokens of the lowercased text equal to one of
     * `words`. */
