@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextCountExpressions.{alpha_count, re_token_count, token_set_count, ws_token_count}
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.8 E4 +
   * the training-data-pipeline surface): per-language stats, token counting
@@ -45,9 +46,11 @@ object TextAnalysis {
     docs
       .select(
         col("lang"),
-        size(tokens(col("text"))).as("ws_tokens"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+        // native byte-scan counts; parity with the original
+        // size(tokens(...)) / size(regexp_extract_all(...)) formulations is
+        // pinned by PipelineSpec "native text counts match ..."
+        ws_token_count(col("text")).as("ws_tokens"),
+        re_token_count(col("text")).as("re_tokens"))
       .groupBy("lang")
       .agg(
         sum(col("ws_tokens")).as("total_ws_tokens"),
@@ -65,15 +68,13 @@ object TextAnalysis {
 
   def qualityScoreDf(docsIn: DataFrame): DataFrame = {
     val docs = docsIn
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", ws_token_count(col("text")))
       .withColumn("len_score",
         least(length(col("text")) / lit(500.0), lit(1.0)))
       .withColumn("alpha_ratio",
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
-          / length(col("text")))
+        alpha_count(col("text")).cast("double") / length(col("text")))
       .withColumn("stop_ratio",
-        size(filter(col("toks"), t => t.isin(Stopwords: _*))).cast("double")
+        token_set_count(col("text"), Stopwords).cast("double")
           / col("n_tokens"))
     docs.select(
       col("doc_id"),
@@ -101,10 +102,9 @@ object TextAnalysis {
     langIdDf(Tables.load(spark, dir, "documents"))
 
   def langIdDf(docs: DataFrame): DataFrame = {
-    val withCounts = Markers.foldLeft(
-      docs.withColumn("toks", tokens(col("text")))) {
+    val withCounts = Markers.foldLeft(docs) {
       case (df, (l, words)) =>
-        df.withColumn(s"cnt_$l", size(filter(col("toks"), t => t.isin(words: _*))))
+        df.withColumn(s"cnt_$l", token_set_count(col("text"), words))
     }
     val langs = Markers.map(_._1)
     val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>

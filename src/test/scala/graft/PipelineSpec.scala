@@ -73,6 +73,46 @@ class PipelineSpec extends SparkSpec {
     assert(hashes.filter(not(col("native") === col("declarative"))).isEmpty)
   }
 
+  test("native text counts match the column formulations they replaced") {
+    import graft.functions.TextCountExpressions._
+    val stopwords = Seq("the", "a", "data", "value")
+    val zhMarkers = Seq("的", "是", "了", "在", "我")
+    // edge cases: empty, whitespace-only, tabs/newlines (Spark trim strips
+    // 0x20 only; Java split -1 keeps leading/trailing empty fields),
+    // multibyte (CJK + accents + Kelvin sign U+212A whose lowercase is
+    // ASCII k), digits/punctuation runs, long mixed text
+    val edge = Seq(
+      "", " ", "   ", "\t", "\tx", "x\t", "a\tb\nc", "\n\n",
+      "the quick brown fox", "THE The tHe", "a", " a ", "a  b",
+      "的 是 了 在 我", "héllo wörld", "KK kelvin", "café 的the",
+      "12 3.4 a1b2!?", "!!!", "a-b_c d,e", "  the   a  data ",
+      "x" * 600 + " the a").zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    val fixture = docsDf(edge).select(col("text"))
+    val corpus = graft.Tables.load(spark, Sf, "documents").select(col("text")).limit(200)
+    for (docs <- Seq(fixture, corpus)) {
+      val both = docs.select(
+        ws_token_count(col("text")).as("ws_n"),
+        size(TextAnalysis.tokens(col("text"))).as("ws_d"),
+        re_token_count(col("text")).as("re_n"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("re_d"),
+        alpha_count(col("text")).as("al_n"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("al_d"),
+        token_set_count(col("text"), stopwords).as("sw_n"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => t.isin(stopwords: _*))).as("sw_d"),
+        token_set_count(col("text"), zhMarkers).as("zh_n"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => t.isin(zhMarkers: _*))).as("zh_d"))
+      val bad = both.filter(
+        col("ws_n") =!= col("ws_d") || col("re_n") =!= col("re_d") ||
+        col("al_n") =!= col("al_d") || col("sw_n") =!= col("sw_d") ||
+        col("zh_n") =!= col("zh_d"))
+      assert(bad.isEmpty, s"native/declarative divergence:\n${bad.head(5).mkString("\n")}")
+    }
+  }
+
   test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     val plain = Dedup.jaccardPairsDf(docs).collect()

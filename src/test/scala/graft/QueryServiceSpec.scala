@@ -76,7 +76,13 @@ class QueryServiceSpec extends SparkSpec {
   }
 
   test("events loads via explicit schema; no session-global nanosAsLong flag") {
-    assert(Tables.load(spark, Sf, "events").limit(1).count() == 1)
+    // force-decode ts (LongType over parquet TIMESTAMP(NANOS)) — a
+    // limit(1).count() would column-prune the scan and pass even if
+    // decoding ts failed at execution
+    val ts = Tables.load(spark, Sf, "events")
+      .select("ts").limit(1).collect()(0).getTimestamp(0)
+    assert(ts.toInstant.atZone(java.time.ZoneOffset.UTC).getYear == 2024,
+      s"implausible event timestamp $ts")
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
   }
 
