@@ -315,16 +315,53 @@ object Oracles {
         |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
         |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin),
 
-    "eq13_embedding_neardups" ->
-      """WITH un AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    // Reconstructs the engine's SRP-LSH banding exactly (the verified-pair
+    // form): the ±1 hyperplanes are spliced in as sign strings from the
+    // same seeded stream the engine uses, so both engines compute identical
+    // band signatures, identical hamming<=1 candidates, and identical
+    // exact-cosine verification — the full approximate algorithm is
+    // oracle-checked end-to-end, not just the verify step.
+    "eq13_embedding_neardups" -> {
+      val signs = graft.pipeline.Similarity.hyperplaneSigns(64, 128)
+      val values = signs.zipWithIndex
+        .map { case (s, i) => s"($i,'$s')" }.mkString(",")
+      s"""WITH pl AS (
+        |  SELECT pid // 8 AS band, pid % 8 AS bit,
+        |         list_transform(range(1, len(bits) + 1),
+        |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
+        |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
+        |  FROM (VALUES $values) AS t(pid, bits)),
+        |dots AS (
+        |  SELECT vec_id, band, bit, SUM(x * y) AS d FROM (
+        |    SELECT e.vec_id, pl.band, pl.bit,
+        |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
+        |    FROM embeddings e CROSS JOIN pl)
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, band,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT vec_id, band,
+        |         CASE WHEN f = -1 THEN sig ELSE xor(sig, 1 << f) END AS probe
+        |  FROM sigs CROSS JOIN generate_series(-1, 7) AS g(f)),
+        |cands AS (
+        |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
+        |                  greatest(x.vec_id, y.vec_id) AS vec_b
+        |  FROM sigs x JOIN probes y
+        |    ON x.band = y.band AND x.sig = y.probe AND x.vec_id <> y.vec_id),
+        |un AS (
+        |  SELECT c.vec_a, c.vec_b,
         |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |  FROM cands c
+        |  JOIN embeddings a ON a.vec_id = c.vec_a
+        |  JOIN embeddings b ON b.vec_id = c.vec_b),
         |sims AS (
         |  SELECT vec_a, vec_b, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
         |  FROM un GROUP BY 1, 2)
         |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims
-        |WHERE sim >= 0.5::DOUBLE ORDER BY vec_a, vec_b""".stripMargin,
+        |WHERE sim >= 0.5::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "eq15_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,

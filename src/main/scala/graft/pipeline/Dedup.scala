@@ -227,22 +227,85 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs (sim ≥ 0.5), brute-force quadratic —
-    * the exactness baseline at test scale; the bucketed scale path is
-    * [[Similarity.ivfTopK]]'s IVF layout. Dot products fold the arrays
-    * left-to-right in double, matching the oracle's unnest-order sum. */
+  /** SRP-LSH banding for [[embeddingNearDupsDf]]: 16 bands × 8 sign bits
+    * (128 seeded ±1 hyperplanes shared with [[Similarity]]'s SRP stream),
+    * multi-probed at hamming ≤ 1 per band. */
+  private[pipeline] val NdBandBits = 8
+  private[pipeline] val NdBands = 16
+
+  /** Embedding-cosine near-dup pairs (sim ≥ 0.5) via SRP-LSH banding +
+    * exact verify — the shape that survives 100 TB, replacing the former
+    * all-pairs `vec_a < vec_b` join (O(N²) rows regardless of output size):
+    *
+    *  1. one narrow pass computes 16 band signatures of 8 SRP sign bits per
+    *     vector (codegen'd dots against literal hyperplanes — written once
+    *     and bucketed by (band, sig) at scale);
+    *  2. candidates = pairs whose signatures collide in SOME band, probing
+    *     each band at hamming ≤ 1 (sig itself + 8 one-bit flips) — a
+    *     shuffle-on-(band, sig) hash join, never a cartesian. Candidate
+    *     volume is Σ bucket² — balanced buckets on real corpora because the
+    *     bit count per band scales with log N;
+    *  3. only candidates get the exact cosine (and the ≥ 0.5 filter), so
+    *     false positives cost one dot product and false negatives are the
+    *     only approximation.
+    *
+    * Approximate by design at the candidate step: the DuckDB oracle
+    * reconstructs the identical banding from [[Similarity.hyperplaneSigns]]
+    * (the verified-pair form), so correctness is checked end-to-end; recall
+    * vs the brute-force exact pairs is pinned by test (100% on the test
+    * corpora — misses need ≥ 2 flipped bits in EVERY band). Dot products
+    * fold left-to-right in double, matching the oracle's unnest-order sum. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsDf(Tables.load(spark, dir, "embeddings"))
 
   def embeddingNearDupsDf(e: DataFrame): DataFrame = {
-    // norms once per vector (N rows), so the O(N²) pair scan does exactly
-    // one codegen'd dot product per pair; sqrt(aa)*sqrt(bb) is the same
-    // expression tree as the oracle, just precomputed
+    val dim = e.selectExpr("size(embedding)").head().getInt(0)
+    val hps = Similarity.hyperplanes(dim, NdBandBits * NdBands)
+    val sigCols = (0 until NdBands).map { k =>
+      (0 until NdBandBits).map { j =>
+        when(Similarity.dot(col("embedding"), typedLit(hps(k * NdBandBits + j))) > 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val sigs = e.select(col("vec_id"), posexplode(array(sigCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sig")
+    // multi-probe side: the signature itself plus its 8 hamming-1 flips
+    val probes = sigs.select(col("vec_id"), col("band"),
+      explode(array(col("sig") +:
+        (0 until NdBandBits).map(f => col("sig").bitwiseXOR(lit(1 << f))): _*)).as("probe"))
+    val cands = sigs.as("x")
+      .join(probes.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.probe") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+      .distinct()
+    verifyPairs(e, cands)
+  }
+
+  /** Brute-force all-pairs variant — the exactness baseline the banded
+    * path's recall is pinned against (test-only; O(N²), does not scale). */
+  private[graft] def embeddingNearDupsBruteDf(e: DataFrame): DataFrame = {
     val withNorm = e.select(col("vec_id"), col("embedding"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
     val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= 0.5)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Exact-cosine verification of candidate (vec_a, vec_b) pairs: norms
+    * once per vector, one codegen'd dot per pair, ≥ 0.5 filter. */
+  private def verifyPairs(e: DataFrame, cands: DataFrame): DataFrame = {
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
+    cands
+      .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.5)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))

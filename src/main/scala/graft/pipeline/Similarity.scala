@@ -46,11 +46,19 @@ object Similarity {
   private val LshBits = 8
 
   /** Deterministic ±1 hyperplanes for sign-random-projection (seeded —
-    * offline-trainable state, like IVF centroids). */
-  private def hyperplanes(dim: Int): Seq[Array[Float]] = {
+    * offline-trainable state, like IVF centroids). The first [[LshBits]]
+    * planes are [[lshTopK]]'s buckets; [[Dedup.embeddingNearDupsDf]] draws
+    * 128 from the same stream for its banded pair mining. */
+  private[pipeline] def hyperplanes(dim: Int, n: Int = LshBits): Seq[Array[Float]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(LshBits)(Array.fill(dim)(if (rng.nextBoolean()) 1f else -1f))
+    Seq.fill(n)(Array.fill(dim)(if (rng.nextBoolean()) 1f else -1f))
   }
+
+  /** The same hyperplanes as ±-sign strings, so the DuckDB oracle can
+    * reconstruct the exact banding ([[graft.Oracles]] splices these into
+    * eq13's SQL — both engines then bucket identically). */
+  private[graft] def hyperplaneSigns(dim: Int, n: Int): Seq[String] =
+    hyperplanes(dim, n).map(_.map(f => if (f > 0) '+' else '-').mkString)
 
   /** SRP-LSH bucket id of a vector column: bit j = sign(v · h_j). The dots
     * are codegen'd [[dot]] calls against literal hyperplane arrays. */
@@ -68,7 +76,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     val dim = e.selectExpr("size(embedding)").head().getInt(0)
-    val hps = hyperplanes(dim)
+    val hps = hyperplanes(dim, LshBits)
     val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), hps))
     // driver-side: the query's bucket id (1-row collect) -> probe buckets;
     // unknown queryId -> empty result, same contract as cosineTopK/ivfTopK

@@ -154,6 +154,24 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(pairs(0).getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("banded embedding near-dups: subset of brute force, total recall, no cartesian (sf0.01)") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val brute = Dedup.embeddingNearDupsBruteDf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("sim")))
+    val banded = Dedup.embeddingNearDupsDf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("sim")))
+    assert(brute.nonEmpty, "fixture should contain at least one sim >= 0.5 pair")
+    // exact verify means no false positives; 16x8-bit bands with hamming<=1
+    // multiprobe recall every qualifying pair on this corpus (a miss needs
+    // >= 2 flipped bits in every band)
+    assert(banded.sameElements(brute))
+    // the scale contract: candidate generation is a hash join on
+    // (band, sig) — no unbounded cartesian anywhere in the physical plan
+    val plan = Dedup.embeddingNearDupsDf(e).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
   test("cosine top-k: 5 rows, sims non-increasing, all in [-1, 1]") {
     val top = Similarity.cosineTopK(spark, Sf).collect()
     assert(top.length == 5)
