@@ -483,5 +483,190 @@ object Oracles {
         |       md5(text) AS checksum,
         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ── x1–x8: approximate / engine-internal operators, oracle-checked by
+    // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
+    // constants spliced as literals, md5 as the shared hash — xxhash64-free
+    // designs precisely so this is possible). Where the algorithm is
+    // implementation-defined (HLL, GK sketches), the oracle pins exact
+    // values plus TRUE error-bound flags the engine computes honestly. ──
+
+    // x1: 28-bit md5-prefix shingle keys → 64 affine permutations mod
+    // 2³¹−1 (coefficients spliced below) → 16×4 band keys → ≤50 bucket
+    // guard → pair join → exact-Jaccard ≥ 0.2 verify. Identical arithmetic
+    // in both engines: every intermediate ≤ 2⁵⁹ so DuckDB's checked BIGINT
+    // math never overflows.
+    "x1_minhash_lsh_pairs" -> {
+      val perms = graft.pipeline.Dedup.minhashPerms()
+      val pmValues = perms.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+      val hex7 = (0 until 7).map { k =>
+        s"(strpos('0123456789abcdef', substr(h7, ${k + 1}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
+      }.mkString(" + ")
+      s"WITH $toksCte,\n" +
+      s"""s AS (SELECT doc_id, list_distinct(sh) AS shd, len(list_distinct(sh)) AS sz
+        |       FROM shingled WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(shd) AS sg FROM s),
+        |hx AS (SELECT doc_id, substr(md5(sg), 1, 7) AS h7 FROM ex),
+        |xx AS (SELECT doc_id, $hex7 AS x FROM hx),
+        |pm AS (SELECT * FROM (VALUES $pmValues) AS t(i, a, b)),
+        |mins AS (
+        |  SELECT doc_id, i, MIN((a::BIGINT * x + b) % 2147483647) AS m
+        |  FROM xx CROSS JOIN pm GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
+        |  FROM mins GROUP BY 1, 2),
+        |ok AS (SELECT band, band_key FROM keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+        |kk AS (SELECT k.doc_id, k.band, k.band_key FROM keys k JOIN ok USING (band, band_key)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM kk x JOIN kk y ON x.band = y.band AND x.band_key = y.band_key
+        |                     AND x.doc_id < y.doc_id),
+        |ver AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(a.shd, b.shd)) AS common,
+        |         a.sz AS sz_a, b.sz AS sz_b
+        |  FROM cand JOIN s a ON a.doc_id = cand.doc_a JOIN s b ON b.doc_id = cand.doc_b),
+        |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM ver)
+        |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // x2: per-token md5 → 64 fingerprint bits from the first 16 hex digits
+    // → ±1 votes per occurrence → 4×16-bit chunk values → pigeonhole chunk
+    // join → hamming ≤ 6. All chunk math fits INT.
+    "x2_simhash_pairs" -> (s"WITH $toksCte,\n" +
+      """tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |hh AS (SELECT doc_id, md5(tok) AS h FROM tk),
+        |bits AS (
+        |  SELECT doc_id, g.j,
+        |    CASE WHEN (((strpos('0123456789abcdef', substr(h, (g.j // 4) + 1, 1)) - 1)
+        |                >> (g.j % 4)) & 1) = 1 THEN 1 ELSE -1 END AS v
+        |  FROM hh CROSS JOIN generate_series(0, 63) AS g(j)),
+        |votes AS (SELECT doc_id, j, SUM(v) AS b FROM bits GROUP BY 1, 2),
+        |chunks AS (
+        |  SELECT doc_id, j // 16 AS chunk,
+        |         CAST(SUM(CASE WHEN b > 0 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS cv
+        |  FROM votes GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |         MAX(CASE WHEN chunk = 0 THEN cv END) AS c0,
+        |         MAX(CASE WHEN chunk = 1 THEN cv END) AS c1,
+        |         MAX(CASE WHEN chunk = 2 THEN cv END) AS c2,
+        |         MAX(CASE WHEN chunk = 3 THEN cv END) AS c3
+        |  FROM chunks GROUP BY 1),
+        |ch AS (SELECT f.doc_id, f.c0, f.c1, f.c2, f.c3, c.chunk, c.cv
+        |       FROM fp f JOIN chunks c ON f.doc_id = c.doc_id),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+        |       + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS INT) AS hamming
+        |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // x3: IVF reconstruction — stride-40 centroids, argmin cell assignment,
+    // nprobe=8 probe cells, exact scoring of probed cells, top-5. Raw
+    // doubles agree bit-for-bit because both engines fold the dots in the
+    // same element order.
+    "x3_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id % 40 = 0),
+        |pr AS (
+        |  SELECT e.vec_id, c.cell_id, unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN c),
+        |d AS (
+        |  SELECT vec_id, cell_id, -(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y)))) AS d
+        |  FROM pr GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell_id ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |probe AS (SELECT cell_id FROM d WHERE vec_id = 0 ORDER BY d ASC, cell_id ASC LIMIT 8),
+        |cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
+        |         WHERE a.vec_id <> 0),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |un AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
+        |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |         FROM un GROUP BY 1)
+        |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
+        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // x4: the mapPartitions feature pipeline's arithmetic on the raw UTF-8
+    // payload bytes, re-derived from hex(encode(text)): byte_sum and the
+    // first histogram bucket (count of bytes ≡ 0 mod 8).
+    "x4_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |byt AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n), i ->
+        |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)) AS bytes
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+        |       ROUND(CAST(len(list_filter(bytes, x -> x % 8 = 0)) AS DOUBLE), 6) AS f0
+        |FROM byt ORDER BY doc_id""".stripMargin,
+
+    // x5: SRP-LSH bucket reconstruction from the spliced sign strings; the
+    // engine's 37-probe set (self + hamming ≤ 2) is exactly
+    // bit_count(xor(bucket, query_bucket)) <= 2.
+    "x5_lsh_topk" -> {
+      val signs = graft.pipeline.Similarity.hyperplaneSigns(64, 8)
+      val values = signs.zipWithIndex
+        .map { case (s, i) => s"($i,'$s')" }.mkString(",")
+      s"""WITH pl AS (
+        |  SELECT pid AS bit,
+        |         list_transform(range(1, len(bits) + 1),
+        |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
+        |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
+        |  FROM (VALUES $values) AS t(pid, bits)),
+        |dots AS (
+        |  SELECT vec_id, bit, SUM(x * y) AS d FROM (
+        |    SELECT e.vec_id, pl.bit,
+        |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
+        |    FROM embeddings e CROSS JOIN pl)
+        |  GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+        |       FROM dots GROUP BY 1),
+        |qb AS (SELECT bucket AS q FROM bk WHERE vec_id = 0),
+        |cand AS (SELECT b.vec_id FROM bk b, qb
+        |         WHERE bit_count(xor(b.bucket, qb.q)) <= 2 AND b.vec_id <> 0),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |un AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
+        |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |         FROM un GROUP BY 1)
+        |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
+        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
+    // x6: exact distincts are hash-compared; the HLL estimates surface as
+    // ε-bound flags the oracle pins TRUE (see Dedup.approxDistinctDf).
+    "x6_approx_distinct" -> withPdv(
+      """SELECT COUNT(DISTINCT magid) AS exact_magasins,
+        |       COUNT(DISTINCT prodid) AS exact_produits,
+        |       TRUE AS approx_magasins_ok, TRUE AS approx_produits_ok
+        |FROM pdv""".stripMargin),
+
+    // x7: the salted two-phase aggregation sums integer cents, so its
+    // result is bit-equal to this direct single-phase groupBy.
+    "x7_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0::DOUBLE, 6) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x8: exact p50/p90 (quantile_cont ≡ Spark percentile) hash-compared;
+    // GK-sketch outputs surface as rank-bound flags pinned TRUE.
+    "x8_approx_percentiles" ->
+      """SELECT event_type,
+        |       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |       ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -56,8 +56,11 @@ object SparkEntry {
     "eq23_audience_set_ops"  -> (graft.star.AggSurface.audienceSetOps _),
     "eq24_daily_moving_avg"  -> (graft.star.AggSurface.dailyMovingAverage _),
     "eq25_above_avg_suppliers" -> (graft.star.AggSurface.aboveAvgSuppliers _),
-    // approximate / non-SQL-expressible ops: no DuckDB oracle (driver
-    // records rows-only checks); correctness pinned by ScalaTest instead
+    // approximate ops — oracle-checked like everything else: deterministic
+    // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
+    // constants spliced as SQL literals, md5 as the shared hash);
+    // implementation-defined sketches (x6, x8) emit oracle-checked exact
+    // values plus error-bound flags the oracle pins TRUE
     "x1_minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "x2_simhash_pairs"       -> (Dedup.simhashPairs _),
     "x3_ivf_topk"            -> ((s, d) => Similarity.ivfTopK(s, d)),

@@ -29,12 +29,26 @@ object Dedup {
 
   /** HLL opt-in for A1-class count-distincts (SURVEY.md §2.2 A1 note): the
     * oracle queries stay exact, but at 100 TB-cardinality you trade the
-    * Expand-plan exact distinct for a mergeable HyperLogLog++ sketch. Test
-    * pins relative error < 5%. Rows-only check (approximate by design). */
+    * Expand-plan exact distinct for a mergeable HyperLogLog++ sketch.
+    *
+    * Driver-checkable shape: the exact counts are oracle-verified rows, and
+    * the HLL estimates are emitted as `|approx − exact| / exact ≤ 0.05`
+    * booleans (rsd = 0.02, so 5% is a generous envelope) that the oracle
+    * pins to TRUE — a sketch gone wild flips the flag and fails the hash
+    * compare. The raw estimates themselves are implementation-defined, so
+    * they can't be a hash-compared column. */
   def approxDistinctDf(pdv: DataFrame): DataFrame =
     pdv.agg(
-      approx_count_distinct(col("magid"), 0.02).as("approx_magasins"),
-      approx_count_distinct(col("prodid"), 0.02).as("approx_produits"))
+      countDistinct(col("magid")).as("exact_magasins"),
+      countDistinct(col("prodid")).as("exact_produits"),
+      approx_count_distinct(col("magid"), 0.02).as("am"),
+      approx_count_distinct(col("prodid"), 0.02).as("ap"))
+      .select(
+        col("exact_magasins"), col("exact_produits"),
+        (abs(col("am") - col("exact_magasins")).cast("double")
+          / col("exact_magasins") <= 0.05).as("approx_magasins_ok"),
+        (abs(col("ap") - col("exact_produits")).cast("double")
+          / col("exact_produits") <= 0.05).as("approx_produits_ok"))
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     approxDistinctDf(Tables.pdv(spark, dir))
@@ -134,13 +148,32 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows // 16
 
-  /** MinHash + LSH near-dup pairs: 64 xxhash64 permutations → minhash
-    * signature; 16 bands × 4 rows → band buckets; candidates are pairs
-    * sharing a band bucket; candidates verified with EXACT Jaccard ≥ 0.2
-    * so false positives cost only the verify join. At 16 bands × 4 rows the
-    * miss probability for sim ≥ 0.5 pairs is ≤ (1-0.5⁴)¹⁶ ≈ 0.36 — the
-    * knob to turn for recall; the exact [[jaccardPairs]] is the oracle-true
-    * variant. No oracle entry (xxhash64 has no DuckDB equivalent). */
+  /** Mersenne prime 2³¹−1: the modulus of the affine minhash permutations.
+    * Keys are 28-bit (7 hex chars of md5), so a·x + b ≤ 2⁵⁹ — overflow-free
+    * 64-bit arithmetic in BOTH engines (DuckDB BIGINT math is
+    * overflow-checked, so a 2⁶⁴-wrapping hash like xxhash64 cannot be
+    * reproduced there; this affine family can, exactly). */
+  private[graft] val MinhashPrime = 2147483647L
+
+  /** Seeded (a, b) coefficients of the 64 affine permutations
+    * h_i(x) = (a_i·x + b_i) mod p — deterministic so [[graft.Oracles]] can
+    * splice them into the DuckDB oracle as literals. */
+  private[graft] def minhashPerms(n: Int = NumHashes): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(n)((rng.nextInt(Int.MaxValue - 1) + 1L, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash + LSH near-dup pairs: per-shingle 28-bit keys (md5 prefix) run
+    * through 64 affine permutations mod 2³¹−1 → minhash signature; 16 bands
+    * × 4 rows → band keys; candidates are pairs sharing a band key;
+    * candidates verified with EXACT Jaccard ≥ 0.2 so false positives cost
+    * only the verify join. At 16 bands × 4 rows the miss probability for
+    * sim ≥ 0.5 pairs is ≤ (1-0.5⁴)¹⁶ ≈ 0.36 — the knob to turn for recall;
+    * the exact [[jaccardPairs]] is the exhaustive variant.
+    *
+    * Every step (md5, hex parse, affine mod, min, band concat, bucket
+    * guard, verify) is reproduced verbatim by the DuckDB oracle — the full
+    * approximate pipeline is hash-compared end-to-end, like eq13's. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsDf(Tables.load(spark, dir, "documents"))
 
@@ -152,76 +185,91 @@ object Dedup {
   private val MaxBucket = 50
 
   def minhashLshPairsDf(docs: DataFrame): DataFrame = {
-    val sets = shingleSetsDf(docs).filter(col("sz") > 0)
+    val sets = docs.select(col("doc_id"),
+        array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
+      .withColumn("sz", size(col("shd")))
+      .filter(col("sz") > 0)
+    // 28-bit shingle key: first 7 hex chars of md5 — the one hash both
+    // engines share bit-for-bit
+    val exploded = sets.select(col("doc_id"), explode(col("shd")).as("sg"))
+      .withColumn("x",
+        conv(substring(md5(col("sg").cast("binary")), 1, 7), 16, 10).cast("long"))
     // signatures via explode + 64 codegen'd min-aggregates (the nested
     // higher-order formulation — transform(array_min(transform(...))) — is
     // CodegenFallback and was the sf0.1 bottleneck)
-    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
-    // sg is already a 64-bit shingle hash; the 64 "permutations" re-hash the
-    // long with a distinct seed column — all codegen'd
-    val minCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sg"))).as(s"m$i"))
-    val sig = exploded.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val minCols = minhashPerms(NumHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    val sig = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val banded = sig.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        hash(slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
+      posexplode(array((0 until NumBands).map { k =>
+        concat_ws(",", (0 until BandRows).map(r => col(s"m${k * BandRows + r}")): _*)
+      }: _*)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val smallBuckets = banded.groupBy("band", "band_hash")
+      .withColumnRenamed("col", "band_key")
+    val smallBuckets = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= MaxBucket)
-      .select("band", "band_hash")
-    val pruned = banded.join(smallBuckets, Seq("band", "band_hash"))
-    val cands = pruned.as("x").join(pruned.as("y"), Seq("band", "band_hash"))
+      .select("band", "band_key")
+    val pruned = banded.join(smallBuckets, Seq("band", "band_key"))
+    val cands = pruned.as("x").join(pruned.as("y"), Seq("band", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val withSets = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"), col("sz").as("sz_b")), Seq("doc_b"))
     withSets
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))))
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1,
-    * sign of the vote is the fingerprint bit. Near-dup pairs = hamming
-    * distance ≤ 6, found by the pigeonhole chunk join (4 × 16-bit chunks:
-    * any pair at distance ≤ 6 shares at least one chunk... with 4 chunks
-    * distance ≤ 3 guarantees a shared chunk; ≤ 6 is best-effort recall the
-    * test pins). Chunk join keeps the candidate set far below the cross
-    * product at scale. No oracle (xxhash64). */
+  /** 64-bit SimHash per document: per-token md5, each of the first 16 hex
+    * digits contributes 4 fingerprint bits, each bit votes ±1 per token
+    * occurrence, sign of the vote is the fingerprint bit. Near-dup pairs =
+    * hamming distance ≤ 6, found by the pigeonhole chunk join (4 × 16-bit
+    * chunks kept as separate INT columns — any pair at distance ≤ 3 shares
+    * a chunk; ≤ 6 is best-effort recall the test pins). Chunk join keeps
+    * the candidate set far below the cross product at scale.
+    *
+    * md5 (not xxhash64) so the DuckDB oracle rebuilds the identical
+    * fingerprints — bit votes, chunk join, hamming filter and all — and the
+    * full approximate pipeline is hash-compared end-to-end; 16-bit chunk
+    * values also keep every intermediate inside overflow-checked BIGINT
+    * math on the oracle side. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsDf(Tables.load(spark, dir, "documents"))
 
   def simhashPairsDf(docs: DataFrame): DataFrame = {
-    val tokenHashes = docs
+    val tokenDigits = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .select(col("doc_id") +: (0 until 16).map(k =>
+        conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"d$k")): _*)
     val bitVotes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      sum(when(shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
     }
-    val sim = tokenHashes.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-    val chunked = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+    val votes = tokenDigits.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = votes.select(col("doc_id") +: (0 until 4).map { c =>
+      (0 until 16).map(j =>
+        when(col(s"b${c * 16 + j}") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"c$c")
+    }: _*)
+    val chunked = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     chunked.as("x").join(chunked.as("y"), Seq("chunk", "chunk_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        ((0 until 4).map(c =>
+          bit_count(col(s"x.c$c").bitwiseXOR(col(s"y.c$c")))).reduce(_ + _)).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
       .orderBy("doc_a", "doc_b")

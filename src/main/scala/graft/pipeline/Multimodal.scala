@@ -92,8 +92,11 @@ object Multimodal {
         when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"))
       .orderBy("doc_id")
 
-  /** Features summary as a DataFrame query (drives the mapPartitions path
-    * end-to-end; rows-only check — the stub decoder has no SQL oracle). */
+  /** Features summary as a DataFrame query — drives the mapPartitions path
+    * end-to-end. Oracle-checked: the stub decoder is pure byte arithmetic,
+    * which the DuckDB oracle re-derives from `hex(encode(text))` (byte_sum
+    * + the first histogram bucket), so even the off-Catalyst hop is
+    * hash-verified. */
   def featuresSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(mediaTable(spark, dir))

@@ -72,7 +72,10 @@ object Similarity {
     * (one narrow pass, written once at scale — bit count scales with log of
     * corpus size); the query multi-probes its own bucket plus all
     * hamming ≤ 2 neighbors (37 of 256 buckets), and only those candidates
-    * are scored exactly. Recall vs [[cosineTopK]] is pinned by test. */
+    * are scored exactly. Recall vs [[cosineTopK]] is pinned by test, and
+    * the full pipeline is oracle-checked: the DuckDB oracle rebuilds the
+    * buckets from [[hyperplaneSigns]] and probes
+    * `bit_count(xor(bucket, q)) <= 2` — the same 37-bucket set. */
   def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     val dim = e.selectExpr("size(embedding)").head().getInt(0)
@@ -105,7 +108,10 @@ object Similarity {
     * narrow pass), the query probes the `nprobe` nearest cells, and only
     * those cells are scored. At scale the assignment is written once,
     * bucketed by cell id, so a query touches `nprobe/cells` of the data.
-    * Approximate — recall vs [[cosineTopK]] is pinned by test, not oracle. */
+    * Approximate but fully deterministic, so the DuckDB oracle reconstructs
+    * the whole pipeline (centroids → argmin assignment → probe cells →
+    * exact scoring) and hash-compares it; recall vs [[cosineTopK]] is
+    * additionally pinned by test. */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
               nprobe: Int = 8, centroidStride: Int = 40): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")

