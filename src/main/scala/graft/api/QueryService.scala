@@ -188,41 +188,46 @@ object QueryService {
 
       case Top1 => for {
         c <- need(p.catId, "catID"); d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
-        top = topMagasins(pdv, d, f).select("magid")
-        _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
-      } yield pdv
-        .filter(col("catid") === c)
-        .join(broadcast(top), Seq("magid"), "left_semi")
-        .groupBy("magid")
-        .agg(countDistinct(col("fabid")).as("total_fabricants"),
-          countDistinct(col("prodid")).as("total_produits"),
-          count(lit(1)).as("total_ventes"))
-        .withColumn("score",
-          col("total_produits") * 0.3 + col("total_ventes") * 0.6 + col("total_fabricants") * 0.1)
-        .orderBy(col("score").desc, col("magid").asc)
-        .limit(1)
+        // phase 1 materialized ONCE (≤10 ids): the guard reads the collected
+        // seq (no second Spark action) and phase 2 joins the literal frame
+        tops = graft.retail.RetailQueries.collectTop10Magids(pdv, d, f)
+        _ <- nonEmpty(tops, "Aucun magasin trouvé pour cette catégorie")
+      } yield {
+        import spark.implicits._
+        pdv
+          .filter(col("catid") === c)
+          .join(broadcast(tops.toDF("magid")), Seq("magid"), "left_semi")
+          .groupBy("magid")
+          .agg(countDistinct(col("fabid")).as("total_fabricants"),
+            countDistinct(col("prodid")).as("total_produits"),
+            count(lit(1)).as("total_ventes"))
+          .withColumn("score",
+            col("total_produits") * 0.3 + col("total_ventes") * 0.6 + col("total_fabricants") * 0.1)
+          .orderBy(col("score").desc, col("magid").asc)
+          .limit(1)
+      }
 
       case AvgCatFab10Mag => for {
         c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
         d <- need(p.debut, "debut"); f <- need(p.fin, "fin")
-        top = topMagasinsCat(pdv, c, d, f)
+        top = graft.retail.RetailQueries.collectTop10Cat(pdv, c, d, f)
         _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
-      } yield graft.retail.RetailQueries.avgFabTop10(pdv, c, fab, d, f)
+      } yield graft.retail.RetailQueries.avgFabTop10From(pdv, top, c, fab)
 
       case ScoreSanteTousLesMois => for {
         c <- need(p.catId, "catID"); fab <- need(p.fabId, "fabID")
         asOf <- parseDate(p.asOf.getOrElse(defaultAsOf), "asOf")
-        top = topMagasinsCat(pdv, c, "1995-01-01", asOf.toString)
+        top = graft.retail.RetailQueries.collectTop10Cat(pdv, c, "1995-01-01", asOf.toString)
         _ <- nonEmpty(top, "Aucun magasin trouvé pour cette catégorie")
-      } yield graft.retail.RetailQueries.scoreSanteMonths(
-        spark, pdv, c, fab, java.time.LocalDate.parse("1995-01-01"), asOf)
+      } yield graft.retail.RetailQueries.scoreSanteMonthsFrom(
+        spark, pdv, top, c, fab, java.time.LocalDate.parse("1995-01-01"), asOf)
     }
   }
 
-  /** Empty-result guard for composites (views.py:122-123, 133-134). The
-    * probe is a `limit(1)` head — O(1) work, never a fact-table collect. */
-  private def nonEmpty(df: DataFrame, detail: String): Either[ApiError, Unit] =
-    if (df.limit(1).isEmpty) Left(EmptyResult(detail)) else Right(())
+  /** Empty-result guard for composites (views.py:122-123, 133-134), over
+    * the already-collected ≤10-row phase-1 result — zero extra Spark jobs. */
+  private def nonEmpty(rows: Seq[_], detail: String): Either[ApiError, Unit] =
+    if (rows.isEmpty) Left(EmptyResult(detail)) else Right(())
 
   // one implementation of the weighted top-10s, shared with the frozen t2
   // variants (graft.retail.RetailQueries) — no drift
@@ -236,4 +241,40 @@ object QueryService {
     * strings. Driver-side collect is bounded: every QueryType's result is
     * top-k / aggregate-sized, never fact-sized. */
   def toJson(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+
+  /** Composite envelope rows, mirroring the reference's response shapes:
+    * `{"average": x, "top_mag": [{magID, total_produits, nb_produits_fab,
+    * percentage}]}` (views.py:251-254) and `{"average": x, "top_mag":
+    * [{mois_annee, avg_percentage}]}` (views.py:336-339). */
+  final case class MagEntry(magID: Long, total_produits: Long,
+                            nb_produits_fab: Long, percentage: Double)
+  final case class MagEnvelope(average: Double, top_mag: Seq[MagEntry])
+  final case class MonthEntry(mois_annee: String, avg_percentage: Double)
+  final case class MonthEnvelope(average: Double, top_mag: Seq[MonthEntry])
+
+  /** Full response body for a query type: the two composites return the
+    * reference's `{"average", "top_mag"}` envelope object (built from the
+    * flat oracle-checked rows via a typed Dataset encoder, so JSON field
+    * names/escaping come from the same Jackson path as toJson); everything
+    * else returns a records JSON array (views.py:152-154). */
+  def runJson(spark: SparkSession, dir: String, typeName: String, p: Params): Either[ApiError, String] =
+    run(spark, dir, typeName, p).map { df =>
+      import spark.implicits._
+      QueryType.byName(typeName) match {
+        case AvgCatFab10Mag =>
+          val rows = df.collect()
+          val avg = if (rows.isEmpty) 0.0 else rows.head.getAs[Double]("average")
+          val entries = rows.map(r => MagEntry(r.getAs[Long]("magid"),
+            r.getAs[Long]("total_produits"), r.getAs[Long]("nb_produits_fab"),
+            r.getAs[Double]("percentage"))).toSeq
+          Seq(MagEnvelope(avg, entries)).toDS().toJSON.head()
+        case ScoreSanteTousLesMois =>
+          val rows = df.collect()
+          val avg = if (rows.isEmpty) 0.0 else rows.head.getAs[Double]("average")
+          val entries = rows.map(r => MonthEntry(r.getAs[String]("mois_annee"),
+            r.getAs[Double]("avg_percentage"))).toSeq
+          Seq(MonthEnvelope(avg, entries)).toDS().toJSON.head()
+        case _ => toJson(df).mkString("[", ",", "]")
+      }
+    }
 }

@@ -166,10 +166,28 @@ object RetailQueries {
   def q10(spark: SparkSession, dir: String): DataFrame =
     avgFabTop10(Tables.pdv(spark, dir), Cat, Fab, Debut, Fin)
 
+  /** Collect the ≤10-row phase-1 top-10 ONCE — the composite analogue of
+    * the reference materializing `df_top_mag` in pandas (views.py:119/130).
+    * Driver-side by design: the frame is bounded at 10 rows, and feeding it
+    * back as literals means the fact table is scanned once per phase-2
+    * aggregate instead of once per plan reference (Spark has no within-query
+    * CTE materialization), and the emptiness guard costs no extra job. */
+  private[graft] def collectTop10Cat(pdv: DataFrame, cat: String,
+                                     debut: String, fin: String): Seq[(Long, Long)] =
+    topMagasinsCat(pdv, cat, debut, fin).select("magid", "total_produits")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+
   /** Parameterized Q10 body — shared with the typed API layer. */
   private[graft] def avgFabTop10(pdv: DataFrame, cat: String, fab: String,
-                                 debut: String, fin: String): DataFrame = {
-    val top10 = topMagasinsCat(pdv, cat, debut, fin).select("magid", "total_produits")
+                                 debut: String, fin: String): DataFrame =
+    avgFabTop10From(pdv, collectTop10Cat(pdv, cat, debut, fin), cat, fab)
+
+  /** Q10 phase 2 over an already-materialized top-10 (magid, total_produits). */
+  private[graft] def avgFabTop10From(pdv: DataFrame, top10Rows: Seq[(Long, Long)],
+                                     cat: String, fab: String): DataFrame = {
+    val spark = pdv.sparkSession
+    import spark.implicits._
+    val top10 = top10Rows.toDF("magid", "total_produits")
     val best = pdv
       .filter(col("catid") === cat && col("fabid") === fab)
       .join(broadcast(top10.select("magid")), Seq("magid"), "left_semi")
@@ -205,9 +223,16 @@ object RetailQueries {
     * SQL text — reference bug B3 stays fixed at this layer too). */
   private[graft] def scoreSanteMonths(spark: SparkSession, pdv: DataFrame,
       cat: String, fab: String, debut: java.time.LocalDate,
-      asOf: java.time.LocalDate): DataFrame = {
-    val top10 = topMagasinsCat(pdv, cat, debut.toString, asOf.toString)
-      .select("magid", "total_produits")
+      asOf: java.time.LocalDate): DataFrame =
+    scoreSanteMonthsFrom(spark, pdv,
+      collectTop10Cat(pdv, cat, debut.toString, asOf.toString), cat, fab, debut, asOf)
+
+  /** Q11 body over an already-materialized top-10 (magid, total_produits). */
+  private[graft] def scoreSanteMonthsFrom(spark: SparkSession, pdv: DataFrame,
+      top10Rows: Seq[(Long, Long)], cat: String, fab: String,
+      debut: java.time.LocalDate, asOf: java.time.LocalDate): DataFrame = {
+    import spark.implicits._
+    val top10 = top10Rows.toDF("magid", "total_produits")
     val perMonth = pdv
       .filter(col("catid") === cat && col("fabid") === fab)
       .join(broadcast(top10.select("magid")), Seq("magid"), "left_semi")
@@ -232,6 +257,10 @@ object RetailQueries {
       .crossJoin(broadcast(avgRow))
       .orderBy("mois_annee")
   }
+
+  /** All-category top-10 magids, materialized once (Top1's phase 1). */
+  private[graft] def collectTop10Magids(pdv: DataFrame, debut: String, fin: String): Seq[Long] =
+    topMagasins(pdv, debut, fin).select("magid").collect().toSeq.map(_.getLong(0))
 
   /** Q11's top-10 uses the wider window debut..asof (views.py:131). */
   private[graft] def top10CatAsOf(spark: SparkSession, dir: String): DataFrame =

@@ -92,4 +92,74 @@ class QueryServiceSpec extends SparkSpec {
     assert(json.length == 1)
     assert(json.head.contains("\"total_fabricants\":"))
   }
+
+  test("composites return the reference's {average, top_mag} envelope (views.py:251-254, 336-339)") {
+    val magP = Params(catId = Some("STANDARD"), fabId = Some("Brand#12"),
+      debut = Some("1995-01-01"), fin = Some("1996-12-31"))
+    val mag = QueryService.runJson(spark, Sf, "avg-cat-fab-10-mag", magP).toOption.get
+    assert(mag.startsWith("""{"average":"""), mag.take(60))
+    assert(mag.contains(""""top_mag":[{"magID":"""), mag.take(200))
+    assert(mag.contains(""""total_produits":""") && mag.contains(""""nb_produits_fab":""")
+      && mag.contains(""""percentage":"""))
+    // envelope average equals the flat rows' repeated average column
+    val flat = QueryService.run(spark, Sf, "avg-cat-fab-10-mag", magP).toOption.get
+    val avg = flat.head().getAs[Double]("average")
+    assert(mag.startsWith(s"""{"average":$avg"""), s"$avg vs ${mag.take(40)}")
+
+    val mois = QueryService.runJson(spark, Sf, "score-sante-touts-les-mois",
+      Params(catId = Some("STANDARD"), fabId = Some("Brand#12"),
+        asOf = Some("1998-09-01"))).toOption.get
+    assert(mois.startsWith("""{"average":"""), mois.take(60))
+    assert(mois.contains(""""top_mag":[{"mois_annee":"""), mois.take(200))
+    assert(mois.contains(""""avg_percentage":"""))
+
+    // non-composites stay a records array
+    val arr = QueryService.runJson(spark, Sf, "fab-cat", Params(catId = Some("STANDARD"))).toOption.get
+    assert(arr.startsWith("[{") && arr.endsWith("}]"))
+  }
+
+  test("HTTP binding end-to-end: 200 array, 200 envelope, 400 unknown type, 404 bad dir (urls.py:5)") {
+    val server = graft.api.HttpApi.start(spark, Sf, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(qs: String, dirOverride: Option[Int] = None) = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/api/produits/?$qs")).GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val ok = get("type=fab-cat&catID=STANDARD")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(ok.headers().firstValue("Content-Type").orElse("").startsWith("application/json"))
+      assert(ok.body().startsWith("[{") && ok.body().contains("\"total_fabricants\":"))
+
+      val env = get("type=avg-cat-fab-10-mag&catID=STANDARD&fabID=Brand%2312" +
+        "&debut=1995-01-01&fin=1996-12-31")
+      assert(env.statusCode() == 200, env.body())
+      assert(env.body().startsWith("""{"average":""") && env.body().contains(""""top_mag":["""))
+
+      // no type param -> the reference's default "all", which is unknown -> 400
+      val defaulted = get("catID=STANDARD")
+      assert(defaulted.statusCode() == 400)
+      assert(defaulted.body().contains("Type de requ"))
+
+      val missing = get("type=cat")
+      assert(missing.statusCode() == 400)
+      assert(missing.body().contains("catID"))
+    } finally server.stop(0)
+  }
+
+  test("HTTP binding: missing database dir -> 404 JSON error (views.py:92-96)") {
+    val server = graft.api.HttpApi.start(spark, "/nonexistent/dir", port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/api/produits/?type=cat&catID=STANDARD"))
+        .GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 404)
+      assert(resp.body().contains("Base de donn"))
+    } finally server.stop(0)
+  }
 }
