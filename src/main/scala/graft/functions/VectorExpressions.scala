@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Fused dot product over two numeric array columns, as a native Catalyst
   * expression WITH whole-stage codegen.
@@ -83,6 +83,57 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All SRP-LSH band signatures of a vector in ONE per-row eval: bit j of
+  * band k is `sign(v · planes(k·bandBits+j)) > 0`, returned as an
+  * `array<int>` of `planes.length / bandBits` signatures.
+  *
+  * Why it exists: the composable form — nBands×bandBits separate
+  * [[DotProduct]] calls against `typedLit` hyperplane arrays — builds a
+  * 128-dot expression tree whose generated code blows past JIT/codegen
+  * limits; eq13 measured 5.7 s at sf0.1 with most of it constant
+  * plan/codegen cost. This expression holds the planes as one embedded
+  * constant and runs a tight multiply-accumulate loop per row
+  * (CodegenFallback — one virtual call per ROW, like the shingle
+  * expressions). Accumulation is the same left-to-right double fold as
+  * [[DotProduct]], so signatures are bit-identical to the composable form
+  * and to the DuckDB oracle's unnest-order SUM. */
+case class SrpBandSignatures(child: Expression, planes: Seq[Array[Float]], bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val lf = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val nBands = planes.length / bandBits
+    val out = new Array[Any](nBands)
+    var k = 0
+    while (k < nBands) {
+      var sig = 0
+      var j = 0
+      while (j < bandBits) {
+        val h = planes(k * bandBits + j)
+        val n = math.min(v.numElements(), h.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val xv = if (lf) v.getFloat(i).toDouble else v.getDouble(i)
+          acc += xv * h(i).toDouble
+          i += 1
+        }
+        if (acc > 0) sig |= 1 << j
+        j += 1
+      }
+      out(k) = sig
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -92,4 +143,9 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: all SRP band signatures in one pass. */
+  def srp_band_signatures(v: Column, planes: Seq[Array[Float]], bandBits: Int): Column =
+    ColumnBridge.column(
+      SrpBandSignatures(ColumnBridge.expression(v), planes, bandBits))
 }

@@ -309,13 +309,11 @@ object Dedup {
   def embeddingNearDupsDf(e: DataFrame): DataFrame = {
     val dim = e.selectExpr("size(embedding)").head().getInt(0)
     val hps = Similarity.hyperplanes(dim, NdBandBits * NdBands)
-    val sigCols = (0 until NdBands).map { k =>
-      (0 until NdBandBits).map { j =>
-        when(Similarity.dot(col("embedding"), typedLit(hps(k * NdBandBits + j))) > 0,
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    val sigs = e.select(col("vec_id"), posexplode(array(sigCols: _*)))
+    // one native eval per row for all 16 signatures — the composable
+    // 128×typedLit-dot form was dominated by plan/codegen constant cost
+    val sigs = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.srp_band_signatures(
+          col("embedding"), hps, NdBandBits)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "sig")
     // multi-probe side: the signature itself plus its 8 hamming-1 flips

@@ -60,12 +60,12 @@ object Similarity {
   private[graft] def hyperplaneSigns(dim: Int, n: Int): Seq[String] =
     hyperplanes(dim, n).map(_.map(f => if (f > 0) '+' else '-').mkString)
 
-  /** SRP-LSH bucket id of a vector column: bit j = sign(v · h_j). The dots
-    * are codegen'd [[dot]] calls against literal hyperplane arrays. */
+  /** SRP-LSH bucket id of a vector column: bit j = sign(v · h_j), via the
+    * one-pass native [[graft.functions.SrpBandSignatures]] (a single band
+    * covering all bits). */
   private def srpBucket(v: Column, hps: Seq[Array[Float]]): Column =
-    hps.zipWithIndex.map { case (h, j) =>
-      when(dot(v, typedLit(h)) > 0, shiftleft(lit(1), j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    element_at(
+      graft.functions.VectorFunctions.srp_band_signatures(v, hps, hps.length), 1)
 
   /** Sign-random-projection LSH approximate top-k — the hash-bucketed
     * alternative to [[ivfTopK]]: 8 ±1-hyperplane bits bucket every vector

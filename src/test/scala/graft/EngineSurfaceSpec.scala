@@ -125,6 +125,21 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(q5Plan.contains("Expand"), "multi-distinct should plan via Expand")
   }
 
+  test("q10/q11 composites: phase-1 top-10 is a literal, fact scanned once per phase-2 aggregate") {
+    // phase 1 is collected once (<=10 rows) and re-enters the plan as a
+    // LocalTableScan, so the only parquet scans left are phase 2's: one pdv
+    // reference (lineitem+part = 2 scans), doubled by the scalar-average
+    // self-reference = 4 — not 8 as when phase 1 was a live subplan that
+    // re-scanned pdv per reference
+    for ((q, maxScans) <- Seq(retail.RetailQueries.q10(spark, Sf) -> 4,
+                              retail.RetailQueries.q11(spark, Sf) -> 4)) {
+      val plan = q.queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans <= maxScans, s"expected <= $maxScans parquet scans, got $scans:\n$plan")
+      assert(plan.contains("LocalTableScan"), s"materialized top-10 missing:\n$plan")
+    }
+  }
+
   test("typed Dataset API: case-class pipeline agrees with the DataFrame plan") {
     import spark.implicits._
     val ds = Tables.pdv(spark, Sf).as[PdvRow]
