@@ -59,12 +59,16 @@ object WhitespaceCsv {
 
   val fixturePath = "/root/repo/src/test/resources/fixtures/pointsDeVente-tous.csv"
 
+  private val ingestSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Q12 (SURVEY.md §2.9): ingest the reconstructed reference-format fixture
     * and summarize — count, date range, id sums — proving S1–S4 end to end. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
-    // fixed sink path: overwrite mode replaces it each run instead of
-    // leaking a fresh temp dir per invocation (Bench runs every query twice)
-    val sink = s"${sys.props("java.io.tmpdir")}/graft_ingest_sink"
+    // per-invocation sink: a fixed path races when two q12 plans run
+    // concurrently in one JVM (parallel test suites overwrite the files the
+    // other side is executing against — observed as a flaky golden). The
+    // handful of tiny per-call dirs under java.io.tmpdir is the cheaper evil.
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_ingest_sink_${ingestSeq.incrementAndGet()}"
     ingest(spark, fixturePath, s"$sink/points_de_vente")
       .agg(
         count(lit(1)).as("n_rows"),
