@@ -190,10 +190,10 @@ object Dedup {
       .withColumn("sz", size(col("shd")))
       .filter(col("sz") > 0)
     // 28-bit shingle key: first 7 hex chars of md5 — the one hash both
-    // engines share bit-for-bit
+    // engines share bit-for-bit (native digest-byte read; ≡ the
+    // conv(substring(md5)) form the oracle mirrors, pinned by test)
     val exploded = sets.select(col("doc_id"), explode(col("shd")).as("sg"))
-      .withColumn("x",
-        conv(substring(md5(col("sg").cast("binary")), 1, 7), 16, 10).cast("long"))
+      .withColumn("x", graft.functions.Md5Expressions.md5_key28(col("sg")))
     // signatures via explode + 64 codegen'd min-aggregates (the nested
     // higher-order formulation — transform(array_min(transform(...))) — is
     // CodegenFallback and was the sf0.1 bottleneck)
@@ -246,13 +246,17 @@ object Dedup {
     simhashPairsDf(Tables.load(spark, dir, "documents"))
 
   def simhashPairsDf(docs: DataFrame): DataFrame = {
+    // 64 bits per token from the md5 digest bytes in one native eval
+    // (≡ per-hex-digit conv(substring(md5)) as the oracle derives them —
+    // the interpreted form was ~4.3M conv evals at sf0.1), packed as 4
+    // 16-bit ints: fingerprint bit j lives at chunk j/16, position j%16
     val tokenDigits = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-      .select(col("doc_id") +: (0 until 16).map(k =>
-        conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"d$k")): _*)
+      .withColumn("hb", graft.functions.Md5Expressions.md5_bits_4x16(col("tok")))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        element_at(col("hb"), c + 1).as(s"r$c")): _*)
     val bitVotes = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+      sum(when(shiftright(col(s"r${j / 16}"), j % 16).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$j")
     }
     val votes = tokenDigits.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)

@@ -119,6 +119,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("native md5 key/bit expressions match the conv(substring(md5)) formulations") {
+    import graft.functions.Md5Expressions
+    val vals = (Seq("", "a", "the", "café", "的", "x y z", "Brand#12",
+      "alpha beta gamma", "\t", "0123456789abcdef") ++
+      (0 until 50).map(i => s"tok$i")).toDF("s")
+    val key = vals.select(
+      Md5Expressions.md5_key28(col("s")).as("native"),
+      conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10).cast("long").as("declarative"))
+    assert(key.filter(col("native") =!= col("declarative")).isEmpty)
+    // bit j of the 4x16 packing == bit (j%4) of hex digit j/4
+    val digits = (0 until 16).map(k =>
+      conv(substring(md5(col("s").cast("binary")), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
+    val both = vals.select(col("s") +: (Md5Expressions.md5_bits_4x16(col("s")).as("hb") +: digits): _*)
+    val checks = (0 until 64).map { j =>
+      (shiftright(element_at(col("hb"), j / 16 + 1), j % 16).bitwiseAND(1) ===
+        shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1))
+    }.reduce(_ && _)
+    assert(both.filter(not(checks)).isEmpty)
+  }
+
   test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     val plain = Dedup.jaccardPairsDf(docs).collect()
