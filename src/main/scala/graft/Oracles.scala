@@ -484,6 +484,65 @@ object Oracles {
         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // eq26: connected components of the eq12 near-dup pair graph — the
+    // oracle computes the reachability closure with a recursive CTE and
+    // labels every vertex with the min doc_id it can reach, which is
+    // exactly what the engine's iterative min-label propagation converges
+    // to. Closure size is Σ cluster², bounded at test scale.
+    "eq26_neardup_clusters" -> (s"WITH RECURSIVE $toksCte,\n" +
+      """s0 AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
+        |ex AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s0),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+        |         MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM p),
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS src, s AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src)
+        |SELECT cluster AS cluster_id, COUNT(*) AS n_docs,
+        |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // eq27: content-hash split — same 28-bit md5-prefix key as x1,
+    // bucket = key % 100, 80/10/10.
+    "eq27_hash_split" -> {
+      val hex7 = (0 until 7).map { k =>
+        s"(strpos('0123456789abcdef', substr(h7, ${k + 1}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT lang, n_chars, substr(md5(text), 1, 7) AS h7 FROM documents),
+        |b AS (SELECT lang, n_chars, ($hex7) % 100 AS bucket FROM h),
+        |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+        |                  WHEN bucket < 90 THEN 'val'
+        |                  ELSE 'test' END AS split, lang, n_chars FROM b)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // eq28: tf-idf with the ratio idf (N+1)/(df+1) — log is monotone so the
+    // ranking matches the textbook form, and ×/÷ are IEEE-exact in both
+    // engines while libm log is not guaranteed correctly rounded.
+    "eq28_tfidf_top_terms" -> (s"WITH $toksCte,\n" +
+      """tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tfa AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfa AS (SELECT tok, COUNT(*) AS df FROM tfa GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tok, tf, df,
+        |         ROUND(tf * ((n.n + 1.0::DOUBLE) / (df + 1.0::DOUBLE)), 6) AS score
+        |  FROM tfa JOIN dfa USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, tok ASC) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

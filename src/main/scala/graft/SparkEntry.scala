@@ -56,6 +56,9 @@ object SparkEntry {
     "eq23_audience_set_ops"  -> (graft.star.AggSurface.audienceSetOps _),
     "eq24_daily_moving_avg"  -> (graft.star.AggSurface.dailyMovingAverage _),
     "eq25_above_avg_suppliers" -> (graft.star.AggSurface.aboveAvgSuppliers _),
+    "eq26_neardup_clusters"  -> (Dedup.neardupClusters _),
+    "eq27_hash_split"        -> (TextAnalysis.hashSplit _),
+    "eq28_tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

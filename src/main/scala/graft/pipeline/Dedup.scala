@@ -348,6 +348,59 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** eq26 — near-duplicate CLUSTERS: connected components over the exact
+    * Jaccard near-dup pairs ([[jaccardPairsDf]], sim ≥ 0.2), the step a
+    * real dedup pipeline runs after pair mining — group transitive
+    * near-dups, keep one survivor per cluster.
+    *
+    * Algorithm: iterative min-label propagation (the DataFrame form of
+    * large-star/small-star CC): every vertex starts labeled with itself;
+    * each round joins labels across edges and keeps the min; stop when a
+    * round changes nothing. Each round is one shuffle-on-key join — no
+    * driver-side graph state — and `localCheckpoint` truncates the plan
+    * lineage per round (the standard guard for iterative DataFrame
+    * algorithms; without it the plan doubles every iteration). Rounds
+    * needed = cluster diameter, tiny for near-dup clusters.
+    *
+    * Output: one row per cluster — survivor (min doc_id), size, and the
+    * sorted member list — so the DuckDB oracle (a recursive-CTE
+    * reachability closure + min label) hash-compares the full clustering. */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame =
+    neardupClustersDf(Tables.load(spark, dir, "documents"))
+
+  def neardupClustersDf(docs: DataFrame): DataFrame = {
+    val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("s", "t")
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val propagated = labels
+        .join(edges, labels("doc_id") === edges("s"))
+        .select(col("t").as("doc_id"), col("label"))
+        .union(labels)
+        .groupBy("doc_id")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = propagated.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = propagated
+      rounds += 1
+    }
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+      .orderBy("cluster_id")
+  }
+
   /** Exact-cosine verification of candidate (vec_a, vec_b) pairs: norms
     * once per vector, one codegen'd dot per pair, ≥ 0.5 filter. */
   private def verifyPairs(e: DataFrame, cands: DataFrame): DataFrame = {

@@ -146,4 +146,59 @@ object TextAnalysis {
       .agg(min(md5(col("s").cast("binary"))).as("fingerprint"))
       .select("doc_id", "n_shingles", "fingerprint")
       .orderBy("doc_id")
+
+  /** eq27 — deterministic content-hash train/val/test split (80/10/10):
+    * the reproducible held-out-split primitive of a training-data pipeline.
+    * Assignment is a pure function of the document TEXT (28-bit md5 key mod
+    * 100), not of doc_id or row order — so re-ingestion, re-partitioning,
+    * and replication all land a document in the same split, and exact
+    * duplicates can never straddle train/test. Summarized per (split, lang)
+    * for the oracle hash-compare; the per-doc assignment is the same
+    * expression un-aggregated. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitDf(Tables.load(spark, dir, "documents"))
+
+  def hashSplitDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket",
+        graft.functions.Md5Expressions.md5_key28(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+
+  /** eq28 — TF-IDF top terms: the 3 highest-scoring tokens per document.
+    * tf = in-doc occurrences, idf = (N+1)/(df+1) as a RATIO rather than its
+    * log — log is monotone, so the ranking is identical, and ×/÷ are
+    * IEEE-exact in both engines while libm `log` is not guaranteed
+    * correctly-rounded (a last-ulp divergence could flip a rank at the
+    * hash-compare). Score rounded to 6 dp before the rank cut; ties break
+    * on the token string. One shuffle per aggregation; the df side is a
+    * token-level aggregate, naturally bounded by vocabulary size. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsDf(Tables.load(spark, dir, "documents"))
+
+  def tfidfTopTermsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, Seq("tok"))
+      .withColumn("score", round(
+        col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
 }

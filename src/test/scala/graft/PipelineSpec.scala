@@ -198,6 +198,48 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("near-dup clusters: transitivity merges A~B~C into one cluster; unpaired docs absent") {
+    // A~B (J=0.5), B~C (J=0.2, inclusive threshold), A!~C (J=0) — one
+    // cluster {0,1,2} only via label propagation across the chain; doc 3
+    // has no near-dup pair and must not appear
+    val docs = docsDf(Seq(
+      (0L, "a b c d e f g h", "en", "s", 15L),
+      (1L, "c d e f g h i j", "en", "s", 15L),
+      (2L, "g h i j k l m n", "en", "s", 15L),
+      (3L, "q r s t u v w x", "en", "s", 15L)))
+    val clusters = Dedup.neardupClustersDf(docs).collect()
+    assert(clusters.length == 1)
+    assert(clusters(0).getLong(0) == 0L)
+    assert(clusters(0).getAs[Long]("n_docs") == 3L)
+    assert(clusters(0).getAs[String]("members") == "0,1,2")
+  }
+
+  test("hash split: partitions the corpus; assignment is a pure function of text") {
+    val total = graft.Tables.load(spark, Sf, "documents").count()
+    val splits = TextAnalysis.hashSplit(spark, Sf).collect()
+    assert(splits.map(_.getAs[Long]("n_docs")).sum == total)
+    // duplicate texts always co-locate (same split) regardless of doc_id
+    val docs = docsDf(Seq(
+      (100L, "identical content here", "en", "s", 22L),
+      (999L, "identical content here", "fr", "s", 22L)))
+    val assigned = TextAnalysis.hashSplitDf(docs).collect()
+    assert(assigned.map(_.getString(0)).distinct.length == 1)
+  }
+
+  test("tf-idf top terms: hand-computed scores and ranks on a literal fixture") {
+    val docs = docsDf(Seq(
+      (0L, "x x y", "en", "s", 5L),
+      (1L, "y z", "en", "s", 3L)))
+    // N=2; df: x=1, y=2, z=1; score = tf * (N+1)/(df+1)
+    val r = TextAnalysis.tfidfTopTermsDf(docs).collect()
+      .map(row => (row.getLong(0), row.getAs[Int]("rank")) ->
+        ((row.getAs[String]("tok"), row.getAs[Double]("score")))).toMap
+    assert(r((0L, 1)) == (("x", 3.0)))   // 2 * 3/2
+    assert(r((0L, 2)) == (("y", 1.0)))   // 1 * 3/3
+    assert(r((1L, 1)) == (("z", 1.5)))   // 1 * 3/2
+    assert(r((1L, 2)) == (("y", 1.0)))
+  }
+
   test("cosine top-k: 5 rows, sims non-increasing, all in [-1, 1]") {
     val top = Similarity.cosineTopK(spark, Sf).collect()
     assert(top.length == 5)
