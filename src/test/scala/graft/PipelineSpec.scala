@@ -198,6 +198,15 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("x1/x2 candidate generation is hash-join only — no cartesian in the physical plans") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    for (q <- Seq(Dedup.minhashLshPairsDf(docs), Dedup.simhashPairsDf(docs))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+    }
+  }
+
   test("near-dup clusters: transitivity merges A~B~C into one cluster; unpaired docs absent") {
     // A~B (J=0.5), B~C (J=0.2, inclusive threshold), A!~C (J=0) — one
     // cluster {0,1,2} only via label propagation across the chain; doc 3
