@@ -179,6 +179,13 @@ object Oracles {
         |FROM data""".stripMargin,
   )
 
+  /** SQL fragment: the 28-bit int value of a 7-char lowercase-hex column
+    * named `h7` — DuckDB's side of [[graft.functions.Md5Expressions.Md5Key28]]
+    * (shared by the x1 and eq27 oracles; must stay in lockstep with it). */
+  private val hex7OfH7: String = (0 until 7).map { k =>
+    s"(strpos('0123456789abcdef', substr(h7, ${k + 1}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
+  }.mkString(" + ")
+
   /** Shared CTEs for the text-pipeline oracles: lowercased whitespace
     * tokens, and (distinct) 3-token shingle sets. DuckDB standard strings
     * do NOT process backslash escapes, so `\s` here reaches RE2 as-is
@@ -512,19 +519,15 @@ object Oracles {
 
     // eq27: content-hash split — same 28-bit md5-prefix key as x1,
     // bucket = key % 100, 80/10/10.
-    "eq27_hash_split" -> {
-      val hex7 = (0 until 7).map { k =>
-        s"(strpos('0123456789abcdef', substr(h7, ${k + 1}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
-      }.mkString(" + ")
+    "eq27_hash_split" ->
       s"""WITH h AS (SELECT lang, n_chars, substr(md5(text), 1, 7) AS h7 FROM documents),
-        |b AS (SELECT lang, n_chars, ($hex7) % 100 AS bucket FROM h),
+        |b AS (SELECT lang, n_chars, ($hex7OfH7) % 100 AS bucket FROM h),
         |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
         |                  WHEN bucket < 90 THEN 'val'
         |                  ELSE 'test' END AS split, lang, n_chars FROM b)
         |SELECT split, lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // eq28: tf-idf with the ratio idf (N+1)/(df+1) — log is monotone so the
     // ranking matches the textbook form, and ×/÷ are IEEE-exact in both
@@ -559,15 +562,12 @@ object Oracles {
       val perms = graft.pipeline.Dedup.minhashPerms()
       val pmValues = perms.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-      val hex7 = (0 until 7).map { k =>
-        s"(strpos('0123456789abcdef', substr(h7, ${k + 1}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
-      }.mkString(" + ")
       s"WITH $toksCte,\n" +
       s"""s AS (SELECT doc_id, list_distinct(sh) AS shd, len(list_distinct(sh)) AS sz
         |       FROM shingled WHERE len(sh) > 0),
         |ex AS (SELECT doc_id, unnest(shd) AS sg FROM s),
         |hx AS (SELECT doc_id, substr(md5(sg), 1, 7) AS h7 FROM ex),
-        |xx AS (SELECT doc_id, $hex7 AS x FROM hx),
+        |xx AS (SELECT doc_id, $hex7OfH7 AS x FROM hx),
         |pm AS (SELECT * FROM (VALUES $pmValues) AS t(i, a, b)),
         |mins AS (
         |  SELECT doc_id, i, MIN((a::BIGINT * x + b) % 2147483647) AS m

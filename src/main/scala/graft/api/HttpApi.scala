@@ -26,10 +26,14 @@ import org.apache.spark.sql.SparkSession
   */
 object HttpApi {
 
-  /** Start serving `/api/produits/` on `port` (0 = ephemeral, for tests).
-    * Returns the running server; stop with `server.stop(0)`. */
-  def start(spark: SparkSession, dir: String, port: Int = 8000): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** Start serving `/api/produits/` on `host:port` (port 0 = ephemeral,
+    * for tests). Binds LOOPBACK by default — this is an unauthenticated
+    * query endpoint; exposing it on all interfaces must be an explicit
+    * caller decision. Returns the running server; stop with
+    * `server.stop(0)`. */
+  def start(spark: SparkSession, dir: String, port: Int = 8000,
+            host: String = "127.0.0.1"): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/api/produits/", handler(spark, dir))
     server.start()
     server

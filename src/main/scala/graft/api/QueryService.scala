@@ -242,38 +242,39 @@ object QueryService {
     * top-k / aggregate-sized, never fact-sized. */
   def toJson(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
 
-  /** Composite envelope rows, mirroring the reference's response shapes:
-    * `{"average": x, "top_mag": [{magID, total_produits, nb_produits_fab,
-    * percentage}]}` (views.py:251-254) and `{"average": x, "top_mag":
-    * [{mois_annee, avg_percentage}]}` (views.py:336-339). */
-  final case class MagEntry(magID: Long, total_produits: Long,
-                            nb_produits_fab: Long, percentage: Double)
-  final case class MagEnvelope(average: Double, top_mag: Seq[MagEntry])
-  final case class MonthEntry(mois_annee: String, avg_percentage: Double)
-  final case class MonthEnvelope(average: Double, top_mag: Seq[MonthEntry])
+  // Composite envelope shapes, mirroring the reference:
+  //   {"average": x, "top_mag": [{magID, total_produits, nb_produits_fab,
+  //    percentage}]}                                    (views.py:251-254)
+  //   {"average": x, "top_mag": [{mois_annee, avg_percentage}]}
+  //                                                     (views.py:336-339)
+  // All fields are numbers or "yyyy-MM" strings — nothing needs JSON
+  // escaping, so the bodies are built directly below.
 
   /** Full response body for a query type: the two composites return the
-    * reference's `{"average", "top_mag"}` envelope object (built from the
-    * flat oracle-checked rows via a typed Dataset encoder, so JSON field
-    * names/escaping come from the same Jackson path as toJson); everything
-    * else returns a records JSON array (views.py:152-154). */
+    * reference's `{"average", "top_mag"}` envelope object, serialized
+    * driver-side (the one envelope is an in-memory case class — routing it
+    * through a Spark Dataset job just to JSON-encode it would add a plan +
+    * scheduling round-trip per HTTP request); everything else returns a
+    * records JSON array straight from `toJson` (views.py:152-154). */
   def runJson(spark: SparkSession, dir: String, typeName: String, p: Params): Either[ApiError, String] =
     run(spark, dir, typeName, p).map { df =>
-      import spark.implicits._
       QueryType.byName(typeName) match {
         case AvgCatFab10Mag =>
           val rows = df.collect()
           val avg = if (rows.isEmpty) 0.0 else rows.head.getAs[Double]("average")
-          val entries = rows.map(r => MagEntry(r.getAs[Long]("magid"),
-            r.getAs[Long]("total_produits"), r.getAs[Long]("nb_produits_fab"),
-            r.getAs[Double]("percentage"))).toSeq
-          Seq(MagEnvelope(avg, entries)).toDS().toJSON.head()
+          val entries = rows.map(r =>
+            s"""{"magID":${r.getAs[Long]("magid")}""" +
+            s""","total_produits":${r.getAs[Long]("total_produits")}""" +
+            s""","nb_produits_fab":${r.getAs[Long]("nb_produits_fab")}""" +
+            s""","percentage":${r.getAs[Double]("percentage")}}""")
+          s"""{"average":$avg,"top_mag":[${entries.mkString(",")}]}"""
         case ScoreSanteTousLesMois =>
           val rows = df.collect()
           val avg = if (rows.isEmpty) 0.0 else rows.head.getAs[Double]("average")
-          val entries = rows.map(r => MonthEntry(r.getAs[String]("mois_annee"),
-            r.getAs[Double]("avg_percentage"))).toSeq
-          Seq(MonthEnvelope(avg, entries)).toDS().toJSON.head()
+          val entries = rows.map(r =>
+            s"""{"mois_annee":"${r.getAs[String]("mois_annee")}"""" +
+            s""","avg_percentage":${r.getAs[Double]("avg_percentage")}}""")
+          s"""{"average":$avg,"top_mag":[${entries.mkString(",")}]}"""
         case _ => toJson(df).mkString("[", ",", "]")
       }
     }

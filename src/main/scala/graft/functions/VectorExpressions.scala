@@ -114,7 +114,12 @@ case class SrpBandSignatures(child: Expression, planes: Seq[Array[Float]], bandB
       var j = 0
       while (j < bandBits) {
         val h = planes(k * bandBits + j)
-        val n = math.min(v.numElements(), h.length)
+        // fail loudly on a dim mismatch — silently truncating the loop
+        // would compute different signatures than the oracle's spliced
+        // hyperplanes without any error surfacing
+        require(v.numElements() == h.length,
+          s"SRP plane dim ${h.length} != vector dim ${v.numElements()}")
+        val n = h.length
         var acc = 0.0
         var i = 0
         while (i < n) {

@@ -65,10 +65,12 @@ object WhitespaceCsv {
     * and summarize — count, date range, id sums — proving S1–S4 end to end. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
     // per-invocation sink: a fixed path races when two q12 plans run
-    // concurrently in one JVM (parallel test suites overwrite the files the
-    // other side is executing against — observed as a flaky golden). The
-    // handful of tiny per-call dirs under java.io.tmpdir is the cheaper evil.
-    val sink = s"${sys.props("java.io.tmpdir")}/graft_ingest_sink_${ingestSeq.incrementAndGet()}"
+    // concurrently — in one JVM (parallel test suites; observed as a flaky
+    // golden) or across JVMs (a per-JVM counter alone restarts at the same
+    // values), so the path carries pid AND a counter. The handful of tiny
+    // per-call dirs under java.io.tmpdir is the cheaper evil.
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_ingest_sink_" +
+      s"${ProcessHandle.current().pid()}_${ingestSeq.incrementAndGet()}"
     ingest(spark, fixturePath, s"$sink/points_de_vente")
       .agg(
         count(lit(1)).as("n_rows"),

@@ -45,10 +45,14 @@ object Dedup {
       approx_count_distinct(col("prodid"), 0.02).as("ap"))
       .select(
         col("exact_magasins"), col("exact_produits"),
-        (abs(col("am") - col("exact_magasins")).cast("double")
-          / col("exact_magasins") <= 0.05).as("approx_magasins_ok"),
-        (abs(col("ap") - col("exact_produits")).cast("double")
-          / col("exact_produits") <= 0.05).as("approx_produits_ok"))
+        // zero-guard: x/0 is NULL (non-ANSI), which would break the
+        // boolean contract — an empty input is "ok" iff the sketch is 0 too
+        when(col("exact_magasins") === 0, col("am") === 0)
+          .otherwise(abs(col("am") - col("exact_magasins")).cast("double")
+            / col("exact_magasins") <= 0.05).as("approx_magasins_ok"),
+        when(col("exact_produits") === 0, col("ap") === 0)
+          .otherwise(abs(col("ap") - col("exact_produits")).cast("double")
+            / col("exact_produits") <= 0.05).as("approx_produits_ok"))
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     approxDistinctDf(Tables.pdv(spark, dir))
@@ -311,7 +315,11 @@ object Dedup {
     embeddingNearDupsDf(Tables.load(spark, dir, "embeddings"))
 
   def embeddingNearDupsDf(e: DataFrame): DataFrame = {
-    val dim = e.selectExpr("size(embedding)").head().getInt(0)
+    val firstRow = e.selectExpr("size(embedding)").take(1)
+    if (firstRow.isEmpty) // empty table: no pairs (the pre-banding path degraded the same way)
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("sim"))
+    val dim = firstRow(0).getInt(0)
     val hps = Similarity.hyperplanes(dim, NdBandBits * NdBands)
     // one native eval per row for all 16 signatures — the composable
     // 128×typedLit-dot form was dominated by plan/codegen constant cost
@@ -379,7 +387,10 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    // propagation needs cluster-diameter rounds; 50 covers any plausible
+    // near-dup graph, and non-convergence FAILS LOUDLY below rather than
+    // silently emitting split clusters
+    while (!converged && rounds < 50) {
       val propagated = labels
         .join(edges, labels("doc_id") === edges("s"))
         .select(col("t").as("doc_id"), col("label"))
@@ -393,6 +404,9 @@ object Dedup {
       labels = propagated
       rounds += 1
     }
+    require(converged,
+      s"near-dup cluster labeling did not converge in $rounds rounds " +
+        "(cluster diameter > 50?) — refusing to emit a partial clustering")
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(

@@ -90,28 +90,46 @@ object AggSurface {
     *
     * Driver-checkable shape: exact p50/p90 (interpolated `percentile`,
     * ≡ DuckDB `quantile_cont`) are oracle-verified values, and the sketch
-    * output is emitted as in-bounds booleans the oracle pins to TRUE. The
-    * bound is the sketch's own guarantee: accuracy = 1000 ⇒ rank error
-    * ≤ 1/1000, so the approx value must lie between the exact percentiles
-    * at rank ±0.005 (5× slack over the guarantee to absorb interpolation
-    * semantics at the boundary ranks). */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    * output is emitted as in-bounds booleans the oracle pins to TRUE.
+    *
+    * The bound is the sketch's own RANK guarantee, checked on ranks:
+    * accuracy = 1000 ⇒ the returned element's rank interval
+    * (#{v < approx}, #{v ≤ approx}] must intersect [(q−ε)·n, (q+ε)·n]
+    * with ε = 0.005 (5× the 1/1000 guarantee). A value-interval check
+    * against interpolated percentiles would be unsound for small groups,
+    * where percentile_cont can land strictly between two data elements and
+    * exclude every value the sketch is allowed to return. The rank check
+    * costs one extra conditional-aggregation pass over the group, joined
+    * against the broadcast per-group sketch row. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val sketch = events
       .groupBy("event_type")
       .agg(
         round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
         round(expr("percentile(value, 0.9D)"), 6).as("p90_exact"),
         expr("percentile_approx(value, 0.5D, 1000)").as("p50a"),
-        expr("percentile_approx(value, 0.9D, 1000)").as("p90a"),
-        expr("percentile(value, 0.495D)").as("p50lo"),
-        expr("percentile(value, 0.505D)").as("p50hi"),
-        expr("percentile(value, 0.895D)").as("p90lo"),
-        expr("percentile(value, 0.905D)").as("p90hi"))
+        expr("percentile_approx(value, 0.9D, 1000)").as("p90a"))
+    val eps = 0.005
+    events
+      .join(broadcast(sketch), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        first(col("p50_exact")).as("p50_exact"),
+        first(col("p90_exact")).as("p90_exact"),
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("p50a"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p90a"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("value") <= col("p90a"), 1L).otherwise(0L)).as("le90"))
       .select(
         col("event_type"), col("p50_exact"), col("p90_exact"),
-        (col("p50a") >= col("p50lo") && col("p50a") <= col("p50hi")).as("p50_in_bounds"),
-        (col("p90a") >= col("p90lo") && col("p90a") <= col("p90hi")).as("p90_in_bounds"))
+        (col("lt50") <= (lit(0.5) + eps) * col("n") &&
+          col("le50") >= (lit(0.5) - eps) * col("n")).as("p50_in_bounds"),
+        (col("lt90") <= (lit(0.9) + eps) * col("n") &&
+          col("le90") >= (lit(0.9) - eps) * col("n")).as("p90_in_bounds"))
       .orderBy("event_type")
+  }
 
   /** eq23 — set operations + anti-join semantics (SURVEY.md §2.6): user
     * audiences by behavior. `except`/`intersect` are Spark's set operators

@@ -123,7 +123,7 @@ class QueryServiceSpec extends SparkSpec {
     try {
       val port = server.getAddress.getPort
       val client = java.net.http.HttpClient.newHttpClient()
-      def get(qs: String, dirOverride: Option[Int] = None) = {
+      def get(qs: String) = {
         val req = java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"http://127.0.0.1:$port/api/produits/?$qs")).GET().build()
         client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
