@@ -546,6 +546,25 @@ object Oracles {
         |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
 
+    // eq29: per-test-doc train-shingle overlap — split assignment via the
+    // same md5 % 100 buckets as eq27, shingle sets as in eq12.
+    "eq29_contamination" -> (s"WITH $toksCte,\n" +
+      s"""sp AS (SELECT doc_id, substr(md5(text), 1, 7) AS h7, sh FROM shingled),
+        |b AS (SELECT doc_id, sh, ($hex7OfH7) % 100 AS bucket FROM sp),
+        |s AS (SELECT doc_id, list_distinct(sh) AS shd,
+        |        CASE WHEN bucket < 80 THEN 'train'
+        |             WHEN bucket < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM b),
+        |tv AS (SELECT DISTINCT unnest(shd) AS sg FROM s WHERE split = 'train'),
+        |te AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg
+        |       FROM s WHERE split = 'test' AND len(shd) > 0),
+        |m AS (SELECT te.doc_id, te.sz, COUNT(tv.sg) AS n_contaminated
+        |      FROM te LEFT JOIN tv ON te.sg = tv.sg GROUP BY 1, 2)
+        |SELECT doc_id, sz AS n_shingles, n_contaminated,
+        |       ROUND(n_contaminated::DOUBLE / sz, 6) AS contamination
+        |FROM m ORDER BY doc_id""".stripMargin),
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

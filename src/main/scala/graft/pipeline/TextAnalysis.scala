@@ -172,6 +172,42 @@ object TextAnalysis {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** eq29 — train→test DECONTAMINATION check: for every test-split
+    * document (split per [[hashSplit]]'s content-hash assignment), the
+    * fraction of its distinct 3-token shingles that also occur anywhere in
+    * the train split — the standard leakage audit run before training on a
+    * corpus. Scale shape: the train shingle vocabulary is a distinct-on-key
+    * aggregate and the probe is a shuffle-on-shingle left join — no
+    * doc×doc comparison anywhere, so cost is bounded by corpus token
+    * volume, not corpus size squared. Docs with no shingles (<3 tokens)
+    * are excluded (no ratio exists). */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationDf(Tables.load(spark, dir, "documents"))
+
+  def contaminationDf(docs: DataFrame): DataFrame = {
+    val sets = docs
+      .withColumn("bucket",
+        graft.functions.Md5Expressions.md5_key28(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
+      .withColumn("sz", size(col("shd")))
+    val trainVocab = sets.filter(col("split") === "train")
+      .select(explode(col("shd")).as("sg")).distinct()
+      .withColumn("hit", lit(1))
+    sets.filter(col("split") === "test" && col("sz") > 0)
+      .select(col("doc_id"), col("sz"), explode(col("shd")).as("sg"))
+      .join(trainVocab, Seq("sg"), "left_outer")
+      .groupBy("doc_id", "sz")
+      .agg(count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("sz"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** eq28 — TF-IDF top terms: the 3 highest-scoring tokens per document.
     * tf = in-doc occurrences, idf = (N+1)/(df+1) as a RATIO rather than its
     * log — log is monotone, so the ranking is identical, and ×/÷ are

@@ -235,6 +235,26 @@ class PipelineSpec extends SparkSpec {
     assert(assigned.map(_.getString(0)).distinct.length == 1)
   }
 
+  test("contamination: ratios in [0,1], bounded by shingle counts, covers every shingled test doc") {
+    val r = TextAnalysis.contamination(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_contaminated")
+      val sz = row.getAs[Int]("n_shingles")
+      val c = row.getAs[Double]("contamination")
+      assert(n >= 0 && n <= sz)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // row count == test-split docs with >= 1 shingle (>= 3 tokens)
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    val expected = docs
+      .withColumn("bucket", graft.functions.Md5Expressions.md5_key28(col("text")) % 100)
+      .filter(col("bucket") >= 90)
+      .filter(size(graft.functions.ShingleExpressions.shingles(col("text"), 3)) > 0)
+      .count()
+    assert(r.length.toLong == expected)
+  }
+
   test("tf-idf top terms: hand-computed scores and ranks on a literal fixture") {
     val docs = docsDf(Seq(
       (0L, "x x y", "en", "s", 5L),
