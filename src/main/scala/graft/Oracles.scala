@@ -565,6 +565,14 @@ object Oracles {
         |       ROUND(n_contaminated::DOUBLE / sz, 6) AS contamination
         |FROM m ORDER BY doc_id""".stripMargin),
 
+    // eq30: per-doc total vs distinct shingle occurrences (repetition).
+    "eq30_repetition_stats" -> (s"WITH $toksCte\n" +
+      """SELECT doc_id, lang,
+        |       len(sh) AS n_shingles,
+        |       len(list_distinct(sh)) AS n_distinct,
+        |       ROUND((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 6) AS dup_ratio
+        |FROM shingled WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin),
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

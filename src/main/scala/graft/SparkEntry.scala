@@ -60,6 +60,7 @@ object SparkEntry {
     "eq27_hash_split"        -> (TextAnalysis.hashSplit _),
     "eq28_tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     "eq29_contamination"     -> (TextAnalysis.contamination _),
+    "eq30_repetition_stats"  -> (TextAnalysis.repetitionStats _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -172,6 +172,27 @@ object TextAnalysis {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** eq30 — within-document REPETITION stats (the Gopher/C4-style
+    * boilerplate signal): total vs distinct 3-token shingle occurrences
+    * per document and the duplicated fraction. Pure per-row arithmetic on
+    * the native shingle arrays — single pass, no shuffle except the
+    * presentation sort. Docs with <3 tokens (no shingles) are excluded. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsDf(Tables.load(spark, dir, "documents"))
+
+  def repetitionStatsDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.ShingleExpressions.shingles(col("text"), 3).as("sh"))
+      .withColumn("t", size(col("sh")))
+      .filter(col("t") > 0)
+      .withColumn("d", size(array_distinct(col("sh"))))
+      .select(
+        col("doc_id"), col("lang"),
+        col("t").as("n_shingles"), col("d").as("n_distinct"),
+        round((col("t") - col("d")).cast("double") / col("t"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+
   /** eq29 — train→test DECONTAMINATION check: for every test-split
     * document (split per [[hashSplit]]'s content-hash assignment), the
     * fraction of its distinct 3-token shingles that also occur anywhere in

@@ -255,6 +255,20 @@ class PipelineSpec extends SparkSpec {
     assert(r.length.toLong == expected)
   }
 
+  test("repetition stats: hand-computed on a literal fixture; <3-token docs excluded") {
+    val docs = docsDf(Seq(
+      (0L, "a b c a b c a b", "en", "s", 15L),  // shingles: abc bca cab abc bca cab -> t=6 d=3
+      (1L, "x y z w", "en", "s", 7L),           // t=2 d=2 -> 0.0
+      (2L, "too short", "en", "s", 9L)))        // no shingles -> excluded
+    val r = TextAnalysis.repetitionStatsDf(docs).collect()
+      .map(row => row.getLong(0) ->
+        ((row.getAs[Int]("n_shingles"), row.getAs[Int]("n_distinct"),
+          row.getAs[Double]("dup_ratio")))).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L) == ((6, 3, 0.5)))
+    assert(r(1L) == ((2, 2, 0.0)))
+  }
+
   test("tf-idf top terms: hand-computed scores and ranks on a literal fixture") {
     val docs = docsDf(Seq(
       (0L, "x x y", "en", "s", 5L),
