@@ -223,6 +223,13 @@ class PipelineSpec extends SparkSpec {
     assert(clusters(0).getAs[String]("members") == "0,1,2")
   }
 
+  test("near-dup clusters: corpus with no qualifying pairs yields an empty clustering") {
+    val docs = docsDf(Seq(
+      (0L, "completely distinct first document text", "en", "s", 30L),
+      (1L, "nothing shared with anything else here", "en", "s", 30L)))
+    assert(Dedup.neardupClustersDf(docs).collect().isEmpty)
+  }
+
   test("hash split: partitions the corpus; assignment is a pure function of text") {
     val total = graft.Tables.load(spark, Sf, "documents").count()
     val splits = TextAnalysis.hashSplit(spark, Sf).collect()

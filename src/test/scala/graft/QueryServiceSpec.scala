@@ -146,6 +146,14 @@ class QueryServiceSpec extends SparkSpec {
       val missing = get("type=cat")
       assert(missing.statusCode() == 400)
       assert(missing.body().contains("catID"))
+
+      // GET-only route, like the reference view
+      val post = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/api/produits/?type=cat"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 405)
     } finally server.stop(0)
   }
 
