@@ -186,6 +186,25 @@ object Oracles {
     s"(strpos('0123456789abcdef', substr(h7, ${k + 1}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
   }.mkString(" + ")
 
+  /** `(pid, bits)` VALUES rows of the engine's first `n` seeded SRP
+    * hyperplanes, as ±-sign strings (shared by the eq13 and x5 oracles). */
+  private def hyperplaneValues(n: Int): String =
+    graft.pipeline.Similarity.hyperplaneSigns(64, n).zipWithIndex
+      .map { case (s, i) => s"($i,'$s')" }.mkString(",")
+
+  /** Shared CTE chain (appended after `shingled`): exact Jaccard near-dup
+    * pairs ending in `j (doc_a, doc_b, jac)` — eq12's pair mining, reused
+    * verbatim by eq26's clustering oracle. */
+  private val jaccardCtes =
+    """s AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
+      |ex AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+      |         MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+      |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM p)""".stripMargin
+
   /** Shared CTEs for the text-pipeline oracles: lowercased whitespace
     * tokens, and (distinct) 3-token shingle sets. DuckDB standard strings
     * do NOT process backslash escapes, so `\s` here reaches RE2 as-is
@@ -310,16 +329,8 @@ object Oracles {
         |  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1)
         |GROUP BY source ORDER BY source""".stripMargin,
 
-    "eq12_jaccard_pairs" -> (s"WITH $toksCte,\n" +
-      """s AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
-        |ex AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
-        |         MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
-        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM p)
-        |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+    "eq12_jaccard_pairs" -> (s"WITH $toksCte,\n$jaccardCtes\n" +
+      """SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
         |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin),
 
     // Reconstructs the engine's SRP-LSH banding exactly (the verified-pair
@@ -329,9 +340,7 @@ object Oracles {
     // exact-cosine verification — the full approximate algorithm is
     // oracle-checked end-to-end, not just the verify step.
     "eq13_embedding_neardups" -> {
-      val signs = graft.pipeline.Similarity.hyperplaneSigns(64, 128)
-      val values = signs.zipWithIndex
-        .map { case (s, i) => s"($i,'$s')" }.mkString(",")
+      val values = hyperplaneValues(128)
       s"""WITH pl AS (
         |  SELECT pid // 8 AS band, pid % 8 AS bit,
         |         list_transform(range(1, len(bits) + 1),
@@ -496,16 +505,8 @@ object Oracles {
     // labels every vertex with the min doc_id it can reach, which is
     // exactly what the engine's iterative min-label propagation converges
     // to. Closure size is Σ cluster², bounded at test scale.
-    "eq26_neardup_clusters" -> (s"WITH RECURSIVE $toksCte,\n" +
-      """s0 AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
-        |ex AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s0),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
-        |         MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
-        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM p),
-        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+    "eq26_neardup_clusters" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +
+      """pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach AS (
@@ -701,9 +702,7 @@ object Oracles {
     // engine's 37-probe set (self + hamming ≤ 2) is exactly
     // bit_count(xor(bucket, query_bucket)) <= 2.
     "x5_lsh_topk" -> {
-      val signs = graft.pipeline.Similarity.hyperplaneSigns(64, 8)
-      val values = signs.zipWithIndex
-        .map { case (s, i) => s"($i,'$s')" }.mkString(",")
+      val values = hyperplaneValues(8)
       s"""WITH pl AS (
         |  SELECT pid AS bit,
         |         list_transform(range(1, len(bits) + 1),

@@ -72,9 +72,6 @@ object Dedup {
       .orderBy("source")
 
   /** doc_id + distinct 3-token shingle set + set size. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    shingleSetsDf(Tables.load(spark, dir, "documents"))
-
   private def shingleSetsDf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),

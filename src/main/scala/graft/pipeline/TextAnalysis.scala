@@ -158,14 +158,17 @@ object TextAnalysis {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     hashSplitDf(Tables.load(spark, dir, "documents"))
 
+  /** The 80/10/10 split assignment of a text column: a pure function of
+    * the content (28-bit md5 key mod 100). Shared by [[hashSplitDf]] and
+    * [[contaminationDf]] so the two can never disagree on membership. */
+  private[graft] def splitOf(text: Column): Column = {
+    val bucket = graft.functions.Md5Expressions.md5_key28(text) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def hashSplitDf(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket",
-        graft.functions.Md5Expressions.md5_key28(col("text")) % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("text")))
       .groupBy("split", "lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -207,12 +210,7 @@ object TextAnalysis {
 
   def contaminationDf(docs: DataFrame): DataFrame = {
     val sets = docs
-      .withColumn("bucket",
-        graft.functions.Md5Expressions.md5_key28(col("text")) % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("text")))
       .select(col("doc_id"), col("split"),
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
       .withColumn("sz", size(col("shd")))
