@@ -139,6 +139,36 @@ class PipelineSpec extends SparkSpec {
     assert(both.filter(not(checks)).isEmpty)
   }
 
+  test("native md5 expressions: property over arbitrary unicode strings (one batched job)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // arbitrary unicode (including surrogate-pair emoji range, CJK,
+    // combining marks) — one deterministic 300-sample batch, checked in a
+    // single Spark job rather than a job per sample
+    val gen = Gen.listOfN(300, Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf(' ', '\t', '\n', '.', '@', '#'),
+        2 -> Gen.choose('À', 'ɏ'),
+        2 -> Gen.choose('一', '鿿'),
+        1 -> Gen.oneOf("🦀", "🧪", "👩‍🔬").map(_.charAt(0)))).map(_.mkString)))
+    val samples = gen.pureApply(Gen.Parameters.default, Seed(42L))
+    import graft.functions.Md5Expressions
+    val vals = samples.toDF("s")
+    val key = vals.select(
+      Md5Expressions.md5_key28(col("s")).as("native"),
+      conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10).cast("long").as("declarative"))
+    assert(key.filter(col("native") =!= col("declarative")).isEmpty)
+    val digits = (0 until 16).map(k =>
+      conv(substring(md5(col("s").cast("binary")), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
+    val both = vals.select(col("s") +: (Md5Expressions.md5_bits_4x16(col("s")).as("hb") +: digits): _*)
+    val checks = (0 until 64).map { j =>
+      (shiftright(element_at(col("hb"), j / 16 + 1), j % 16).bitwiseAND(1) ===
+        shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1))
+    }.reduce(_ && _)
+    assert(both.filter(not(checks)).isEmpty)
+  }
+
   test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     val plain = Dedup.jaccardPairsDf(docs).collect()
