@@ -154,6 +154,20 @@ class QueryServiceSpec extends SparkSpec {
           .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(post.statusCode() == 405)
+
+      // malformed percent-encoding must yield a controlled error status,
+      // never a hung connection or an empty reply (raw socket: the JDK
+      // HttpClient refuses to even construct such a URI)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = new java.io.PrintWriter(sock.getOutputStream)
+        out.print("GET /api/produits/?type=cat&catID=%zz HTTP/1.1\r\n" +
+          "Host: localhost\r\nConnection: close\r\n\r\n")
+        out.flush()
+        val status = scala.io.Source.fromInputStream(sock.getInputStream)
+          .getLines().next()
+        assert(status.matches("HTTP/1\\.[01] (400|500).*"), status)
+      } finally sock.close()
     } finally server.stop(0)
   }
 
