@@ -209,11 +209,17 @@ object TextAnalysis {
     contaminationDf(Tables.load(spark, dir, "documents"))
 
   def contaminationDf(docs: DataFrame): DataFrame = {
+    // materialized once (localCheckpoint, as in Dedup.neardupClustersDf):
+    // both the train-vocabulary branch and the test-probe branch consume
+    // this frame, and without materialization each would re-run the
+    // dominant shingling + md5-split pass over the whole corpus. The
+    // 100 TB version persists this split+shingle index deliberately.
     val sets = docs
       .withColumn("split", splitOf(col("text")))
       .select(col("doc_id"), col("split"),
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
       .withColumn("sz", size(col("shd")))
+      .localCheckpoint()
     val trainVocab = sets.filter(col("split") === "train")
       .select(explode(col("shd")).as("sg")).distinct()
       .withColumn("hit", lit(1))

@@ -119,16 +119,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("native md5 key/bit expressions match the conv(substring(md5)) formulations") {
+  /** Pins [[graft.functions.Md5Expressions]] bit-equal to the
+    * conv(substring(md5)) column formulations the DuckDB oracles mirror:
+    * 28-bit key, and bit j of the 4×16 packing == bit (j%4) of hex digit
+    * j/4. Shared by the fixed-fixture and property tests. */
+  private def assertMd5Parity(vals: org.apache.spark.sql.DataFrame): Unit = {
     import graft.functions.Md5Expressions
-    val vals = (Seq("", "a", "the", "café", "的", "x y z", "Brand#12",
-      "alpha beta gamma", "\t", "0123456789abcdef") ++
-      (0 until 50).map(i => s"tok$i")).toDF("s")
     val key = vals.select(
       Md5Expressions.md5_key28(col("s")).as("native"),
       conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10).cast("long").as("declarative"))
     assert(key.filter(col("native") =!= col("declarative")).isEmpty)
-    // bit j of the 4x16 packing == bit (j%4) of hex digit j/4
     val digits = (0 until 16).map(k =>
       conv(substring(md5(col("s").cast("binary")), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
     val both = vals.select(col("s") +: (Md5Expressions.md5_bits_4x16(col("s")).as("hb") +: digits): _*)
@@ -139,34 +139,31 @@ class PipelineSpec extends SparkSpec {
     assert(both.filter(not(checks)).isEmpty)
   }
 
+  test("native md5 key/bit expressions match the conv(substring(md5)) formulations") {
+    assertMd5Parity((Seq("", "a", "the", "café", "的", "x y z", "Brand#12",
+      "alpha beta gamma", "\t", "0123456789abcdef", "🦀 crab", "👩‍🔬🧪") ++
+      (0 until 50).map(i => s"tok$i")).toDF("s"))
+  }
+
   test("native md5 expressions: property over arbitrary unicode strings (one batched job)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
-    // arbitrary unicode (including surrogate-pair emoji range, CJK,
-    // combining marks) — one deterministic 300-sample batch, checked in a
-    // single Spark job rather than a job per sample
-    val gen = Gen.listOfN(300, Gen.chooseNum(0, 40).flatMap(n =>
-      Gen.listOfN(n, Gen.frequency(
-        5 -> Gen.alphaNumChar,
-        2 -> Gen.oneOf(' ', '\t', '\n', '.', '@', '#'),
-        2 -> Gen.choose('À', 'ɏ'),
-        2 -> Gen.choose('一', '鿿'),
-        1 -> Gen.oneOf("🦀", "🧪", "👩‍🔬").map(_.charAt(0)))).map(_.mkString)))
+    // arbitrary unicode — whole SURROGATE-PAIR emoji appended as strings
+    // (a charAt(0) would yield a lone high surrogate that UTF8String
+    // replaces with '?', silently losing 4-byte-UTF-8 coverage) — one
+    // deterministic 300-sample batch, checked in a single Spark job
+    // rather than a job per sample
+    val gen = Gen.listOfN(300, for {
+      n <- Gen.chooseNum(0, 40)
+      chars <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar.map(_.toString),
+        2 -> Gen.oneOf(" ", "\t", "\n", ".", "@", "#"),
+        2 -> Gen.choose('À', 'ɏ').map(_.toString),
+        2 -> Gen.choose('一', '鿿').map(_.toString),
+        1 -> Gen.oneOf("🦀", "🧪", "👩‍🔬", "𝕊")))
+    } yield chars.mkString)
     val samples = gen.pureApply(Gen.Parameters.default, Seed(42L))
-    import graft.functions.Md5Expressions
-    val vals = samples.toDF("s")
-    val key = vals.select(
-      Md5Expressions.md5_key28(col("s")).as("native"),
-      conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10).cast("long").as("declarative"))
-    assert(key.filter(col("native") =!= col("declarative")).isEmpty)
-    val digits = (0 until 16).map(k =>
-      conv(substring(md5(col("s").cast("binary")), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
-    val both = vals.select(col("s") +: (Md5Expressions.md5_bits_4x16(col("s")).as("hb") +: digits): _*)
-    val checks = (0 until 64).map { j =>
-      (shiftright(element_at(col("hb"), j / 16 + 1), j % 16).bitwiseAND(1) ===
-        shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1))
-    }.reduce(_ && _)
-    assert(both.filter(not(checks)).isEmpty)
+    assertMd5Parity(samples.toDF("s"))
   }
 
   test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {

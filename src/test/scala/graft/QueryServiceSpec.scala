@@ -160,6 +160,9 @@ class QueryServiceSpec extends SparkSpec {
       // HttpClient refuses to even construct such a URI)
       val sock = new java.net.Socket("127.0.0.1", port)
       try {
+        // a server-side hang must surface as a timeout failure, not wedge
+        // the suite (this test exists to pin "never a hung connection")
+        sock.setSoTimeout(15000)
         val out = new java.io.PrintWriter(sock.getOutputStream)
         out.print("GET /api/produits/?type=cat&catID=%zz HTTP/1.1\r\n" +
           "Host: localhost\r\nConnection: close\r\n\r\n")
