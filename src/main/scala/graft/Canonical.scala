@@ -24,7 +24,7 @@ object Canonical {
     * canonical query outputs, which are top-k/aggregate-sized). */
   def serialize(df: DataFrame): String = {
     val cols = df.columns.sorted
-    val rows = df.select(cols.head, cols.tail: _*).collect()
+    val rows = df.select(cols.head, cols.tail.toIndexedSeq: _*).collect()
       .map((r: Row) => (0 until r.length).map(i => render(r.get(i))).mkString("\u001F"))
       .sorted
     rows.mkString("\n")

@@ -55,7 +55,7 @@ object StreamingOps extends Serializable {
       def close(s: OpenSession) = ClosedSession(userId,
         new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
       if (state.hasTimedOut) {
-        val out = state.getOption.map(close).toIterator
+        val out = state.getOption.map(close).iterator
         state.remove()
         out
       } else {
