@@ -574,6 +574,100 @@ object Oracles {
         |       ROUND((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 6) AS dup_ratio
         |FROM shingled WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin),
 
+    // eq31: content-keyed stratified sampling — same 28-bit md5-prefix key
+    // as eq27/x1, per-mille rates spliced from the engine constant.
+    "eq31_stratified_sample" -> {
+      val rateCase = graft.pipeline.CorpusOps.SampleRatePerMille
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""WITH h AS (SELECT lang, source, n_chars, substr(md5(text), 1, 7) AS h7
+        |           FROM documents),
+        |k AS (SELECT lang, source, n_chars,
+        |             ($hex7OfH7) % 1000 AS key,
+        |             CASE $rateCase ELSE 0 END AS rate
+        |      FROM h)
+        |SELECT lang, source, COUNT(*) AS n_kept,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM k WHERE key < rate
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // eq32: token-window chunking — 32-token windows, stride 24; the last
+    // chunk is the first whose window reaches the document end.
+    "eq32_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+        |  FROM documents),
+        |nc AS (SELECT doc_id, t,
+        |              CASE WHEN n <= 32 THEN 1 ELSE (n - 9) // 24 + 1 END AS n_chunks
+        |       FROM t),
+        |ch AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM nc),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |             list_slice(t, i * 24 + 1, i * 24 + 32) AS c
+        |      FROM ch)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(c) AS INT) AS n_chunk_tokens,
+        |       md5(array_to_string(c, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // eq33: corpus trigram heavy hitters — top 20 by total occurrences,
+    // shingle-string tie-break.
+    "eq33_trigram_topk" -> (s"WITH $toksCte,\n" +
+      """ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled)
+        |SELECT shingle, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM ex GROUP BY shingle
+        |ORDER BY n_occurrences DESC, shingle ASC LIMIT 20""".stripMargin),
+
+    // eq34: token-budget shard packing — exclusive prefix sum of per-doc
+    // whitespace token counts in (lang, doc_id) order, shard = cum // 2000.
+    "eq34_pack_shards" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT lang, CAST(cum // 2000 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // eq35: per-lang p05/p95 length trimming — quantile_cont ≡ Spark exact
+    // percentile; classification against the UNROUNDED bounds, rounding is
+    // display-only (matches the engine).
+    "eq35_length_trim" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+        |         quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, ROUND(b.p05, 6) AS p05, ROUND(b.p95, 6) AS p95,
+        |       CAST(SUM(CASE WHEN d.n_chars < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |       CAST(SUM(CASE WHEN d.n_chars >= b.p05 AND d.n_chars <= b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN d.n_chars > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM documents d JOIN b ON d.lang = b.lang
+        |GROUP BY d.lang, b.p05, b.p95 ORDER BY d.lang""".stripMargin,
+
+    // eq36: per-label embedding centroids — float components scaled to
+    // exact integers (round(x·1e6) as BIGINT) before summing, so the sum
+    // is order-insensitive; one row per (label, dimension).
+    "eq36_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, CAST(pos AS INT) AS pos,
+        |         CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
+        |  FROM ex)
+        |SELECT label, pos, COUNT(*) AS n_vecs,
+        |       CAST(SUM(v) AS BIGINT) AS sum_scaled,
+        |       ROUND(CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS mean
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

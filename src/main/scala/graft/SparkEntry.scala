@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WhitespaceCsv
-import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusOps, Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 import graft.retail.RetailQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -61,6 +61,12 @@ object SparkEntry {
     "eq28_tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     "eq29_contamination"     -> (TextAnalysis.contamination _),
     "eq30_repetition_stats"  -> (TextAnalysis.repetitionStats _),
+    "eq31_stratified_sample" -> (CorpusOps.stratifiedSample _),
+    "eq32_doc_chunks"        -> (CorpusOps.docChunks _),
+    "eq33_trigram_topk"      -> (CorpusOps.trigramTopK _),
+    "eq34_pack_shards"       -> (CorpusOps.packShards _),
+    "eq35_length_trim"       -> (CorpusOps.lengthTrim _),
+    "eq36_label_centroids"   -> (Similarity.labelCentroids _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -102,6 +102,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** eq36 — per-label centroids (class prototypes): the element-wise mean
+    * embedding per label, one output row per (label, dimension). Float
+    * components are scaled to exact integers (`round(x·10⁶)` as BIGINT,
+    * the money-cents trick) before summing, so the aggregation is
+    * order-insensitive and bit-reproducible under any partitioning — the
+    * property a naive double sum loses, since IEEE addition is
+    * non-associative and Spark's aggregation order is partition-dependent.
+    * One shuffle on (label, pos), partial-aggregated map-side; output is
+    * labels × dims rows regardless of corpus size. The means divide as
+    * `sum::DOUBLE / (n · 10⁶)` — a single deterministic rounding. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidsDf(Tables.load(spark, dir, "embeddings"))
+
+  def labelCentroidsDf(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double") * 1000000.0).cast("long").as("v"))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("v")).as("sum_scaled"))
+      .withColumn("mean",
+        round(col("sum_scaled").cast("double") / (col("n_vecs") * 1000000.0), 6))
+      .orderBy("label", "pos")
+
   /** IVF-style approximate top-k: a deterministic centroid subset (every
     * 40th vector — a stand-in for k-means, which would be trained offline),
     * each vector assigned to its nearest centroid (broadcast argmin — one

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusOps, Similarity}
+
+/** Specs for the corpus-preparation operators (eq31–eq36). Literal
+  * fixtures with hand-computable answers, plus invariant checks (counts
+  * conserved, deterministic re-runs) on the sf0.001 fixture corpus. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fixtureDocs = Tables.load(spark, Sf, "documents")
+
+  test("stratified sample: rate-1000 stratum keeps everything, rate-0 drops everything") {
+    // fr rate is 1000 per-mille in SampleRatePerMille -> every fr doc kept
+    val fr = fixtureDocs.filter(col("lang") === "fr")
+    val out = CorpusOps.stratifiedSampleDf(fixtureDocs)
+      .filter(col("lang") === "fr")
+      .agg(sum("n_kept")).as[Long].collect()(0)
+    assert(out == fr.count(), "rate 1000/1000 must keep every fr document")
+    // an unknown lang falls through to the 0-rate default arm
+    val unknown = docsDf(Seq((1L, "some text here", "xx", "s", 14L)))
+    assert(CorpusOps.stratifiedSampleDf(unknown).isEmpty)
+  }
+
+  test("stratified sample is deterministic and a per-stratum subset") {
+    val a = CorpusOps.stratifiedSampleDf(fixtureDocs).collect()
+    val b = CorpusOps.stratifiedSampleDf(fixtureDocs).collect()
+    assert(a.sameElements(b), "content-keyed sample must reproduce bit-for-bit")
+    val totals = fixtureDocs.groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    a.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val total = totals((r.getString(0), r.getString(1)))
+      assert(kept >= 1 && kept <= total)
+    }
+  }
+
+  test("doc chunks: short doc is one whole chunk, 33 tokens split 32+9 with overlap") {
+    val short = docsDf(Seq((0L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "s", 10L)))
+    val one = CorpusOps.docChunksDf(short).collect()
+    assert(one.length == 1 && one(0).getAs[Int]("n_chunk_tokens") == 10)
+
+    val toks33 = (1 to 33).map(i => s"w$i")
+    val long = docsDf(Seq((1L, toks33.mkString(" "), "en", "s", 99L)))
+    val chunks = CorpusOps.docChunksDf(long).collect()
+    assert(chunks.map(_.getAs[Int]("chunk_id")).toSeq == Seq(0, 1))
+    assert(chunks.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(32, 9))
+    // chunk 1 starts at token 25 (stride 24): covers w25..w33, sharing
+    // w25..w32 with chunk 0 — pin via the md5 of the expected text
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks33.drop(24).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(chunks(1).getAs[String]("chunk_md5") == expected)
+  }
+
+  test("doc chunks cover every token: per-doc sum = n + 8 * (chunks - 1)") {
+    // windows overlap by exactly len-stride=8 tokens except the last, which
+    // re-reads enough of the tail to end exactly at n
+    val out = CorpusOps.docChunksDf(fixtureDocs)
+      .groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("s"), count(lit(1)).as("k"))
+    val toks = fixtureDocs.select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).as("n"))
+    val bad = out.join(toks, "doc_id")
+      .filter(!(col("s") >= col("n") && col("s") <= col("n") + lit(8) * (col("k") - 1)))
+    assert(bad.isEmpty, "chunk token counts must cover n with <=8-token overlaps")
+  }
+
+  test("trigram topk: repeated shingle dominates with correct counts") {
+    val docs = docsDf(Seq(
+      (0L, "a b c a b c a b c", "en", "s", 17L), // "a b c" x3 (+ others)
+      (1L, "a b c x y z", "en", "s", 11L),
+      (2L, "p q r s", "en", "s", 7L)))
+    val top = CorpusOps.trigramTopKDf(docs).collect()
+    assert(top(0).getString(0) == "a b c")
+    assert(top(0).getAs[Long]("n_occurrences") == 4L) // 3 in doc0 + 1 in doc1
+    assert(top(0).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("pack shards: budget boundary starts a new shard; tokens conserved") {
+    // 3 docs of 900 tokens each: cum=0,900,1800 -> shard 0; doc 3 cum=2700
+    // -> shard 1 (2700 div 2000)
+    val doc = (i: Long) => (i, (1 to 900).map(_ => "w").mkString(" "), "en", "s", 900L)
+    val docs = docsDf(Seq(doc(0), doc(1), doc(2), doc(3)))
+    val shards = CorpusOps.packShardsDf(docs).collect()
+    assert(shards.map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"))).toSeq
+      == Seq((0L, 3L), (1L, 1L)))
+    assert(shards.map(_.getAs[Long]("total_tokens")).sum == 3600L)
+    // fixture corpus: shard token totals conserve the corpus token count,
+    // and per-lang doc ranges are contiguous (first_doc..last_doc chain)
+    val out = CorpusOps.packShardsDf(fixtureDocs).collect()
+    val corpusTokens = fixtureDocs
+      .agg(sum(size(split(trim(lower(col("text"))), "\\s+")))).as[Long].collect()(0)
+    assert(out.map(_.getAs[Long]("total_tokens")).sum == corpusTokens)
+  }
+
+  test("length trim: per-lang tallies partition the corpus; uniform length trims nothing") {
+    val out = CorpusOps.lengthTrimDf(fixtureDocs).collect()
+    val perLang = fixtureDocs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_short") + r.getAs[Long]("n_kept") + r.getAs[Long]("n_long")
+      assert(n == perLang(r.getString(0)))
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+    }
+    val uniform = docsDf(Seq(
+      (0L, "x", "en", "s", 100L), (1L, "y", "en", "s", 100L), (2L, "z", "en", "s", 100L)))
+    val u = CorpusOps.lengthTrimDf(uniform).collect()(0)
+    assert(u.getAs[Long]("n_kept") == 3L && u.getAs[Long]("n_short") == 0L
+      && u.getAs[Long]("n_long") == 0L)
+  }
+
+  test("label centroids: hand-computed means, one row per (label, dim)") {
+    val emb = Seq(
+      (0L, Array(1.0f, -2.0f), 0),
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(0.5f, 0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidsDf(emb).collect()
+    assert(out.length == 4)
+    val m = out.map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos")) ->
+      (r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_scaled"), r.getAs[Double]("mean"))).toMap
+    assert(m((0, 0)) == ((2L, 4000000L, 2.0)))
+    assert(m((0, 1)) == ((2L, 2000000L, 1.0)))
+    assert(m((1, 0)) == ((1L, 500000L, 0.5)))
+    assert(m((1, 1)) == ((1L, 250000L, 0.25)))
+  }
+
+  test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
+    val topk = CorpusOps.trigramTopKDf(fixtureDocs)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded top-k, not a global sort")
+    val sample = CorpusOps.stratifiedSampleDf(fixtureDocs)
+      .queryExecution.executedPlan.toString
+    assert(!sample.contains("Join"), "sampling must stay a map-side filter")
+  }
+}
