@@ -712,6 +712,41 @@ object Oracles {
         |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // x9: the bloom-prefiltered decontamination totals are EXACT (bloom
+    // false positives are killed by the verify join, false negatives are
+    // impossible), so the oracle recomputes them with a plain join —
+    // per-lang aggregation of the eq29 pipeline.
+    "x9_bloom_contamination" -> (s"WITH $toksCte,\n" +
+      s"""sp AS (SELECT doc_id, lang, substr(md5(text), 1, 7) AS h7, sh FROM shingled),
+        |b AS (SELECT doc_id, lang, sh, ($hex7OfH7) % 100 AS bucket FROM sp),
+        |s AS (SELECT doc_id, lang, list_distinct(sh) AS shd,
+        |        CASE WHEN bucket < 80 THEN 'train'
+        |             WHEN bucket < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM b),
+        |tv AS (SELECT DISTINCT unnest(shd) AS sg FROM s WHERE split = 'train'),
+        |te AS (SELECT doc_id, lang, unnest(shd) AS sg FROM s WHERE split = 'test'),
+        |hits AS (SELECT te.lang, COUNT(*) AS total_contaminated
+        |         FROM te JOIN tv ON te.sg = tv.sg GROUP BY te.lang),
+        |per AS (SELECT lang, COUNT(*) AS n_test_docs,
+        |               CAST(SUM(len(shd)) AS BIGINT) AS total_shingles
+        |        FROM s WHERE split = 'test' GROUP BY lang)
+        |SELECT per.lang, per.n_test_docs, per.total_shingles,
+        |       COALESCE(hits.total_contaminated, 0) AS total_contaminated
+        |FROM per LEFT JOIN hits ON per.lang = hits.lang
+        |ORDER BY per.lang""".stripMargin),
+
+    // x10: exact heavy-hitter counts are hash-compared (same aggregation
+    // as eq33); the Count-Min estimates surface as the sketch's guarantee
+    // flags, pinned TRUE (the x6/x8 pattern).
+    "x10_cms_topk" -> (s"WITH $toksCte,\n" +
+      """ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled)
+        |SELECT shingle, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs,
+        |       TRUE AS cms_ge, TRUE AS cms_close
+        |FROM ex GROUP BY shingle
+        |ORDER BY n_occurrences DESC, shingle ASC LIMIT 20""".stripMargin),
+
     // x2: per-token md5 → 64 fingerprint bits from the first 16 hex digits
     // → ±1 votes per occurrence → 4×16-bit chunk values → pigeonhole chunk
     // join → hamming ≤ 6. All chunk math fits INT.

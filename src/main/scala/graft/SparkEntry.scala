@@ -80,6 +80,8 @@ object SparkEntry {
     "x6_approx_distinct"     -> (Dedup.approxDistinct _),
     "x7_salted_agg"          -> (EventOps.saltedEventTotals _),
     "x8_approx_percentiles"  -> (graft.star.AggSurface.approxPercentiles _),
+    "x9_bloom_contamination" -> (TextAnalysis.bloomContamination _),
+    "x10_cms_topk"           -> (CorpusOps.cmsTopK _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -107,6 +107,40 @@ object CorpusOps {
       .orderBy(col("n_occurrences").desc, col("shingle").asc)
       .limit(20)
 
+  /** x10 — Count-Min-sketched heavy hitters: the [[trigramTopK]] top-20
+    * with each shingle's frequency re-estimated from a mergeable Count-Min
+    * sketch built in one distributed aggregate — the fixed-memory
+    * frequency oracle a 100 TB pipeline keeps where exact per-key counts
+    * would need a full shuffle. Driver-checkable shape (the x6/x8
+    * pattern): the exact counts are oracle-verified values, and the sketch
+    * surfaces as booleans the oracle pins TRUE — `cms_ge` is the sketch's
+    * hard guarantee (estimate ≥ true count, always), `cms_close` the
+    * probabilistic one (estimate ≤ true + 5·ε·N, ε = 1e-4 — 5× the
+    * per-probe bound, astronomically safe at depth 5). Sketch hashing is
+    * seeded Murmur3, so the estimates are deterministic across runs. */
+  def cmsTopK(spark: SparkSession, dir: String): DataFrame =
+    cmsTopKDf(Tables.load(spark, dir, "documents"))
+
+  def cmsTopKDf(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(ShingleExpressions.shingles(col("text"), 3)).as("shingle"))
+    val n = exploded.count() // total stream length, for the ε·N bound
+    val eps = 1e-4
+    val cms = exploded.stat.countMinSketch(col("shingle"), eps, 0.99, 42)
+    val est = graft.functions.SketchExpressions.cms_estimate(col("shingle"), cms)
+    exploded
+      .groupBy("shingle")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("shingle").asc)
+      .limit(20)
+      .withColumn("cms_ge", est >= col("n_occurrences"))
+      .withColumn("cms_close", est <= col("n_occurrences") + lit(5.0 * eps) * lit(n))
+      .orderBy(col("n_occurrences").desc, col("shingle").asc)
+  }
+
   /** eq34 — token-budget shard packing: documents are laid out in
     * deterministic (lang, doc_id) order and cut into shards of
     * [[ShardBudget]] whitespace tokens by exclusive prefix sum — the

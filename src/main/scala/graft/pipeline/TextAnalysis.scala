@@ -233,6 +233,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x9 — Bloom-prefiltered decontamination: per-language totals of the
+    * same train→test shingle-leakage audit as [[contamination]], computed
+    * through the 100 TB plan shape — a Bloom filter over the train
+    * vocabulary is built with one distributed aggregate, broadcast inside
+    * a native probe expression, and the test-side shingles are prefiltered
+    * map-side BEFORE the verification join, so the shuffle carries only
+    * probable hits (at real scale the overwhelmingly-clean test corpus
+    * shrinks to ~fpp of itself). Bloom filters admit false positives but
+    * never false negatives, and every candidate is exactly verified
+    * against the vocabulary, so the output is EXACT — the DuckDB oracle
+    * recomputes it with a plain join and the hash must match; a
+    * false-negative bug anywhere would fail parity. */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame =
+    bloomContaminationDf(Tables.load(spark, dir, "documents"))
+
+  def bloomContaminationDf(docs: DataFrame): DataFrame = {
+    // same materialized split+shingle index as contaminationDf
+    val sets = docs
+      .withColumn("split", splitOf(col("text")))
+      .select(col("doc_id"), col("lang"), col("split"),
+        array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
+      .withColumn("sz", size(col("shd")))
+      .localCheckpoint()
+    val trainVocab = sets.filter(col("split") === "train")
+      .select(explode(col("shd")).as("sg")).distinct()
+    val nVocab = trainVocab.count()
+    val bf = trainVocab.stat.bloomFilter("sg", math.max(nVocab, 1L), 0.03)
+    val hits = sets.filter(col("split") === "test")
+      .select(col("lang"), explode(col("shd")).as("sg"))
+      // map-side prune: only probable members reach the verify join
+      .filter(graft.functions.SketchExpressions.bloom_might_contain(col("sg"), bf))
+      .join(trainVocab, Seq("sg"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_contaminated"))
+    sets.filter(col("split") === "test")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_test_docs"),
+        sum(col("sz")).as("total_shingles"))
+      .join(hits, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_test_docs"), col("total_shingles"),
+        coalesce(col("total_contaminated"), lit(0L)).as("total_contaminated"))
+      .orderBy("lang")
+  }
+
   /** eq28 — TF-IDF top terms: the 3 highest-scoring tokens per document.
     * tf = in-doc occurrences, idf = (N+1)/(df+1) as a RATIO rather than its
     * log — log is monotone, so the ranking is identical, and ×/÷ are
