@@ -40,12 +40,21 @@ object CorpusOps {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSampleDf(Tables.load(spark, dir, "documents"))
 
-  def stratifiedSampleDf(docs: DataFrame): DataFrame = {
+  /** The per-document keep predicate of [[stratifiedSampleDf]] — a pure
+    * function of (text, lang), shared with the streaming ingest gate
+    * ([[graft.streaming.StreamingOps.corpusGate]]) so batch and streaming
+    * can never disagree on membership. */
+  private[graft] def sampleKeep(text: org.apache.spark.sql.Column,
+                                lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val rate = SampleRatePerMille.foldLeft(lit(0)) { case (els, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(els)
+      when(lang === l, lit(r)).otherwise(els)
     }
+    md5_key28(text) % 1000 < rate
+  }
+
+  def stratifiedSampleDf(docs: DataFrame): DataFrame = {
     docs
-      .filter(md5_key28(col("text")) % 1000 < rate)
+      .filter(sampleKeep(col("text"), col("lang")))
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_kept"),

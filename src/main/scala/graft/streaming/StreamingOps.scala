@@ -97,6 +97,22 @@ object StreamingOps extends Serializable {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus gate — the ingest-time curation filter of a
+    * training-data pipeline, in streaming form: content-keyed stratified
+    * sampling (same predicate as eq31), content-hash split assignment
+    * (same md5 % 100 as eq27) and token counting applied to a document
+    * STREAM. Everything here is a pure function of the row, so the
+    * operator is STATELESS — no watermark, no state store, trivially
+    * scales to any ingest rate — and batch/streaming parity is exact
+    * (pinned by test): a document admitted at ingest time is exactly the
+    * document the batch pipeline would admit. */
+  def corpusGate(docs: DataFrame): DataFrame =
+    docs
+      .filter(graft.pipeline.CorpusOps.sampleKeep(col("text"), col("lang")))
+      .withColumn("split", graft.pipeline.TextAnalysis.splitOf(col("text")))
+      .withColumn("n_tokens",
+        graft.functions.TextCountExpressions.ws_token_count(col("text")))
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */

@@ -155,4 +155,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(7L) == batch(7L))
     assert(sessions(8L) == batch(8L))
   }
+
+  test("streaming corpus gate matches the batch sample/split/token pipeline exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val streamed = StreamingOps.corpusGate(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val q = streamed.writeStream
+      .format("memory").queryName("gate_out")
+      .outputMode("append")
+      .start()
+    val docs = Tables.load(spark, Sf, "documents")
+      .limit(200)
+      .as[(Long, String, String, String, Long)]
+      .collect()
+    mem.addData(docs.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_out")
+      .select("doc_id", "split", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val batch = StreamingOps.corpusGate(docs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "split", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == batch, "stream-admitted documents must equal the batch gate output")
+    assert(got.nonEmpty, "the gate must admit a nonempty sample from the fixture")
+  }
 }
