@@ -61,7 +61,8 @@ object GraftFunctions {
       case Seq(text, Literal(n: Int, _)) => ShingleExpressions.Shingles(text, n)
       case Seq(text) => ShingleExpressions.Shingles(text, 3)
       case args => throw new IllegalArgumentException(
-        "graft_shingles expects (text[, n]) with literal n, got " + args.length)
+        "graft_shingles expects (text[, n]) where n is an INT literal; got " +
+          args.length + " argument(s): " + args.map(_.sql).mkString(", "))
     }))
 
   private def lowered(e: Expression): Expression =

@@ -3,11 +3,11 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native md5-derived keys for the oracle-reproducible dedup family.
@@ -37,7 +37,11 @@ object Md5Expressions {
   /** First 7 hex digits of md5(s) as a 28-bit long —
     * ≡ `conv(substring(md5(s), 1, 7), 16, 10)`. The minhash shingle key. */
   case class Md5Key28(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    // analysis-time type check: the SQL registration (GraftFunctions)
+    // would otherwise let non-string args through to a per-task
+    // ClassCastException
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val h = md5(input.asInstanceOf[UTF8String].getBytes)
@@ -61,7 +65,8 @@ object Md5Expressions {
     * ints: chunk c = Σ_{j∈[0,16)} bit(16c+j) << j. ≡ deriving the bits from
     * `conv(substring(md5(s), j/4+1, 1), 16, 10)` as the x2 oracle does. */
   case class Md5Bits4x16(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val h = md5(input.asInstanceOf[UTF8String].getBytes)

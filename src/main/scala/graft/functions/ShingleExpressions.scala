@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -48,7 +48,9 @@ object ShingleExpressions {
   /** All n-token shingles of the lowercased text, in order, repeats kept —
     * equivalent to [[graft.pipeline.TextAnalysis.shingles3]]. */
   case class Shingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    // analysis-time check for the SQL surface (graft_shingles)
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
@@ -71,7 +73,8 @@ object ShingleExpressions {
     * `xxhash64(shingle_string)`, so downstream counts are identical to
     * hashing the string shingles). First-seen order preserved. */
   case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])

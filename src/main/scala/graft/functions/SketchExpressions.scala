@@ -3,10 +3,10 @@ package graft.functions
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
@@ -33,7 +33,8 @@ object SketchExpressions {
     * impossible (the property that makes bloom-prefiltered joins exact
     * after verification). */
   case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = BooleanType
     @transient private lazy val bf: BloomFilter =
       BloomFilter.readFrom(new ByteArrayInputStream(sketchBytes))
@@ -45,7 +46,8 @@ object SketchExpressions {
   /** Count-Min estimate of `child`'s (string) frequency — always ≥ the
     * true count; ≤ true + ε·N with probability 1−δ per probe. */
   case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = LongType
     @transient private lazy val cms: CountMinSketch =
       CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))

@@ -127,7 +127,10 @@ object TextCountExpressions {
     cnt
   }
 
-  sealed abstract class CountExpr extends UnaryExpression with CodegenFallback {
+  sealed abstract class CountExpr extends UnaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    // analysis-time check for the SQL surface (GraftFunctions)
+    override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
     override def dataType: DataType = IntegerType
   }
 

@@ -77,8 +77,7 @@ object CorpusOps {
 
   def docChunksDf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        split(trim(lower(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       // chunk starts at i*stride; last chunk is the first that reaches the
       // end: n <= len -> 1 chunk, else ceil((n-len)/stride)+1 of them
@@ -131,12 +130,15 @@ object CorpusOps {
     cmsTopKDf(Tables.load(spark, dir, "documents"))
 
   def cmsTopKDf(docs: DataFrame): DataFrame = {
+    // materialized once: the sketch build and the exact aggregate both
+    // consume this frame — without it each job re-runs the shingling pass
     val exploded = docs
       .select(col("doc_id"),
         explode(ShingleExpressions.shingles(col("text"), 3)).as("shingle"))
-    val n = exploded.count() // total stream length, for the ε·N bound
+      .localCheckpoint()
     val eps = 1e-4
     val cms = exploded.stat.countMinSketch(col("shingle"), eps, 0.99, 42)
+    val n = cms.totalCount() // stream length N for the ε·N bound, free from the sketch
     val est = graft.functions.SketchExpressions.cms_estimate(col("shingle"), cms)
     exploded
       .groupBy("shingle")

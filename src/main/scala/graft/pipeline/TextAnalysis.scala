@@ -208,18 +208,24 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contaminationDf(Tables.load(spark, dir, "documents"))
 
-  def contaminationDf(docs: DataFrame): DataFrame = {
-    // materialized once (localCheckpoint, as in Dedup.neardupClustersDf):
-    // both the train-vocabulary branch and the test-probe branch consume
-    // this frame, and without materialization each would re-run the
-    // dominant shingling + md5-split pass over the whole corpus. The
-    // 100 TB version persists this split+shingle index deliberately.
-    val sets = docs
+  /** Materialized (doc_id, lang, split, distinct-shingle set, size) index —
+    * the shared substrate of the decontamination family ([[contaminationDf]]
+    * eq29 and [[bloomContaminationDf]] x9, whose oracles assume identical
+    * split+shingle semantics). localCheckpoint (as in
+    * Dedup.neardupClustersDf): the train-vocabulary branch and the
+    * test-probe branch both consume this frame, and without materialization
+    * each would re-run the dominant shingling + md5-split pass over the
+    * whole corpus. The 100 TB version persists this index deliberately. */
+  private def splitShingleSets(docs: DataFrame): DataFrame =
+    docs
       .withColumn("split", splitOf(col("text")))
-      .select(col("doc_id"), col("split"),
+      .select(col("doc_id"), col("lang"), col("split"),
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
       .withColumn("sz", size(col("shd")))
       .localCheckpoint()
+
+  def contaminationDf(docs: DataFrame): DataFrame = {
+    val sets = splitShingleSets(docs)
     val trainVocab = sets.filter(col("split") === "train")
       .select(explode(col("shd")).as("sg")).distinct()
       .withColumn("hit", lit(1))
@@ -249,15 +255,12 @@ object TextAnalysis {
     bloomContaminationDf(Tables.load(spark, dir, "documents"))
 
   def bloomContaminationDf(docs: DataFrame): DataFrame = {
-    // same materialized split+shingle index as contaminationDf
-    val sets = docs
-      .withColumn("split", splitOf(col("text")))
-      .select(col("doc_id"), col("lang"), col("split"),
-        array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
-      .withColumn("sz", size(col("shd")))
-      .localCheckpoint()
+    val sets = splitShingleSets(docs)
+    // materialized: the sizing count, the bloom build and the verify
+    // semi-join all read the vocabulary — one distinct shuffle, not three
     val trainVocab = sets.filter(col("split") === "train")
       .select(explode(col("shd")).as("sg")).distinct()
+      .localCheckpoint()
     val nVocab = trainVocab.count()
     val bf = trainVocab.stat.bloomFilter("sg", math.max(nVocab, 1L), 0.03)
     val hits = sets.filter(col("split") === "test")

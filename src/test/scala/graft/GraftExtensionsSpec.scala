@@ -51,6 +51,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.length == 5 && row.forall(_.getLong(1) > 0))
   }
 
+  test("non-string SQL arguments fail analysis, not at runtime") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, Sf, "documents").createOrReplaceTempView("docs_ext2")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_md5_key28(doc_id) FROM docs_ext2").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_shingles(doc_id, 2) FROM docs_ext2").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
   test("GraftExtensions injects the same builder list") {
     // the extensions class and runtime registrar must share one source of
     // truth; a drift here would make spark.sql behavior depend on how the
