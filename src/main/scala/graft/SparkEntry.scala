@@ -67,6 +67,7 @@ object SparkEntry {
     "eq34_pack_shards"       -> (CorpusOps.packShards _),
     "eq35_length_trim"       -> (CorpusOps.lengthTrim _),
     "eq36_label_centroids"   -> (Similarity.labelCentroids _),
+    "eq37_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

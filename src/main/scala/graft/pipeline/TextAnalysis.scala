@@ -147,6 +147,45 @@ object TextAnalysis {
       .select("doc_id", "n_shingles", "fingerprint")
       .orderBy("doc_id")
 
+  /** eq37 — WINNOWING fingerprint selection (the MOSS scheme): over each
+    * document's sequence of 3-token shingle keys, slide a window of
+    * [[WinnowWindow]] consecutive keys and keep the window minimum; the
+    * distinct kept keys are the document's fingerprints. Guarantees every
+    * match of ≥ window+ngram−1 tokens is caught while storing only
+    * ~2/(window+1) of the shingles — the sublinear fingerprint index a
+    * 100 TB plagiarism/overlap pipeline builds instead of a full shingle
+    * inverted index. Keys are the 28-bit md5 prefixes (the x1 family's),
+    * so the DuckDB oracle recomputes the identical selection with the
+    * same window min. Per-document windows → the window function
+    * partitions by doc_id, parallel across the corpus; docs with fewer
+    * shingles than the window keep their global min (the frame clamps at
+    * the partition end in both engines). */
+  private val WinnowWindow = 4
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsDf(Tables.load(spark, dir, "documents"))
+
+  def winnowFingerprintsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), posexplode(col("sh")).as(Seq("pos", "sg")))
+      .withColumn("k", graft.functions.Md5Expressions.md5_key28(col("sg")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinnowWindow - 1)
+    sh
+      .withColumn("minv", min(col("k")).over(win))
+      // only positions that start a (possibly end-clamped) full window:
+      // for n < window the single pos-0 frame covers the whole doc
+      .filter(col("pos") <= greatest(col("n") - WinnowWindow, lit(0)))
+      .select(col("doc_id"), col("minv").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp")
+  }
+
   /** eq27 — deterministic content-hash train/val/test split (80/10/10):
     * the reproducible held-out-split primitive of a training-data pipeline.
     * Assignment is a pure function of the document TEXT (28-bit md5 key mod

@@ -131,6 +131,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m((1, 1)) == ((1L, 250000L, 0.25)))
   }
 
+  test("winnowing: every w-window contains a selected fingerprint; short docs keep 1") {
+    import graft.pipeline.TextAnalysis
+    val fps = TextAnalysis.winnowFingerprintsDf(fixtureDocs.limit(50))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val keys = fixtureDocs.limit(50)
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), posexplode(col("sh")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Md5Expressions.md5_key28(col("col")).as("k"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toVector).toMap
+    val w = 4
+    keys.foreach { case (doc, ks) =>
+      val selected = fps(doc)
+      assert(selected.subsetOf(ks.toSet), s"doc $doc: fingerprints must be shingle keys")
+      if (ks.length < w) {
+        assert(selected == Set(ks.min), s"doc $doc: short doc keeps exactly its min key")
+      } else {
+        ks.sliding(w).foreach { window =>
+          assert(selected.contains(window.min),
+            s"doc $doc: window $window must have its min selected")
+        }
+      }
+    }
+    // winnowing guarantee delivers compression: far fewer fps than shingles
+    val totalFps = fps.values.map(_.size).sum
+    val totalShingles = keys.values.map(_.length).sum
+    assert(totalFps < totalShingles, "fingerprints must be a strict subset")
+  }
+
   test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
     val topk = CorpusOps.trigramTopKDf(fixtureDocs)
       .queryExecution.executedPlan.toString
