@@ -92,8 +92,11 @@ object Dedup {
   private val JaccardThreshold = 0.2
 
   def jaccardPairsDf(docs: DataFrame): DataFrame = {
+    // materialized once: both sides of the self-join consume this frame —
+    // without it each side re-runs the shingling pass over the corpus
     val ex = shingleSetsDf(docs).filter(col("sz") > 0)
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+      .localCheckpoint()
     val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
     a.join(b, Seq("sg"))
@@ -186,10 +189,13 @@ object Dedup {
   private val MaxBucket = 50
 
   def minhashLshPairsDf(docs: DataFrame): DataFrame = {
+    // materialized once: the signature pass and BOTH sides of the verify
+    // join consume this frame (three shingling passes otherwise)
     val sets = docs.select(col("doc_id"),
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
       .withColumn("sz", size(col("shd")))
       .filter(col("sz") > 0)
+      .localCheckpoint()
     // 28-bit shingle key: first 7 hex chars of md5 — the one hash both
     // engines share bit-for-bit (native digest-byte read; ≡ the
     // conv(substring(md5)) form the oracle mirrors, pinned by test)
@@ -266,10 +272,14 @@ object Dedup {
         when(col(s"b${c * 16 + j}") > 0, lit(1 << j)).otherwise(lit(0)))
         .reduce(_ + _).as(s"c$c")
     }: _*)
+    // materialized once: the chunk self-join consumes this frame on both
+    // sides — without it the whole token-vote fingerprint pipeline
+    // (explode + 64 vote aggregates) runs twice
     val chunked = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+      .localCheckpoint()
     chunked.as("x").join(chunked.as("y"), Seq("chunk", "chunk_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
