@@ -576,8 +576,11 @@ object Oracles {
 
     // eq37: winnowing fingerprint selection — per-doc window-min over the
     // 28-bit md5 shingle keys; the frame clamps at the partition end in
-    // both engines, so short docs keep their global min.
-    "eq37_winnow_fingerprints" -> (s"WITH $toksCte,\n" +
+    // both engines, so short docs keep their global min. The window size
+    // is spliced from the engine constant (the eq31/x1 convention).
+    "eq37_winnow_fingerprints" -> {
+      val w = graft.pipeline.TextAnalysis.WinnowWindow
+      s"WITH $toksCte,\n" +
       s"""e AS (SELECT doc_id, len(sh) AS n,
         |             unnest(sh) AS sg, unnest(range(0, len(sh))) AS pos
         |      FROM shingled WHERE len(sh) > 0),
@@ -585,11 +588,12 @@ object Oracles {
         |k AS (SELECT doc_id, n, pos, ($hex7OfH7) AS k FROM h),
         |m AS (SELECT doc_id, n, pos,
         |             MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
-        |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minv
+        |               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minv
         |      FROM k)
         |SELECT DISTINCT doc_id, minv AS fp FROM m
-        |WHERE pos <= greatest(n - 4, 0)
-        |ORDER BY doc_id, fp""".stripMargin),
+        |WHERE pos <= greatest(n - $w, 0)
+        |ORDER BY doc_id, fp""".stripMargin
+    },
 
     // eq31: content-keyed stratified sampling — same 28-bit md5-prefix key
     // as eq27/x1, per-mille rates spliced from the engine constant.

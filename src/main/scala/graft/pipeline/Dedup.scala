@@ -93,7 +93,11 @@ object Dedup {
 
   def jaccardPairsDf(docs: DataFrame): DataFrame = {
     // materialized once: both sides of the self-join consume this frame —
-    // without it each side re-runs the shingling pass over the corpus
+    // without it each side re-runs the shingling pass over the corpus.
+    // Lifecycle of these localCheckpoint blocks (here and in the other
+    // pair-mining paths): scale-proportional but bounded per call, and
+    // reclaimed by Spark's ContextCleaner once the returned frame is
+    // unreferenced — a long-lived session does not pin them forever.
     val ex = shingleSetsDf(docs).filter(col("sz") > 0)
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
       .localCheckpoint()
@@ -125,7 +129,9 @@ object Dedup {
     * plain variant by test. */
   def jaccardPairsPrefixDf(docs: DataFrame): DataFrame = {
     val t = JaccardThreshold
-    val sets = shingleSetsDf(docs).filter(col("sz") > 0)
+    // materialized once: freq, prefix and both verify-join sides all
+    // consume this frame (up to five shingling passes otherwise)
+    val sets = shingleSetsDf(docs).filter(col("sz") > 0).localCheckpoint()
     val ex = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sg").asc)
@@ -133,6 +139,7 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
       .select(col("doc_id"), col("sg"))
+      .localCheckpoint() // self-joined below
     val cands = prefix.as("a").join(prefix.as("b"), Seq("sg"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -160,7 +160,7 @@ object TextAnalysis {
     * partitions by doc_id, parallel across the corpus; docs with fewer
     * shingles than the window keep their global min (the frame clamps at
     * the partition end in both engines). */
-  private val WinnowWindow = 4
+  private[graft] val WinnowWindow = 4
 
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintsDf(Tables.load(spark, dir, "documents"))

@@ -133,9 +133,12 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("winnowing: every w-window contains a selected fingerprint; short docs keep 1") {
     import graft.pipeline.TextAnalysis
-    val fps = TextAnalysis.winnowFingerprintsDf(fixtureDocs.limit(50))
+    // deterministic subset: LIMIT without ORDER BY may pick different rows
+    // across the two independent queries below
+    val docs50 = fixtureDocs.orderBy("doc_id").limit(50).cache()
+    val fps = TextAnalysis.winnowFingerprintsDf(docs50)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val keys = fixtureDocs.limit(50)
+    val keys = docs50
       .select(col("doc_id"),
         graft.functions.ShingleExpressions.shingles(col("text"), 3).as("sh"))
       .select(col("doc_id"), posexplode(col("sh")))
