@@ -298,6 +298,31 @@ object Oracles {
         |           + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // eq38: per-lang tallies of the eq8 quality score at the 0.5 keep
+    // threshold; quality summed as integer millionths (the 6-dp rounded
+    // score ×1e6 is integer-valued → order-insensitive exact sum).
+    "eq38_quality_filter" ->
+      """WITH q AS (
+        |  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |         length(text) AS nc,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |         least(nc / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |         alpha::DOUBLE / nc AS alpha_ratio,
+        |         len(list_filter(toks, t -> t IN ('the', 'a', 'data', 'value')))::DOUBLE / len(toks) AS stop_ratio
+        |  FROM q),
+        |s AS (
+        |  SELECT lang,
+        |         ROUND(0.4::DOUBLE * len_score + 0.4::DOUBLE * alpha_ratio
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
+        |  FROM c)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN quality >= 0.5::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CAST(ROUND(quality * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS quality_millionths
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
     "eq9_lang_id" ->
       """WITH t AS (
         |  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

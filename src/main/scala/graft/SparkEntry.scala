@@ -68,6 +68,7 @@ object SparkEntry {
     "eq35_length_trim"       -> (CorpusOps.lengthTrim _),
     "eq36_label_centroids"   -> (Similarity.labelCentroids _),
     "eq37_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
+    "eq38_quality_filter"    -> (TextAnalysis.qualityFilter _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -66,8 +66,12 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScoreDf(Tables.load(spark, dir, "documents"))
 
-  def qualityScoreDf(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
+  /** Per-document quality columns (n_tokens, ratios, the rounded 6-dp
+    * `quality`) with every input column retained — the single source of
+    * the scoring formula, shared by eq8's report and eq38's filter so the
+    * two can never disagree on a document's score. */
+  private def qualityCols(docsIn: DataFrame): DataFrame =
+    docsIn
       .withColumn("n_tokens", ws_token_count(col("text")))
       .withColumn("len_score",
         least(length(col("text")) / lit(500.0), lit(1.0)))
@@ -76,15 +80,38 @@ object TextAnalysis {
       .withColumn("stop_ratio",
         token_set_count(col("text"), Stopwords).cast("double")
           / col("n_tokens"))
-    docs.select(
+      .withColumn("quality",
+        round(lit(0.4) * col("len_score") + lit(0.4) * col("alpha_ratio")
+          + lit(0.2) * (lit(1.0) - col("stop_ratio")), 6))
+
+  def qualityScoreDf(docsIn: DataFrame): DataFrame =
+    qualityCols(docsIn).select(
       col("doc_id"),
       col("n_tokens"),
       round(col("alpha_ratio"), 6).as("alpha_ratio"),
       round(col("stop_ratio"), 6).as("stop_ratio"),
-      round(lit(0.4) * col("len_score") + lit(0.4) * col("alpha_ratio")
-        + lit(0.2) * (lit(1.0) - col("stop_ratio")), 6).as("quality"))
+      col("quality"))
       .orderBy("doc_id")
-  }
+
+  /** eq38 — quality-threshold corpus filter: the C4-style END step that
+    * consumes the per-document score — per language, how many documents
+    * survive `quality ≥ 0.5` and the exact total quality mass. The
+    * summary sums quality in integer MILLIONTHS (the 6-dp rounded score
+    * ×10⁶ is integer-valued, so the sum is order-insensitive and exact —
+    * a plain double sum of scores would be partition-order-dependent).
+    * Map-side classification + one bounded aggregation; the per-doc score
+    * is eq8's formula via the shared [[qualityCols]]. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterDf(Tables.load(spark, dir, "documents"))
+
+  def qualityFilterDf(docs: DataFrame): DataFrame =
+    qualityCols(docs)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+        sum(round(col("quality") * 1000000.0).cast("long")).as("quality_millionths"))
+      .orderBy("lang")
 
   /** Marker-token vocabularies per language, deterministic priority order
     * en > fr > de > es > zh on ties. */

@@ -165,6 +165,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(totalFps < totalShingles, "fingerprints must be a strict subset")
   }
 
+  test("quality filter tallies agree with the per-doc eq8 scores") {
+    import graft.pipeline.TextAnalysis
+    val out = TextAnalysis.qualityFilterDf(fixtureDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // recompute from eq8's exported per-doc scores (the shared formula)
+    val perDoc = TextAnalysis.qualityScoreDf(fixtureDocs)
+      .join(fixtureDocs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("quality"))
+      .collect().groupBy(_.getString(0))
+    perDoc.foreach { case (lang, rows) =>
+      val qs = rows.map(_.getDouble(1))
+      val (n, kept, mill) = out(lang)
+      assert(n == qs.length)
+      assert(kept == qs.count(_ >= 0.5))
+      assert(mill == qs.map(q => math.round(q * 1e6)).sum)
+    }
+  }
+
   test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
     val topk = CorpusOps.trigramTopKDf(fixtureDocs)
       .queryExecution.executedPlan.toString
