@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{Md5Expressions, ShingleExpressions, TextCountExpressions}
 
@@ -58,12 +58,34 @@ object GraftFunctions {
       e => TextCountExpressions.AlphaCount(lowered(e))),
     oneArg("graft_md5_key28", e => Md5Expressions.Md5Key28(e)),
     ("graft_shingles", info("graft_shingles"), {
-      case Seq(text, Literal(n: Int, _)) => ShingleExpressions.Shingles(text, n)
+      case Seq(text, n) => ShingleExpressions.Shingles(text, shingleWidth(n))
       case Seq(text) => ShingleExpressions.Shingles(text, 3)
       case args => throw new IllegalArgumentException(
-        "graft_shingles expects (text[, n]) where n is an INT literal; got " +
+        "graft_shingles expects (text[, n]) where n is a constant integer >= 1; got " +
           args.length + " argument(s): " + args.map(_.sql).mkString(", "))
     }))
+
+  /** Analysis-time extraction of graft_shingles' width argument: any
+    * foldable integral expression is accepted (`2`, `1+1`, `CAST(2 AS
+    * BIGINT)`), folded here, and validated `>= 1` — so a bad width is a
+    * query-compile error, never a per-task runtime throw. */
+  private def shingleWidth(e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"graft_shingles: n must be a constant integer expression, got ${e.sql}")
+    val n = e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles: n must be integral, got ${e.sql}" +
+          (if (other == null) " (NULL)" else s" of ${e.dataType.sql}"))
+    }
+    if (n < 1 || n > ShingleExpressions.MaxShingleWidth)
+      throw new IllegalArgumentException(
+        s"graft_shingles: n must be in [1, ${ShingleExpressions.MaxShingleWidth}], got $n")
+    n.toInt
+  }
 
   private def lowered(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Lower(e)

@@ -30,6 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleExpressions {
 
+  /** Upper bound on the shingle width accepted by the builders — wide
+    * enough for any n-gram scheme in use (eq12/eq29/eq37 use 3), small
+    * enough that a typo'd width fails analysis instead of OOMing tasks. */
+  val MaxShingleWidth: Int = 64
+
   private def tokenize(s: UTF8String): Array[String] =
     // UTF8String.toLowerCase (locale-agnostic, = Spark `lower`) then
     // UTF8String.trim (strips 0x20 only, = Spark `trim`) — Java's
@@ -49,6 +54,8 @@ object ShingleExpressions {
     * equivalent to [[graft.pipeline.TextAnalysis.shingles3]]. */
   case class Shingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    require(n >= 1 && n <= MaxShingleWidth,
+      s"shingle width must be in [1, $MaxShingleWidth], got $n")
     // analysis-time check for the SQL surface (graft_shingles)
     override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -74,6 +81,8 @@ object ShingleExpressions {
     * hashing the string shingles). First-seen order preserved. */
   case class ShingleHashes(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    require(n >= 1 && n <= MaxShingleWidth,
+      s"shingle width must be in [1, $MaxShingleWidth], got $n")
     override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
