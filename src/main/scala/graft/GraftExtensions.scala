@@ -23,7 +23,8 @@ import graft.functions.{Md5Expressions, ShingleExpressions, TextCountExpressions
   *  - `graft_re_token_count(text)`  — BPE-ish token count
   *  - `graft_alpha_count(text)`     — a-z code-point count
   *  - `graft_md5_key28(s)`          — 28-bit md5-prefix key (eq27/x1's)
-  *  - `graft_shingles(text, n)`     — n-token shingle array (n literal)
+  *  - `graft_shingles(text, n)`     — n-token shingle array (n constant
+  *    integer in [1, 64]; any foldable integral expression accepted)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -72,7 +73,14 @@ object GraftFunctions {
   private def shingleWidth(e: Expression): Int = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"graft_shingles: n must be a constant integer expression, got ${e.sql}")
-    val n = e.eval(null) match {
+    val folded =
+      try e.eval(null)
+      catch {
+        case scala.util.control.NonFatal(t) => throw new IllegalArgumentException(
+          s"graft_shingles: n (${e.sql}) could not be evaluated at analysis " +
+            s"time: ${t.getMessage}", t)
+      }
+    val n = folded match {
       case i: Int => i.toLong
       case l: Long => l
       case s: Short => s.toLong

@@ -64,6 +64,37 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("type"))
   }
 
+  test("graft_shingles accepts any constant integral width expression") {
+    val both = docs.select(
+      expr("graft_shingles(text, 1 + 1)").as("sql_sum"),
+      expr("graft_shingles(text, CAST(2 AS BIGINT))").as("sql_cast"),
+      ShingleExpressions.shingles(col("text"), 2).as("api_s2"))
+    assert(both.filter(
+      not(col("sql_sum") === col("api_s2")) ||
+      not(col("sql_cast") === col("api_s2"))).isEmpty)
+  }
+
+  test("graft_shingles rejects bad widths at analysis time with its own message") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, Sf, "documents").createOrReplaceTempView("docs_ext3")
+    def failureMessage(sql: String): String = {
+      val t = intercept[Throwable](spark.sql(sql).collect())
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+    }
+    // out of range (0 and MaxShingleWidth+1), NULL, and a non-constant
+    // column width must all fail analysis with the graft_shingles context,
+    // never as a bare per-task runtime throw
+    assert(failureMessage("SELECT graft_shingles(text, 0) FROM docs_ext3")
+      .contains("must be in [1, 64]"))
+    assert(failureMessage("SELECT graft_shingles(text, 65) FROM docs_ext3")
+      .contains("must be in [1, 64]"))
+    assert(failureMessage("SELECT graft_shingles(text, NULL) FROM docs_ext3")
+      .contains("graft_shingles"))
+    assert(failureMessage("SELECT graft_shingles(text, doc_id) FROM docs_ext3")
+      .contains("constant integer"))
+  }
+
   test("GraftExtensions injects the same builder list") {
     // the extensions class and runtime registrar must share one source of
     // truth; a drift here would make spark.sql behavior depend on how the
