@@ -714,6 +714,112 @@ object Oracles {
         |       ROUND(CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS mean
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // eq39: cross-doc chunk-level dedup — the eq32 chunk chain, then
+    // keep-first on chunk md5 in (doc_id, chunk_id) order.
+    "eq39_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+        |  FROM documents),
+        |nc AS (SELECT doc_id, t,
+        |              CASE WHEN n <= 32 THEN 1 ELSE (n - 9) // 24 + 1 END AS n_chunks
+        |       FROM t),
+        |ch AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM nc),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |             md5(array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ')) AS cm
+        |      FROM ch),
+        |r AS (SELECT doc_id,
+        |             row_number() OVER (PARTITION BY cm ORDER BY doc_id, chunk_id) AS rn
+        |      FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // eq40: OOV rate vs the corpus top-K vocabulary (count DESC, token ASC
+    // tie-break at the cut); integer tallies, one final division.
+    "eq40_vocab_coverage" -> {
+      val k = graft.pipeline.CorpusOps.VocabSize
+      s"""WITH tk AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (
+        |  SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT $k)),
+        |j AS (SELECT tk.lang, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |      FROM tk LEFT JOIN v ON tk.token = v.token)
+        |SELECT lang, COUNT(*) AS total_tokens,
+        |       CAST(SUM(iv) AS BIGINT) AS in_vocab_tokens,
+        |       ROUND(1.0::DOUBLE - CAST(SUM(iv) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // eq41: SemDeDup within-cluster pruning — pairwise cosine only inside
+    // a label cluster, threshold compared on UNROUNDED sims (dots fold in
+    // the same element order in both engines), integer-only output.
+    "eq41_semantic_dedup" -> {
+      val t = graft.pipeline.Similarity.SemanticThreshold
+      s"""WITH un AS (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |s AS (SELECT label, vec_a, vec_b,
+        |             SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |      FROM un GROUP BY 1, 2, 3),
+        |d AS (SELECT label, vec_b FROM s WHERE sim >= $t::DOUBLE),
+        |g AS (SELECT label, COUNT(*) AS n_dup_pairs,
+        |             COUNT(DISTINCT vec_b) AS n_dropped
+        |      FROM d GROUP BY label),
+        |m AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label)
+        |SELECT m.label, m.n_members,
+        |       COALESCE(g.n_dup_pairs, 0) AS n_dup_pairs,
+        |       COALESCE(g.n_dropped, 0) AS n_dropped
+        |FROM m LEFT JOIN g ON m.label = g.label ORDER BY m.label""".stripMargin
+    },
+
+    // eq42: per-source shingle novelty — global first occurrence by min
+    // doc_id, integer tallies per source, one division.
+    "eq42_novelty_rate" -> (s"WITH $toksCte,\n" +
+      """d AS (SELECT doc_id, source, unnest(list_distinct(sh)) AS sg FROM shingled),
+        |f AS (SELECT sg, MIN(doc_id) AS first_doc FROM d GROUP BY sg)
+        |SELECT source, COUNT(*) AS total_shingles,
+        |       CAST(SUM(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+        |       ROUND(CAST(SUM(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS novelty_rate
+        |FROM d JOIN f USING (sg) GROUP BY source ORDER BY source""".stripMargin),
+
+    // eq43: directional containment pairs |A∩B|/|A| over distinct shingle
+    // sets — threshold on the unrounded ratio, both directions emitted.
+    "eq43_containment_pairs" -> {
+      val t = graft.pipeline.Dedup.ContainmentThreshold
+      s"WITH $toksCte,\n" +
+      s"""s AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
+        |ex AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s WHERE len(shd) > 0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+        |             MAX(a.sz) AS sz_a
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_a, doc_b, common::DOUBLE / sz_a AS ct FROM p)
+        |SELECT doc_a, doc_b, ROUND(ct, 6) AS containment FROM c
+        |WHERE ct >= $t::DOUBLE ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // eq44: weight-proportional deterministic sampling — 28-bit md5 residue
+    // vs min(denom, n_chars), integer arithmetic end to end.
+    "eq44_weighted_sample" -> {
+      val denom = graft.pipeline.CorpusOps.WeightDenom
+      s"""WITH h AS (SELECT lang, n_chars, substr(md5(text), 1, 7) AS h7 FROM documents),
+        |k AS (SELECT lang, n_chars,
+        |             ($hex7OfH7) % $denom AS key,
+        |             CASE WHEN n_chars < $denom THEN n_chars ELSE $denom END AS w
+        |      FROM h)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN key < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN key < w THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -69,6 +69,12 @@ object SparkEntry {
     "eq36_label_centroids"   -> (Similarity.labelCentroids _),
     "eq37_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     "eq38_quality_filter"    -> (TextAnalysis.qualityFilter _),
+    "eq39_chunk_dedup"       -> (CorpusOps.chunkDedup _),
+    "eq40_vocab_coverage"    -> (CorpusOps.vocabCoverage _),
+    "eq41_semantic_dedup"    -> (Similarity.semanticDedup _),
+    "eq42_novelty_rate"      -> (CorpusOps.noveltyRate _),
+    "eq43_containment_pairs" -> (Dedup.containmentPairs _),
+    "eq44_weighted_sample"   -> (CorpusOps.weightedSample _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -76,6 +76,12 @@ object CorpusOps {
     docChunksDf(Tables.load(spark, dir, "documents"))
 
   def docChunksDf(docs: DataFrame): DataFrame =
+    chunksDf(docs).orderBy("doc_id", "chunk_id")
+
+  /** The unordered chunk frame `(doc_id, chunk_id, n_chunk_tokens,
+    * chunk_md5)` — eq32's body, shared with [[chunkDedupDf]] so the dedup
+    * plan never carries eq32's presentation sort. */
+  private def chunksDf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
@@ -92,7 +98,122 @@ object CorpusOps {
         col("doc_id"), col("chunk_id"),
         size(col("c")).as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
+
+  /** eq39 — cross-document chunk-level exact dedup: every [[ChunkLen]]-token
+    * chunk (the eq32 chunking) is deduplicated corpus-wide on its content
+    * md5, keeping the first occurrence in (doc_id, chunk_id) order — the
+    * sub-document granularity at which crawl corpora actually repeat
+    * (mirrored articles embedded in different page chrome survive doc-level
+    * dedup; their chunks don't). Per-doc kept/dropped tally. The shuffle key
+    * is the chunk hash, so the window partitions are tiny (duplicate groups)
+    * and skew-free — the same shape as eq11's doc-level keep-first, one
+    * level down. A doc's own internal repeats dedup too (global keep-first,
+    * not per-doc). */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupDf(Tables.load(spark, dir, "documents"))
+
+  def chunkDedupDf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    chunksDf(docs)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** eq40 — vocabulary-coverage (OOV-rate) scoring: the corpus top-
+    * [[VocabSize]] whitespace tokens by total occurrences (deterministic
+    * `(count DESC, token ASC)` tie-break) form the vocabulary; each
+    * language's out-of-vocabulary token rate is reported from integer sums
+    * with one final division — the cheap "does this slice look like the
+    * reference distribution" proxy a pipeline runs before paying for real
+    * tokenization. The vocabulary is a ≤[[VocabSize]]-row broadcast, so the
+    * corpus-side pass is map-side only; token counting is a map-side
+    * partial aggregate bounded by vocabulary size. */
+  private[graft] val VocabSize = 20
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageDf(Tables.load(spark, dir, "documents"))
+
+  def vocabCoverageDf(docs: DataFrame): DataFrame = {
+    // materialized once: the vocabulary build and the coverage join both
+    // consume the exploded frame (the cmsTopK convention)
+    val tok = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .localCheckpoint()
+    val vocab = tok
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(VocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("in_vocab_tokens"))
+      .withColumn("oov_rate",
+        round(lit(1.0) - col("in_vocab_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy("lang")
+  }
+
+  /** eq42 — corpus novelty attribution: for every document's distinct
+    * 3-token shingles, which fraction first appears in THIS document
+    * (global first occurrence = min doc_id over the corpus)? Aggregated per
+    * source as integer tallies + one division — the redundancy curve that
+    * tells a crawl pipeline when a source has stopped contributing new
+    * content and can be down-weighted. Both sides of the first-occurrence
+    * join hash-partition on the shingle key, so the join is co-located;
+    * nothing is ever doc×doc. */
+  def noveltyRate(spark: SparkSession, dir: String): DataFrame =
+    noveltyRateDf(Tables.load(spark, dir, "documents"))
+
+  def noveltyRateDf(docs: DataFrame): DataFrame = {
+    // materialized once: consumed by the first-occurrence aggregate and as
+    // the probe side of the join
+    val ex = docs
+      .select(col("doc_id"), col("source"),
+        explode(ShingleExpressions.shingle_hashes(col("text"), 3)).as("sg"))
+      .localCheckpoint()
+    val first = ex.groupBy("sg").agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, Seq("sg"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("total_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("novel_shingles"))
+      .withColumn("novelty_rate",
+        round(col("novel_shingles").cast("double") / col("total_shingles"), 6))
+      .orderBy("source")
+  }
+
+  /** eq44 — weight-proportional deterministic sampling: each document is
+    * kept with probability min(1, n_chars/[[WeightDenom]]), decided by
+    * comparing a 28-bit content-hash residue against the integer weight —
+    * size-biased importance sampling with zero RNG state, reproducible
+    * across engines/partitionings/retries (the property that makes
+    * distributed sampling auditable), and exact integer arithmetic end to
+    * end. Pure map-side filter + bounded per-lang aggregate. Contrast eq31:
+    * that is a per-language uniform rate; this is per-row weight-
+    * proportional. */
+  private[graft] val WeightDenom = 512
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleDf(Tables.load(spark, dir, "documents"))
+
+  def weightedSampleDf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("keep",
+        md5_key28(col("text")) % WeightDenom < least(lit(WeightDenom.toLong), col("n_chars")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("lang")
 
   /** eq33 — corpus heavy hitters: the 20 most frequent 3-token shingles
     * with total occurrences and document frequency. The aggregation key is

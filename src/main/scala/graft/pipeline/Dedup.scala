@@ -155,6 +155,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** eq43 — asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A|
+    * over distinct 3-token shingle sets, emitted DIRECTIONALLY for every
+    * ordered pair with C ≥ [[ContainmentThreshold]]. Containment catches
+    * what Jaccard structurally cannot: a short document quoted wholesale
+    * inside a long one has high containment but low Jaccard (the union is
+    * dominated by the long doc), and it is the signature of excerpt/
+    * aggregator pages in crawl corpora. Same inverted-index shape as
+    * [[jaccardPairsDf]] — fan-out bounded by Σdf², never doc×doc. The
+    * threshold is tuned low for the synthetic corpus's overlap range;
+    * production excerpt-mining runs the same plan at ~0.8. */
+  private[graft] val ContainmentThreshold = 0.15
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsDf(Tables.load(spark, dir, "documents"))
+
+  def containmentPairsDf(docs: DataFrame): DataFrame = {
+    // materialized once: both sides of the inverted-index self-join
+    val ex = shingleSetsDf(docs).filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+      .localCheckpoint()
+    val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"), max(col("sz_a")).as("sz_a"))
+      .withColumn("containment", col("common").cast("double") / col("sz_a"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val NumHashes = 64
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows // 16

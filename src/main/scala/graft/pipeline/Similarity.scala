@@ -128,6 +128,42 @@ object Similarity {
         round(col("sum_scaled").cast("double") / (col("n_vecs") * 1000000.0), 6))
       .orderBy("label", "pos")
 
+  /** eq41 — SemDeDup-style semantic dedup: pairwise cosine ONLY inside a
+    * cluster (here the `label` column — in production the cell id of an
+    * offline k-means over the embeddings, exactly as the SemDeDup paper
+    * prunes within k-means clusters), a member is dropped when it is ≥
+    * [[SemanticThreshold]]-similar to a lower-id member of its cluster.
+    * Per-cluster tally: members, duplicate pairs, dropped members — all
+    * integers, so the output is aggregation-order-proof; the threshold
+    * compares UNROUNDED cosines in both engines. The equi-join on the
+    * cluster key is the entire scale story: pair work is Σ(cluster size)²,
+    * bounded by the largest cluster, never corpus², and each cluster's
+    * pairs compute in parallel after one co-partitioned shuffle. */
+  private[graft] val SemanticThreshold = 0.3
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupDf(Tables.load(spark, dir, "embeddings"))
+
+  def semanticDedupDf(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val dups = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= SemanticThreshold)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("vec_b")).as("n_dropped"))
+    embeddings
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+      .join(dups, Seq("label"), "left")
+      .select(col("label"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("label")
+  }
+
   /** IVF-style approximate top-k: a deterministic centroid subset (every
     * 40th vector — a stand-in for k-means, which would be trained offline),
     * each vector assigned to its nearest centroid (broadcast argmin — one

@@ -183,6 +183,109 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: duplicate doc loses every chunk; unique doc keeps all") {
+    val text40 = (1 to 40).map(i => s"w$i").mkString(" ") // 2 chunks
+    val docs = docsDf(Seq(
+      (0L, text40, "en", "s", 200L),
+      (1L, text40, "en", "s", 200L), // exact duplicate, higher doc_id
+      (2L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s", 50L)))
+    val out = CorpusOps.chunkDedupDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 2L, 0L)), "first occurrence keeps both chunks")
+    assert(out(1L) == ((2L, 0L, 2L)), "duplicate doc drops both chunks")
+    assert(out(2L) == ((1L, 1L, 0L)))
+  }
+
+  test("chunk dedup invariants: kept+dropped=chunks, global kept = distinct chunk hashes") {
+    val out = CorpusOps.chunkDedupDf(fixtureDocs)
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_chunks"))
+    }
+    val distinctHashes = CorpusOps.docChunksDf(fixtureDocs)
+      .select("chunk_md5").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctHashes,
+      "exactly one survivor per distinct chunk content")
+  }
+
+  test("vocab coverage matches a direct top-100 recomputation per lang") {
+    import graft.pipeline.TextAnalysis
+    val tok = fixtureDocs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").count()
+      .orderBy(col("count").desc, col("token").asc)
+      .limit(CorpusOps.VocabSize)
+      .select("token").as[String].collect().toSet
+    assert(vocab.size == CorpusOps.VocabSize)
+    val expected = tok.collect().groupBy(_.getString(0)).map { case (lang, rows) =>
+      val total = rows.length.toLong
+      val in = rows.count(r => vocab(r.getString(1))).toLong
+      lang -> ((total, in,
+        BigDecimal(1.0 - in.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    }
+    val got = CorpusOps.vocabCoverageDf(fixtureDocs).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), BigDecimal(r.getDouble(3))))
+    }.toMap
+    expected.foreach { case (lang, (total, in, rate)) =>
+      val (gt, gi, gr) = got(lang)
+      assert(gt == total && gi == in, s"token tallies for $lang")
+      assert((gr - rate).abs <= BigDecimal("0.000001"), s"oov rate for $lang")
+    }
+  }
+
+  test("novelty rate: duplicated content is novel only at its first doc_id") {
+    val a = "one two three four five six"
+    val docs = docsDf(Seq(
+      (0L, a, "en", "s1", 30L),
+      (1L, a, "en", "s2", 30L), // same shingles, later doc, other source
+      (2L, "seven eight nine ten eleven", "en", "s2", 30L)))
+    val out = CorpusOps.noveltyRateDf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getAs[Double]("novelty_rate"))).toMap
+    assert(out("s1") == ((4L, 4L, 1.0)), "first occurrence: all 4 shingles novel")
+    val (tot2, nov2, rate2) = out("s2")
+    assert(tot2 == 7L && nov2 == 3L, "doc 1 contributes 0 novel, doc 2 all 3")
+    assert(math.abs(rate2 - 3.0 / 7.0) < 1e-6) // output is rounded to 6 dp
+  }
+
+  test("novelty rate invariant: novel shingles across sources = corpus distinct shingles") {
+    import graft.functions.ShingleExpressions
+    val rows = CorpusOps.noveltyRateDf(fixtureDocs).collect()
+    val corpusDistinct = fixtureDocs
+      .select(explode(ShingleExpressions.shingle_hashes(col("text"), 3)).as("sg"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("novel_shingles")).sum == corpusDistinct,
+      "every distinct shingle is novel exactly once, at its first doc")
+  }
+
+  test("weighted sample: weight >= denom always keeps, weight 0 never keeps") {
+    val docs = docsDf(Seq(
+      (0L, "heavy doc text a", "en", "s", 512L),
+      (1L, "heavy doc text b", "en", "s", 4000L),
+      (2L, "weightless doc", "en", "s", 0L)))
+    val out = CorpusOps.weightedSampleDf(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_kept") == 2L, "p=1 docs kept, p=0 doc dropped")
+    assert(r.getAs[Long]("kept_chars") == 4512L)
+  }
+
+  test("weighted sample: deterministic, and kept tallies match the predicate recomputed") {
+    import graft.functions.Md5Expressions.md5_key28
+    val a = CorpusOps.weightedSampleDf(fixtureDocs).collect()
+    val b = CorpusOps.weightedSampleDf(fixtureDocs).collect()
+    assert(a.sameElements(b))
+    val kept = fixtureDocs
+      .filter(md5_key28(col("text")) % CorpusOps.WeightDenom <
+        least(lit(CorpusOps.WeightDenom.toLong), col("n_chars")))
+      .groupBy("lang").agg(count(lit(1)).as("k"), sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    a.foreach { r =>
+      val (k, c) = kept(r.getString(0))
+      assert(r.getAs[Long]("n_kept") == k && r.getAs[Long]("kept_chars") == c)
+    }
+  }
+
   test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
     val topk = CorpusOps.trigramTopKDf(fixtureDocs)
       .queryExecution.executedPlan.toString

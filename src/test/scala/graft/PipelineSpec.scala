@@ -225,6 +225,60 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("containment pairs: subset doc scores 1.0 toward its superset, not the reverse") {
+    // doc 0's shingle set is fully contained in doc 1's (doc 1 = doc 0 +
+    // continuation), so C(0→1) = 1.0 while C(1→0) < 1 — the asymmetry
+    // Jaccard cannot express
+    val docs = docsDf(Seq(
+      (0L, "the quick brown fox jumps", "en", "s", 25L),
+      (1L, "the quick brown fox jumps over the lazy dog today again", "en", "s", 56L),
+      (2L, "completely different words entirely here", "en", "s", 40L)))
+    val out = Dedup.containmentPairsDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    assert(math.abs(out((0L, 1L)) - 1.0) < 1e-9, s"C(0->1) must be 1.0: $out")
+    assert(out((1L, 0L)) < 1.0, "C(1->0) must be partial")
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("containment pairs: identical docs contain each other; plan is hash-join only") {
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L)))
+    val out = Dedup.containmentPairsDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    assert(out.toSet == Set((0L, 1L, 1.0), (1L, 0L, 1.0)))
+    val plan = Dedup.containmentPairsDf(Tables.load(spark, Sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
+  test("semantic dedup: same-label near-identical vectors pair; labels never mix") {
+    val e = Seq(
+      (0L, Array(1f, 2f, 3f), 0), (1L, Array(1f, 2f, 3f), 0),
+      (2L, Array(1f, 2f, 3f), 1), // identical to 0/1 but another cluster
+      (3L, Array(-3f, 1f, 0.2f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedupDf(e).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0) == ((2L, 1L, 1L)), "labels 0: one dup pair, one dropped")
+    assert(out(1) == ((2L, 0L, 0L)), "cross-label identity must not pair")
+  }
+
+  test("semantic dedup: cluster-key equi-join — no cartesian; members conserved (sf0.001)") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val out = Similarity.semanticDedupDf(e)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == e.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_dup_pairs"))
+      assert(r.getAs[Long]("n_dropped") < r.getAs[Long]("n_members"),
+        "at least the lowest-id member of every cluster survives")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
   test("x1/x2 candidate generation is hash-join only — no cartesian in the physical plans") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     for (q <- Seq(Dedup.minhashLshPairsDf(docs), Dedup.simhashPairsDf(docs))) {
