@@ -899,6 +899,33 @@ object Oracles {
         |FROM ex GROUP BY shingle
         |ORDER BY n_occurrences DESC, shingle ASC LIMIT 20""".stripMargin),
 
+    // x11: int8 scalar quantization — per-dim min/max and exact integer
+    // code sums hash-compared; the half-step reconstruction guarantee
+    // surfaces as a boolean computed identically in both engines.
+    "x11_quantize_embeddings" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(pos AS INT) AS pos, x FROM (
+        |    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+        |           unnest(embedding)::DOUBLE AS x
+        |    FROM embeddings)),
+        |b AS (SELECT pos, MIN(x) AS vmin, MAX(x) AS vmax FROM ex GROUP BY pos),
+        |qq AS (
+        |  SELECT ex.pos, ex.x, b.vmin, b.vmax,
+        |         CASE WHEN b.vmax > b.vmin
+        |              THEN CAST(ROUND((ex.x - b.vmin) / (b.vmax - b.vmin) * 255.0::DOUBLE) AS INT)
+        |              ELSE 0 END AS q
+        |  FROM ex JOIN b USING (pos)),
+        |o AS (
+        |  SELECT pos, vmin, vmax, q,
+        |         CASE WHEN ABS(x - (vmin + q * ((vmax - vmin) / 255.0::DOUBLE)))
+        |                   <= ((vmax - vmin) / 255.0::DOUBLE) / 2.0::DOUBLE + 0.000000001::DOUBLE
+        |              THEN 0 ELSE 1 END AS bad
+        |  FROM qq)
+        |SELECT pos, ROUND(MIN(vmin), 6) AS vmin, ROUND(MAX(vmax), 6) AS vmax,
+        |       CAST(SUM(q) AS BIGINT) AS code_sum,
+        |       CAST(SUM(bad) AS BIGINT) = 0 AS within_half_step
+        |FROM o GROUP BY pos ORDER BY pos""".stripMargin,
+
     // x2: per-token md5 → 64 fingerprint bits from the first 16 hex digits
     // → ±1 votes per occurrence → 4×16-bit chunk values → pigeonhole chunk
     // join → hamming ≤ 6. All chunk math fits INT.

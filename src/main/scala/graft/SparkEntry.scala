@@ -90,6 +90,7 @@ object SparkEntry {
     "x8_approx_percentiles"  -> (graft.star.AggSurface.approxPercentiles _),
     "x9_bloom_contamination" -> (TextAnalysis.bloomContamination _),
     "x10_cms_topk"           -> (CorpusOps.cmsTopK _),
+    "x11_quantize_embeddings" -> (Similarity.quantizeEmbeddings _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -164,6 +164,43 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** x11 — int8 scalar quantization of the embedding column: per-dimension
+    * global [min, max] (one bounded aggregate — output rows = dims, not
+    * vectors) broadcast back over the corpus, each component mapped to an
+    * 8-bit code `round((x−min)/(max−min)·255)` — the 4× compression that
+    * makes a 100 TB ANN index RAM-resident (the scalar-quantization half of
+    * IVF-PQ; codes feed [[ivfTopK]]-style cells). Driver-checkable shape
+    * (the x6/x8 pattern): per-dim min/max and the exact integer code sum
+    * are oracle-verified values; the quantizer's hard guarantee — every
+    * reconstruction error ≤ half a quantization step — surfaces as a
+    * boolean the oracle pins TRUE. All arithmetic is the same-order double
+    * math in both engines; a constant dimension (max = min) degenerates to
+    * code 0 by definition in both. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddingsDf(Tables.load(spark, dir, "embeddings"))
+
+  def quantizeEmbeddingsDf(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+    val bounds = ex.groupBy("pos").agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    val step = (col("vmax") - col("vmin")) / 255.0
+    val q = when(col("vmax") > col("vmin"),
+      round((col("x") - col("vmin")) / (col("vmax") - col("vmin")) * 255.0).cast("int"))
+      .otherwise(lit(0))
+    ex.join(broadcast(bounds), Seq("pos"))
+      .withColumn("q", q)
+      .withColumn("ok",
+        abs(col("x") - (col("vmin") + col("q") * step)) <= step / 2.0 + lit(1e-9))
+      .groupBy("pos")
+      .agg(
+        round(first(col("vmin")), 6).as("vmin"),
+        round(first(col("vmax")), 6).as("vmax"),
+        sum(col("q").cast("long")).as("code_sum"),
+        (sum(when(col("ok"), 0L).otherwise(1L)) === 0L).as("within_half_step"))
+      .orderBy("pos")
+  }
+
   /** IVF-style approximate top-k: a deterministic centroid subset (every
     * 40th vector — a stand-in for k-means, which would be trained offline),
     * each vector assigned to its nearest centroid (broadcast argmin — one

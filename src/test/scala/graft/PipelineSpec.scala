@@ -279,6 +279,30 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("quantize embeddings: hand-computed codes; constant dimension degenerates to 0") {
+    val e = Seq(
+      (0L, Array(0f, -1f, 5f), 0),
+      (1L, Array(255f, 1f, 5f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeEmbeddingsDf(e).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(0) == ((0.0, 255.0, 255L, true)), "dim 0: codes 0 and 255")
+    assert(out(1) == ((-1.0, 1.0, 255L, true)), "dim 1: codes 0 and 255")
+    assert(out(2) == ((5.0, 5.0, 0L, true)), "constant dim quantizes to 0 exactly")
+  }
+
+  test("quantize embeddings: every reconstruction within half a step on the fixture (sf0.001)") {
+    val rows = Similarity.quantizeEmbeddingsDf(
+      Tables.load(spark, Sf, "embeddings")).collect()
+    assert(rows.length == 64, "one row per embedding dimension")
+    val n = Tables.load(spark, Sf, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"half-step guarantee violated at dim ${r.getInt(0)}")
+      val sum = r.getLong(3)
+      assert(sum >= 0 && sum <= 255 * n, "code sums bounded by the 8-bit range")
+    }
+  }
+
   test("x1/x2 candidate generation is hash-join only — no cartesian in the physical plans") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     for (q <- Seq(Dedup.minhashLshPairsDf(docs), Dedup.simhashPairsDf(docs))) {
