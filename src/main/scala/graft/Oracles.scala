@@ -820,6 +820,23 @@ object Oracles {
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // eq45: error-tolerant JSONL ingest — corrupt-line quarantine with
+    // exact accounting; the oracle reads raw lines (the q12 trick) and
+    // classifies with json_valid, which coincides with Spark's PERMISSIVE
+    // corrupt semantics because the fixture's corruption is syntactic only.
+    "eq45_jsonl_ingest" ->
+      s"""WITH raw AS (
+        |  SELECT line FROM read_csv('${graft.ingest.JsonlIngest.fixturePath}',
+        |                columns = {'line': 'VARCHAR'}, delim = '|', quote = '', header = false)),
+        |cls AS (
+        |  SELECT CASE WHEN json_valid(line) THEN json_extract_string(line, '$$.lang')
+        |              ELSE '__corrupt__' END AS lang,
+        |         CASE WHEN json_valid(line) THEN length(json_extract_string(line, '$$.text'))
+        |              ELSE 0 END AS nc
+        |  FROM raw)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS total_chars
+        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

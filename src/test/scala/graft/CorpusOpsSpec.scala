@@ -286,6 +286,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("jsonl ingest: corrupt lines quarantined with raw payload, none dropped") {
+    import graft.ingest.JsonlIngest
+    val parsed = JsonlIngest.read(spark, JsonlIngest.fixturePath).cache()
+    val nLines = spark.read.text(JsonlIngest.fixturePath).count()
+    assert(parsed.count() == nLines, "every input line becomes exactly one row")
+    val corrupt = parsed.filter(col("_corrupt").isNotNull)
+    assert(corrupt.count() == 4)
+    // quarantined rows keep the raw line for replay and carry no data fields
+    corrupt.collect().foreach { r =>
+      assert(r.getAs[String]("_corrupt").nonEmpty)
+      assert(r.isNullAt(r.fieldIndex("lang")) && r.isNullAt(r.fieldIndex("text")))
+    }
+  }
+
+  test("jsonl ingest summary: per-lang tallies + exact corrupt accounting") {
+    import graft.ingest.JsonlIngest
+    val out = JsonlIngest.eq45(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("__corrupt__") == ((4L, 0L)))
+    assert(out("en") == ((5L, 177L)) && out("fr") == ((3L, 124L)) && out("de") == ((4L, 148L)))
+    assert(out.values.map(_._1).sum ==
+      spark.read.text(JsonlIngest.fixturePath).count(), "good + corrupt = lines")
+  }
+
   test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
     val topk = CorpusOps.trigramTopKDf(fixtureDocs)
       .queryExecution.executedPlan.toString
