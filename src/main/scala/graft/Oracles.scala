@@ -820,6 +820,40 @@ object Oracles {
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // eq46: quality-gated per-lang embedding centroids — eq8's quality CTE
+    // (threshold on the 6-dp-rounded score, the eq38 keep rule) gates the
+    // doc_id = vec_id join; means via eq36's scaled-integer sums.
+    "eq46_quality_centroids" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |         length(text) AS nc,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |         least(nc / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |         alpha::DOUBLE / nc AS alpha_ratio,
+        |         len(list_filter(toks, t -> t IN ('the', 'a', 'data', 'value')))::DOUBLE / len(toks) AS stop_ratio
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         ROUND(0.4::DOUBLE * len_score + 0.4::DOUBLE * alpha_ratio
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
+        |  FROM c),
+        |k AS (SELECT doc_id, lang FROM s WHERE quality >= 0.5::DOUBLE),
+        |ex AS (
+        |  SELECT k.lang, unnest(range(0, len(e.embedding))) AS pos,
+        |         unnest(e.embedding)::DOUBLE AS x
+        |  FROM k JOIN embeddings e ON e.vec_id = k.doc_id),
+        |v AS (
+        |  SELECT lang, CAST(pos AS INT) AS pos,
+        |         CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
+        |  FROM ex)
+        |SELECT lang, pos, COUNT(*) AS n_docs,
+        |       CAST(SUM(v) AS BIGINT) AS sum_scaled,
+        |       ROUND(CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS mean
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // eq45: error-tolerant JSONL ingest — corrupt-line quarantine with
     // exact accounting; the oracle reads raw lines (the q12 trick) and
     // classifies with json_valid, which coincides with Spark's PERMISSIVE

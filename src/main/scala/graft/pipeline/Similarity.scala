@@ -164,6 +164,38 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** eq46 — quality-gated class prototypes, the engine's first cross-modal
+    * query: documents surviving eq8's quality threshold (≥ 0.5 on the
+    * 6-dp score, the eq38 keep rule) select their embeddings via the
+    * doc_id = vec_id equi-join, and each language gets the exact mean
+    * embedding of its surviving docs — [[labelCentroids]]' scaled-integer
+    * arithmetic, so the means are order-insensitive and bit-reproducible.
+    * The corpus-prep use: after text-side filtering, the centroid of what
+    * SURVIVED is the reference point for embedding-space drift checks and
+    * for seeding the [[semanticDedup]] clustering. Join is id-keyed
+    * (co-partitioned shuffle at scale); output rows = langs × dims,
+    * independent of corpus size. */
+  def qualityCentroids(spark: SparkSession, dir: String): DataFrame =
+    qualityCentroidsDf(
+      Tables.load(spark, dir, "documents"),
+      Tables.load(spark, dir, "embeddings"))
+
+  def qualityCentroidsDf(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    TextAnalysis.qualityCols(docs)
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("lang"))
+      .join(embeddings, col("doc_id") === col("vec_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("lang"), col("pos"),
+        round(col("x").cast("double") * 1000000.0).cast("long").as("v"))
+      .groupBy("lang", "pos")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("v")).as("sum_scaled"))
+      .withColumn("mean",
+        round(col("sum_scaled").cast("double") / (col("n_docs") * 1000000.0), 6))
+      .orderBy("lang", "pos")
+
   /** x11 — int8 scalar quantization of the embedding column: per-dimension
     * global [min, max] (one bounded aggregate — output rows = dims, not
     * vectors) broadcast back over the corpus, each component mapped to an

@@ -70,7 +70,7 @@ object TextAnalysis {
     * `quality`) with every input column retained — the single source of
     * the scoring formula, shared by eq8's report and eq38's filter so the
     * two can never disagree on a document's score. */
-  private def qualityCols(docsIn: DataFrame): DataFrame =
+  private[pipeline] def qualityCols(docsIn: DataFrame): DataFrame =
     docsIn
       .withColumn("n_tokens", ws_token_count(col("text")))
       .withColumn("len_score",

@@ -279,6 +279,27 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("quality centroids: row count = langs x dims; gated rows equal eq38 keep counts") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val out = Similarity.qualityCentroidsDf(docs, emb).collect()
+    val keptPerLang = TextAnalysis.qualityFilterDf(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.length == 64, s"$lang must emit one row per embedding dim")
+      rows.foreach(r => assert(r.getAs[Long]("n_docs") == keptPerLang(lang),
+        s"$lang centroid must aggregate exactly the eq38-kept docs"))
+    }
+    // scaled-integer mean consistency on every row
+    out.foreach { r =>
+      val mean = r.getAs[Double]("mean")
+      val expected = BigDecimal(r.getAs[Long]("sum_scaled").toDouble /
+        (r.getAs[Long]("n_docs") * 1000000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(mean) - expected).abs <= BigDecimal("0.000001"))
+    }
+  }
+
   test("quantize embeddings: hand-computed codes; constant dimension degenerates to 0") {
     val e = Seq(
       (0L, Array(0f, -1f, 5f), 0),
