@@ -113,6 +113,31 @@ object StreamingOps extends Serializable {
       .withColumn("n_tokens",
         graft.functions.TextCountExpressions.ws_token_count(col("text")))
 
+  /** Stream-static enrichment join — each incoming event is stamped with
+    * the user's HISTORICAL profile (a static frame computed by the batch
+    * side, e.g. nightly): Spark's native stream-static join, stateless by
+    * construction (no watermark, no state store — every micro-batch joins
+    * against the static side as-of its current snapshot; broadcast here,
+    * shuffled hash at a 100 TB profile scale). Left join + 0-fill so
+    * never-seen users pass through — the online-feature-lookup shape of a
+    * serving pipeline. Batch/stream parity pinned by test. */
+  def enrichWithHistory(events: DataFrame, history: DataFrame): DataFrame =
+    events
+      .join(broadcast(history), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        coalesce(col("hist_events"), lit(0L)).as("hist_events"),
+        coalesce(col("hist_value_cents"), lit(0L)).as("hist_value_cents"))
+
+  /** The static side of [[enrichWithHistory]]: per-user event count and
+    * exact integer-cents value total (the x7 money-cents trick, so the
+    * profile is aggregation-order-proof). */
+  def userHistory(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("hist_events"),
+        sum(round(col("value") * 100).cast("long")).as("hist_value_cents"))
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */

@@ -156,6 +156,46 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(8L) == batch(8L))
   }
 
+  test("stream-static enrichment join stamps historical profiles; unseen users 0-fill") {
+    implicit val sqlCtx = spark.sqlContext
+    // static profile side from the batch fixture
+    val history = StreamingOps.userHistory(
+      Tables.load(spark, Sf, "events")).cache()
+    val knownUser = history.orderBy(col("hist_events").desc).head()
+    val (uid, histN, histCents) =
+      (knownUser.getLong(0), knownUser.getLong(1), knownUser.getLong(2))
+    val unseenUid = -777L // guaranteed absent from the fixture's user ids
+
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val enriched = StreamingOps.enrichWithHistory(
+      mem.toDF().toDF("event_id", "user_id", "ts", "event_type"), history)
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .start()
+    mem.addData(Seq(
+      (9001L, uid, ts("2024-06-01 10:00:00"), "view"),
+      (9002L, unseenUid, ts("2024-06-01 10:00:01"), "view")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("enrich_out").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("hist_events"), r.getAs[Long]("hist_value_cents")))).toMap
+    assert(got(9001L) == ((histN, histCents)),
+      "known user must carry its batch-computed profile")
+    assert(got(9002L) == ((0L, 0L)), "never-seen user passes through 0-filled")
+
+    // batch/stream parity: the same join run as a batch plan agrees
+    val batch = StreamingOps.enrichWithHistory(
+      Seq((9001L, uid, ts("2024-06-01 10:00:00"), "view"),
+          (9002L, unseenUid, ts("2024-06-01 10:00:01"), "view"))
+        .toDF("event_id", "user_id", "ts", "event_type"), history)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("hist_events"), r.getAs[Long]("hist_value_cents")))).toMap
+    assert(batch == got)
+  }
+
   test("streaming corpus gate matches the batch sample/split/token pipeline exactly") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, String, Long)]
