@@ -176,12 +176,21 @@ object Dedup {
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
       .localCheckpoint()
     val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("sg"))
-    a.join(b, Seq("sg"))
-      .filter(col("doc_a") =!= col("doc_b"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
+    // mine each UNORDERED pair once (half the aggregation input/state of a
+    // doc_a ≠ doc_b formulation), then emit the two directions from the
+    // tiny aggregated frame — materialized once since both branches read it
+    val pairs = a.join(b, Seq("sg"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"), max(col("sz_a")).as("sz_a"))
-      .withColumn("containment", col("common").cast("double") / col("sz_a"))
+      .agg(count(lit(1)).as("common"),
+        max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .localCheckpoint()
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("common"), col("sz_a").as("sz"))
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("common"), col("sz_b").as("sz")))
+      .withColumn("containment", col("common").cast("double") / col("sz"))
       .filter(col("containment") >= ContainmentThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
       .orderBy("doc_a", "doc_b")
