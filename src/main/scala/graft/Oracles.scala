@@ -820,6 +820,39 @@ object Oracles {
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // eq48: k-anonymity release accounting — quasi-identifier groups of
+    // size < k suppressed, exact tallies per (lang, source); thresholds
+    // spliced from the engine constants.
+    "eq48_k_anonymity" -> {
+      val k = graft.pipeline.CorpusOps.KAnonymity
+      val bucket = graft.pipeline.CorpusOps.LenBucket
+      s"""WITH g AS (
+        |  SELECT lang, source, n_chars // $bucket AS len_bucket, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source,
+        |  CAST(SUM(CASE WHEN n >= $k THEN 1 ELSE 0 END) AS BIGINT) AS groups_released,
+        |  CAST(SUM(CASE WHEN n >= $k THEN n ELSE 0 END) AS BIGINT) AS docs_released,
+        |  CAST(SUM(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS groups_suppressed,
+        |  CAST(SUM(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS docs_suppressed
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // eq47: corpus-unigram LM scoring — per-token ln(count/N) quantized to
+    // integer micros at the vocabulary level, exact integer per-doc sums.
+    "eq47_unigram_logprob" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+        |t AS (SELECT SUM(cnt) AS n_total FROM v),
+        |s AS (SELECT token,
+        |             CAST(ROUND(ln(cnt::DOUBLE / n_total) * 1000000.0::DOUBLE) AS BIGINT) AS logp_micro
+        |      FROM v CROSS JOIN t)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(logp_micro) AS BIGINT) AS logprob_micro,
+        |       ROUND(CAST(SUM(logp_micro) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS avg_logprob
+        |FROM tk JOIN s USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // eq46: quality-gated per-lang embedding centroids — eq8's quality CTE
     // (threshold on the 6-dp-rounded score, the eq38 keep rule) gates the
     // doc_id = vec_id join; means via eq36's scaled-integer sums.

@@ -77,6 +77,8 @@ object SparkEntry {
     "eq44_weighted_sample"   -> (CorpusOps.weightedSample _),
     "eq45_jsonl_ingest"      -> (graft.ingest.JsonlIngest.eq45 _),
     "eq46_quality_centroids" -> (Similarity.qualityCentroids _),
+    "eq47_unigram_logprob"   -> (TextAnalysis.unigramLogprob _),
+    "eq48_k_anonymity"       -> (CorpusOps.kAnonymity _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -201,6 +201,36 @@ object CorpusOps {
     * proportional. */
   private[graft] val WeightDenom = 512
 
+  /** eq48 — k-anonymity release accounting: documents grouped by their
+    * quasi-identifier tuple (lang, source, [[LenBucket]]-wide length
+    * bucket); a group is released only when it holds ≥ [[KAnonymity]]
+    * documents, otherwise suppressed — the minimum-cell-size rule a
+    * pipeline enforces before publishing per-slice corpus statistics, so
+    * no released row can be pinned to fewer than k individuals. Exact
+    * release/suppression accounting per (lang, source). Two bounded
+    * aggregations (groups, then slices), map-side partials, all-integer
+    * output — nothing scales with doc count except the first groupBy's
+    * shuffle, keyed by the quasi-identifier (skew-free: bucket widths cap
+    * group populations). */
+  private[graft] val KAnonymity = 3
+  private[graft] val LenBucket = 250
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityDf(Tables.load(spark, dir, "documents"))
+
+  def kAnonymityDf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $LenBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lang", "source")
+      .agg(
+        sum(when(col("n") >= KAnonymity, 1L).otherwise(0L)).as("groups_released"),
+        sum(when(col("n") >= KAnonymity, col("n")).otherwise(0L)).as("docs_released"),
+        sum(when(col("n") < KAnonymity, 1L).otherwise(0L)).as("groups_suppressed"),
+        sum(when(col("n") < KAnonymity, col("n")).otherwise(0L)).as("docs_suppressed"))
+      .orderBy("lang", "source")
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     weightedSampleDf(Tables.load(spark, dir, "documents"))
 

@@ -358,6 +358,43 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTermsDf(Tables.load(spark, dir, "documents"))
 
+  /** eq47 — corpus-unigram language-model scoring, the perplexity-proxy
+    * quality signal: the corpus's own unigram distribution scores every
+    * document's log-likelihood. Per-token `ln(count/N)` is scaled to
+    * integer MICROS (`round(·1e6)` as BIGINT) at the vocabulary level —
+    * vocabulary-bounded work — so the per-doc sums are exact integer
+    * arithmetic: order-insensitive under any partitioning, and the one
+    * place `ln` runs is a ≤|V|-row frame broadcast back over the token
+    * stream. (Unlike eq28, log is semantically required here; the micro
+    * quantization is what makes its non-correctly-rounded libm nature
+    * harmless — a 1-ulp divergence sits ~4e-10 from any rounding boundary.)
+    * Low (more negative) averages flag documents the corpus distribution
+    * finds surprising — the filter axis perplexity scoring gives a real
+    * pipeline. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobDf(Tables.load(spark, dir, "documents"))
+
+  def unigramLogprobDf(docs: DataFrame): DataFrame = {
+    // materialized once: vocabulary build + scoring join both consume it
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint()
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .withColumn("logp_micro",
+        round(log(col("cnt").cast("double") / col("n_total")) * 1000000.0).cast("long"))
+      .select("token", "logp_micro")
+    tok.join(broadcast(scored), Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("logp_micro")).as("logprob_micro"))
+      .withColumn("avg_logprob",
+        round(col("logprob_micro").cast("double") / (col("n_tokens") * 1000000.0), 6))
+      .orderBy("doc_id")
+  }
+
   def tfidfTopTermsDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()

@@ -286,6 +286,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity: literal groups release at k and suppress below it") {
+    // (en, s1, bucket 0): 3 docs -> released; (en, s1, bucket 1): 2 -> suppressed;
+    // (fr, s2, bucket 0): 1 -> suppressed
+    val docs = docsDf(Seq(
+      (0L, "t", "en", "s1", 10L), (1L, "t", "en", "s1", 20L), (2L, "t", "en", "s1", 30L),
+      (3L, "t", "en", "s1", 260L), (4L, "t", "en", "s1", 270L),
+      (5L, "t", "fr", "s2", 40L)))
+    val out = CorpusOps.kAnonymityDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("en", "s1")) == ((1L, 3L, 1L, 2L)))
+    assert(out(("fr", "s2")) == ((0L, 0L, 1L, 1L)))
+  }
+
+  test("k-anonymity accounting: released + suppressed docs = corpus; floors respected") {
+    val rows = CorpusOps.kAnonymityDf(fixtureDocs).collect()
+    val released = rows.map(_.getAs[Long]("docs_released")).sum
+    val suppressed = rows.map(_.getAs[Long]("docs_suppressed")).sum
+    assert(released + suppressed == fixtureDocs.count(), "every doc accounted once")
+    assert(released > 0 && suppressed > 0, "fixture must exercise both outcomes")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_released") >=
+        CorpusOps.KAnonymity * r.getAs[Long]("groups_released"),
+        "each released group must hold at least k docs")
+      assert(r.getAs[Long]("docs_suppressed") <=
+        (CorpusOps.KAnonymity - 1L) * r.getAs[Long]("groups_suppressed"),
+        "each suppressed group holds at most k-1 docs")
+    }
+  }
+
   test("jsonl ingest: corrupt lines quarantined with raw payload, none dropped") {
     import graft.ingest.JsonlIngest
     val parsed = JsonlIngest.read(spark, JsonlIngest.fixturePath).cache()

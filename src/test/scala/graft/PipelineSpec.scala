@@ -279,6 +279,29 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("unigram logprob: hand-computed micros on a literal fixture") {
+    // vocab over both docs: a:2, b:2, N=4 -> every token ln(0.5) =
+    // -0.6931471805599453 -> -693147 micros
+    val docs = docsDf(Seq(
+      (0L, "a a b", "en", "s", 5L),
+      (1L, "b", "en", "s", 1L)))
+    val out = TextAnalysis.unigramLogprobDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((3L, -2079441L, -0.693147)))
+    assert(out(1L) == ((1L, -693147L, -0.693147)))
+  }
+
+  test("unigram logprob: tokens conserved; rarer-vocab docs score lower (sf0.001)") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val rows = TextAnalysis.unigramLogprobDf(docs).collect()
+    assert(rows.length == docs.count())
+    val totalTokens = docs.select(
+      sum(size(split(trim(lower(col("text"))), "\\s+")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    rows.foreach(r => assert(r.getAs[Double]("avg_logprob") < 0.0,
+      "no token can have probability 1 in a multi-token corpus"))
+  }
+
   test("quality centroids: row count = langs x dims; gated rows equal eq38 keep counts") {
     val docs = Tables.load(spark, Sf, "documents")
     val emb = Tables.load(spark, Sf, "embeddings")
