@@ -820,6 +820,20 @@ object Oracles {
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // eq49: source-overlap provenance matrix — eq12's pair CTEs rolled up
+    // to unordered source cells with exact integer duplication mass.
+    "eq49_source_overlap" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +
+      """e AS (SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+        |      WHERE jac >= 0.2::DOUBLE),
+        |m AS (SELECT least(a.source, b.source) AS source_a,
+        |             greatest(a.source, b.source) AS source_b, jaccard
+        |      FROM e
+        |      JOIN documents a ON a.doc_id = e.doc_a
+        |      JOIN documents b ON b.doc_id = e.doc_b)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CAST(ROUND(jaccard * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS jac_millionths
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // eq48: k-anonymity release accounting — quasi-identifier groups of
     // size < k suppressed, exact tallies per (lang, source); thresholds
     // spliced from the engine constants.

@@ -155,6 +155,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** eq49 — source-overlap provenance matrix: the eq12 near-dup pairs
+    * rolled up to (source, source) cells — how many qualifying pairs link
+    * each pair of sources and their exact duplication mass (6-dp Jaccards
+    * ×1e6 are integer-valued, so the mass sums exactly, order-free). The
+    * answer to "which crawl sources mirror each other", i.e. which source
+    * to drop wholesale before paying for per-doc dedup. Source cells are
+    * unordered (least/greatest) so the matrix is triangular. Adds two
+    * id-keyed broadcast joins on a ≤|pairs|-row frame — the corpus-scaled
+    * work is eq12's, unchanged. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapDf(Tables.load(spark, dir, "documents"))
+
+  def sourceOverlapDf(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    jaccardPairsDf(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 1000000.0).cast("long")).as("jac_millionths"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** eq43 — asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A|
     * over distinct 3-token shingle sets, emitted DIRECTIONALLY for every
     * ordered pair with C ≥ [[ContainmentThreshold]]. Containment catches

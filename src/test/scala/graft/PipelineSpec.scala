@@ -279,6 +279,21 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("source overlap: identical docs roll up to unordered source cells with exact mass") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val docs = docsDf(Seq(
+      (0L, text, "en", "s1", 44L),
+      (1L, text, "en", "s2", 44L), // cross-source exact dup
+      (2L, text, "en", "s1", 44L), // within-s1 exact dup
+      (3L, "totally different content words here now", "en", "s3", 40L)))
+    val out = Dedup.sourceOverlapDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // pairs: (0,1) s1-s2, (0,2) s1-s1, (1,2) s1-s2 — all jaccard 1.0
+    assert(out(("s1", "s1")) == ((1L, 1000000L)))
+    assert(out(("s1", "s2")) == ((2L, 2000000L)))
+    assert(!out.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
+  }
+
   test("unigram logprob: hand-computed micros on a literal fixture") {
     // vocab over both docs: a:2, b:2, N=4 -> every token ln(0.5) =
     // -0.6931471805599453 -> -693147 micros
