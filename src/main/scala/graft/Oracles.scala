@@ -820,6 +820,26 @@ object Oracles {
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // eq50: byte-window payload chunking — 64-byte windows over the binary
+    // payload. DuckDB 1.0 has no BLOB substring, so the oracle windows the
+    // VARCHAR source instead: the fixture payloads are pure ASCII, so char
+    // windows and byte windows see identical bytes (and identical md5s).
+    "eq50_payload_chunks" -> {
+      val w = graft.pipeline.Multimodal.PayloadWindow
+      s"""WITH b AS (
+        |  SELECT doc_id, text AS s, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |nc AS (SELECT doc_id, s, (n + ${w - 1}) // $w AS n_chunks FROM b WHERE n > 0),
+        |ch AS (SELECT doc_id, s, unnest(range(0, n_chunks)) AS i FROM nc),
+        |wnd AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |               substring(s, (i * $w + 1)::BIGINT, $w) AS ws
+        |        FROM ch)
+        |SELECT doc_id, chunk_id,
+        |       CAST(length(ws) AS INT) AS n_window_bytes,
+        |       md5(ws) AS window_md5
+        |FROM wnd ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
     // eq49: source-overlap provenance matrix — eq12's pair CTEs rolled up
     // to unordered source cells with exact integer duplication mass.
     "eq49_source_overlap" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +

@@ -80,6 +80,7 @@ object SparkEntry {
     "eq47_unigram_logprob"   -> (TextAnalysis.unigramLogprob _),
     "eq48_k_anonymity"       -> (CorpusOps.kAnonymity _),
     "eq49_source_overlap"    -> (Dedup.sourceOverlap _),
+    "eq50_payload_chunks"    -> (Multimodal.payloadChunks _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -92,6 +92,38 @@ object Multimodal {
         when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"))
       .orderBy("doc_id")
 
+  /** eq50 — byte-window payload chunking: the media payload split into
+    * fixed [[PayloadWindow]]-byte windows (per-window byte length + md5) —
+    * the AV-stream shape of eq32's token chunking: segment opaque binary
+    * payloads into bounded pieces for parallel decode / frame-sampling /
+    * transfer, where a real pipeline cuts at GOP or sample boundaries.
+    * Pure per-row explode over the binary column (Catalyst `substring`
+    * works on binary — no decode, no UDF); parallelism is per payload and
+    * the only shuffle is the presentation sort. Empty payloads yield no
+    * windows. Oracle-expressible because the fixture payloads are ASCII
+    * (window boundaries cannot split a code point, so DuckDB's
+    * decode→md5 sees the same bytes). */
+  private[graft] val PayloadWindow = 64
+
+  def payloadChunks(spark: SparkSession, dir: String): DataFrame =
+    payloadChunksDf(Tables.load(spark, dir, "documents"))
+
+  def payloadChunksDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .withColumn("n", octet_length(col("p")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", expr(s"(n + ${PayloadWindow - 1}) div $PayloadWindow"))
+      .select(col("doc_id"), col("p"),
+        explode(sequence(lit(0), (col("n_chunks") - 1).cast("int"))).as("chunk_id"))
+      .withColumn("w",
+        expr(s"substring(p, chunk_id * $PayloadWindow + 1, $PayloadWindow)"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        octet_length(col("w")).as("n_window_bytes"),
+        md5(col("w")).as("window_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Features summary as a DataFrame query — drives the mapPartitions path
     * end-to-end. Oracle-checked: the stub decoder is pure byte arithmetic,
     * which the DuckDB oracle re-derives from `hex(encode(text))` (byte_sum

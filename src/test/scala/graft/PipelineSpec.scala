@@ -568,6 +568,18 @@ class PipelineSpec extends SparkSpec {
     assert(m.contains(("zh", "en")))
   }
 
+  test("payload chunks: 130 bytes split 64+64+2 with pinned window hashes") {
+    val text = "x" * 130
+    val docs = docsDf(Seq((0L, text, "en", "s", 130L), (1L, "", "en", "s", 0L)))
+    val out = Multimodal.payloadChunksDf(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0L, 0, 64), (0L, 1, 64), (0L, 2, 2)), "empty payload yields no windows")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) == md5hex("x" * 64))
+    assert(out(2).getString(3) == md5hex("xx"))
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
