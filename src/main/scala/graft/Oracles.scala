@@ -205,6 +205,28 @@ object Oracles {
       |  GROUP BY 1, 2),
       |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM p)""".stripMargin
 
+  /** Shared CTE chain ending in `c (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_md5)` — the eq32 token-window chunking (32-token windows,
+    * stride 24; the last chunk is the first whose window reaches the doc
+    * end), reused by eq39's chunk-level dedup so the two oracles cannot
+    * drift (mirrors the engine-side `CorpusOps.chunksDf` sharing). */
+  private val chunkCtes =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+      |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+      |  FROM documents),
+      |nc AS (SELECT doc_id, t,
+      |              CASE WHEN n <= 32 THEN 1 ELSE (n - 9) // 24 + 1 END AS n_chunks
+      |       FROM t),
+      |ch AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM nc),
+      |sl AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      |              list_slice(t, i * 24 + 1, i * 24 + 32) AS cl
+      |       FROM ch),
+      |c AS (SELECT doc_id, chunk_id,
+      |             CAST(len(cl) AS INT) AS n_chunk_tokens,
+      |             md5(array_to_string(cl, ' ')) AS chunk_md5
+      |      FROM sl)""".stripMargin
+
   /** Shared CTEs for the text-pipeline oracles: lowercased whitespace
     * tokens, and (distinct) 3-token shingle sets. DuckDB standard strings
     * do NOT process backslash escapes, so `\s` here reaches RE2 as-is
@@ -637,24 +659,11 @@ object Oracles {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
-    // eq32: token-window chunking — 32-token windows, stride 24; the last
-    // chunk is the first whose window reaches the document end.
-    "eq32_doc_chunks" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
-        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
-        |  FROM documents),
-        |nc AS (SELECT doc_id, t,
-        |              CASE WHEN n <= 32 THEN 1 ELSE (n - 9) // 24 + 1 END AS n_chunks
-        |       FROM t),
-        |ch AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM nc),
-        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
-        |             list_slice(t, i * 24 + 1, i * 24 + 32) AS c
-        |      FROM ch)
-        |SELECT doc_id, chunk_id,
-        |       CAST(len(c) AS INT) AS n_chunk_tokens,
-        |       md5(array_to_string(c, ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // eq32: token-window chunking — the shared chunk chain, one row per
+    // chunk with its token count and content md5.
+    "eq32_doc_chunks" -> (s"WITH $chunkCtes\n" +
+      """SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
 
     // eq33: corpus trigram heavy hitters — top 20 by total occurrences,
     // shingle-string tie-break.
@@ -714,27 +723,17 @@ object Oracles {
         |       ROUND(CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS mean
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // eq39: cross-doc chunk-level dedup — the eq32 chunk chain, then
-    // keep-first on chunk md5 in (doc_id, chunk_id) order.
-    "eq39_chunk_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
-        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
-        |  FROM documents),
-        |nc AS (SELECT doc_id, t,
-        |              CASE WHEN n <= 32 THEN 1 ELSE (n - 9) // 24 + 1 END AS n_chunks
-        |       FROM t),
-        |ch AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM nc),
-        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
-        |             md5(array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ')) AS cm
-        |      FROM ch),
-        |r AS (SELECT doc_id,
-        |             row_number() OVER (PARTITION BY cm ORDER BY doc_id, chunk_id) AS rn
+    // eq39: cross-doc chunk-level dedup — the shared eq32 chunk chain,
+    // then keep-first on chunk md5 in (doc_id, chunk_id) order.
+    "eq39_chunk_dedup" -> (s"WITH $chunkCtes,\n" +
+      """r AS (SELECT doc_id,
+        |             row_number() OVER (PARTITION BY chunk_md5
+        |                                ORDER BY doc_id, chunk_id) AS rn
         |      FROM c)
         |SELECT doc_id, COUNT(*) AS n_chunks,
         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // eq40: OOV rate vs the corpus top-K vocabulary (count DESC, token ASC
     // tie-break at the cut); integer tallies, one final division.
@@ -930,9 +929,11 @@ object Oracles {
         |  SELECT line FROM read_csv('${graft.ingest.JsonlIngest.fixturePath}',
         |                columns = {'line': 'VARCHAR'}, delim = '|', quote = '', header = false)),
         |cls AS (
-        |  SELECT CASE WHEN json_valid(line) THEN json_extract_string(line, '$$.lang')
+        |  SELECT CASE WHEN json_valid(line)
+        |              THEN COALESCE(json_extract_string(line, '$$.lang'), '__unknown__')
         |              ELSE '__corrupt__' END AS lang,
-        |         CASE WHEN json_valid(line) THEN length(json_extract_string(line, '$$.text'))
+        |         CASE WHEN json_valid(line)
+        |              THEN COALESCE(length(json_extract_string(line, '$$.text')), 0)
         |              ELSE 0 END AS nc
         |  FROM raw)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS total_chars

@@ -51,7 +51,13 @@ object JsonlIngest {
 
   def summarize(parsed: DataFrame): DataFrame =
     parsed
-      .groupBy(coalesce(col("lang"), lit("__corrupt__")).as("lang"))
+      // quarantine is decided by the corrupt column, NOT by lang being
+      // null — a syntactically valid line with no lang field is a GOOD
+      // document with unknown language, and must never be miscounted as
+      // corrupt (it would diverge from the oracle's json_valid rule)
+      .groupBy(
+        when(col("_corrupt").isNotNull, lit("__corrupt__"))
+          .otherwise(coalesce(col("lang"), lit("__unknown__"))).as("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(length(col("text"))), lit(0L)).as("total_chars"))

@@ -169,8 +169,11 @@ object Dedup {
 
   def sourceOverlapDf(docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    jaccardPairsDf(docs)
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+    // the pairs side is the small one (qualifying near-dup pairs, not the
+    // corpus) — hint it explicitly so the corpus-sized source projection
+    // streams map-side instead of shuffling twice
+    broadcast(broadcast(jaccardPairsDf(docs))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a")))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
       .select(
         least(col("sa"), col("sb")).as("source_a"),

@@ -116,17 +116,24 @@ object Similarity {
     labelCentroidsDf(Tables.load(spark, dir, "embeddings"))
 
   def labelCentroidsDf(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("label"), col("pos"),
+    centroidOf(embeddings, "label", countName = "n_vecs")
+
+  /** The shared scaled-integer centroid aggregation behind eq36 and eq46:
+    * element-wise mean of `embedding` per `key`, with components scaled to
+    * exact integers before summing (see [[labelCentroids]]'s Scaladoc for
+    * why). One copy so a scale/overflow change cannot miss a consumer. */
+  private def centroidOf(df: DataFrame, key: String, countName: String): DataFrame =
+    df
+      .select(col(key), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col(key), col("pos"),
         round(col("x").cast("double") * 1000000.0).cast("long").as("v"))
-      .groupBy("label", "pos")
+      .groupBy(key, "pos")
       .agg(
-        count(lit(1)).as("n_vecs"),
+        count(lit(1)).as(countName),
         sum(col("v")).as("sum_scaled"))
       .withColumn("mean",
-        round(col("sum_scaled").cast("double") / (col("n_vecs") * 1000000.0), 6))
-      .orderBy("label", "pos")
+        round(col("sum_scaled").cast("double") / (col(countName) * 1000000.0), 6))
+      .orderBy(key, "pos")
 
   /** eq41 — SemDeDup-style semantic dedup: pairwise cosine ONLY inside a
     * cluster (here the `label` column — in production the cell id of an
@@ -181,20 +188,13 @@ object Similarity {
       Tables.load(spark, dir, "embeddings"))
 
   def qualityCentroidsDf(docs: DataFrame, embeddings: DataFrame): DataFrame =
-    TextAnalysis.qualityCols(docs)
-      .filter(col("quality") >= 0.5)
-      .select(col("doc_id"), col("lang"))
-      .join(embeddings, col("doc_id") === col("vec_id"))
-      .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("lang"), col("pos"),
-        round(col("x").cast("double") * 1000000.0).cast("long").as("v"))
-      .groupBy("lang", "pos")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("v")).as("sum_scaled"))
-      .withColumn("mean",
-        round(col("sum_scaled").cast("double") / (col("n_docs") * 1000000.0), 6))
-      .orderBy("lang", "pos")
+    centroidOf(
+      TextAnalysis.qualityCols(docs)
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"))
+        .join(embeddings, col("doc_id") === col("vec_id"))
+        .select(col("lang"), col("embedding")),
+      "lang", countName = "n_docs")
 
   /** x11 — int8 scalar quantization of the embedding column: per-dimension
     * global [min, max] (one bounded aggregate — output rows = dims, not

@@ -75,11 +75,17 @@ object TextAnalysis {
       .withColumn("n_tokens", ws_token_count(col("text")))
       .withColumn("len_score",
         least(length(col("text")) / lit(500.0), lit(1.0)))
+      // 0/0 guards: Spark evaluates 0.0/0 to NaN, and NaN compares GREATER
+      // than everything — a zero-length doc would silently PASS quality
+      // thresholds while DuckDB's NULL fails them. Null ratios (→ null
+      // quality → filtered) keep both engines agreeing on degenerate docs.
       .withColumn("alpha_ratio",
-        alpha_count(col("text")).cast("double") / length(col("text")))
+        when(length(col("text")) > 0,
+          alpha_count(col("text")).cast("double") / length(col("text"))))
       .withColumn("stop_ratio",
-        token_set_count(col("text"), Stopwords).cast("double")
-          / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          token_set_count(col("text"), Stopwords).cast("double")
+            / col("n_tokens")))
       .withColumn("quality",
         round(lit(0.4) * col("len_score") + lit(0.4) * col("alpha_ratio")
           + lit(0.2) * (lit(1.0) - col("stop_ratio")), 6))

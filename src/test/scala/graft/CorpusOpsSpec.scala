@@ -335,6 +335,8 @@ class CorpusOpsSpec extends SparkSpec {
     val out = JsonlIngest.eq45(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out("__corrupt__") == ((4L, 0L)))
+    assert(out("__unknown__") == ((1L, 23L)),
+      "valid JSON without a lang field is a GOOD doc with unknown language, never corrupt")
     assert(out("en") == ((5L, 177L)) && out("fr") == ((3L, 124L)) && out("de") == ((4L, 148L)))
     assert(out.values.map(_._1).sum ==
       spark.read.text(JsonlIngest.fixturePath).count(), "good + corrupt = lines")
