@@ -839,6 +839,85 @@ object Oracles {
         |FROM wnd ORDER BY doc_id, chunk_id""".stripMargin
     },
 
+    // eq51: per-language quality top-k — eq8's quality CTE, row_number
+    // cut at k with the (quality DESC, doc_id ASC) tie-break; NULLS LAST
+    // written explicitly (Spark's desc default) though no fixture doc is
+    // degenerate.
+    "eq51_quality_topk" -> {
+      val k = graft.pipeline.TextAnalysis.QualityTopK
+      s"""WITH q AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+        |         length(text) AS nc,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |         least(nc / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |         alpha::DOUBLE / nc AS alpha_ratio,
+        |         len(list_filter(toks, t -> t IN ('the', 'a', 'data', 'value')))::DOUBLE / len(toks) AS stop_ratio
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         ROUND(0.4::DOUBLE * len_score + 0.4::DOUBLE * alpha_ratio
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
+        |  FROM c),
+        |r AS (
+        |  SELECT lang, doc_id, quality,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY quality DESC NULLS LAST, doc_id ASC) AS INT) AS rank
+        |  FROM s)
+        |SELECT lang, doc_id, quality, rank FROM r
+        |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+    },
+
+    // eq52: label-centroid affinity — eq36's scaled-integer centroids
+    // quantized to integer micro-units (cosine is scale-invariant, so the
+    // quantized vectors stand in for the means exactly); dots and norms
+    // are BIGINT sums, one final divide-and-round per pair.
+    "eq52_centroid_affinity" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |s AS (SELECT label, CAST(pos AS INT) AS pos,
+        |             CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
+        |      FROM ex),
+        |cen AS (SELECT label, pos, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |        FROM s GROUP BY 1, 2),
+        |mi AS (SELECT label, pos,
+        |              CAST(ROUND(ROUND(CAST(sv AS DOUBLE) / (n * 1000000.0::DOUBLE), 6)
+        |                         * 1000000.0::DOUBLE) AS BIGINT) AS mi
+        |       FROM cen),
+        |nrm AS (SELECT label, CAST(SUM(mi * mi) AS BIGINT) AS nrm FROM mi GROUP BY 1),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |             CAST(SUM(a.mi * b.mi) AS BIGINT) AS dot
+        |      FROM mi a JOIN mi b ON a.pos = b.pos AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b,
+        |       ROUND(CAST(dot AS DOUBLE)
+        |             / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 6) AS cos_sim
+        |FROM d JOIN nrm na ON d.label_a = na.label
+        |       JOIN nrm nb ON d.label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // eq53: per-user inter-event gaps — lag over (ts, event_id), exact
+    // integer microsecond gaps, seconds rendered at 6 dp. DuckDB orders by
+    // nano-precision ts where Spark sees micros, but ties after truncation
+    // produce identical gap multisets either way.
+    "eq53_interevent_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts::TIMESTAMP)
+        |           - epoch_us((lag(ts) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id))::TIMESTAMP) AS gap_us
+        |  FROM events),
+        |f AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |       ROUND(CAST(SUM(gap_us) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS avg_gap_s,
+        |       ROUND(MIN(gap_us) / 1000000.0::DOUBLE, 6) AS min_gap_s,
+        |       ROUND(MAX(gap_us) / 1000000.0::DOUBLE, 6) AS max_gap_s
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // eq49: source-overlap provenance matrix — eq12's pair CTEs rolled up
     // to unordered source cells with exact integer duplication mass.
     "eq49_source_overlap" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +

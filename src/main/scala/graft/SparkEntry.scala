@@ -81,6 +81,9 @@ object SparkEntry {
     "eq48_k_anonymity"       -> (CorpusOps.kAnonymity _),
     "eq49_source_overlap"    -> (Dedup.sourceOverlap _),
     "eq50_payload_chunks"    -> (Multimodal.payloadChunks _),
+    "eq51_quality_topk"      -> (TextAnalysis.qualityTopK _),
+    "eq52_centroid_affinity" -> (Similarity.centroidAffinity _),
+    "eq53_interevent_gaps"   -> (EventOps.interEventGaps _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

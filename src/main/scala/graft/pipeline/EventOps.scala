@@ -109,4 +109,34 @@ object EventOps {
         max(col("session_events")).as("max_session_events"))
       .orderBy("user_id")
   }
+
+  /** eq53 — per-user inter-event gap statistics: the lag-window "think
+    * time" features behind session quality scoring and bot detection.
+    * Gaps are exact integer microseconds (`unix_micros` differences), so
+    * the per-user sum is order-insensitive and the mean is one final
+    * division; min/max/avg are rendered in seconds at 6 dp. Equal
+    * timestamps contribute a 0 gap whichever side of the (ts, event_id)
+    * tie-break they land on, so the per-user gap multiset — and therefore
+    * every aggregate — is deterministic. One shuffle on user_id; the lag
+    * window and the aggregation share that partitioning, so the window
+    * output aggregates without a second exchange. */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame =
+    interEventGapsDf(Tables.load(spark, dir, "events"))
+
+  def interEventGapsDf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / (count(lit(1)) * 1000000.0), 6)
+          .as("avg_gap_s"),
+        round(min(col("gap_us")) / lit(1000000.0), 6).as("min_gap_s"),
+        round(max(col("gap_us")) / lit(1000000.0), 6).as("max_gap_s"))
+      .orderBy("user_id")
+  }
 }

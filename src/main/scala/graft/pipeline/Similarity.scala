@@ -135,6 +135,44 @@ object Similarity {
         round(col("sum_scaled").cast("double") / (col(countName) * 1000000.0), 6))
       .orderBy(key, "pos")
 
+  /** eq52 — label-centroid affinity matrix: pairwise cosine between the
+    * eq36 class prototypes, the "which slices of the corpus look alike"
+    * diagnostic behind cluster merging and domain-mix design. Cosine is
+    * invariant under positive scaling of each vector, so it is computed on
+    * the centroids quantized to integer micro-units (`round(mean·10⁶)`,
+    * exact by construction since `mean` is 6-dp-rounded): dots and norms
+    * are then BIGINT sums — order-insensitive, overflow-safe (|mi| ≤ 10⁶
+    * ⇒ Σ₆₄ mi² ≤ 6.4·10¹³) — and the only float op is one final
+    * divide-and-round per pair. Scale shape: one bounded centroid
+    * aggregate (labels × dims rows, materialized once), then all joins are
+    * over that bounded frame — labels²·dims intermediate rows, independent
+    * of corpus size. */
+  def centroidAffinity(spark: SparkSession, dir: String): DataFrame =
+    centroidAffinityDf(Tables.load(spark, dir, "embeddings"))
+
+  def centroidAffinityDf(embeddings: DataFrame): DataFrame = {
+    // labels × dims rows, consumed three times (two pair sides + norms) —
+    // materialized once so the full embeddings aggregate runs once
+    val mi = labelCentroidsDf(embeddings)
+      .select(col("label"), col("pos"),
+        round(col("mean") * 1000000.0).cast("long").as("mi"))
+      .localCheckpoint()
+    val norms = mi.groupBy("label")
+      .agg(sum(col("mi") * col("mi")).as("nrm"))
+    val a = mi.select(col("label").as("label_a"), col("pos"), col("mi").as("ma"))
+    val b = mi.select(col("label").as("label_b"), col("pos"), col("mi").as("mb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ma") * col("mb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"), col("nrm").as("na"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("nrm").as("nb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** eq41 — SemDeDup-style semantic dedup: pairwise cosine ONLY inside a
     * cluster (here the `label` column — in production the cell id of an
     * offline k-means over the embeddings, exactly as the SemDeDup paper

@@ -119,6 +119,29 @@ object TextAnalysis {
         sum(round(col("quality") * 1000000.0).cast("long")).as("quality_millionths"))
       .orderBy("lang")
 
+  /** eq51 — per-language quality top-k selection: the k highest-quality
+    * documents of each language by eq8's score (the shared
+    * [[qualityCols]]), deterministic `(quality DESC, doc_id ASC)`
+    * tie-break — the "pick the best exemplars per slice" curation step
+    * (seed corpora, few-shot pools, eval panels). The rank filter plans as
+    * `WindowGroupLimit`: each partition locally keeps only its k best rows
+    * BEFORE the shuffle, so the exchanged data is ≤ k·partitions rows per
+    * language — a top-k, never a global sort of the corpus. */
+  private[graft] val QualityTopK = 3
+
+  def qualityTopK(spark: SparkSession, dir: String): DataFrame =
+    qualityTopKDf(Tables.load(spark, dir, "documents"))
+
+  def qualityTopKDf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc, col("doc_id").asc)
+    qualityCols(docs)
+      .select(col("lang"), col("doc_id"), col("quality"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= QualityTopK)
+      .orderBy("lang", "rank")
+  }
+
   /** Marker-token vocabularies per language, deterministic priority order
     * en > fr > de > es > zh on ties. */
   private val Markers: Seq[(String, Seq[String])] = Seq(

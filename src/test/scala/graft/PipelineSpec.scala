@@ -580,6 +580,67 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).getString(3) == md5hex("xx"))
   }
 
+  test("quality topk: k best per language, quality-tie broken by doc_id") {
+    // en: 4 docs, identical long text (same quality) on 10/12, shorter on
+    // 11/13 — rank 1/2 must be 10 then 12 (tie -> doc_id), and the k=3 cut
+    // drops exactly one of the two short docs
+    val long = ("word " * 120).trim // len > 500 -> len_score saturates
+    val short = "tiny text"
+    val docs = docsDf(Seq(
+      (10L, long, "en", "s", long.length.toLong),
+      (11L, short, "en", "s", short.length.toLong),
+      (12L, long, "en", "s", long.length.toLong),
+      (13L, short, "en", "s", short.length.toLong),
+      (20L, short, "fr", "s", short.length.toLong)))
+    val out = TextAnalysis.qualityTopKDf(docs).collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(out(("en", 1)) == 10L && out(("en", 2)) == 12L && out(("en", 3)) == 11L)
+    assert(out(("fr", 1)) == 20L)
+    assert(out.size == 4, "k=3 cut must drop the 4th en doc")
+  }
+
+  test("centroid affinity: hand-computed cosines on orthogonal/oblique label centroids") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0), // centroid (1, 0)
+      (2L, Array(0.0f, 1.0f), 1),                             // centroid (0, 1)
+      (3L, Array(0.6f, 0.8f), 2))                             // centroid (.6, .8)
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidAffinityDf(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((0, 1)) == 0.0)
+    assert(math.abs(out((0, 2)) - 0.6) < 1e-6)
+    assert(math.abs(out((1, 2)) - 0.8) < 1e-6)
+  }
+
+  test("centroid affinity: all unordered label pairs, cosines in [-1, 1] (sf0.001)") {
+    val out = Similarity.centroidAffinity(spark, Sf).collect()
+    val labels = Tables.load(spark, Sf, "embeddings")
+      .select("label").distinct().count().toInt
+    assert(out.length == labels * (labels - 1) / 2)
+    out.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1))
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("inter-event gaps: hand-computed stats; single-event users absent; ties gap 0") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:30"), 7L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:30"), 7L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 8L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 9L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 11:00:00"), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.interEventGapsDf(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(7L) == ((2L, 75.0, 30.0, 120.0)))
+    assert(!out.contains(8L), "a single event has no gap")
+    assert(out(9L) == ((1L, 0.0, 0.0, 0.0)), "equal timestamps contribute a 0 gap")
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
