@@ -918,6 +918,58 @@ object Oracles {
         |       ROUND(MAX(gap_us) / 1000000.0::DOUBLE, 6) AS max_gap_s
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // eq54: curation funnel — quality (eq8 formula, eq38 threshold),
+    // repetition (eq30 formula, threshold spliced from the engine
+    // constant; shingle-less docs fail via NULL), then the eq35 unrounded
+    // p05–p95 length band; sequential survivor counts per language.
+    "eq54_curation_funnel" -> {
+      val r = graft.pipeline.CorpusOps.RepMaxDupRatio
+      s"WITH $toksCte,\n" +
+      s"""q AS (
+        |  SELECT doc_id, lang, n_chars, t AS toks, sh,
+        |         length(text) AS nc,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+        |  FROM shingled JOIN documents USING (doc_id, lang, text)),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ROUND(0.4::DOUBLE * least(nc / 500.0::DOUBLE, 1.0::DOUBLE)
+        |             + 0.4::DOUBLE * (alpha::DOUBLE / nc)
+        |             + 0.2::DOUBLE * (1.0::DOUBLE
+        |                 - len(list_filter(toks, t -> t IN ('the', 'a', 'data', 'value')))::DOUBLE / len(toks)), 6) AS quality,
+        |         CASE WHEN len(sh) > 0
+        |              THEN ROUND((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 6)
+        |         END AS dup_ratio
+        |  FROM q),
+        |b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+        |         quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang),
+        |f AS (
+        |  SELECT c.lang,
+        |         CASE WHEN quality >= 0.5::DOUBLE THEN 1 ELSE 0 END AS qp,
+        |         CASE WHEN quality >= 0.5::DOUBLE AND dup_ratio <= $r::DOUBLE
+        |              THEN 1 ELSE 0 END AS rp,
+        |         CASE WHEN quality >= 0.5::DOUBLE AND dup_ratio <= $r::DOUBLE
+        |                   AND n_chars >= p05 AND n_chars <= p95
+        |              THEN 1 ELSE 0 END AS lp
+        |  FROM c JOIN b ON c.lang = b.lang)
+        |SELECT lang, COUNT(*) AS n_total,
+        |       CAST(SUM(qp) AS BIGINT) AS n_quality,
+        |       CAST(SUM(rp) AS BIGINT) AS n_low_repetition,
+        |       CAST(SUM(lp) AS BIGINT) AS n_released
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // eq55: ORC round-trip — the engine writes documents metadata as
+    // lang-partitioned ORC and re-reads it; the oracle summarizes the
+    // ORIGINAL parquet, so the compare proves no row was lost or mangled
+    // in transit.
+    "eq55_orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // eq49: source-overlap provenance matrix — eq12's pair CTEs rolled up
     // to unordered source cells with exact integer duplication mass.
     "eq49_source_overlap" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +

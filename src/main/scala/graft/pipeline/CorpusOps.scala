@@ -245,6 +245,41 @@ object CorpusOps {
         sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy("lang")
 
+  /** eq54 — the curation FUNNEL: the sequential keep/drop accounting a
+    * corpus release actually publishes — per language, how many documents
+    * survive each successive gate: eq38's quality threshold, then eq30's
+    * repetition cap ([[RepMaxDupRatio]] on the 6-dp `dup_ratio`; docs too
+    * short to shingle fail the gate), then eq35's per-language p05–p95
+    * length band (compared against the UNROUNDED bounds, the eq35 rule).
+    * Every per-document metric comes from the same shared column builders
+    * as its standalone query, so the funnel cannot disagree with eq30/35/38
+    * on any single document. Scale shape: both per-doc gates are map-side
+    * column arithmetic in ONE pass over the corpus (no doc-level join);
+    * the length bounds are a 5-row aggregate broadcast back; one bounded
+    * groupBy ends the plan. */
+  private[graft] val RepMaxDupRatio = 0.005
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnelDf(Tables.load(spark, dir, "documents"))
+
+  def curationFunnelDf(docs: DataFrame): DataFrame = {
+    val bounds = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05D)").as("p05"),
+      expr("percentile(n_chars, 0.95D)").as("p95"))
+    val qPass = col("quality") >= 0.5
+    val rPass = col("dup_ratio") <= RepMaxDupRatio
+    val lPass = col("n_chars") >= col("p05") && col("n_chars") <= col("p95")
+    TextAnalysis.repetitionCols(TextAnalysis.qualityCols(docs))
+      .join(broadcast(bounds), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(qPass, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(qPass && rPass, 1L).otherwise(0L)).as("n_low_repetition"),
+        sum(when(qPass && rPass && lPass, 1L).otherwise(0L)).as("n_released"))
+      .orderBy("lang")
+  }
+
   /** eq33 — corpus heavy hitters: the 20 most frequent 3-token shingles
     * with total occurrences and document frequency. The aggregation key is
     * the shingle, so cost is bounded by vocabulary (with map-side partial

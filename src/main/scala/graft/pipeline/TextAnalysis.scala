@@ -279,17 +279,27 @@ object TextAnalysis {
     repetitionStatsDf(Tables.load(spark, dir, "documents"))
 
   def repetitionStatsDf(docs: DataFrame): DataFrame =
-    docs
+    repetitionCols(docs)
+      .filter(col("n_shingles") > 0)
       .select(col("doc_id"), col("lang"),
-        graft.functions.ShingleExpressions.shingles(col("text"), 3).as("sh"))
-      .withColumn("t", size(col("sh")))
-      .filter(col("t") > 0)
-      .withColumn("d", size(array_distinct(col("sh"))))
-      .select(
-        col("doc_id"), col("lang"),
-        col("t").as("n_shingles"), col("d").as("n_distinct"),
-        round((col("t") - col("d")).cast("double") / col("t"), 6).as("dup_ratio"))
+        col("n_shingles"), col("n_distinct"), col("dup_ratio"))
       .orderBy("doc_id")
+
+  /** Per-document repetition columns (`n_shingles`, `n_distinct`, the
+    * 6-dp `dup_ratio` — null when the doc has no shingles) appended to the
+    * input, all input columns retained — the single source of eq30's
+    * formula, shared with eq54's funnel gate so the two can never
+    * disagree on a document's repetition. */
+  private[pipeline] def repetitionCols(docsIn: DataFrame): DataFrame =
+    docsIn
+      .withColumn("sh_", graft.functions.ShingleExpressions.shingles(col("text"), 3))
+      .withColumn("n_shingles", size(col("sh_")))
+      .withColumn("n_distinct", size(array_distinct(col("sh_"))))
+      .withColumn("dup_ratio",
+        when(col("n_shingles") > 0,
+          round((col("n_shingles") - col("n_distinct")).cast("double")
+            / col("n_shingles"), 6)))
+      .drop("sh_")
 
   /** eq29 — train→test DECONTAMINATION check: for every test-split
     * document (split per [[hashSplit]]'s content-hash assignment), the

@@ -342,6 +342,46 @@ class CorpusOpsSpec extends SparkSpec {
       spark.read.text(JsonlIngest.fixturePath).count(), "good + corrupt = lines")
   }
 
+  test("curation funnel: each gate drops its literal offender, stages never grow") {
+    // en, 6 docs: one fails quality (all-stopword text), one fails
+    // repetition (repeated trigram), one fails the length band (outlier),
+    // three pass every gate. All-unique tokens keep dup_ratio at 0 for the
+    // good docs (any repeating token cycle would repeat trigrams too).
+    val good = Seq.tabulate(100)(i => s"aa$i").mkString(" ")
+    val huge = Seq.tabulate(3000)(i => s"bb$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (0L, good, "en", "s", good.length.toLong),
+      (1L, good + " extraone", "en", "s", good.length + 9L),
+      (2L, good + " extratwo", "en", "s", good.length + 9L),
+      (3L, "the a the a the a", "en", "s", 17L), // all stopwords: quality < 0.5
+      (4L, ("dup trigram text " * 20).trim, "en", "s", 339L), // dup_ratio ~ 0.9
+      (5L, huge, "en", "s", huge.length.toLong))) // length outlier
+    val r = CorpusOps.curationFunnelDf(docs).collect().head
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("n_quality") == 5L, "doc 3 must fail the quality gate")
+    assert(r.getAs[Long]("n_low_repetition") == 4L, "doc 4 must fail the repetition gate")
+    assert(r.getAs[Long]("n_released") == 3L, "doc 5 must fail the length band")
+  }
+
+  test("curation funnel: monotone stages; gates agree with eq30/eq38 recomputed (sf0.001)") {
+    val rows = CorpusOps.curationFunnelDf(fixtureDocs).collect()
+    rows.foreach { r =>
+      val (t, q, rep, rel) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_low_repetition"), r.getAs[Long]("n_released"))
+      assert(t >= q && q >= rep && rep >= rel && rel >= 0)
+    }
+    assert(rows.map(_.getAs[Long]("n_total")).sum == fixtureDocs.count())
+  }
+
+  test("orc roundtrip: summary equals the direct parquet summary") {
+    import graft.ingest.OrcRoundtrip
+    val direct = OrcRoundtrip.summarize(
+      fixtureDocs.select("doc_id", "lang", "source", "n_chars")).collect()
+    val viaOrc = OrcRoundtrip.eq55(spark, Sf).collect()
+    assert(viaOrc.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      "ORC write->read must preserve every row and value")
+  }
+
   test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
     val topk = CorpusOps.trigramTopKDf(fixtureDocs)
       .queryExecution.executedPlan.toString
