@@ -970,6 +970,61 @@ object Oracles {
         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // eq56: PMI collocations — exact unigram/bigram tallies, low-count
+    // guard and k spliced from the engine constants, one fixed-shape ln
+    // per survivor, (pmi DESC, bigram ASC) cut.
+    "eq56_pmi_bigrams" -> {
+      val m = graft.pipeline.CorpusOps.PmiMinCount
+      val k = graft.pipeline.CorpusOps.PmiTopK
+      s"""WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        |  FROM documents),
+        |uni AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY token),
+        |nt AS (SELECT SUM(c) AS n_tok FROM uni),
+        |tt AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+        |bgl AS (SELECT CASE WHEN len(t) >= 2
+        |               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |               ELSE []::VARCHAR[] END AS bgs FROM tt),
+        |bge AS (SELECT unnest(bgs) AS bg FROM bgl),
+        |bc AS (SELECT bg, COUNT(*) AS c_ab FROM bge GROUP BY bg),
+        |nb AS (SELECT SUM(c_ab) AS n_big FROM bc),
+        |cand AS (SELECT bg, c_ab,
+        |                string_split(bg, ' ')[1] AS token_a,
+        |                string_split(bg, ' ')[2] AS token_b
+        |         FROM bc WHERE c_ab >= $m),
+        |j AS (SELECT cand.*, ua.c AS c_a, ub.c AS c_b
+        |      FROM cand JOIN uni ua ON ua.token = cand.token_a
+        |                JOIN uni ub ON ub.token = cand.token_b),
+        |s AS (SELECT token_a, token_b, c_ab, bg,
+        |             ln((c_ab::DOUBLE / n_big)
+        |                / ((c_a::DOUBLE / n_tok) * (c_b::DOUBLE / n_tok))) AS pmi
+        |      FROM j CROSS JOIN nt CROSS JOIN nb)
+        |SELECT token_a, token_b, c_ab, ROUND(pmi, 6) AS pmi
+        |FROM s ORDER BY pmi DESC, bg ASC LIMIT $k""".stripMargin
+    },
+
+    // eq57: per-(label, dim) variance — eq36's scaled-integer sums plus
+    // Σv²; mean/variance as fixed-shape double expressions mirrored from
+    // the engine exactly.
+    "eq57_label_variance" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |s AS (SELECT label, CAST(pos AS INT) AS pos,
+        |             CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
+        |      FROM ex),
+        |a AS (SELECT label, pos, COUNT(*) AS n,
+        |             CAST(SUM(v) AS BIGINT) AS sv,
+        |             CAST(SUM(v * v) AS BIGINT) AS ssq
+        |      FROM s GROUP BY 1, 2)
+        |SELECT label, pos, n,
+        |       ROUND(CAST(sv AS DOUBLE) / (n * 1000000.0::DOUBLE), 6) AS mean,
+        |       ROUND((CAST(ssq AS DOUBLE)
+        |              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+        |             / (n * 1000000000000.0::DOUBLE), 6) AS variance
+        |FROM a ORDER BY label, pos""".stripMargin,
+
     // eq49: source-overlap provenance matrix — eq12's pair CTEs rolled up
     // to unordered source cells with exact integer duplication mass.
     "eq49_source_overlap" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +

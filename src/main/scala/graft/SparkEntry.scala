@@ -86,6 +86,8 @@ object SparkEntry {
     "eq53_interevent_gaps"   -> (EventOps.interEventGaps _),
     "eq54_curation_funnel"   -> (CorpusOps.curationFunnel _),
     "eq55_orc_roundtrip"     -> (graft.ingest.OrcRoundtrip.eq55 _),
+    "eq56_pmi_bigrams"       -> (CorpusOps.pmiBigrams _),
+    "eq57_label_variance"    -> (Similarity.labelVariance _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

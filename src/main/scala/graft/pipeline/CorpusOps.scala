@@ -280,6 +280,56 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** eq56 — PMI collocation mining: the [[PmiTopK]] adjacent-token bigrams
+    * most over-represented vs their unigram frequencies — pointwise mutual
+    * information `ln(p(ab) / (p(a)·p(b)))`, the classic "new york"-style
+    * phrase detector a tokenizer-training pipeline runs to pick merge
+    * candidates. Counts are exact integers (unigram and bigram occurrence
+    * tallies, both vocabulary-bounded aggregations with map-side
+    * partials); bigrams under [[PmiMinCount]] occurrences are dropped
+    * before scoring (the standard low-count PMI-noise guard, and the
+    * reason the scored frame is small). The only float math is one
+    * fixed-shape expression per surviving bigram, so the score is
+    * bit-deterministic; the cut is a [[PmiTopK]]-row
+    * TakeOrderedAndProject on (pmi DESC, bigram ASC). Bigrams come from
+    * the native width-2 shingle expression — one eval per document, no
+    * higher-order-function fallback. */
+  private[graft] val PmiMinCount = 5
+  private[graft] val PmiTopK = 20
+
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    pmiBigramsDf(Tables.load(spark, dir, "documents"))
+
+  def pmiBigramsDf(docs: DataFrame): DataFrame = {
+    // vocabulary-sized, consumed by the total and both join probes —
+    // materialized once so the corpus token explode runs once
+    val uni = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val big = docs
+      .select(explode(ShingleExpressions.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val nBig = big.agg(sum(col("c_ab")).as("n_big"))
+    big
+      .filter(col("c_ab") >= PmiMinCount)
+      .withColumn("token_a", split(col("bg"), " ").getItem(0))
+      .withColumn("token_b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("token").as("token_a"), col("c").as("c_a")), Seq("token_a"))
+      .join(uni.select(col("token").as("token_b"), col("c").as("c_b")), Seq("token_b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .withColumn("pmi",
+        log((col("c_ab").cast("double") / col("n_big"))
+          / ((col("c_a").cast("double") / col("n_tok"))
+            * (col("c_b").cast("double") / col("n_tok")))))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(PmiTopK)
+      .select(col("token_a"), col("token_b"), col("c_ab"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
   /** eq33 — corpus heavy hitters: the 20 most frequent 3-token shingles
     * with total occurrences and document frequency. The aggregation key is
     * the shingle, so cost is bounded by vocabulary (with map-side partial

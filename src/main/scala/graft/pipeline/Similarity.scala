@@ -135,6 +135,37 @@ object Similarity {
         round(col("sum_scaled").cast("double") / (col(countName) * 1000000.0), 6))
       .orderBy(key, "pos")
 
+  /** eq57 — per-(label, dimension) embedding variance: the spread
+    * statistics behind whitening, drift detection, and dead-dimension
+    * audits. Same scaled-integer discipline as eq36: components are
+    * quantized to micro-units, and n / Σv / Σv² are exact BIGINT
+    * aggregates (order-insensitive under any partitioning; |v| ≤ 10⁶ ⇒
+    * Σv² fits BIGINT up to ~10⁷ rows per cell — past that, widen the sums
+    * to DECIMAL(38,0)); mean and variance are then single fixed-shape
+    * double expressions per output row, so the result is
+    * bit-deterministic. One shuffle on (label, pos) with map-side
+    * partials; output is labels × dims rows regardless of corpus size. */
+  def labelVariance(spark: SparkSession, dir: String): DataFrame =
+    labelVarianceDf(Tables.load(spark, dir, "embeddings"))
+
+  def labelVarianceDf(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double") * 1000000.0).cast("long").as("v"))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ssq"))
+      .select(
+        col("label"), col("pos"), col("n"),
+        round(col("s").cast("double") / (col("n") * 1000000.0), 6).as("mean"),
+        round((col("ssq").cast("double")
+            - col("s").cast("double") * col("s").cast("double") / col("n"))
+          / (col("n") * 1000000000000.0), 6).as("variance"))
+      .orderBy("label", "pos")
+
   /** eq52 — label-centroid affinity matrix: pairwise cosine between the
     * eq36 class prototypes, the "which slices of the corpus look alike"
     * diagnostic behind cluster merging and domain-mix design. Cosine is

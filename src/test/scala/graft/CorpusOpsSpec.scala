@@ -382,6 +382,31 @@ class CorpusOpsSpec extends SparkSpec {
       "ORC write->read must preserve every row and value")
   }
 
+  test("pmi bigrams: hand-computed scores on an alternating-token fixture") {
+    // "x y" x6 -> tokens x:6 y:6 (N_tok 12), bigrams "x y":6 "y x":5
+    // (N_big 11); pmi(x,y) = ln((6/11)/((6/12)(6/12))), pmi(y,x) with 5/11
+    val docs = docsDf(Seq((0L, ("x y " * 6).trim, "en", "s", 23L)))
+    val out = CorpusOps.pmiBigramsDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 2)
+    val (cXy, pXy) = out(("x", "y"))
+    val (cYx, pYx) = out(("y", "x"))
+    assert(cXy == 6L && cYx == 5L)
+    assert(math.abs(pXy - math.log((6.0 / 11) / ((6.0 / 12) * (6.0 / 12)))) < 1e-6)
+    assert(math.abs(pYx - math.log((5.0 / 11) / ((6.0 / 12) * (6.0 / 12)))) < 1e-6)
+  }
+
+  test("pmi bigrams: k-bounded, min-count respected, scores finite (sf0.001)") {
+    val rows = CorpusOps.pmiBigrams(spark, Sf).collect()
+    assert(rows.length <= CorpusOps.PmiTopK && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= CorpusOps.PmiMinCount)
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.sameElements(pmis.sortBy(-_)), "rows arrive in pmi-descending order")
+  }
+
   test("plan shapes: eq33 cuts with TakeOrderedAndProject, eq31 has no join or cartesian") {
     val topk = CorpusOps.trigramTopKDf(fixtureDocs)
       .queryExecution.executedPlan.toString

@@ -623,6 +623,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("label variance: hand-computed mean/variance; constant dim has zero spread") {
+    val emb = Seq(
+      (0L, Array(0.0f, 1.0f), 0),
+      (1L, Array(0.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelVarianceDf(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out((0, 0)) == ((2L, 0.0, 0.0)), "constant dimension must show zero variance")
+    // values 1, 3 -> mean 2, population variance ((1+9) - 4^2/2)/2 = 1
+    assert(out((0, 1)) == ((2L, 2.0, 1.0)))
+  }
+
+  test("label variance: one row per (label, dim), never negative (sf0.001)") {
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val out = Similarity.labelVarianceDf(emb).collect()
+    val labels = emb.select("label").distinct().count()
+    assert(out.length == labels * 64)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("inter-event gaps: hand-computed stats; single-event users absent; ties gap 0") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
