@@ -242,6 +242,74 @@ object Oracles {
       |    ELSE []::VARCHAR[] END AS sh
       |  FROM toks)""".stripMargin
 
+  /** eq4 / x3 / x5 reconstructions as standalone SELECTs — map entries AND
+    * subqueries of x12's recall evaluation, one copy each so the eval can
+    * never drift from the queries it grades. */
+  private val cosineTopkSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |un AS (
+      |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |sims AS (
+      |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+      |  FROM un GROUP BY vec_id)
+      |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
+      |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  private val ivfTopkSql =
+    """WITH c AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id % 40 = 0),
+      |pr AS (
+      |  SELECT e.vec_id, c.cell_id, unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+      |  FROM embeddings e CROSS JOIN c),
+      |d AS (
+      |  SELECT vec_id, cell_id, -(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y)))) AS d
+      |  FROM pr GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell_id ASC) AS rn
+      |    FROM d) WHERE rn = 1),
+      |probe AS (SELECT cell_id FROM d WHERE vec_id = 0 ORDER BY d ASC, cell_id ASC LIMIT 8),
+      |cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
+      |         WHERE a.vec_id <> 0),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |un AS (
+      |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
+      |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+      |         FROM un GROUP BY 1)
+      |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
+      |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  private lazy val lshTopkSql = {
+    val values = hyperplaneValues(8)
+    s"""WITH pl AS (
+      |  SELECT pid AS bit,
+      |         list_transform(range(1, len(bits) + 1),
+      |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
+      |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
+      |  FROM (VALUES $values) AS t(pid, bits)),
+      |dots AS (
+      |  SELECT vec_id, bit, SUM(x * y) AS d FROM (
+      |    SELECT e.vec_id, pl.bit,
+      |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
+      |    FROM embeddings e CROSS JOIN pl)
+      |  GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+      |       FROM dots GROUP BY 1),
+      |qb AS (SELECT bucket AS q FROM bk WHERE vec_id = 0),
+      |cand AS (SELECT b.vec_id FROM bk b, qb
+      |         WHERE bit_count(xor(b.bucket, qb.q)) <= 2 AND b.vec_id <> 0),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |un AS (
+      |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
+      |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+      |         FROM un GROUP BY 1)
+      |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
+      |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   val pipeline: Map[String, String] = Map(
     "eq1_exact_dup_count" ->
       "SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_count FROM documents",
@@ -257,16 +325,7 @@ object Oracles {
         |       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "eq4_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |un AS (
-        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
-        |sims AS (
-        |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
-        |  FROM un GROUP BY vec_id)
-        |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
-        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "eq4_cosine_topk" -> cosineTopkSql,
 
     "eq5_sessionize" ->
       """WITH flags AS (
@@ -1268,30 +1327,7 @@ object Oracles {
     // nprobe=8 probe cells, exact scoring of probed cells, top-5. Raw
     // doubles agree bit-for-bit because both engines fold the dots in the
     // same element order.
-    "x3_ivf_topk" ->
-      """WITH c AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id % 40 = 0),
-        |pr AS (
-        |  SELECT e.vec_id, c.cell_id, unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
-        |  FROM embeddings e CROSS JOIN c),
-        |d AS (
-        |  SELECT vec_id, cell_id, -(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y)))) AS d
-        |  FROM pr GROUP BY 1, 2),
-        |assigned AS (
-        |  SELECT vec_id, cell_id FROM (
-        |    SELECT vec_id, cell_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell_id ASC) AS rn
-        |    FROM d) WHERE rn = 1),
-        |probe AS (SELECT cell_id FROM d WHERE vec_id = 0 ORDER BY d ASC, cell_id ASC LIMIT 8),
-        |cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
-        |         WHERE a.vec_id <> 0),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |un AS (
-        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-        |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
-        |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
-        |         FROM un GROUP BY 1)
-        |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
-        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x3_ivf_topk" -> ivfTopkSql,
 
     // x4: the mapPartitions feature pipeline's arithmetic on the raw UTF-8
     // payload bytes, re-derived from hex(encode(text)): byte_sum and the
@@ -1314,34 +1350,25 @@ object Oracles {
     // x5: SRP-LSH bucket reconstruction from the spliced sign strings; the
     // engine's 37-probe set (self + hamming ≤ 2) is exactly
     // bit_count(xor(bucket, query_bucket)) <= 2.
-    "x5_lsh_topk" -> {
-      val values = hyperplaneValues(8)
-      s"""WITH pl AS (
-        |  SELECT pid AS bit,
-        |         list_transform(range(1, len(bits) + 1),
-        |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
-        |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
-        |  FROM (VALUES $values) AS t(pid, bits)),
-        |dots AS (
-        |  SELECT vec_id, bit, SUM(x * y) AS d FROM (
-        |    SELECT e.vec_id, pl.bit,
-        |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
-        |    FROM embeddings e CROSS JOIN pl)
-        |  GROUP BY 1, 2),
-        |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
-        |       FROM dots GROUP BY 1),
-        |qb AS (SELECT bucket AS q FROM bk WHERE vec_id = 0),
-        |cand AS (SELECT b.vec_id FROM bk b, qb
-        |         WHERE bit_count(xor(b.bucket, qb.q)) <= 2 AND b.vec_id <> 0),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |un AS (
-        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-        |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
-        |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
-        |         FROM un GROUP BY 1)
-        |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
-        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
-    },
+    "x5_lsh_topk" -> lshTopkSql,
+
+    // x12: ANN recall@5 evaluation — the exact, IVF, and LSH top-k
+    // reconstructions (the SAME SQL strings as the eq4/x3/x5 entries)
+    // composed into per-method hit counts, so the eval is hash-checked
+    // against the very pipelines it grades.
+    "x12_ann_recall" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($cosineTopkSql)),
+        |ivf AS (SELECT vec_id FROM ($ivfTopkSql)),
+        |lsh AS (SELECT vec_id FROM ($lshTopkSql)),
+        |h AS (
+        |  SELECT 'ivf' AS method, COUNT(*) AS n_hits
+        |  FROM ivf JOIN exact USING (vec_id)
+        |  UNION ALL
+        |  SELECT 'srp_lsh' AS method, COUNT(*) AS n_hits
+        |  FROM lsh JOIN exact USING (vec_id))
+        |SELECT method, CAST(5 AS INT) AS k, n_hits,
+        |       ROUND(CAST(n_hits AS DOUBLE) / 5, 6) AS recall
+        |FROM h ORDER BY method""".stripMargin,
 
     // x6: exact distincts are hash-compared; the HLL estimates surface as
     // ε-bound flags the oracle pins TRUE (see Dedup.approxDistinctDf).

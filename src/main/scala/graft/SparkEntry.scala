@@ -104,6 +104,7 @@ object SparkEntry {
     "x9_bloom_contamination" -> (TextAnalysis.bloomContamination _),
     "x10_cms_topk"           -> (CorpusOps.cmsTopK _),
     "x11_quantize_embeddings" -> (Similarity.quantizeEmbeddings _),
+    "x12_ann_recall"         -> (Similarity.annRecall _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -338,4 +338,29 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** x12 — ANN recall@k evaluation: the retrieval-eval harness AS a data
+    * operator — each approximate index ([[ivfTopK]], [[lshTopK]]) is
+    * scored against the exact [[cosineTopK]] ground truth by semi-joining
+    * the two k-row result sets and counting hits, all inside one plan.
+    * This is how an embedding pipeline audits its index quality in the
+    * same job that builds it (recall regressions surface as data, not as
+    * a notebook afterthought). Every frame past the underlying queries is
+    * ≤ k rows, so the eval's own cost is nil; the DuckDB oracle composes
+    * the exact same three reconstructions it already checks one by one. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val exact = cosineTopK(spark, dir, k = k).select("vec_id")
+    Seq("ivf" -> ivfTopK(spark, dir, k = k), "srp_lsh" -> lshTopK(spark, dir, k = k))
+      .map { case (method, approx) =>
+        approx.select("vec_id")
+          .join(exact, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(
+            lit(method).as("method"), lit(k).as("k"), col("n_hits"),
+            round(col("n_hits").cast("double") / k, 6).as("recall"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("method")
+  }
 }

@@ -623,6 +623,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann recall: hit counts equal the recomputed exact-vs-approx intersections") {
+    val exact = Similarity.cosineTopK(spark, Sf).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(spark, Sf).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(spark, Sf).collect().map(_.getLong(0)).toSet
+    val out = Similarity.annRecall(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("ivf", "srp_lsh"))
+    assert(out("ivf") == ((5, (exact & ivf).size.toLong, (exact & ivf).size / 5.0)))
+    assert(out("srp_lsh") == ((5, (exact & lsh).size.toLong, (exact & lsh).size / 5.0)))
+    out.values.foreach { case (_, _, r) => assert(r >= 0.0 && r <= 1.0) }
+  }
+
   test("label variance: hand-computed mean/variance; constant dim has zero spread") {
     val emb = Seq(
       (0L, Array(0.0f, 1.0f), 0),
