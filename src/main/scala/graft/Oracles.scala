@@ -1393,5 +1393,116 @@ object Oracles {
         |       ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
         |       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x13: the grouped HLL variant of x6 — exact per-type distincts
+    // hash-compared, sketch estimate surfaced as the pinned ε-bound flag.
+    "x13_approx_group_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_users_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // eq58: weekly retention triangle — date_trunc('week') is Monday in
+    // both engines; offsets are exact day-diffs of Monday dates div 7.
+    "eq58_retention_cohorts" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events),
+        |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |       date_diff('day', c.cohort_week, w.week) // 7 AS week_offset,
+        |       COUNT(DISTINCT w.user_id) AS n_active
+        |FROM weeks w JOIN coh c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // eq59: strictly-ordered min-ts funnel — each stage joins the previous
+    // stage's earliest qualifying timestamp, so the counts are a pure
+    // function of the event set.
+    "eq59_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        |       (SELECT COUNT(*) FROM v) AS n_viewed,
+        |       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+        |       (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin,
+
+    // eq60: rolling 7-day actives via the bounded ×7 day-explode — the
+    // standard distributed formulation of rolling COUNT(DISTINCT).
+    "eq60_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |h AS (SELECT MAX(ts::DATE) AS max_day FROM events),
+        |ex AS (
+        |  SELECT user_id, day,
+        |         unnest(generate_series(day, least(day + 6, (SELECT max_day FROM h)),
+        |                                INTERVAL 1 DAY))::DATE AS d
+        |  FROM ud)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |       COUNT(DISTINCT CASE WHEN day = d THEN user_id END) AS dau,
+        |       COUNT(DISTINCT user_id) AS wau_trailing
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // eq61: integer PageRank (5 damped iterations, parts-per-million) over
+    // eq12's Jaccard pair graph — the j CTE is the shared eq12 pair mining,
+    // the iteration arithmetic is all-integer so both engines agree bit-
+    // for-bit. SUM(BIGINT) is HUGEINT in DuckDB; cast back per iteration.
+    "eq61_pair_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT e.t AS doc_id,
+           |         CAST(150000 + (85 * SUM(r.rank_ppm // d.deg)) // 100 AS BIGINT) AS rank_ppm
+           |  FROM edges e JOIN $prev r ON r.doc_id = e.s JOIN deg d ON d.s = e.s
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH $toksCte,
+        |$jaccardCtes,
+        |e2 AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM e2
+        |          UNION ALL SELECT doc_b AS s, doc_a AS t FROM e2),
+        |deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT s AS doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")},
+        |${iter("r2", "r3")},
+        |${iter("r3", "r4")},
+        |${iter("r4", "r5")}
+        |SELECT r5.doc_id, d.deg AS degree, r5.rank_ppm
+        |FROM r5 JOIN deg d ON d.s = r5.doc_id
+        |ORDER BY r5.rank_ppm DESC, r5.doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // eq62: Zipf regression — micro-scaled integer logs summed exactly,
+    // HUGEINT (≡ Spark DECIMAL(38,0)) combination, one double division.
+    "eq62_zipf_slope" ->
+      s"""WITH $toksCte,
+        |tok AS (SELECT unnest(t) AS token FROM toks),
+        |cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |top AS (SELECT token, cnt FROM cnts ORDER BY cnt DESC, token ASC LIMIT 1000),
+        |xy AS (
+        |  SELECT CAST(floor(ln(row_number() OVER (ORDER BY cnt DESC, token ASC)) * 1e6) AS BIGINT) AS x,
+        |         CAST(floor(ln(cnt) * 1e6) AS BIGINT) AS y
+        |  FROM top),
+        |m AS (SELECT COUNT(*) AS n_ranks, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy FROM xy)
+        |SELECT n_ranks,
+        |  ROUND(CAST(n_ranks*sxy - sx*sy AS DOUBLE)
+        |        / CAST(n_ranks*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  ROUND(CAST(n_ranks*sxy - sx*sy AS DOUBLE) * CAST(n_ranks*sxy - sx*sy AS DOUBLE)
+        |        / (CAST(n_ranks*sxx - sx*sx AS DOUBLE) * CAST(n_ranks*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |FROM m""".stripMargin,
+
+    // eq63: distinct-content counts under raw / whitespace-normalized /
+    // sorted bag-of-words keys — t is the shared token pipeline, so the
+    // normalization can never drift from eq7/eq32's tokenization.
+    "eq63_normalized_dups" ->
+      s"""WITH $toksCte
+        |SELECT source, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(text)) AS n_raw_distinct,
+        |       COUNT(DISTINCT md5(array_to_string(t, ' '))) AS n_norm_distinct,
+        |       COUNT(DISTINCT md5(array_to_string(list_sort(t), ' '))) AS n_bow_distinct
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -88,6 +88,12 @@ object SparkEntry {
     "eq55_orc_roundtrip"     -> (graft.ingest.OrcRoundtrip.eq55 _),
     "eq56_pmi_bigrams"       -> (CorpusOps.pmiBigrams _),
     "eq57_label_variance"    -> (Similarity.labelVariance _),
+    "eq58_retention_cohorts" -> (EventOps.retentionCohorts _),
+    "eq59_event_funnel"      -> (EventOps.eventFunnel _),
+    "eq60_rolling_actives"   -> (EventOps.rollingActives _),
+    "eq61_pair_pagerank"     -> (Dedup.pairGraphPagerank _),
+    "eq62_zipf_slope"        -> (CorpusOps.zipfSlope _),
+    "eq63_normalized_dups"   -> (Dedup.normalizedDups _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);
@@ -105,6 +111,7 @@ object SparkEntry {
     "x10_cms_topk"           -> (CorpusOps.cmsTopK _),
     "x11_quantize_embeddings" -> (Similarity.quantizeEmbeddings _),
     "x12_ann_recall"         -> (Similarity.annRecall _),
+    "x13_approx_group_users" -> (EventOps.approxUsersPerType _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -330,6 +330,53 @@ object CorpusOps {
         round(col("pmi"), 6).as("pmi"))
   }
 
+  /** eq62 — Zipf-slope estimation: least-squares slope of
+    * log(count) vs log(rank) over the corpus top-[[ZipfTopN]] tokens — the
+    * one-number "does this corpus look like natural language" diagnostic
+    * (natural text ≈ −1; templated/synthetic corpora flatten). The token
+    * tally is the vocabulary-bounded aggregate (map-side partials); the
+    * ranked top-N is a [[ZipfTopN]]-row TakeOrderedAndProject, after which
+    * everything is single-row arithmetic. Regression moments are summed as
+    * exact integers over micro-scaled logs (`floor(ln·10⁶)` — ln of
+    * deterministic integer inputs, identical in both engines), combined in
+    * DECIMAL(38,0) so `n·Σxy − Σx·Σy` cannot overflow, with ONE double
+    * division (and one double square for r²) at the very end — the
+    * float-determinism discipline of eq36/eq52 applied to regression.
+    * The rank window runs on the 1000-row frame, not the corpus. */
+  private[graft] val ZipfTopN = 1000
+
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeDf(Tables.load(spark, dir, "documents"))
+
+  def zipfSlopeDf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val moments = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(ZipfTopN)
+      .withColumn("r", row_number().over(w))
+      .select(
+        floor(log(col("r").cast("double")) * 1e6).as("x"),
+        floor(log(col("cnt").cast("double")) * 1e6).as("y"))
+      .agg(
+        count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val num = d("n_ranks") * d("sxy") - d("sx") * d("sy")
+    val denX = d("n_ranks") * d("sxx") - d("sx") * d("sx")
+    val denY = d("n_ranks") * d("syy") - d("sy") * d("sy")
+    moments.select(
+      col("n_ranks"),
+      round(num.cast("double") / denX.cast("double"), 6).as("slope"),
+      round(num.cast("double") * num.cast("double")
+        / (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+  }
+
   /** eq33 — corpus heavy hitters: the 20 most frequent 3-token shingles
     * with total occurrences and document frequency. The aggregation key is
     * the shingle, so cost is bounded by vocabulary (with map-side partial

@@ -501,6 +501,82 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** eq61 — integer PageRank over the near-dup pair graph: 5 power
+    * iterations with damping 0.85 over eq12's Jaccard edges (undirected →
+    * both directions), ranking the "template hubs" — documents whose
+    * near-dup neighborhoods are largest-and-best-connected, the ones a
+    * boilerplate audit reads first. ALL rank arithmetic is integer
+    * parts-per-million (start 1 000 000; contribution `rank div degree`
+    * per edge; update `150000 + (85·Σin) div 100`), so every iteration is
+    * a pure function of the edge set — no float-summation order
+    * sensitivity, bit-identical across engines, partitionings and retries.
+    * Each iteration is one join on the static degree-annotated edge list
+    * (hash-partitioned on the source node) + one aggregate on the target
+    * node; lineage is cut per iteration, the edge frame is materialized
+    * once. Top-20 by (rank DESC, doc_id ASC). */
+  private val PagerankIters = 5
+
+  def pairGraphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pairGraphPagerankDf(Tables.load(spark, dir, "documents"))
+
+  def pairGraphPagerankDf(docs: DataFrame): DataFrame = {
+    val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("s", "t")
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    // static across iterations: every edge with its source degree
+    val edgesDeg = edges.join(deg, "s").localCheckpoint()
+    var ranks = deg.select(col("s").as("doc_id"), lit(1000000L).as("rank_ppm"))
+      .localCheckpoint()
+    for (_ <- 1 to PagerankIters) {
+      ranks = edgesDeg
+        .join(ranks, edgesDeg("s") === ranks("doc_id"))
+        .select(col("t"), expr("rank_ppm div deg").as("c"))
+        .groupBy(col("t").as("doc_id"))
+        .agg(sum(col("c")).as("in_ppm"))
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * in_ppm) div 100")).as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+      .join(deg.select(col("s").as("doc_id"), col("deg")), "doc_id")
+      .orderBy(col("rank_ppm").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("deg").as("degree"), col("rank_ppm"))
+  }
+
+  /** eq63 — normalization-masked duplicate accounting: per source, the
+    * distinct-content count under three successively coarser content keys —
+    * raw text, whitespace/case-normalized text (the shared token pipeline
+    * re-joined on single spaces), and the sorted bag-of-words fingerprint
+    * (tokens sorted before hashing, catching shuffled/reordered copies that
+    * survive exact dedup). The delta between levels is exactly the
+    * duplicate mass each normalization tier would newly reclaim — the
+    * measurement a pipeline runs BEFORE committing to a dedup key. One
+    * groupBy with three distinct aggregates (Spark plans one Expand ×3 —
+    * one shuffle, not three); all keys are md5 digests so no reducer ever
+    * holds full texts. */
+  def normalizedDups(spark: SparkSession, dir: String): DataFrame =
+    normalizedDupsDf(Tables.load(spark, dir, "documents"))
+
+  def normalizedDupsDf(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs
+      .select(
+        col("source"),
+        md5(col("text").cast("binary")).as("raw_key"),
+        md5(concat_ws(" ", toks).cast("binary")).as("norm_key"),
+        md5(concat_ws(" ", array_sort(toks)).cast("binary")).as("bow_key"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_key")).as("n_raw_distinct"),
+        countDistinct(col("norm_key")).as("n_norm_distinct"),
+        countDistinct(col("bow_key")).as("n_bow_distinct"))
+      .orderBy("source")
+  }
+
   /** Exact-cosine verification of candidate (vec_a, vec_b) pairs: norms
     * once per vector, one codegen'd dot per pair, ≥ 0.5 filter. */
   private def verifyPairs(e: DataFrame, cands: DataFrame): DataFrame = {

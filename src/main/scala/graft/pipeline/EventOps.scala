@@ -139,4 +139,110 @@ object EventOps {
         round(max(col("gap_us")) / lit(1000000.0), 6).as("max_gap_s"))
       .orderBy("user_id")
   }
+
+  /** eq58 — weekly retention cohorts: users grouped by the ISO week of
+    * their first event (`date_trunc('week')` — Monday in both engines),
+    * with distinct actives per (cohort_week, week_offset) — the retention
+    * triangle every product-analytics stack publishes. Two shuffles, both
+    * on user_id (the per-user week dedup and the cohort min reuse one
+    * hash partitioning; AQE coalesces), then one bounded aggregate over
+    * ≤ cohorts×weeks cells. The per-user first-week is a window min, not a
+    * driver lookup, so the shape holds at any user count. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsDf(Tables.load(spark, dir, "events"))
+
+  def retentionCohortsDf(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    weeks
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy("user_id")))
+      .withColumn("week_offset", expr("datediff(week, cohort_week) div 7"))
+      // ISO-rendered for oracle parity (the eq3 date convention)
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** eq59 — strictly-ordered conversion funnel view → click → purchase:
+    * a user converts a stage only with an event strictly AFTER their
+    * earliest qualifying event of the previous stage (min-ts semantics, so
+    * the funnel is a pure function of the event set — no row-order
+    * sensitivity). Three aggregates and two joins, ALL keyed on user_id:
+    * one hash partitioning serves every stage, so at 100 TB this is one
+    * shuffle of the events table plus per-partition work. The single
+    * output row is assembled from three one-row aggregates (broadcast-able
+    * by construction). */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventFunnelDf(Tables.load(spark, dir, "events"))
+
+  def eventFunnelDf(events: DataFrame): DataFrame = {
+    val viewed = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val clicked = events.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchased = events.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    events.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(viewed.agg(count(lit(1)).as("n_viewed")))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
+  /** eq60 — rolling 7-day active users per day (DAU + trailing WAU): each
+    * distinct (user, day) contributes to the 7 trailing windows it falls
+    * in, materialized by a bounded `sequence` explode (×7 fan-out — a
+    * constant, not a join), then one distinct-count per day. This is the
+    * standard distributed formulation of rolling COUNT(DISTINCT), which no
+    * window frame computes directly; the fan-out key (day) is
+    * low-cardinality but the countDistinct expands per user first
+    * (Spark's Expand), so no reducer sees more than a day's users. Days
+    * past the observed horizon are clipped with a broadcast 1-row max. */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame =
+    rollingActivesDf(Tables.load(spark, dir, "events"))
+
+  def rollingActivesDf(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val horizon = events.agg(to_date(max(col("ts"))).as("max_day"))
+    userDays
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("day"),
+        explode(expr("sequence(day, least(date_add(day, 6), max_day))")).as("d"))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau_trailing"))
+      .orderBy("day")
+  }
+
+  /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
+    * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
+    * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%
+    * of exact — 2.5σ of the configured rsd). The sketch is the mergeable
+    * fixed-memory path a 100 TB pipeline uses for per-slice cardinality
+    * dashboards where the exact Expand-based count would shuffle every
+    * (slice, user) pair; here both run so the sketch is verifiable. */
+  def approxUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    approxUsersPerTypeDf(Tables.load(spark, dir, "events"))
+
+  def approxUsersPerTypeDf(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"))
+      .select(
+        col("event_type"), col("exact_users"),
+        when(col("exact_users") === 0, col("au") === 0)
+          .otherwise(abs(col("au") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.05).as("approx_users_ok"))
+      .orderBy("event_type")
 }

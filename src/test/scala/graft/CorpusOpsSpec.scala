@@ -416,4 +416,31 @@ class CorpusOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!sample.contains("Join"), "sampling must stay a map-side filter")
   }
+
+  test("zipf slope: a perfect power law regresses to its exponent") {
+    // c(r) = 840/r exactly for r = 1..5: ln(c) = ln(840) − 1·ln(r), so
+    // the ln/ln least-squares fit must return slope −1, r² = 1 (up to the
+    // 1e-6 integer-log quantization)
+    val zipf = Seq(("a", 840), ("b", 420), ("c", 280), ("d", 210), ("e", 168))
+    val text = zipf.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = docsDf(Seq((0L, text, "en", "s", text.length.toLong)))
+    val r = CorpusOps.zipfSlopeDf(docs).head()
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-4, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"r2 ${r.getDouble(2)}")
+    // geometric counts 4096·2^-(r-1) decay faster than any power law on
+    // ranks 1..4 — the fitted ln/ln slope must come out steeper than −1
+    val words = Seq(("a", 4096), ("b", 2048), ("c", 1024), ("d", 512))
+    val text2 = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs2 = docsDf(Seq((0L, text2, "en", "s", text2.length.toLong)))
+    val r2 = CorpusOps.zipfSlopeDf(docs2).head()
+    assert(r2.getDouble(1) < -1.0, "doubling counts fall faster than 1/r over ranks 1..4")
+  }
+
+  test("zipf slope on sf0.001: negative slope, r2 in [0,1], rank cap respected") {
+    val r = CorpusOps.zipfSlope(spark, Sf).head()
+    assert(r.getLong(0) <= 1000L)
+    assert(r.getDouble(1) < 0.0, "token frequencies must decay with rank")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
 }

@@ -674,6 +674,109 @@ class PipelineSpec extends SparkSpec {
     assert(out(9L) == ((1L, 0.0, 0.0, 0.0)), "equal timestamps contribute a 0 gap")
   }
 
+  test("retention cohorts: hand-computed triangle on a two-cohort fixture") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // weeks: 2024-01-01 (Mon) and 2024-01-08. u1 active both weeks,
+    // u2 week 1 only, u3 first seen week 2.
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-10 10:00:00"), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.retentionCohortsDf(events).collect()
+      .map(row => (row.getString(0), row.getLong(1)) -> row.getLong(2)).toMap
+    assert(r == Map(
+      ("2024-01-01", 0L) -> 2L, // u1 + u2
+      ("2024-01-01", 1L) -> 1L, // u1 retained
+      ("2024-01-08", 0L) -> 1L)) // u3's own cohort
+  }
+
+  test("event funnel: strict ordering gates each stage (literal fixture)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 converts fully: view < click < purchase
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0, "{}"),
+      // u2's only click precedes their view -> stops at viewed
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view", 1.0, "{}"),
+      // u3 purchases before clicking -> stops at clicked
+      (6L, ts("2024-01-01 08:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 08:20:00"), 3L, "purchase", 1.0, "{}"),
+      (8L, ts("2024-01-01 08:30:00"), 3L, "click", 1.0, "{}"),
+      // u4 never views
+      (9L, ts("2024-01-01 07:00:00"), 4L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.eventFunnelDf(events).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 3L, 2L, 1L)))
+  }
+
+  test("rolling actives: trailing 7-day windows clip at the horizon") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.rollingActivesDf(events).collect()
+      .map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+    // horizon is 01-03: day-01 user-days would cover 01..07 but clip there
+    assert(r == Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-02" -> ((0L, 2L)),
+      "2024-01-03" -> ((1L, 2L))))
+  }
+
+  test("pagerank: a clique of identical docs is the all-million fixed point") {
+    // 3 identical docs -> K3 pair graph, degree 2 each; every node sends
+    // 2 x (rank div 2) so rank stays exactly 1,000,000 ppm through all
+    // five integer iterations
+    val docs = docsDf(Seq(
+      (0L, "the quick brown fox jumps over dogs", "en", "s", 35L),
+      (1L, "the quick brown fox jumps over dogs", "en", "s", 35L),
+      (2L, "the quick brown fox jumps over dogs", "en", "s", 35L)))
+    val r = Dedup.pairGraphPagerankDf(docs).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+    assert(r == Map(0L -> ((2L, 1000000L)), 1L -> ((2L, 1000000L)), 2L -> ((2L, 1000000L))))
+  }
+
+  test("pagerank on sf0.001: ranks bounded below by the damping floor, top-20 cut") {
+    val r = Dedup.pairGraphPagerank(spark, Sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 1L, "graph nodes have at least one neighbor")
+      assert(row.getLong(2) >= 150000L, "rank never drops below the damping floor")
+    }
+    // presentation order: rank desc, doc_id asc
+    val ranks = r.map(row => (row.getLong(2), row.getLong(0)))
+    assert(ranks.sameElements(ranks.sortBy(t => (-t._1, t._2))))
+  }
+
+  test("normalized dups: whitespace/case tier and bag-of-words tier each reclaim mass") {
+    val docs = docsDf(Seq(
+      (0L, "Alpha  Beta", "en", "s", 11L), // ws+case variant of doc 1
+      (1L, "alpha beta", "en", "s", 10L),
+      (2L, "beta alpha", "en", "s", 10L), // reordered -> only bow catches it
+      (3L, "gamma delta", "en", "s", 11L)))
+    val r = Dedup.normalizedDupsDf(docs).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((4L, 4L, 3L, 2L)))
+  }
+
+  test("grouped HLL users: exact counts match a direct distinct; flags true (sf0.001)") {
+    val events = Tables.load(spark, Sf, "events")
+    val direct = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = EventOps.approxUsersPerTypeDf(events).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == direct(r.getString(0)))
+      assert(r.getBoolean(2), s"HLL flag false for ${r.getString(0)}")
+    }
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
