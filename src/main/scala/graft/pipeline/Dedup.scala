@@ -521,9 +521,13 @@ object Dedup {
 
   def pairGraphPagerankDf(docs: DataFrame): DataFrame = {
     val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    // materialized once: deg, the degree-annotated edge list and the rank
+    // seed all derive from the edge list — without this the O(corpus)
+    // pair mining would re-run for each of them
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("s", "t")
+      .localCheckpoint()
     val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
     // static across iterations: every edge with its source degree
     val edgesDeg = edges.join(deg, "s").localCheckpoint()

@@ -138,6 +138,31 @@ object StreamingOps extends Serializable {
         count(lit(1)).as("hist_events"),
         sum(round(col("value") * 100).cast("long")).as("hist_value_cents"))
 
+  /** Stream-stream interval join — each click is attributed to every view
+    * the same user made in the preceding 30 minutes: Spark's watermarked
+    * stream-stream inner join. The time-bound condition plus both
+    * watermarks let the state store evict rows once they can no longer
+    * match (views age out 30 minutes + watermark after their event time),
+    * so state stays bounded at any ingest rate — the attribution-join
+    * shape of an online ads/analytics pipeline, and the streaming twin of
+    * the batch as-of/range joins (eq18/eq19). Batch parity: the same
+    * predicate as a plain batch join — pinned by test. */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      expr("""user_id = click_user AND
+             |view_ts <= click_ts AND
+             |view_ts >= click_ts - INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */

@@ -221,4 +221,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "stream-admitted documents must equal the batch gate output")
     assert(got.nonEmpty, "the gate must admit a nonempty sample from the fixture")
   }
+
+  test("stream-stream interval join: clicks attribute to in-window views, state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    def df(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamingOps.viewClickAttribution(df(views), df(clicks))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    views.addData(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // in-window for click 200
+      (1L, 101L, ts("2024-01-01 09:20:00")), // 45 min before -> out of window
+      (2L, 102L, ts("2024-01-01 10:01:00"))) // other user
+    clicks.addData(
+      (1L, 200L, ts("2024-01-01 10:05:00")),
+      (3L, 201L, ts("2024-01-01 10:06:00"))) // user with no views
+    q.processAllAvailable()
+    // watermark pushers on both sides so earlier results finalize
+    views.addData((9L, 999L, ts("2024-01-01 12:00:00")))
+    clicks.addData((9L, 998L, ts("2024-01-01 12:31:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 200L)),
+      "only the same-user in-window view attributes; stale and cross-user views don't")
+    // batch parity: the identical predicate as a plain join over the union
+    val allViews = Seq((1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 09:20:00")), (2L, 102L, ts("2024-01-01 10:01:00")),
+      (9L, 999L, ts("2024-01-01 12:00:00"))).toDF("user_id", "event_id", "ts")
+    val allClicks = Seq((1L, 200L, ts("2024-01-01 10:05:00")),
+      (3L, 201L, ts("2024-01-01 10:06:00")), (9L, 998L, ts("2024-01-01 12:31:00")))
+      .toDF("user_id", "event_id", "ts")
+    val batch = StreamingOps.viewClickAttribution(allViews, allClicks)
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 12:00 view -> 12:31 click pusher pair sits just past the
+    // inclusive 30-minute bound in batch too, so batch equals the stream
+    assert(batch == got, "stream-stream join must agree with the batch predicate")
+  }
 }
