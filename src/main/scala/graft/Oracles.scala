@@ -1494,6 +1494,71 @@ object Oracles {
         |        / (CAST(n_ranks*sxx - sx*sx AS DOUBLE) * CAST(n_ranks*syy - sy*sy AS DOUBLE)), 6) AS r2
         |FROM m""".stripMargin,
 
+    // eq64: SCD-2 tier intervals — lag collapses runs, lead closes
+    // intervals, both over the total (ts, event_id) order; %f renders
+    // 6-digit microseconds like Spark's SSSSSS.
+    "eq64_scd2_intervals" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN value < 20 THEN 'low'
+        |              WHEN value < 55 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM p),
+        |ch AS (SELECT * FROM l WHERE prev_tier IS NULL OR tier <> prev_tier),
+        |v AS (SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts FROM ch)
+        |SELECT user_id, tier,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       COALESCE(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to,
+        |       valid_to_ts IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    // eq67: CDC last-write-wins compaction — latest change per key by the
+    // total (ts, event_id) order, 'error' rows read as tombstones.
+    "eq67_cdc_compact" ->
+      """WITH cl AS (
+        |  SELECT * FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM cl)
+        |SELECT user_id, event_type AS last_op,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // eq69: key-skew diagnosis — shares as exact integer ppm; entropy via
+    // the eq62 micro-integer convention (floor(cnt·ln(total/cnt)·1e6)
+    // summed exactly, one final division).
+    "eq69_key_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM events),
+        |pk AS (
+        |  SELECT cnt, cnt * 1000000 // total AS share_ppm,
+        |         CAST(floor(cnt * ln(CAST(total AS DOUBLE) / cnt) * 1e6) AS BIGINT) AS e_micro,
+        |         user_id
+        |  FROM c CROSS JOIN t),
+        |top AS (SELECT SUM(cnt) AS top10_cnt FROM
+        |        (SELECT cnt FROM pk ORDER BY cnt DESC, user_id ASC LIMIT 10))
+        |SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       MAX(share_ppm) AS max_share_ppm,
+        |       CAST((SELECT top10_cnt FROM top) * 1000000 // (SELECT total FROM t) AS BIGINT) AS top10_share_ppm,
+        |       ROUND(CAST(SUM(e_micro) AS DOUBLE) / ((SELECT total FROM t) * 1e6), 6) AS entropy_nats
+        |FROM pk""".stripMargin,
+
+    // eq70: harmonic-decay engagement — all-integer terms
+    // (cents·10000 // (1+age)), operands positive so // ≡ Spark's div.
+    "eq70_decay_scores" ->
+      """WITH h AS (SELECT MAX(ts)::DATE AS max_day FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |         (CAST(round(value * 100) AS BIGINT) * 10000)
+        |           // (1 + date_diff('day', ts::DATE, max_day)) AS term
+        |  FROM events CROSS JOIN h)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       ROUND(CAST(SUM(term) AS DOUBLE) / 1e6, 6) AS decay_score
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // eq63: distinct-content counts under raw / whitespace-normalized /
     // sorted bag-of-words keys — t is the shared token pipeline, so the
     // normalization can never drift from eq7/eq32's tokenization.

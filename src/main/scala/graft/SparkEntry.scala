@@ -94,6 +94,10 @@ object SparkEntry {
     "eq61_pair_pagerank"     -> (Dedup.pairGraphPagerank _),
     "eq62_zipf_slope"        -> (CorpusOps.zipfSlope _),
     "eq63_normalized_dups"   -> (Dedup.normalizedDups _),
+    "eq64_scd2_intervals"    -> (EventOps.scd2Tiers _),
+    "eq67_cdc_compact"       -> (EventOps.cdcCompact _),
+    "eq69_key_skew"          -> (EventOps.keySkewStats _),
+    "eq70_decay_scores"      -> (EventOps.decayScores _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -223,6 +223,132 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** eq64 — SCD Type-2 dimension build: per-user purchase-value tier
+    * tracked as validity intervals, the warehouse pattern for "what was
+    * this attribute WHEN the fact happened" (Kimball slowly-changing
+    * dimensions). Consecutive identical tiers collapse; each surviving
+    * change point opens an interval `[valid_from, valid_to)` whose close
+    * is the next change's open (`lead`), the last one flagged current.
+    * Ordering is the total (ts, event_id) key, so equal timestamps
+    * version deterministically. Both windows partition on user_id — one
+    * shuffle, two in-partition sorts; at 100 TB each user's history
+    * builds inside its partition and nothing is driver-side. */
+  def scd2Tiers(spark: SparkSession, dir: String): DataFrame =
+    scd2TiersDf(Tables.load(spark, dir, "events"))
+
+  def scd2TiersDf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    events
+      .filter(col("event_type") === "purchase")
+      .withColumn("tier",
+        when(col("value") < 20, "low")
+          .when(col("value") < 55, "mid")
+          .otherwise("high"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("tier"),
+        date_format(col("ts"), fmt).as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), fmt), lit("current"))
+          .as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** eq67 — CDC changelog compaction (last-write-wins with tombstones):
+    * signup/purchase upsert a user's profile row, `error` is read as a
+    * tombstone; the materialized state is each key's latest change by the
+    * total (ts, event_id) order, minus tombstoned keys — the same
+    * semantics a streaming MERGE / compacted-topic reader applies. The
+    * row_number and the per-key change count ride one user_id window
+    * partitioning: one shuffle, no join, works key-parallel at any
+    * scale. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame =
+    cdcCompactDf(Tables.load(spark, dir, "events"))
+
+  def cdcCompactDf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val latest = byUser.orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_changes", count(lit(1)).over(byUser))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(
+        col("user_id"),
+        col("event_type").as("last_op"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  /** eq69 — grouping-key skew diagnosis: the pre-flight check before any
+    * large shuffle — per-key share of rows (exact integer ppm), the top-10
+    * keys' combined share, and Shannon entropy in nats. Entropy uses the
+    * eq62 micro-integer convention: each key contributes
+    * `floor(cnt · ln(total/cnt) · 1e6)`, an exact BIGINT, so the sum is
+    * order-free and both engines agree bit-for-bit; one final division
+    * renders nats at 6 dp. One groupBy(key) shuffle; the top-10 is a
+    * TakeOrderedAndProject over the ≤|keys| aggregate, and the three
+    * 1-row summaries combine by broadcast. */
+  def keySkewStats(spark: SparkSession, dir: String): DataFrame =
+    keySkewStatsDf(Tables.load(spark, dir, "events"))
+
+  def keySkewStatsDf(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val total = events.agg(count(lit(1)).as("total"))
+    val perKey = cnts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("cnt * 1000000L div total"))
+      .withColumn("e_micro",
+        floor(col("cnt") * log(col("total").cast("double") / col("cnt")) * lit(1e6))
+          .cast("long"))
+    val top10 = perKey
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+      .agg(sum(col("cnt")).as("top10_cnt"))
+    perKey
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("share_ppm")).as("max_share_ppm"),
+        sum(col("e_micro")).as("e_sum"))
+      .crossJoin(broadcast(top10))
+      .crossJoin(broadcast(total))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_share_ppm"),
+        expr("top10_cnt * 1000000L div total").as("top10_share_ppm"),
+        round(col("e_sum").cast("double") / (col("total") * lit(1e6)), 6)
+          .as("entropy_nats"))
+  }
+
+  /** eq70 — recency-weighted engagement scores: per user,
+    * Σ value · 1/(1 + age_days) over all events, the harmonic-decay
+    * freshness score behind "active and still buying" rankings. The
+    * arithmetic is ALL integer: 2-dp values become exact cents, each
+    * term is `(cents · 10000) div (1 + age_days)` (operands positive, so
+    * trunc ≡ floor in both engines), and the per-user sum of BIGINTs is
+    * order-free — one final /1e6 division renders the score. The horizon
+    * (max day) is a broadcast 1-row aggregate; the per-user aggregation
+    * is the only shuffle. */
+  def decayScores(spark: SparkSession, dir: String): DataFrame =
+    decayScoresDf(Tables.load(spark, dir, "events"))
+
+  def decayScoresDf(events: DataFrame): DataFrame = {
+    val horizon = events.agg(to_date(max(col("ts"))).as("max_day"))
+    events
+      .crossJoin(broadcast(horizon))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("age_d", datediff(col("max_day"), to_date(col("ts"))))
+      .withColumn("term", expr("cents * 10000L div (1 + age_d)"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("term")).cast("double") / lit(1e6), 6).as("decay_score"))
+      .orderBy("user_id")
+  }
+
   /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
     * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
     * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%

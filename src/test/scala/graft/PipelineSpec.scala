@@ -729,6 +729,65 @@ class PipelineSpec extends SparkSpec {
       "2024-01-03" -> ((1L, 2L))))
   }
 
+  test("scd2 intervals: runs collapse, lead closes, last version current") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0, "{}"),  // low
+      (2L, ts("2024-01-02 10:00:00"), 1L, "purchase", 15.0, "{}"),  // low (collapsed)
+      (3L, ts("2024-01-03 10:00:00"), 1L, "purchase", 100.0, "{}"), // high
+      (4L, ts("2024-01-04 10:00:00"), 1L, "purchase", 5.0, "{}"),   // low again
+      (5L, ts("2024-01-05 10:00:00"), 1L, "view", 999.0, "{}"))     // ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.scd2TiersDf(events).collect()
+      .map(row => (row.getString(1), row.getString(2), row.getString(3), row.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      ("low", "2024-01-01 10:00:00.000000", "2024-01-03 10:00:00.000000", false),
+      ("high", "2024-01-03 10:00:00.000000", "2024-01-04 10:00:00.000000", false),
+      ("low", "2024-01-04 10:00:00.000000", "current", true)))
+  }
+
+  test("cdc compact: last write wins, error rows tombstone the key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "purchase", 5.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"),
+      (4L, ts("2024-01-02 10:00:00"), 2L, "error", 0.0, "{}"),  // tombstoned
+      (5L, ts("2024-01-01 10:00:00"), 3L, "error", 0.0, "{}"),
+      (6L, ts("2024-01-02 10:00:00"), 3L, "signup", 0.0, "{}"), // re-created
+      (7L, ts("2024-01-03 10:00:00"), 3L, "view", 0.0, "{}"))   // not changelog
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.cdcCompactDf(events).collect()
+      .map(row => row.getLong(0) -> ((row.getString(1), row.getLong(3)))).toMap
+    assert(r == Map(1L -> (("purchase", 2L)), 3L -> (("signup", 2L))))
+  }
+
+  test("key skew: two uniform keys give ln(2) entropy and 50% max share") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.keySkewStatsDf(events).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 4L, 500000L, 1000000L)))
+    assert(r.getDouble(4) == 0.693147) // floor(2·ln2·1e6)·2 / 4e6
+  }
+
+  test("decay scores: harmonic weights halve a one-day-old unit value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "purchase", 1.0, "{}"), // age 0 -> 1.0
+      (2L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"), // age 1 -> 0.5
+      (3L, ts("2024-01-01 09:00:00"), 2L, "view", 2.0, "{}"))     // age 1 -> 1.0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.decayScoresDf(events).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getDouble(2)))).toMap
+    assert(r == Map(1L -> ((2L, 1.5)), 2L -> ((1L, 1.0))))
+  }
+
   test("pagerank: a clique of identical docs is the all-million fixed point") {
     // 3 identical docs -> K3 pair graph, degree 2 each; every node sends
     // 2 x (rank div 2) so rank stays exactly 1,000,000 ppm through all

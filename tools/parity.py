@@ -17,6 +17,9 @@ for p in glob.glob(f'{sf}/*.parquet'):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+if len(sys.argv) > 3:  # optional comma-separated subset of query names
+    keep = set(sys.argv[3].split(','))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
