@@ -1494,6 +1494,69 @@ object Oracles {
         |        / (CAST(n_ranks*sxx - sx*sx AS DOUBLE) * CAST(n_ranks*syy - sy*sy AS DOUBLE)), 6) AS r2
         |FROM m""".stripMargin,
 
+    // eq71: Gramian top pairs — per-(row, cell) terms are floor(vi·vj·1e6)
+    // (float→double exact, two correctly-rounded IEEE ops), so the sums
+    // are exact BIGINTs in both engines; tie-broken by (i, j).
+    "eq71_gram_matrix" ->
+      """WITH ue AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS s
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.s - 1 AS i, b.s - 1 AS j,
+        |         CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e6) AS BIGINT) AS t
+        |  FROM ue a JOIN ue b ON a.vec_id = b.vec_id AND a.s < b.s)
+        |SELECT i, j, CAST(SUM(t) AS BIGINT) AS gram_micro
+        |FROM p GROUP BY 1, 2
+        |ORDER BY abs(gram_micro) DESC, i, j LIMIT 50""".stripMargin,
+
+    // eq65: weighted corpus mixing — md5-of-id rank within source vs the
+    // source-derived quota; pure function of (source, doc_id).
+    "eq65_corpus_mix" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS mix_key,
+        |         1 + CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 AS weight
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY mix_key, doc_id) AS mix_rank
+        |      FROM k)
+        |SELECT source, doc_id, weight, mix_rank
+        |FROM r WHERE mix_rank <= weight * 8
+        |ORDER BY source, mix_rank""".stripMargin,
+
+    // eq66: sorted-neighborhood blocking — rank window inside the
+    // first-token block, pairs at rank distance ≤ 3, exact token-set
+    // Jaccard ≥ 0.5. The tokenizer is the shared toks CTE.
+    "eq66_sorted_neighborhood" ->
+      s"""WITH $toksCte,
+        |s AS (SELECT doc_id, list_distinct(t) AS ts, t[1] AS blk,
+        |             array_to_string(t, ' ') AS sk
+        |      FROM toks WHERE len(t) >= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rn FROM s),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rn - a.rn AS rank_dist,
+        |             len(list_intersect(a.ts, b.ts)) AS common,
+        |             len(a.ts) AS sza, len(b.ts) AS szb
+        |      FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+        |j AS (SELECT doc_a, doc_b, rank_dist,
+        |             common::DOUBLE / (sza + szb - common) AS jac FROM p)
+        |SELECT doc_a, doc_b, rank_dist, ROUND(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.5::DOUBLE
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // eq68: equi-depth histogram — exact decile boundaries (quantile_cont
+    // ≡ Spark percentile, the eq22 parity), bin = 1 + #boundaries ≤ value.
+    "eq68_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+        |          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+        |          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+        |          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+        |          quantile_cont(value, 0.9)] AS bs
+        |  FROM events)
+        |SELECT 1 + len(list_filter(bs, x -> value >= x)) AS bin,
+        |       COUNT(*) AS n, ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+        |FROM events CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // eq64: SCD-2 tier intervals — lag collapses runs, lead closes
     // intervals, both over the total (ts, event_id) order; %f renders
     // 6-digit microseconds like Spark's SSSSSS.

@@ -95,9 +95,13 @@ object SparkEntry {
     "eq62_zipf_slope"        -> (CorpusOps.zipfSlope _),
     "eq63_normalized_dups"   -> (Dedup.normalizedDups _),
     "eq64_scd2_intervals"    -> (EventOps.scd2Tiers _),
+    "eq65_corpus_mix"        -> (CorpusOps.corpusMix _),
+    "eq66_sorted_neighborhood" -> (Dedup.sortedNeighborhood _),
+    "eq68_equidepth_bins"    -> (graft.star.AggSurface.equidepthBins _),
     "eq67_cdc_compact"       -> (EventOps.cdcCompact _),
     "eq69_key_skew"          -> (EventOps.keySkewStats _),
     "eq70_decay_scores"      -> (EventOps.decayScores _),
+    "eq71_gram_matrix"       -> (Similarity.gramTopPairs _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

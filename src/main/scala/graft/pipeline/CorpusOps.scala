@@ -495,4 +495,29 @@ object CorpusOps {
         sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_long"))
       .orderBy("lang")
   }
+
+  /** eq65 — deterministic weighted corpus mixing: each source contributes
+    * `8 × weight` documents (weight 1–3 derived from the source id), the
+    * members chosen by ascending md5 of the doc_id — the reproducible
+    * "mixture spec → concrete document list" step of training-data
+    * assembly. Because selection is a pure function of (source, doc_id),
+    * re-partitioning, replication, and incremental re-builds pick the
+    * SAME mixture; no RNG state, no driver-side shuffle of ids. One
+    * shuffle (partition by source) and a rank window inside it; quotas
+    * are O(1) per source, so the plan is flat at any corpus size. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMixDf(Tables.load(spark, dir, "documents"))
+
+  def corpusMixDf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("mix_key", "doc_id")
+    docs
+      .withColumn("mix_key", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("weight",
+        lit(1) + regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 3)
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("weight") * 8)
+      .select(col("source"), col("doc_id"), col("weight"), col("mix_rank"))
+      .orderBy("source", "mix_rank")
+  }
 }

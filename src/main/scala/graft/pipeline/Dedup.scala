@@ -594,4 +594,46 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** eq66 — sorted-neighborhood blocking (Hernández–Stolfo): documents
+    * sort by their normalized text inside a first-token block, and only
+    * pairs within rank distance ≤ 3 are compared — the classic
+    * entity-resolution compromise that turns O(N²) comparison into
+    * O(N·w) while the sort clusters look-alikes. Cross-block neighbors
+    * are deliberately out of contract (that's the blocking trade-off;
+    * the lossless alternatives are eq12's inverted index / x1's LSH).
+    * Pairs are emitted in rank order with their exact token-set Jaccard,
+    * kept at ≥ 0.5. One shuffle on the block key; the rank window and
+    * the rank-distance self-join stay inside that partitioning, so no
+    * global sort and no cartesian anywhere in the plan. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodDf(Tables.load(spark, dir, "documents"))
+
+  def sortedNeighborhoodDf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(
+        col("doc_id"),
+        array_distinct(col("t")).as("ts"),
+        col("t").getItem(0).as("blk"),
+        array_join(col("t"), " ").as("sk"))
+    val w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    // materialized once: both sides of the rank-distance self-join
+    val ranked = toks.withColumn("rn", row_number().over(w)).localCheckpoint()
+    val a = ranked.select(col("blk"), col("doc_id").as("doc_a"),
+      col("ts").as("ts_a"), col("rn").as("rn_a"))
+    val b = ranked.select(col("blk"), col("doc_id").as("doc_b"),
+      col("ts").as("ts_b"), col("rn").as("rn_b"))
+    a.join(b, Seq("blk"))
+      .filter((col("rn_b") - col("rn_a")).between(1, 3))
+      .withColumn("common", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("ts_a")) + size(col("ts_b")) - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        (col("rn_b") - col("rn_a")).as("rank_dist"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -363,4 +363,31 @@ object Similarity {
       .reduce(_ unionByName _)
       .orderBy("method")
   }
+
+  /** eq71 — Gramian top pairs: the strongest off-diagonal covariance
+    * structure of the embedding space (Σ vᵢvⱼ over the corpus), computed
+    * in ONE pass by [[graft.functions.GramAggregator]] — executors
+    * exchange 16 KB triangle buffers, never vectors, and every cell is an
+    * exact micro-integer (see the aggregator's Scaladoc for why that
+    * makes the result engine-independent). The d² cell→(i,j) mapping is a
+    * broadcast 2,080-row join, and the top-50 is a TakeOrderedAndProject
+    * over d² rows — nothing downstream of the scan depends on corpus
+    * size. This is the statistics pass a PCA/whitening stage runs before
+    * projecting a 100 TB embedding table. */
+  def gramTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 64
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("embedding")).as[Array[Float]]
+    val gram = vecs.select(new graft.functions.GramAggregator(d).toColumn).toDF("g")
+    val idx = (for { i <- 0 until d; j <- i until d }
+      yield (i * d - i * (i - 1) / 2 + (j - i), i, j)).toDF("pos", "i", "j")
+    gram
+      .select(posexplode(col("g")).as(Seq("pos", "gram_micro")))
+      .join(broadcast(idx), "pos")
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("gram_micro"))
+      .orderBy(abs(col("gram_micro")).desc, col("i"), col("j"))
+      .limit(50)
+  }
 }

@@ -169,4 +169,30 @@ object AggSurface {
         round(min(col("value")), 6).as("vmin"),
         round(max(col("value")), 6).as("vmax"))
       .orderBy("event_type")
+
+  /** eq68 — equi-depth histogram of `value`: exact decile boundaries
+    * (eq22's `percentile` ≡ `quantile_cont` parity), broadcast back as a
+    * 9-element array, each row binned by a codegen'd `aggregate` lambda
+    * (bin = 1 + #boundaries ≤ value) — the optimizer-statistics /
+    * data-profiling primitive. The global percentile is one sort-exact
+    * aggregate; binning is map-side against the broadcast array, so the
+    * only shuffle after it is the 10-group rollup. (The 100 TB variant
+    * swaps `percentile` for `approx_percentile` — same plan shape; exact
+    * is kept here because the oracle hash-checks it.) */
+  def equidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val bounds = events.agg(
+      expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bs"))
+    events
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr("1 + aggregate(bs, 0, (acc, b) -> acc + CASE WHEN value >= b THEN 1 ELSE 0 END)"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy("bin")
+  }
 }

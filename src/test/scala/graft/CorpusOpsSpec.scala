@@ -15,6 +15,20 @@ class CorpusOpsSpec extends SparkSpec {
 
   private def fixtureDocs = Tables.load(spark, Sf, "documents")
 
+  test("corpus mix: per-source quotas honored, ranks dense, selection deterministic") {
+    val out = CorpusOps.corpusMixDf(fixtureDocs).collect()
+    val bySource = out.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      val weight = 1 + src.replaceAll("\\D", "").toInt % 3
+      assert(rows.length <= weight * 8, s"$src over quota")
+      val ranks = rows.map(_.getAs[Int]("mix_rank")).sorted
+      assert(ranks.sameElements(1 to rows.length), s"$src ranks not dense")
+      assert(rows.forall(_.getAs[Int]("weight") == weight))
+    }
+    val again = CorpusOps.corpusMixDf(fixtureDocs).collect()
+    assert(out.sameElements(again), "mixing must reproduce bit-for-bit")
+  }
+
   test("stratified sample: rate-1000 stratum keeps everything, rate-0 drops everything") {
     // fr rate is 1000 per-mille in SampleRatePerMille -> every fr doc kept
     val fr = fixtureDocs.filter(col("lang") === "fr")

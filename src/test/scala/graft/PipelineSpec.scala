@@ -788,6 +788,44 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(1L -> ((2L, 1.5)), 2L -> ((1L, 1.0))))
   }
 
+  test("gram aggregator: hand-computed triangle; floor is toward -inf") {
+    val ds = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDS()
+    val g = ds.select(new graft.functions.GramAggregator(2).toColumn).head()
+    // (0,0): 1+9  (0,1): 2+12  (1,1): 4+16, all in exact micro-units
+    assert(g.toSeq == Seq(10000000L, 14000000L, 20000000L))
+    val neg = Seq(Array(-0.3f, 1.0f)).toDS()
+      .select(new graft.functions.GramAggregator(2).toColumn).head()
+    // -0.3f widens to -0.30000001192…, so the cross term floors DOWN
+    assert(neg(1) == -300001L, "floor must go toward -inf on negative products")
+    val top = Similarity.gramTopPairs(spark, Sf).collect()
+    assert(top.length == 50)
+    assert(top.forall(r => r.getInt(0) < r.getInt(1)))
+    val mags = top.map(r => math.abs(r.getLong(2)))
+    assert(mags.sameElements(mags.sortBy(-(_: Long))), "ordered by |gram| desc")
+  }
+
+  test("sorted neighborhood: window pairs found, cross-block and far ranks excluded") {
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L), // identical -> rank-adjacent
+      (3L, "alpha beta gamma zeta", "en", "s", 21L),  // jac 3/5 with 0 and 1
+      (2L, "zeta beta gamma delta", "en", "s", 21L),  // other block: never compared
+      // block "c": the similar ends are 5 ranks apart -> outside the window
+      (10L, "c aaa zzz", "en", "s", 9L),
+      (11L, "c ddd x1", "en", "s", 8L),
+      (12L, "c eee x2", "en", "s", 8L),
+      (13L, "c fff x3", "en", "s", 8L),
+      (14L, "c ggg x4", "en", "s", 8L),
+      (15L, "c zzz aaa", "en", "s", 9L)))
+    val r = Dedup.sortedNeighborhoodDf(docs).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        ((row.getAs[Int]("rank_dist"), row.getDouble(3)))).toMap
+    assert(r == Map(
+      (0L, 1L) -> ((1, 1.0)),
+      (0L, 3L) -> ((2, 0.6)),
+      (1L, 3L) -> ((1, 0.6))))
+  }
+
   test("pagerank: a clique of identical docs is the all-million fixed point") {
     // 3 identical docs -> K3 pair graph, degree 2 each; every node sends
     // 2 x (rank div 2) so rank stays exactly 1,000,000 ppm through all

@@ -47,4 +47,15 @@ class StarQueriesSpec extends SparkSpec {
       assert(qtys.sameElements(qtys.sortBy(-_)))
     }
   }
+
+  test("eq68: ten near-equal bins, rows conserved, ranges ordered and disjoint") {
+    val rows = graft.star.AggSurface.equidepthBins(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == (1 to 10))
+    val total = Tables.load(spark, Sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n") - total / 10.0) <= 5))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    case _ => }
+  }
 }
