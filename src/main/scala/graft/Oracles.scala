@@ -1510,6 +1510,98 @@ object Oracles {
         |FROM p GROUP BY 1, 2
         |ORDER BY abs(gram_micro) DESC, i, j LIMIT 50""".stripMargin,
 
+    // eq72: integer power iteration on the eq71 Gramian — renormalization
+    // is sign·(abs // mx) so trunc/floor semantics agree across engines;
+    // MATERIALIZED stops the chained CTEs re-inlining exponentially.
+    "eq72_pca_power" -> {
+      def iter(p: String, c: String, w: String, n: String): String =
+        s"""$w AS MATERIALIZED (
+           |  SELECT m.i AS pos, CAST(SUM(m.s * $p.v) AS BIGINT) AS w
+           |  FROM m JOIN $p ON $p.pos = m.j GROUP BY 1),
+           |$n AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS mx FROM $w),
+           |$c AS MATERIALIZED (
+           |  SELECT pos, CAST(CASE WHEN w < 0 THEN -(ABS(w) // mx)
+           |                        ELSE ABS(w) // mx END AS BIGINT) AS v
+           |  FROM $w CROSS JOIN $n)""".stripMargin
+      s"""WITH ue AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS s
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.s - 1 AS i, b.s - 1 AS j,
+        |         CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e6) AS BIGINT) AS t
+        |  FROM ue a JOIN ue b ON a.vec_id = b.vec_id AND a.s <= b.s),
+        |g AS MATERIALIZED (SELECT i, j, CAST(SUM(t) AS BIGINT) AS s FROM p GROUP BY 1, 2),
+        |m AS MATERIALIZED (SELECT i, j, s FROM g UNION ALL SELECT j, i, s FROM g WHERE i <> j),
+        |v0 AS MATERIALIZED (SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v FROM m),
+        |${iter("v0", "v1", "w1", "n1")},
+        |${iter("v1", "v2", "w2", "n2")},
+        |${iter("v2", "v3", "w3", "n3")},
+        |${iter("v3", "v4", "w4", "n4")},
+        |${iter("v4", "v5", "w5", "n5")}
+        |SELECT pos, v AS loading_ppm FROM v5 ORDER BY pos""".stripMargin
+    },
+
+    // eq73: behavioral trigram paths — two leads over the total
+    // (ts, event_id) per-user order; top-20 by count then path.
+    "eq73_session_paths" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        |  FROM events)
+        |SELECT event_type || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n_walks
+        |FROM l WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_walks DESC, path ASC LIMIT 20""".stripMargin,
+
+    // eq74: column profiler — one row per column; doubles render %.6f
+    // (exact at 2 dp), timestamps in the shared micro format.
+    "eq74_profile_columns" ->
+      """SELECT 'event_id' AS col_name,
+        |       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       COUNT(DISTINCT event_id) AS n_distinct,
+        |       CAST(MIN(event_id) AS VARCHAR) AS min_repr,
+        |       CAST(MAX(event_id) AS VARCHAR) AS max_repr
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT ts),
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f'),
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT user_id),
+        |       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT value),
+        |       printf('%.6f', MIN(value)), printf('%.6f', MAX(value))
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT props), MIN(props), MAX(props)
+        |FROM events
+        |ORDER BY col_name""".stripMargin,
+
+    // eq75: edit-distance record linkage — eq66's blocking, levenshtein
+    // over the 40-char normalized prefix (unit-cost Wagner–Fischer in
+    // both engines).
+    "eq75_edit_linkage" ->
+      s"""WITH $toksCte,
+        |s AS (SELECT doc_id, t[1] AS blk, array_to_string(t, ' ') AS sk
+        |      FROM toks WHERE len(t) >= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rn FROM s),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             levenshtein(substr(a.sk, 1, 40), substr(b.sk, 1, 40)) AS lev
+        |      FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3)
+        |SELECT doc_a, doc_b, lev FROM p WHERE lev <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // eq65: weighted corpus mixing — md5-of-id rank within source vs the
     // source-derived quota; pure function of (source, doc_id).
     "eq65_corpus_mix" ->

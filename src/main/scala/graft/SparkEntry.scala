@@ -102,6 +102,10 @@ object SparkEntry {
     "eq69_key_skew"          -> (EventOps.keySkewStats _),
     "eq70_decay_scores"      -> (EventOps.decayScores _),
     "eq71_gram_matrix"       -> (Similarity.gramTopPairs _),
+    "eq72_pca_power"         -> (Similarity.pcaPowerIteration _),
+    "eq73_session_paths"     -> (EventOps.sessionPaths _),
+    "eq74_profile_columns"   -> (EventOps.profileColumns _),
+    "eq75_edit_linkage"      -> (Dedup.editLinkage _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -636,4 +636,36 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** eq75 — record linkage by bounded edit distance: eq66's
+    * sorted-neighborhood candidates re-scored with `levenshtein` over the
+    * normalized 40-char prefix — the fuzzy-string comparator entity
+    * resolution uses where token sets are too coarse (typos,
+    * hyphenation, OCR noise). The prefix cap bounds the DP at 40×40
+    * cells per pair, so the comparator cost is a constant on top of the
+    * same O(N·w) blocking plan as eq66 — no global sort, no cartesian;
+    * Spark and DuckDB both implement unit-cost Wagner–Fischer, which is
+    * what makes the distance hash-checkable. */
+  def editLinkage(spark: SparkSession, dir: String): DataFrame =
+    editLinkageDf(Tables.load(spark, dir, "documents"))
+
+  def editLinkageDf(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t").getItem(0).as("blk"),
+        array_join(col("t"), " ").as("sk"))
+    val w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    val ranked = keyed.withColumn("rn", row_number().over(w)).localCheckpoint()
+    val a = ranked.select(col("blk"), col("doc_id").as("doc_a"),
+      substring(col("sk"), 1, 40).as("pk_a"), col("rn").as("rn_a"))
+    val b = ranked.select(col("blk"), col("doc_id").as("doc_b"),
+      substring(col("sk"), 1, 40).as("pk_b"), col("rn").as("rn_b"))
+    a.join(b, Seq("blk"))
+      .filter((col("rn_b") - col("rn_a")).between(1, 3))
+      .withColumn("lev", levenshtein(col("pk_a"), col("pk_b")))
+      .filter(col("lev") <= 10)
+      .select(col("doc_a"), col("doc_b"), col("lev"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -349,6 +349,73 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** eq73 — behavioral path mining: the top event-type trigrams users
+    * actually walk (view>click>purchase, error>view>error, …), the
+    * session-path analysis behind UX funnels and bot signatures. The
+    * trigram at each position is two `lead`s over the total
+    * (ts, event_id) per-user order — NO collect_list, no per-user arrays:
+    * the window is one shuffle on user_id, the trigram rows stream out of
+    * it, and the global count + top-20 is a TakeOrderedAndProject over a
+    * ≤|types|³ aggregate. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPathsDf(Tables.load(spark, dir, "events"))
+
+  def sessionPathsDf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .filter(col("e1").isNotNull && col("e2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e1"), col("e2")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_walks"))
+      .orderBy(col("n_walks").desc, col("path").asc)
+      .limit(20)
+  }
+
+  /** eq74 — column profiler: per-column null count, distinct count, and
+    * min/max rendered to strings — the schema-health pass an ingest
+    * pipeline runs before accepting a new drop. One wide aggregate (the
+    * six distincts share one Expand), then a 6-element explode pivots the
+    * single row into per-column rows; doubles render via %.6f (exact for
+    * the 2-dp fixture values), timestamps via the micro format, so the
+    * strings are engine-independent. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    profileColumnsDf(Tables.load(spark, dir, "events"))
+
+  def profileColumnsDf(events: DataFrame): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"${c}_nulls")
+    val agg = events.agg(
+      nulls("event_id"), countDistinct(col("event_id")).as("event_id_d"),
+      min(col("event_id")).cast("string").as("event_id_min"),
+      max(col("event_id")).cast("string").as("event_id_max"),
+      nulls("ts"), countDistinct(col("ts")).as("ts_d"),
+      date_format(min(col("ts")), fmt).as("ts_min"),
+      date_format(max(col("ts")), fmt).as("ts_max"),
+      nulls("user_id"), countDistinct(col("user_id")).as("user_id_d"),
+      min(col("user_id")).cast("string").as("user_id_min"),
+      max(col("user_id")).cast("string").as("user_id_max"),
+      nulls("event_type"), countDistinct(col("event_type")).as("event_type_d"),
+      min(col("event_type")).as("event_type_min"),
+      max(col("event_type")).as("event_type_max"),
+      nulls("value"), countDistinct(col("value")).as("value_d"),
+      format_string("%.6f", min(col("value"))).as("value_min"),
+      format_string("%.6f", max(col("value"))).as("value_max"),
+      nulls("props"), countDistinct(col("props")).as("props_d"),
+      min(col("props")).as("props_min"),
+      max(col("props")).as("props_max"))
+    def cell(c: String) = struct(
+      lit(c).as("col_name"), col(s"${c}_nulls").as("n_null"),
+      col(s"${c}_d").as("n_distinct"),
+      col(s"${c}_min").as("min_repr"), col(s"${c}_max").as("max_repr"))
+    agg
+      .select(explode(array(cell("event_id"), cell("ts"), cell("user_id"),
+        cell("event_type"), cell("value"), cell("props"))).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
   /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
     * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
     * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%

@@ -374,7 +374,17 @@ object Similarity {
     * over d² rows — nothing downstream of the scan depends on corpus
     * size. This is the statistics pass a PCA/whitening stage runs before
     * projecting a 100 TB embedding table. */
-  def gramTopPairs(spark: SparkSession, dir: String): DataFrame = {
+  def gramTopPairs(spark: SparkSession, dir: String): DataFrame =
+    gramCells(spark, dir)
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("gram_micro"))
+      .orderBy(abs(col("gram_micro")).desc, col("i"), col("j"))
+      .limit(50)
+
+  /** Upper-triangle Gramian cells (i ≤ j, exact micro-integers) from the
+    * single-pass [[graft.functions.GramAggregator]] — shared by eq71's
+    * top-pairs view and eq72's power iteration. */
+  private def gramCells(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = 64
     val vecs = Tables.load(spark, dir, "embeddings")
@@ -385,9 +395,40 @@ object Similarity {
     gram
       .select(posexplode(col("g")).as(Seq("pos", "gram_micro")))
       .join(broadcast(idx), "pos")
-      .filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("gram_micro"))
-      .orderBy(abs(col("gram_micro")).desc, col("i"), col("j"))
-      .limit(50)
+  }
+
+  /** eq72 — dominant PCA axis by integer power iteration: five matvec
+    * rounds `v ← G·v` over the eq71 Gramian, renormalized each round to
+    * ≤10⁶ by integer division (negatives handled as sign·(abs div mx), so
+    * trunc-vs-floor can never diverge between engines — the eq61
+    * convention for iterative algorithms). The corpus-scaled work is ONE
+    * pass (the Gramian aggregation, materialized once); each iteration
+    * then joins a 4,096-row mirrored matrix against a 64-row vector —
+    * driver-free, constant-size, broadcast-planned. This is the
+    * "principal direction of the embedding space" a whitening /
+    * dimensionality audit publishes, without ever collecting vectors. */
+  def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val cells = gramCells(spark, dir)
+    // materialized once: five iterations and the mirror both reuse it —
+    // without this every iteration would re-run the corpus aggregation
+    val tri = cells.localCheckpoint()
+    val m = tri.select(col("i"), col("j"), col("gram_micro").as("s"))
+      .union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gram_micro").as("s")))
+    var v = m.select(col("i").as("pos")).distinct()
+      .withColumn("v", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val w = m.join(v, m("j") === v("pos"))
+        .groupBy(m("i").as("wpos"))
+        .agg(sum(col("s") * col("v")).cast("long").as("w"))
+      val n = w.agg(
+        greatest(expr("max(abs(w)) div 1000000L"), lit(1L)).as("mx"))
+      v = w.crossJoin(broadcast(n))
+        .select(col("wpos").as("pos"),
+          expr("CASE WHEN w < 0 THEN -(abs(w) div mx) ELSE abs(w) div mx END")
+            .cast("long").as("v"))
+    }
+    v.select(col("pos"), col("v").as("loading_ppm")).orderBy("pos")
   }
 }

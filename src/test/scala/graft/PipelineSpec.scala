@@ -804,6 +804,60 @@ class PipelineSpec extends SparkSpec {
     assert(mags.sameElements(mags.sortBy(-(_: Long))), "ordered by |gram| desc")
   }
 
+  test("pca power iteration: 64 unit-normalized loadings, deterministic") {
+    val a = Similarity.pcaPowerIteration(spark, Sf).collect()
+    assert(a.length == 64)
+    assert(a.map(_.getInt(0)).toSeq == (0 until 64))
+    assert(a.map(r => math.abs(r.getLong(1))).max == 1000000L,
+      "renormalization pins the dominant loading at 1e6")
+    val b = Similarity.pcaPowerIteration(spark, Sf).collect()
+    assert(a.map(_.getLong(1)).sameElements(b.map(_.getLong(1))))
+  }
+
+  test("session paths: trigrams follow the (ts, event_id) walk order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:01:00"), 2L, "click", 1.0, "{}"),
+      (7L, ts("2024-01-01 10:02:00"), 2L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.sessionPathsDf(events).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r == Map(
+      "view>click>purchase" -> 2L,
+      "click>purchase>view" -> 1L))
+  }
+
+  test("column profiler: nulls counted, distincts exact, renders pinned") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", Some(1.5), "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "click", None, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.profileColumnsDf(events).collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getString(3), row.getString(4)))).toMap
+    assert(r("value") == ((1L, 1L, "1.500000", "1.500000")))
+    assert(r("user_id") == ((0L, 1L, "1", "1")))
+    assert(r("ts") == ((0L, 2L,
+      "2024-01-01 10:00:00.000000", "2024-01-02 10:00:00.000000")))
+    assert(r("event_type") == ((0L, 2L, "click", "view")))
+  }
+
+  test("edit linkage: neighbor prefixes scored, threshold excludes far strings") {
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delte", "en", "s", 22L), // 1 edit in prefix
+      (2L, "alpha completely different text entirely here", "en", "s", 45L)))
+    val r = Dedup.editLinkageDf(docs).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getInt(2)).toMap
+    assert(r == Map((0L, 1L) -> 1))
+  }
+
   test("sorted neighborhood: window pairs found, cross-block and far ranks excluded") {
     val docs = docsDf(Seq(
       (0L, "alpha beta gamma delta", "en", "s", 22L),
