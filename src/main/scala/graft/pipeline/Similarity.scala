@@ -419,9 +419,13 @@ object Similarity {
     var v = m.select(col("i").as("pos")).distinct()
       .withColumn("v", lit(1000000L))
     for (_ <- 1 to 5) {
+      // 64-row checkpoint per round: w is read twice (norm + update), and
+      // without the cut Catalyst re-expands the whole iteration lineage
+      // on both sides — a ~2^k plan for k rounds
       val w = m.join(v, m("j") === v("pos"))
         .groupBy(m("i").as("wpos"))
         .agg(sum(col("s") * col("v")).cast("long").as("w"))
+        .localCheckpoint()
       val n = w.agg(
         greatest(expr("max(abs(w)) div 1000000L"), lit(1L)).as("mx"))
       v = w.crossJoin(broadcast(n))

@@ -163,6 +163,44 @@ object StreamingOps extends Serializable {
         col("view_ts"), col("click_ts"))
   }
 
+  case class ChangeEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_id: Long, event_type: String)
+  case class ProfileState(lastMs: Long, lastId: Long, lastOp: String,
+                          nChanges: Long)
+  case class ProfileRow(user_id: Long, last_op: String,
+                        last_ts: java.sql.Timestamp, n_changes: Long,
+                        tombstoned: Boolean)
+
+  /** Streaming CDC materialization — the streaming twin of
+    * [[graft.pipeline.EventOps.cdcCompact]] (parity pinned by test): per
+    * key, `mapGroupsWithState` keeps the latest change by the total
+    * (ts, event_id) order plus the change count, and every micro-batch
+    * emits the key's updated profile row; `error` rows mark the key
+    * tombstoned (a downstream reader drops those rows, exactly like the
+    * batch compaction). State is ONE small record per live key — the
+    * contract of a materialized table, same asymptotics as the RocksDB
+    * state backend serving a compacted topic; there is deliberately no
+    * timeout because a profile table does not expire. */
+  def cdcState(changes: Dataset[ChangeEvent]): Dataset[ProfileRow] = {
+    import changes.sparkSession.implicits._
+    def fn(userId: Long, it: Iterator[ChangeEvent],
+           state: GroupState[ProfileState]): ProfileRow = {
+      val batch = it.toList
+      val prev = state.getOption
+      val last = (prev.map(s => (s.lastMs, s.lastId, s.lastOp)).toList ++
+        batch.map(e => (e.ts.getTime, e.event_id, e.event_type)))
+        .maxBy(t => (t._1, t._2))
+      val next = ProfileState(last._1, last._2, last._3,
+        prev.map(_.nChanges).getOrElse(0L) + batch.length)
+      state.update(next)
+      ProfileRow(userId, next.lastOp, new java.sql.Timestamp(next.lastMs),
+        next.nChanges, next.lastOp == "error")
+    }
+    changes
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */

@@ -263,4 +263,49 @@ class StreamingSpec extends SparkSpec {
     // inclusive 30-minute bound in batch too, so batch equals the stream
     assert(batch == got, "stream-stream join must agree with the batch predicate")
   }
+
+  test("streaming CDC state agrees with the batch compaction across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val changes = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .as[StreamingOps.ChangeEvent](org.apache.spark.sql.Encoders.product)
+    val q = StreamingOps.cdcState(changes)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    // batch 1: u1 signs up, u2 signs up; batch 2: u1 purchases (out-of-
+    // order id at the same ts must lose), u2 tombstoned, u3 appears
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "signup"))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 11:00:00"), 4L, "purchase"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "signup"),
+      (2L, ts("2024-01-01 12:00:00"), 5L, "error"),
+      (3L, ts("2024-01-01 12:00:00"), 6L, "signup"))
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a key per micro-batch: the LAST row per key is
+    // the materialized profile
+    val profiles = spark.table("cdc_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+      .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._3) } // max n_changes
+      .toSet
+    assert(profiles == Set(
+      (1L, "purchase", 3L, false), // event_id 4 beats 3 at the tied ts
+      (2L, "error", 2L, true),
+      (3L, "signup", 1L, false)))
+    // batch parity: same changelog through the batch compactor
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"),
+      (5L, ts("2024-01-01 12:00:00"), 2L, "error", 0.0, "{}"),
+      (6L, ts("2024-01-01 12:00:00"), 3L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchRows = graft.pipeline.EventOps.cdcCompactDf(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val streamLive = profiles.filter(!_._4).map(t => (t._1, t._2, t._3))
+    assert(streamLive == batchRows,
+      "live streaming profiles must equal the batch compaction")
+  }
 }
