@@ -1649,6 +1649,54 @@ object Oracles {
         |FROM events CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // eq76: grouping sets + grouping flags — one Expand pass in both
+    // engines; money as exact integer cents.
+    "eq76_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_name,
+        |       COALESCE(n_name, 'ALL') AS n_name,
+        |       CAST(GROUPING(r_name) AS INT) AS g_r,
+        |       CAST(GROUPING(n_name) AS INT) AS g_n,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+        |ORDER BY g_r, g_n, r_name, n_name""".stripMargin,
+
+    // eq77: distribution ranks over the aggregated supplier frame — exact
+    // rationals of (rank, n), 6 dp.
+    "eq77_supplier_rank_dist" ->
+      """WITH s AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT suppkey, revenue_cents,
+        |       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |       ROUND(cume_dist() OVER w, 6) AS cume,
+        |       ntile(4) OVER w AS quartile
+        |FROM s
+        |WINDOW w AS (ORDER BY revenue_cents DESC, suppkey ASC)
+        |ORDER BY revenue_cents DESC, suppkey ASC""".stripMargin,
+
+    // eq78: schema-drift union audit — the legacy/modern drops UNION ALL
+    // with explicit NULL fill, per-drop null accounting.
+    "eq78_schema_drift" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, lang, NULL AS source, NULL::BIGINT AS n_chars,
+        |         'legacy' AS drop_id
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, NULL AS lang, source, n_chars, 'modern' AS drop_id
+        |  FROM documents)
+        |SELECT drop_id, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+        |       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+        |       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // eq64: SCD-2 tier intervals — lag collapses runs, lead closes
     // intervals, both over the total (ts, event_id) order; %f renders
     // 6-digit microseconds like Spark's SSSSSS.

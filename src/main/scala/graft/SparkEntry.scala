@@ -106,6 +106,9 @@ object SparkEntry {
     "eq73_session_paths"     -> (EventOps.sessionPaths _),
     "eq74_profile_columns"   -> (EventOps.profileColumns _),
     "eq75_edit_linkage"      -> (Dedup.editLinkage _),
+    "eq76_grouping_sets"     -> (graft.star.AggSurface.groupingSetsRevenue _),
+    "eq77_supplier_rank_dist" -> (graft.star.AggSurface.supplierRankDist _),
+    "eq78_schema_drift"      -> (graft.ingest.SchemaDrift.eq78 _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -170,6 +170,49 @@ object AggSurface {
         round(max(col("value")), 6).as("vmax"))
       .orderBy("event_type")
 
+  /** eq76 — GROUPING SETS with explicit grouping flags: the general form
+    * of eq20's rollup — (region, nation), (region), (nation), and grand
+    * total in ONE pass (Catalyst plans one Expand over the pre-joined
+    * frame, not four scans), with `grouping()` flags disambiguating the
+    * 'ALL' placeholders the way every BI tool expects. Declared via
+    * `spark.sql` over the registered star view (the S5 surface); money is
+    * exact integer cents so every grouping-set cell re-aggregates
+    * order-free. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    StarQueries.starJoin(spark, dir).createOrReplaceTempView("star_v")
+    spark.sql(
+      """SELECT COALESCE(r_name, 'ALL') AS r_name,
+        |       COALESCE(n_name, 'ALL') AS n_name,
+        |       CAST(grouping(r_name) AS INT) AS g_r,
+        |       CAST(grouping(n_name) AS INT) AS g_n,
+        |       COUNT(*) AS n_items,
+        |       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+        |FROM star_v
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+        |ORDER BY g_r, g_n, r_name, n_name""".stripMargin)
+  }
+
+  /** eq77 — distribution-rank windows: percent_rank / cume_dist /
+    * ntile(4) over per-supplier revenue — the "where does this supplier
+    * sit in the distribution" scorecard. The global window runs over the
+    * AGGREGATED frame (≤ |suppliers| rows, already reduced by the one
+    * real shuffle), which is the legitimate use of a partition-less
+    * window: bounded input by construction, exactly like eq62's top-1000
+    * regression frame. Ranks are exact rationals of (rank, n), rendered
+    * at 6 dp identically by both engines. */
+  def supplierRankDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue_cents").desc, col("l_suppkey").asc)
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .select(col("l_suppkey").as("suppkey"), col("revenue_cents"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("revenue_cents").desc, col("suppkey").asc)
+  }
+
   /** eq68 — equi-depth histogram of `value`: exact decile boundaries
     * (eq22's `percentile` ≡ `quantile_cont` parity), broadcast back as a
     * 9-element array, each row binned by a codegen'd `aggregate` lambda

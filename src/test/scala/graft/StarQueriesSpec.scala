@@ -48,6 +48,46 @@ class StarQueriesSpec extends SparkSpec {
     }
   }
 
+  test("eq76: every grouping set conserves the grand total; flags match placeholders") {
+    val rows = graft.star.AggSurface.groupingSetsRevenue(spark, Sf).collect()
+    def level(gr: Int, gn: Int) = rows.filter(r =>
+      r.getAs[Int]("g_r") == gr && r.getAs[Int]("g_n") == gn)
+    val grand = level(1, 1)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("revenue_cents")
+    for ((gr, gn) <- Seq((0, 0), (0, 1), (1, 0)))
+      assert(level(gr, gn).map(_.getAs[Long]("revenue_cents")).sum == total,
+        s"grouping set ($gr,$gn) must re-aggregate to the grand total")
+    rows.foreach { r =>
+      assert((r.getAs[Int]("g_r") == 1) == (r.getString(0) == "ALL"))
+      assert((r.getAs[Int]("g_n") == 1) == (r.getString(1) == "ALL"))
+    }
+  }
+
+  test("eq77: rank distributions are exact rationals over the supplier frame") {
+    val rows = graft.star.AggSurface.supplierRankDist(spark, Sf).collect()
+    val n = rows.length
+    assert(rows.head.getAs[Double]("pct_rank") == 0.0)
+    assert(rows.last.getAs[Double]("pct_rank") == 1.0)
+    assert(rows.last.getAs[Double]("cume") == 1.0)
+    val cumes = rows.map(_.getAs[Double]("cume"))
+    assert(cumes.sameElements(cumes.sorted), "cume_dist non-decreasing in rank order")
+    val quartiles = rows.map(_.getAs[Int]("quartile"))
+    assert(quartiles.sameElements(quartiles.sorted) && quartiles.distinct.length == 4)
+  }
+
+  test("eq78: drift audit — null fill lands on exactly the missing columns") {
+    val rows = graft.ingest.SchemaDrift.eq78(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.load(spark, Sf, "documents")
+    val n = docs.count()
+    val chars = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head().getLong(0)
+    assert(rows("legacy") == ((n, 0L, n, 0L)))
+    assert(rows("modern") == ((n, n, 0L, chars)))
+  }
+
   test("eq68: ten near-equal bins, rows conserved, ranges ordered and disjoint") {
     val rows = graft.star.AggSurface.equidepthBins(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("bin")).toSeq == (1 to 10))
