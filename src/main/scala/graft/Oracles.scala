@@ -1649,6 +1649,36 @@ object Oracles {
         |FROM events CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // eq79: snapshot diff — full-outer join on doc_id comparing sha256 of
+    // the deterministic old/new snapshot derivations.
+    "eq79_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, sha256(text) AS h_old FROM documents WHERE doc_id < 450),
+        |n AS (
+        |  SELECT doc_id,
+        |         sha256(CASE WHEN doc_id % 100 = 0 THEN 'v2 ' || text ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id >= 50),
+        |j AS (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |              WHEN h_new IS NULL THEN 'removed'
+        |              WHEN h_old = h_new THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT status, COUNT(*) AS n_docs FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // eq80: Markov transition matrix — one lead over the per-user total
+    // order, probabilities as exact integer ppm of per-row counts.
+    "eq80_transition_matrix" ->
+      """WITH l AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n_trans FROM l
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |       CAST(n_trans * 1000000 // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     // eq76: grouping sets + grouping flags — one Expand pass in both
     // engines; money as exact integer cents.
     "eq76_grouping_sets" ->

@@ -109,6 +109,8 @@ object SparkEntry {
     "eq76_grouping_sets"     -> (graft.star.AggSurface.groupingSetsRevenue _),
     "eq77_supplier_rank_dist" -> (graft.star.AggSurface.supplierRankDist _),
     "eq78_schema_drift"      -> (graft.ingest.SchemaDrift.eq78 _),
+    "eq79_snapshot_diff"     -> (Dedup.snapshotDiff _),
+    "eq80_transition_matrix" -> (EventOps.transitionMatrix _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -637,6 +637,36 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** eq79 — corpus snapshot diff: the incremental-build reconciliation
+    * between two crawls — which documents appeared, vanished, changed
+    * content, or stayed identical — computed as a full-outer join on
+    * doc_id comparing content hashes (`sha2`, so 100 TB diffs compare
+    * 32-byte digests, never text). The two snapshots are derived
+    * deterministically from the fixture (old = id < 450; new = id ≥ 50,
+    * with every 100th doc's text rewritten) so the oracle can rebuild
+    * them; the operator itself is the join + classification. One shuffle
+    * on doc_id; per-class tallies are a bounded aggregate. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffDf(Tables.load(spark, dir, "documents"))
+
+  def snapshotDiffDf(docs: DataFrame): DataFrame = {
+    val old = docs.filter(col("doc_id") < 450)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
+    val nw = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        sha2(when(col("doc_id") % 100 === 0, concat(lit("v2 "), col("text")))
+          .otherwise(col("text")), 256).as("h_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
   /** eq75 — record linkage by bounded edit distance: eq66's
     * sorted-neighborhood candidates re-scored with `levenshtein` over the
     * normalized 40-char prefix — the fuzzy-string comparator entity

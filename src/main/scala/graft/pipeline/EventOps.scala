@@ -416,6 +416,30 @@ object EventOps {
       .orderBy("col_name")
   }
 
+  /** eq80 — Markov transition matrix over user walks: P(next event type |
+    * current), in exact integer ppm — the behavioral model behind anomaly
+    * scoring and synthetic-session generation, and the 2-gram closure of
+    * eq73's path mining. One lead over the per-user (ts, event_id) total
+    * order → bigram counts → per-row ppm against a window total over the
+    * ≤|types|² aggregate; every number is an integer ratio of two exact
+    * counts, so the matrix is engine-independent. One shuffle on user_id
+    * (the window), one on the bigram key. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrixDf(Tables.load(spark, dir, "events"))
+
+  def transitionMatrixDf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_ppm",
+        expr("n_trans * 1000000L div sum(n_trans) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
     * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
     * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%

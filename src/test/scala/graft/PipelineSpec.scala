@@ -804,6 +804,38 @@ class PipelineSpec extends SparkSpec {
     assert(mags.sameElements(mags.sortBy(-(_: Long))), "ordered by |gram| desc")
   }
 
+  test("snapshot diff: each class lands exactly one fixture doc") {
+    val docs = docsDf(Seq(
+      (10L, "gone after the old crawl", "en", "s", 24L),   // removed
+      (60L, "stable either side", "en", "s", 18L),          // unchanged
+      (100L, "rewritten in the new crawl", "en", "s", 26L), // changed (%100)
+      (460L, "fresh in the new crawl", "en", "s", 22L)))    // added
+    val r = Dedup.snapshotDiffDf(docs).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L))
+  }
+
+  test("transition matrix: ppm rows are exact integer ratios per from-state") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:01:00"), 2L, "click", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 10:01:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.transitionMatrixDf(events).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        ((row.getLong(2), row.getLong(3)))).toMap
+    assert(r == Map(
+      ("view", "click") -> ((2L, 666666L)),
+      ("view", "purchase") -> ((1L, 333333L)),
+      ("click", "view") -> ((1L, 1000000L))))
+  }
+
   test("pca power iteration: 64 unit-normalized loadings, deterministic") {
     val a = Similarity.pcaPowerIteration(spark, Sf).collect()
     assert(a.length == 64)
