@@ -140,6 +140,41 @@ class EngineSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operators: plan shapes hold (no cartesian, pruned scans, top-k, one Expand)") {
+    // eq66/eq75 blocking self-joins must stay equi-joins on the block key
+    for (q <- Seq(pipeline.Dedup.sortedNeighborhood(spark, Sf),
+                  pipeline.Dedup.editLinkage(spark, Sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      // the rank-distance predicate must ride a hash join, not a
+      // nested-loop over unbounded sides
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    }
+    // eq71: the Gramian pass reads ONLY the embedding column and the
+    // top-50 is a TakeOrderedAndProject
+    val g = pipeline.Similarity.gramTopPairs(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(g.contains("TakeOrderedAndProject"), s"top-k missing:\n$g")
+    assert(g.contains("ReadSchema: struct<embedding"), s"unpruned scan:\n$g")
+    assert(!g.contains("vec_id"), "gram scan must not read vec_id")
+    // eq73: trigram mining is a window + TakeOrderedAndProject, never a
+    // per-user collect
+    val p = pipeline.EventOps.sessionPaths(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject") && p.contains("Window"))
+    assert(!p.contains("collect_list"), "paths must not materialize per-user arrays")
+    // eq76: four grouping sets plan as ONE Expand over the joined frame
+    val gs = star.AggSurface.groupingSetsRevenue(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(gs).length == 1, s"expected one Expand:\n$gs")
+    // eq64: both SCD windows share one user_id partitioning — exactly one
+    // exchange hashpartitioning(user_id)
+    val scd = pipeline.EventOps.scd2Tiers(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(scd).length
+    assert(userExchanges == 1, s"expected one user_id exchange, got $userExchanges:\n$scd")
+  }
+
   test("typed Dataset API: case-class pipeline agrees with the DataFrame plan") {
     import spark.implicits._
     val ds = Tables.pdv(spark, Sf).as[PdvRow]
