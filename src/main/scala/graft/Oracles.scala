@@ -1649,6 +1649,49 @@ object Oracles {
         |FROM events CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // eq81: rolling z-score gap anomalies — exact integer-second gaps and
+    // trailing Σ/Σ² frames; z is one fixed-shape double expression.
+    "eq81_gap_anomalies" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |            (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+        |  FROM events),
+        |f AS (SELECT * FROM g WHERE gap_s IS NOT NULL),
+        |h AS (
+        |  SELECT user_id, gap_s,
+        |         COUNT(gap_s) OVER w AS h_n,
+        |         CAST(SUM(gap_s) OVER w AS BIGINT) AS h_sum,
+        |         CAST(SUM(gap_s * gap_s) OVER w AS BIGINT) AS h_sumsq
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT user_id,
+        |         CASE WHEN (CAST(h_sumsq AS DOUBLE) - CAST(h_sum AS DOUBLE) * CAST(h_sum AS DOUBLE) / CAST(h_n AS DOUBLE)) / CAST(h_n AS DOUBLE) > 0
+        |              THEN (CAST(gap_s AS DOUBLE) - CAST(h_sum AS DOUBLE) / CAST(h_n AS DOUBLE))
+        |                   / sqrt((CAST(h_sumsq AS DOUBLE) - CAST(h_sum AS DOUBLE) * CAST(h_sum AS DOUBLE) / CAST(h_n AS DOUBLE)) / CAST(h_n AS DOUBLE))
+        |              ELSE NULL END AS z
+        |  FROM h WHERE h_n >= 5)
+        |SELECT user_id, COUNT(*) AS n_scored,
+        |       CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |       ROUND(MAX(z), 6) AS max_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // eq82: co-purchase matrix — distinct (user, item) from the JSON
+    // payload, per-user unordered pairs, top-20 cells.
+    "eq82_co_purchases" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users
+        |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2
+        |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
+
     // eq79: snapshot diff — full-outer join on doc_id comparing sha256 of
     // the deterministic old/new snapshot derivations.
     "eq79_snapshot_diff" ->

@@ -111,6 +111,8 @@ object SparkEntry {
     "eq78_schema_drift"      -> (graft.ingest.SchemaDrift.eq78 _),
     "eq79_snapshot_diff"     -> (Dedup.snapshotDiff _),
     "eq80_transition_matrix" -> (EventOps.transitionMatrix _),
+    "eq81_gap_anomalies"     -> (EventOps.gapAnomalies _),
+    "eq82_co_purchases"      -> (EventOps.coPurchases _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -440,6 +440,76 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** eq81 — rolling z-score anomaly detection over inter-event gaps: each
+    * gap is scored against the mean/std of the user's previous 10 gaps
+    * (`rowsBetween(-10, -1)` — the trailing frame never sees the scored
+    * value), flagged when |gap − μ| > 3σ with ≥ 5 history rows — the
+    * online "did this user suddenly change rhythm" detector. Gaps are
+    * exact integer seconds, the rolling Σ and Σ² are exact BIGINTs, and
+    * z is ONE fixed-shape double expression over them — identical in
+    * both engines (the eq53/eq57 moment discipline); a ~0-variance
+    * history is guarded (σ² ≤ 0 ⇒ unscored) so FP cancellation can't
+    * produce NaNs. One shuffle on user_id; the gap lag, the rolling
+    * frame, and the final per-user rollup all share it. */
+  def gapAnomalies(spark: SparkSession, dir: String): DataFrame =
+    gapAnomaliesDf(Tables.load(spark, dir, "events"))
+
+  def gapAnomaliesDf(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trail = order.rowsBetween(-10, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(lag(ts, 1) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id))) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("h_n", count(col("gap_s")).over(trail))
+      .withColumn("h_sum", sum(col("gap_s")).over(trail))
+      .withColumn("h_sumsq", sum(col("gap_s") * col("gap_s")).over(trail))
+      .filter(col("h_n") >= 5)
+      .withColumn("z", expr(
+        """CASE WHEN (CAST(h_sumsq AS DOUBLE) - CAST(h_sum AS DOUBLE) * CAST(h_sum AS DOUBLE) / CAST(h_n AS DOUBLE)) / CAST(h_n AS DOUBLE) > 0D
+          |THEN (CAST(gap_s AS DOUBLE) - CAST(h_sum AS DOUBLE) / CAST(h_n AS DOUBLE))
+          |     / sqrt((CAST(h_sumsq AS DOUBLE) - CAST(h_sum AS DOUBLE) * CAST(h_sum AS DOUBLE) / CAST(h_n AS DOUBLE)) / CAST(h_n AS DOUBLE))
+          |ELSE NULL END""".stripMargin))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_scored"),
+        // CASE-shaped so an all-unscored (zero-variance) user reports 0
+        // anomalies, not NULL — the exact shape the oracle runs
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(col("z")), 6).as("max_z"))
+      .orderBy("user_id")
+  }
+
+  /** eq82 — purchase co-occurrence mining ("users who bought X also
+    * bought Y"): distinct (user, item) pairs from the purchase stream's
+    * JSON payload, self-joined per user into unordered item pairs,
+    * counted across users — the item-item collaborative-filtering
+    * matrix. The pair fan-out is Σᵤ C(|items_u|, 2), bounded by per-user
+    * basket size (never corpus²); at 100 TB the heavy-user tail is the
+    * skew to watch and AQE's skew split handles the join. Top-20 cells
+    * via TakeOrderedAndProject. */
+  def coPurchases(spark: SparkSession, dir: String): DataFrame =
+    coPurchasesDf(Tables.load(spark, dir, "events"))
+
+  def coPurchasesDf(events: DataFrame): DataFrame = {
+    val items = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val a = items.select(col("user_id"), col("item").as("item_a"))
+    val b = items.select(col("user_id"), col("item").as("item_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+  }
+
   /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
     * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
     * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%

@@ -804,6 +804,44 @@ class PipelineSpec extends SparkSpec {
     assert(mags.sameElements(mags.sortBy(-(_: Long))), "ordered by |gram| desc")
   }
 
+  test("gap anomalies: a rhythm break scores 3539 sigmas; uniform history is unscored") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def t(offsetS: Long) = new java.sql.Timestamp(base + offsetS * 1000)
+    // gaps: 60,62,60,62,60,62 (h_n reaches 5 at the 6th gap), then 3600
+    val offs = Seq(0L, 60L, 122L, 182L, 244L, 304L, 366L, 3966L)
+    val events = offs.zipWithIndex.map { case (o, i) =>
+      (i.toLong + 1, t(o), 7L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.gapAnomaliesDf(events).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((7L, 2L, 1L, 3539.0)))
+    // a user whose history has zero variance is guarded, never NaN
+    val uniform = (0 to 7).map(i =>
+      (i.toLong + 100, t(i * 60L), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val u = EventOps.gapAnomaliesDf(uniform).head()
+    assert(u.getLong(2) == 0L && u.isNullAt(3), "zero-variance history stays unscored")
+  }
+
+  test("co-purchases: distinct baskets pair once per user, top cell first") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def p(eid: Long, u: Long, k: Int, at: String) =
+      (eid, ts(at), u, "purchase", 1.0, s"""{"k": $k}""")
+    val events = Seq(
+      p(1L, 1L, 1, "2024-01-01 10:00:00"), p(2L, 1L, 2, "2024-01-01 11:00:00"),
+      p(3L, 1L, 3, "2024-01-01 12:00:00"),
+      p(4L, 2L, 1, "2024-01-01 10:00:00"), p(5L, 2L, 2, "2024-01-01 11:00:00"),
+      p(6L, 3L, 1, "2024-01-01 10:00:00"), p(7L, 3L, 2, "2024-01-01 11:00:00"),
+      p(8L, 3L, 2, "2024-01-01 12:00:00"), // duplicate item collapses
+      (9L, ts("2024-01-01 10:00:00"), 4L, "view", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.coPurchasesDf(events).collect()
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L &&
+      rows.head.getLong(2) == 3L, "(1,2) co-purchased by all three buyers")
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
   test("snapshot diff: each class lands exactly one fixture doc") {
     val docs = docsDf(Seq(
       (10L, "gone after the old crawl", "en", "s", 24L),   // removed
