@@ -788,6 +788,34 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(1L -> ((2L, 1.5)), 2L -> ((1L, 1.0))))
   }
 
+  test("gram aggregator: merge algebra — any partition split equals the naive single pass") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val d = 5
+    val agg = new graft.functions.GramAggregator(d)
+    def naive(vs: List[Array[Float]]): Array[Long] = {
+      val out = new Array[Long](d * (d + 1) / 2)
+      for (v <- vs) { var k = 0
+        for (i <- 0 until d; j <- i until d) {
+          out(k) += math.floor(v(i).toDouble * v(j).toDouble * 1e6).toLong; k += 1 } }
+      out
+    }
+    val gen = Gen.listOfN(40, for {
+      n <- Gen.chooseNum(0, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(d,
+        Gen.chooseNum(-4.0f, 4.0f)).map(_.toArray))
+      split <- Gen.chooseNum(0, n)
+    } yield (vs, split))
+    gen.pureApply(Gen.Parameters.default, Seed(7L)).foreach { case (vs, split) =>
+      val (l, r) = vs.splitAt(split)
+      val viaMerge = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(viaMerge.sameElements(naive(vs)),
+        s"split at $split of ${vs.length} vectors diverged")
+    }
+  }
+
   test("gram aggregator: hand-computed triangle; floor is toward -inf") {
     val ds = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDS()
     val g = ds.select(new graft.functions.GramAggregator(2).toColumn).head()

@@ -264,6 +264,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got, "stream-stream join must agree with the batch predicate")
   }
 
+  test("streaming CDC state survives a query restart from its checkpoint") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("cdc_restart").toString
+    val (inDir, ckpt, outDir) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    def writeDrop(name: String, rows: Seq[(Long, Timestamp, Long, String)]): Unit =
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    // drop 1 arrives before the query ever starts
+    writeDrop("d1", Seq((1L, ts("2024-01-01 10:00:00"), 1L, "signup")))
+    val schema = "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING"
+    // the memory sink refuses checkpoint recovery; foreachBatch + parquet
+    // is the recoverable-update-sink shape a real pipeline uses
+    def start() = StreamingOps.cdcState(
+      spark.readStream.schema(schema).parquet(inDir)
+        .as[StreamingOps.ChangeEvent](org.apache.spark.sql.Encoders.product))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.ProfileRow], _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // drop 2 lands while the pipeline is down; a NEW query resumes from
+    // the checkpoint and must still see u1's round-1 state (n_changes
+    // carries across the restart — state store recovery, not recompute)
+    writeDrop("d2", Seq((1L, ts("2024-01-01 11:00:00"), 2L, "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), 3L, "signup")))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val last = spark.read.parquet(outDir)
+      .select("user_id", "last_op", "n_changes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._3) }.toSet
+    assert(last == Set((1L, "purchase", 2L), (2L, "signup", 1L)),
+      "restarted query must carry user 1's pre-restart change count")
+  }
+
   test("streaming CDC state agrees with the batch compaction across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String)]
