@@ -1692,6 +1692,58 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
 
+    // eq83: frame sampling — integer even-spacing index math over
+    // 64-byte frames; ASCII payloads make VARCHAR windows ≡ byte windows
+    // (the eq50 convention).
+    "eq83_frame_samples" ->
+      """WITH b AS (
+        |  SELECT doc_id, text AS s, octet_length(encode(text)) // 64 AS n_frames
+        |  FROM documents),
+        |f AS (SELECT * FROM b WHERE n_frames >= 1),
+        |jx AS (SELECT doc_id, s, n_frames,
+        |              unnest(range(0, least(4, n_frames))) AS j
+        |       FROM f),
+        |ix AS (SELECT doc_id, n_frames,
+        |              CASE WHEN n_frames <= 4 THEN j
+        |                   ELSE (j * (n_frames - 1)) // 3 END AS frame_idx,
+        |              s
+        |       FROM jx)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substring(s, (frame_idx * 64 + 1)::BIGINT, 64)) AS frame_md5
+        |FROM ix ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // eq84: cluster representatives — eq26's recursive closure joined
+    // with eq8's quality, per-cluster argmax (quality desc, doc_id asc).
+    "eq84_cluster_reps" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +
+      """pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS src, s AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |qq AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |         least(length(text) / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+        |         len(list_filter(t, x -> x IN ('the', 'a', 'data', 'value')))::DOUBLE / len(t) AS stop_ratio
+        |  FROM toks),
+        |qual AS (
+        |  SELECT doc_id,
+        |         ROUND(0.4::DOUBLE * len_score + 0.4::DOUBLE * alpha_ratio
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
+        |  FROM qq),
+        |ranked AS (
+        |  SELECT l.cluster, l.doc_id, q.quality,
+        |         row_number() OVER (PARTITION BY l.cluster
+        |                            ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l.cluster) AS n_docs
+        |  FROM labels l JOIN qual q USING (doc_id))
+        |SELECT cluster AS cluster_id, n_docs, doc_id AS rep_doc_id,
+        |       quality AS rep_quality
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
     // eq79: snapshot diff — full-outer join on doc_id comparing sha256 of
     // the deterministic old/new snapshot derivations.
     "eq79_snapshot_diff" ->

@@ -113,6 +113,8 @@ object SparkEntry {
     "eq80_transition_matrix" -> (EventOps.transitionMatrix _),
     "eq81_gap_anomalies"     -> (EventOps.gapAnomalies _),
     "eq82_co_purchases"      -> (EventOps.coPurchases _),
+    "eq83_frame_samples"     -> (Multimodal.frameSamples _),
+    "eq84_cluster_reps"      -> (Dedup.clusterReps _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -462,7 +462,18 @@ object Dedup {
   def neardupClusters(spark: SparkSession, dir: String): DataFrame =
     neardupClustersDf(Tables.load(spark, dir, "documents"))
 
-  def neardupClustersDf(docs: DataFrame): DataFrame = {
+  def neardupClustersDf(docs: DataFrame): DataFrame =
+    neardupLabelsDf(docs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+      .orderBy("cluster_id")
+
+  /** (doc_id, label) connected-component labeling of the eq12 pair graph
+    * — the shared core of eq26's clustering and eq84's representative
+    * selection. */
+  private[pipeline] def neardupLabelsDf(docs: DataFrame): DataFrame = {
     val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -494,10 +505,30 @@ object Dedup {
       s"near-dup cluster labeling did not converge in $rounds rounds " +
         "(cluster diameter > 50?) — refusing to emit a partial clustering")
     labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+  }
+
+  /** eq84 — cluster representative selection: for every eq26 near-dup
+    * cluster, KEEP the highest-quality member (eq8's 6-dp score,
+    * doc_id tie-break) — the curation step that turns "these N docs are
+    * the same" into "this is the one we train on". Composition of the
+    * shared labeling and quality pipelines, so it can never disagree
+    * with eq26's clusters or eq8's scores; one rank window partitioned
+    * by cluster label on top of them. */
+  def clusterReps(spark: SparkSession, dir: String): DataFrame =
+    clusterRepsDf(Tables.load(spark, dir, "documents"))
+
+  def clusterRepsDf(docs: DataFrame): DataFrame = {
+    val labeled = neardupLabelsDf(docs)
+      .join(TextAnalysis.qualityCols(docs).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+    val byQuality = Window.partitionBy("label")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    labeled
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("label")))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cluster_id"), col("n_docs"),
+        col("doc_id").as("rep_doc_id"), col("quality").as("rep_quality"))
       .orderBy("cluster_id")
   }
 

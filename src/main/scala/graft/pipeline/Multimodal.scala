@@ -136,4 +136,37 @@ object Multimodal {
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
       .orderBy("doc_id")
   }
+
+  /** Frame geometry for [[frameSamples]]: 64-byte "frames", up to 4
+    * samples per payload. */
+  private[graft] val FrameBytes = 64
+  private[graft] val SampleFrames = 4
+
+  /** eq83 — video frame sampling (plumbing): treat each payload as a
+    * stream of fixed-size frames and pick ≤ 4 evenly spaced ones (first
+    * and last always included) — the "sample frames for captioning /
+    * embedding" step of a video curation pipeline, here as pure
+    * Catalyst arithmetic: the index math is integer (engine-exact), the
+    * frame slice is a binary `substring`, and the per-frame digest is
+    * codegen'd md5 — the decode of the sampled frame is where
+    * [[FakeDecoder]]'s mapPartitions boundary would sit in production.
+    * Map-side explode ×≤4; no shuffle before the presentation sort. */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    frameSamplesDf(Tables.load(spark, dir, "documents"))
+
+  def frameSamplesDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .withColumn("n_frames", expr(s"octet_length(p) div $FrameBytes"))
+      .filter(col("n_frames") >= 1)
+      .withColumn("j", explode(sequence(lit(0),
+        least(lit(SampleFrames), col("n_frames")).cast("int") - 1)))
+      .withColumn("frame_idx",
+        expr(s"""CASE WHEN n_frames <= $SampleFrames THEN j
+                 |ELSE (j * (n_frames - 1)) div ${SampleFrames - 1} END""".stripMargin))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx").cast("int").as("frame_idx"),
+        md5(expr(s"substring(p, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
 }

@@ -870,6 +870,36 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
   }
 
+  test("frame samples: even spacing picks first/last, short payloads take all frames") {
+    val docs = docsDf(Seq(
+      (1L, "x" * 640, "en", "s", 640L),  // 10 frames -> indices 0,3,6,9
+      (2L, "y" * 192, "en", "s", 192L),  // 3 frames  -> 0,1,2
+      (3L, "z" * 40, "en", "s", 40L)))   // <1 frame  -> excluded
+    val rows = graft.pipeline.Multimodal.frameSamplesDf(docs).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6, 9))
+    assert(byDoc(2L).map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(!byDoc.contains(3L))
+    // uniform payload -> identical frames -> identical digests
+    assert(byDoc(1L).map(_.getString(3)).distinct.length == 1)
+  }
+
+  test("cluster reps: quality argmax wins, equal quality falls back to min doc_id") {
+    val docs = docsDf(Seq(
+      (0L, "the quick brown fox jumps over dogs", "en", "s", 35L),
+      (1L, "the quick brown fox jumps over dogs", "en", "s", 35L),
+      (2L, "the quick brown fox jumps over dogs", "en", "s", 35L),
+      (10L, "the quick brown fox jumps over dogs daily", "en", "s", 41L),
+      (11L, "the quick brown fox jumps over dogs daily tonight always forever", "en", "s", 65L)))
+    val r = Dedup.clusterRepsDf(docs).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+    // all five near-dup into one cluster via chained overlap, labeled 0;
+    // doc 11 is longest -> highest len_score -> representative
+    assert(r.keySet == Set(0L))
+    assert(r(0L)._1 == 5L)
+    assert(r(0L)._2 == 11L, s"expected the longest doc as rep, got ${r(0L)}")
+  }
+
   test("snapshot diff: each class lands exactly one fixture doc") {
     val docs = docsDf(Seq(
       (10L, "gone after the old crawl", "en", "s", 24L),   // removed
