@@ -1692,6 +1692,20 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
 
+    // eq85: temporal activity profile — 168-cell load matrix, exact
+    // integer ppm shares; day rendered as a name to dodge engine weekday
+    // numbering conventions.
+    "eq85_activity_profile" ->
+      """WITH t AS (SELECT COUNT(*) AS total FROM events),
+        |c AS (
+        |  SELECT strftime(ts, '%A') AS dow,
+        |         CAST(hour(ts) AS INT) AS hour_of_day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hour_of_day, n_events,
+        |       CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+        |       CAST(n_events * 1000000 // total - 1000000 // 168 AS BIGINT) AS dev_ppm
+        |FROM c CROSS JOIN t ORDER BY dow, hour_of_day""".stripMargin,
+
     // eq83: frame sampling — integer even-spacing index math over
     // 64-byte frames; ASCII payloads make VARCHAR windows ≡ byte windows
     // (the eq50 convention).

@@ -510,6 +510,32 @@ object EventOps {
       .limit(20)
   }
 
+  /** eq85 — temporal activity profile: the (day-of-week × hour) load
+    * matrix with each cell's share of traffic in exact integer ppm and
+    * its deviation from the uniform cell — capacity planning's first
+    * chart and the seasonality feature behind anomaly baselines. Pure
+    * single-shuffle aggregation; shares are integer ratios of two exact
+    * counts (168 cells regardless of scale). `dayofweek` is rendered as
+    * the ISO day name so the contract doesn't depend on engine weekday
+    * numbering conventions. */
+  def activityProfile(spark: SparkSession, dir: String): DataFrame =
+    activityProfileDf(Tables.load(spark, dir, "events"))
+
+  def activityProfileDf(events: DataFrame): DataFrame = {
+    val total = events.agg(count(lit(1)).as("total"))
+    events
+      .groupBy(
+        date_format(col("ts"), "EEEE").as("dow"),
+        hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("dow"), col("hour_of_day"), col("n_events"),
+        expr("n_events * 1000000L div total").as("share_ppm"),
+        expr("n_events * 1000000L div total - 1000000 div 168").as("dev_ppm"))
+      .orderBy("dow", "hour_of_day")
+  }
+
   /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
     * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
     * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%

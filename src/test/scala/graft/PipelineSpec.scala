@@ -870,6 +870,23 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
   }
 
+  test("activity profile: shares are exact ppm, deviation centered on the uniform cell") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday; 3 events Monday 10h, 1 event Tuesday 11h
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:59:00"), 3L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-02 11:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.activityProfileDf(events).collect()
+      .map(row => (row.getString(0), row.getInt(1)) ->
+        ((row.getLong(2), row.getLong(3), row.getLong(4)))).toMap
+    assert(r == Map(
+      ("Monday", 10) -> ((3L, 750000L, 750000L - 1000000L / 168)),
+      ("Tuesday", 11) -> ((1L, 250000L, 250000L - 1000000L / 168))))
+  }
+
   test("frame samples: even spacing picks first/last, short payloads take all frames") {
     val docs = docsDf(Seq(
       (1L, "x" * 640, "en", "s", 640L),  // 10 frames -> indices 0,3,6,9
