@@ -1692,6 +1692,19 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
 
+    // x14: sampled join-cardinality estimate — the md5 key sample is
+    // content-keyed, so the oracle recomputes BOTH numbers exactly.
+    "x14_join_size_estimate" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |k AS (SELECT cnt, substr(md5(user_id::VARCHAR), 1, 7) AS h7 FROM c),
+        |s AS (SELECT cnt FROM k WHERE ($hex7OfH7) % 2 = 0),
+        |m AS (
+        |  SELECT (SELECT CAST(SUM(cnt * cnt) AS BIGINT) FROM c) AS exact_pairs,
+        |         CAST(COALESCE((SELECT SUM(cnt * cnt) FROM s), 0) * 2 AS BIGINT) AS est_pairs)
+        |SELECT exact_pairs, est_pairs,
+        |       ABS(est_pairs - exact_pairs) / CAST(exact_pairs AS DOUBLE) <= 0.5 AS within_50pct
+        |FROM m""".stripMargin,
+
     // eq85: temporal activity profile — 168-cell load matrix, exact
     // integer ppm shares; day rendered as a name to dodge engine weekday
     // numbering conventions.

@@ -134,6 +134,7 @@ object SparkEntry {
     "x11_quantize_embeddings" -> (Similarity.quantizeEmbeddings _),
     "x12_ann_recall"         -> (Similarity.annRecall _),
     "x13_approx_group_users" -> (EventOps.approxUsersPerType _),
+    "x14_join_size_estimate" -> (EventOps.joinSizeEstimate _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -536,6 +536,34 @@ object EventOps {
       .orderBy("dow", "hour_of_day")
   }
 
+  /** x14 — sampled join-cardinality estimation: the optimizer-statistics
+    * pass that predicts |A ⋈ B| before paying for the shuffle — here the
+    * self-join size Σ cnt(k)² on user_id, estimated from a deterministic
+    * 1-in-2 KEY sample (28-bit md5 of the key, the eq27/eq31 sampling
+    * convention) and scaled back up. Key-sampling (not row-sampling) is
+    * what makes Σ cnt² estimable — a row sample would bias cnt²
+    * quadratically. Because the sample is content-keyed, the estimate is
+    * bit-reproducible: the oracle recomputes BOTH numbers exactly, and
+    * the ±50% flag is derived, not pinned. One shuffle (the per-key
+    * count); the sample filter is map-side on the ≤|keys| frame. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame =
+    joinSizeEstimateDf(Tables.load(spark, dir, "events"))
+
+  def joinSizeEstimateDf(events: DataFrame): DataFrame = {
+    import graft.functions.Md5Expressions.md5_key28
+    val cnts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // exact and sampled sums both read it
+    val exact = cnts.agg(sum(col("cnt") * col("cnt")).as("exact_pairs"))
+    val est = cnts
+      .filter(md5_key28(col("user_id").cast("string")) % 2 === 0)
+      .agg((coalesce(sum(col("cnt") * col("cnt")), lit(0L)) * 2).as("est_pairs"))
+    exact.crossJoin(est)
+      .select(
+        col("exact_pairs"), col("est_pairs"),
+        (abs(col("est_pairs") - col("exact_pairs")).cast("double")
+          / col("exact_pairs") <= 0.5).as("within_50pct"))
+  }
+
   /** x13 — per-group HLL distinct-user sketch: `approx_count_distinct`
     * (HyperLogLog++, rsd 2%) per event_type beside the exact count, with
     * the x6-convention boolean the oracle pins TRUE (|approx−exact| ≤ 5%

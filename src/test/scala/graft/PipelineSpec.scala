@@ -870,6 +870,18 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
   }
 
+  test("join size estimate: only md5-even keys sampled; 2x scale-up, derived flag") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // md5 first-7-hex parity: "1"/"3"/"4" are odd, "2" is even -> only
+    // user 2 (cnt 3) lands in the sample
+    val events = (Seq.fill(2)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, ts("2024-01-01 10:00:00"), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.joinSizeEstimateDf(events).head()
+    // exact = 4+9+1+1 = 15; est = 2*9 = 18; 3/15 = 0.2 <= 0.5
+    assert((r.getLong(0), r.getLong(1), r.getBoolean(2)) == ((15L, 18L, true)))
+  }
+
   test("activity profile: shares are exact ppm, deviation centered on the uniform cell") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // 2024-01-01 is a Monday; 3 events Monday 10h, 1 event Tuesday 11h
