@@ -972,7 +972,7 @@ object Oracles {
         |  FROM events),
         |f AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL)
         |SELECT user_id, COUNT(*) AS n_gaps,
-        |       ROUND(CAST(SUM(gap_us) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS avg_gap_s,
+        |       ROUND(CAST(SUM(gap_us) // COUNT(*) AS DOUBLE) / 1000000.0::DOUBLE, 6) AS avg_gap_s,
         |       ROUND(MIN(gap_us) / 1000000.0::DOUBLE, 6) AS min_gap_s,
         |       ROUND(MAX(gap_us) / 1000000.0::DOUBLE, 6) AS max_gap_s
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -1691,6 +1691,23 @@ object Oracles {
         |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2
         |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
+
+    // eq86: media resize audit — ASCII payloads make char ops ≡ byte ops
+    // (eq50 convention): every-4th-char string, ord() = byte value.
+    "eq86_media_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, text AS s, octet_length(encode(text)) AS n FROM documents),
+        |r AS (
+        |  SELECT doc_id, n,
+        |         array_to_string(list_transform(range(1, n + 1, 4),
+        |           i -> substring(s, i, 1)), '') AS rs
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+        |       CAST(length(rs) AS BIGINT) AS resized_bytes,
+        |       CAST(COALESCE(list_sum(list_transform(range(1, length(rs) + 1),
+        |         i -> ord(substring(rs, i, 1)))), 0) AS BIGINT) AS resized_sum,
+        |       md5(rs) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // x14: sampled join-cardinality estimate — the md5 key sample is
     // content-keyed, so the oracle recomputes BOTH numbers exactly.

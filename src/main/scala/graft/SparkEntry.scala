@@ -116,6 +116,7 @@ object SparkEntry {
     "eq83_frame_samples"     -> (Multimodal.frameSamples _),
     "eq84_cluster_reps"      -> (Dedup.clusterReps _),
     "eq85_activity_profile"  -> (EventOps.activityProfile _),
+    "eq86_media_resize"      -> (Multimodal.resizeMedia _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

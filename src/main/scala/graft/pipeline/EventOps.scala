@@ -133,7 +133,12 @@ object EventOps {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_gaps"),
-        round(sum(col("gap_us")).cast("double") / (count(lit(1)) * 1000000.0), 6)
+        // micro-truncated mean: the integer division happens in exact
+        // BIGINT space, so the rounded value is a true 6-dp decimal —
+        // a raw double mean can land on a round() tie that Spark
+        // (decimal HALF_UP) and DuckDB (float-multiplied) break
+        // differently (observed 1-ulp divergence at sf0.1)
+        round(expr("sum(gap_us) div count(1)").cast("double") / 1000000.0, 6)
           .as("avg_gap_s"),
         round(min(col("gap_us")) / lit(1000000.0), 6).as("min_gap_s"),
         round(max(col("gap_us")) / lit(1000000.0), 6).as("max_gap_s"))

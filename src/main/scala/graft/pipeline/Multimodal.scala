@@ -49,9 +49,12 @@ object Multimodal {
 
   /** Synthesize the media table from documents: payload = UTF-8 bytes,
     * fake image metadata derived deterministically from doc stats. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaTableDf(Tables.load(spark, dir, "documents"))
+
+  def mediaTableDf(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(
         col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
@@ -134,6 +137,42 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir))
       .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  case class ResizedMedia(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+                          resized_sum: Long, resized_md5: String)
+
+  /** Downsample factor for [[resizeMedia]]. */
+  private[graft] val ResizeFactor = 4
+
+  /** eq86 — media resize (plumbing): every payload is downsampled by
+    * keeping each [[ResizeFactor]]-th byte — the stand-in for bilinear
+    * image / sample-rate audio resize, running at the same
+    * `mapPartitions` codec boundary as [[extractFeatures]] (a real
+    * resizer initializes per partition and streams). The audit columns
+    * (byte counts, exact byte sum, md5 of the resized payload) are what
+    * the oracle re-derives from hex-expanded bytes, so the off-Catalyst
+    * hop stays hash-verified end-to-end — the x4 discipline applied to a
+    * payload-PRODUCING (not just payload-consuming) codec step. */
+  def resizeMedia(spark: SparkSession, dir: String): DataFrame =
+    resizeMediaDs(mediaTable(spark, dir))
+
+  def resizeMediaDs(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition resizer init would go here
+      rows.map { r =>
+        val out = Array.tabulate(
+          (r.payload.length + ResizeFactor - 1) / ResizeFactor)(i =>
+          r.payload(i * ResizeFactor))
+        ResizedMedia(r.doc_id, r.payload.length.toLong, out.length.toLong,
+          out.foldLeft(0L)((s, b) => s + (b & 0xFF)),
+          java.security.MessageDigest.getInstance("MD5").digest(out)
+            .map("%02x".format(_)).mkString)
+      }
+    }
+      .toDF()
       .orderBy("doc_id")
   }
 

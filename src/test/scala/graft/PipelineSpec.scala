@@ -899,6 +899,21 @@ class PipelineSpec extends SparkSpec {
       ("Tuesday", 11) -> ((1L, 250000L, 250000L - 1000000L / 168))))
   }
 
+  test("media resize: every-4th-byte downsample, audited sum and digest") {
+    val docs = docsDf(Seq(
+      (1L, "abcdefgh", "en", "s", 8L),   // -> "ae"
+      (2L, "xyz", "en", "s", 3L)))        // -> "x" (ceil(3/4) = 1 byte)
+    val rows = graft.pipeline.Multimodal.resizeMediaDs(
+      graft.pipeline.Multimodal.mediaTableDf(docs)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(rows(1L) == ((8L, 2L, ('a' + 'e').toLong, md5("ae"))))
+    assert(rows(2L) == ((3L, 1L, 'x'.toLong, md5("x"))))
+  }
+
   test("frame samples: even spacing picks first/last, short payloads take all frames") {
     val docs = docsDf(Seq(
       (1L, "x" * 640, "en", "s", 640L),  // 10 frames -> indices 0,3,6,9
