@@ -1692,6 +1692,42 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
 
+    // eq87: PSI drift — eq68's decile bins, per-bin micro-integer
+    // (p−q)·ln(p/q) terms summed exactly; empty-side bins skipped.
+    "eq87_psi_drift" ->
+      """WITH b AS (
+        |  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+        |          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+        |          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+        |          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+        |          quantile_cont(value, 0.9)] AS bs
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |         1 + len(list_filter(bs, v -> value >= v)) AS bin,
+        |         ts::DATE < DATE '2024-01-16' AS early
+        |  FROM events CROSS JOIN b),
+        |c AS (
+        |  SELECT event_type, bin,
+        |         SUM(CASE WHEN early THEN 1 ELSE 0 END) AS cnt_a,
+        |         SUM(CASE WHEN early THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM x GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b
+        |  FROM c GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type,
+        |         CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN
+        |           CAST(floor((CAST(cnt_a AS DOUBLE) / tot_a - CAST(cnt_b AS DOUBLE) / tot_b)
+        |               * ln((CAST(cnt_a AS DOUBLE) / tot_a) / (CAST(cnt_b AS DOUBLE) / tot_b))
+        |               * 1e6) AS BIGINT)
+        |         END AS term_micro
+        |  FROM c JOIN t ON c.event_type = t.event_type)
+        |SELECT event_type,
+        |       CAST(SUM(CASE WHEN term_micro IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_used,
+        |       ROUND(CAST(SUM(term_micro) AS DOUBLE) / 1e6, 6) AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // eq86: media resize audit — ASCII payloads make char ops ≡ byte ops
     // (eq50 convention): every-4th-char string, ord() = byte value.
     "eq86_media_resize" ->

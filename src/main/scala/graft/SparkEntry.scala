@@ -117,6 +117,7 @@ object SparkEntry {
     "eq84_cluster_reps"      -> (Dedup.clusterReps _),
     "eq85_activity_profile"  -> (EventOps.activityProfile _),
     "eq86_media_resize"      -> (Multimodal.resizeMedia _),
+    "eq87_psi_drift"         -> (graft.star.AggSurface.psiDrift _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -213,6 +213,51 @@ object AggSurface {
       .orderBy(col("revenue_cents").desc, col("suppkey").asc)
   }
 
+  /** eq87 — population stability index (PSI): the ML-monitoring drift
+    * metric between the month's first half and second half, per event
+    * type — "did the value distribution my model was calibrated on
+    * move". Bins are eq68's exact overall deciles (broadcast); per
+    * (type, bin) the two periods' counts are exact, shares are fixed-
+    * shape doubles of exact integers, and each bin's PSI term
+    * `(p−q)·ln(p/q)` is floored to integer micros before the sum (the
+    * eq62 convention), so the index is engine-exact. Bins empty on
+    * either side are skipped (reported, not interpolated). One shuffle
+    * on (type, bin); everything after is a ≤ types×10-row frame. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftDf(Tables.load(spark, dir, "events"))
+
+  def psiDriftDf(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bs"))
+    val binned = events
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        expr("1 + aggregate(bs, 0, (acc, b) -> acc + CASE WHEN value >= b THEN 1 ELSE 0 END)")
+          .as("bin"),
+        (to_date(col("ts")) < lit("2024-01-16")).as("early"))
+      .groupBy("event_type", "bin")
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = binned.groupBy("event_type")
+      .agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    binned.join(totals, "event_type")
+      .withColumn("term_micro",
+        when(col("cnt_a") > 0 && col("cnt_b") > 0,
+          floor((col("cnt_a").cast("double") / col("tot_a")
+              - col("cnt_b").cast("double") / col("tot_b"))
+            * log((col("cnt_a").cast("double") / col("tot_a"))
+              / (col("cnt_b").cast("double") / col("tot_b")))
+            * lit(1e6)).cast("long")))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("term_micro").isNotNull, 1L).otherwise(0L)).as("n_bins_used"),
+        round(sum(col("term_micro")).cast("double") / 1e6, 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   /** eq68 — equi-depth histogram of `value`: exact decile boundaries
     * (eq22's `percentile` ≡ `quantile_cont` parity), broadcast back as a
     * 9-element array, each row binned by a codegen'd `aggregate` lambda

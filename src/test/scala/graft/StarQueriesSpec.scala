@@ -88,6 +88,26 @@ class StarQueriesSpec extends SparkSpec {
     assert(rows("modern") == ((n, n, 0L, chars)))
   }
 
+  test("eq87: PSI is exactly 0 on identical halves, non-negative on the fixture") {
+    val rows = graft.star.AggSurface.psiDrift(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"PSI must be non-negative: $r")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+    }
+    // identical value distributions in both periods -> every bin has
+    // p = q -> every micro term is floor(0) -> PSI exactly 0
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sym = (1 to 10).flatMap { v =>
+      Seq((v.toLong, ts("2024-01-01 10:00:00"), 1L, "view", v.toDouble, "{}"),
+        (v.toLong + 100, ts("2024-01-20 10:00:00"), 1L, "view", v.toDouble, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.star.AggSurface.psiDriftDf(sym).collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(2) == 0.0, "identical halves must give PSI 0")
+    assert(r.head.getLong(1) == 10L, "all ten bins populated on both sides")
+  }
+
   test("eq68: ten near-equal bins, rows conserved, ranges ordered and disjoint") {
     val rows = graft.star.AggSurface.equidepthBins(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("bin")).toSeq == (1 to 10))
