@@ -1692,6 +1692,33 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
 
+    // x15: matryoshka recall — rankings order by 6-dp ROUNDED cosines
+    // (vec_id tie-break), so both engines rank identically and the whole
+    // evaluation is hash-checked, not bounded.
+    "x15_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |un AS (
+        |  SELECT q.qid, e.vec_id AS vid,
+        |         generate_subscripts(e.embedding, 1) AS i,
+        |         unnest(e.embedding)::DOUBLE AS ex, unnest(q.qe)::DOUBLE AS qx
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |p AS (
+        |  SELECT qid, vid,
+        |         ROUND(SUM(ex*qx) / (SQRT(SUM(ex*ex)) * SQRT(SUM(qx*qx))), 6) AS sim_full,
+        |         ROUND(SUM(CASE WHEN i <= 16 THEN ex*qx ELSE 0 END)
+        |               / (SQRT(SUM(CASE WHEN i <= 16 THEN ex*ex ELSE 0 END))
+        |                  * SQRT(SUM(CASE WHEN i <= 16 THEN qx*qx ELSE 0 END))), 6) AS sim_pre
+        |  FROM un GROUP BY 1, 2),
+        |r AS (
+        |  SELECT qid, vid,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vid ASC) AS rf,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim_pre DESC, vid ASC) AS rp
+        |  FROM p),
+        |h AS (SELECT qid, COUNT(*) AS n_hits FROM r WHERE rf <= 5 AND rp <= 5 GROUP BY 1)
+        |SELECT q.qid, 5 AS k, COALESCE(h.n_hits, 0) AS n_hits,
+        |       ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+        |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+
     // eq87: PSI drift — eq68's decile bins, per-bin micro-integer
     // (p−q)·ln(p/q) terms summed exactly; empty-side bins skipped.
     "eq87_psi_drift" ->

@@ -137,6 +137,7 @@ object SparkEntry {
     "x12_ann_recall"         -> (Similarity.annRecall _),
     "x13_approx_group_users" -> (EventOps.approxUsersPerType _),
     "x14_join_size_estimate" -> (EventOps.joinSizeEstimate _),
+    "x15_matryoshka_recall"  -> (Similarity.matryoshkaRecall _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

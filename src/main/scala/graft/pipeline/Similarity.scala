@@ -364,6 +364,45 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** x15 — matryoshka (prefix-dimension) recall: how much ANN quality
+    * survives truncating embeddings to their first 16 of 64 dims — the
+    * evaluation behind MRL-style "store the prefix, pay 4× less" cost
+    * decisions. For a 10-query panel, top-5 by full cosine vs top-5 by
+    * prefix cosine; rankings order by the 6-dp ROUNDED similarity with
+    * a vec_id tie-break, so both engines rank identically and the whole
+    * evaluation — not just a bound — is hash-checked. The panel is a
+    * constant, so the pair frame is |panel|×|corpus| with a broadcast
+    * query side: one corpus scan, rank windows partitioned per query. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (k, prefixDim, panel) = (5, 16, 10)
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < panel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def cos(x: Column, y: Column): Column =
+      round(dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y))), 6)
+    val pairs = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cos(col("embedding"), col("qe")).as("sim_full"),
+        cos(slice(col("embedding"), 1, prefixDim), slice(col("qe"), 1, prefixDim))
+          .as("sim_pre"))
+    val byFull = Window.partitionBy("qid")
+      .orderBy(col("sim_full").desc, col("vec_id").asc)
+    val byPre = Window.partitionBy("qid")
+      .orderBy(col("sim_pre").desc, col("vec_id").asc)
+    val hits = pairs
+      .withColumn("rf", row_number().over(byFull))
+      .withColumn("rp", row_number().over(byPre))
+      .filter(col("rf") <= k && col("rp") <= k)
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), lit(k).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy("qid")
+  }
+
   /** eq71 — Gramian top pairs: the strongest off-diagonal covariance
     * structure of the embedding space (Σ vᵢvⱼ over the corpus), computed
     * in ONE pass by [[graft.functions.GramAggregator]] — executors
