@@ -78,20 +78,30 @@ object Dedup {
         graft.functions.ShingleExpressions.shingle_hashes(col("text"), 3).as("sh"))
       .withColumn("sz", size(col("sh")))
 
-  /** Exact n-gram Jaccard near-dup pairs (sim ≥ 0.2) via the inverted-index
-    * self-join: explode shingle hashes (8-byte keys from the native
-    * [[graft.functions.ShingleExpressions.ShingleHashes]] expression), join
-    * on shingle, count common, J = |A∩B| / (|A|+|B|-|A∩B|). Join fan-out is
-    * Σ df² over shingle document frequencies — benign when no shingle is
-    * ultra-frequent (this corpus: max df 25, Σdf² ≈ 2.8M at sf0.1). For
-    * skew-heavy corpora where Σdf² explodes, [[jaccardPairsPrefixDf]] is
-    * the lossless prefix-filtered variant. */
+  /** Exact n-gram Jaccard near-dup pairs (sim ≥ 0.2). The DEFAULT for the
+    * whole eq12 family (eq26/eq49/eq61/eq84 compose it) is the PPJoin
+    * prefix-filtered path [[jaccardPairsPrefixDf]] — lossless (prefix
+    * theorem, proven ≡ the plain inverted join by test) and immune to the
+    * Σdf² hot-shingle blowup a boilerplate-heavy 100 TB corpus triggers on
+    * the plain self-join. The plain variant survives as
+    * [[jaccardPairsPlainDf]] for the equivalence pin and for small corpora
+    * where its single join beats the prefix path's extra passes. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsDf(Tables.load(spark, dir, "documents"))
 
   private val JaccardThreshold = 0.2
 
-  def jaccardPairsDf(docs: DataFrame): DataFrame = {
+  def jaccardPairsDf(docs: DataFrame): DataFrame = jaccardPairsPrefixDf(docs)
+
+  /** Plain inverted-index self-join: explode shingle hashes (8-byte keys
+    * from the native [[graft.functions.ShingleExpressions.ShingleHashes]]
+    * expression), join on shingle, count common,
+    * J = |A∩B| / (|A|+|B|-|A∩B|). Join fan-out is Σ df² over shingle
+    * document frequencies — benign only when no shingle is ultra-frequent
+    * (this corpus: max df 25, Σdf² ≈ 2.8M at sf0.1); one stop-shingle
+    * shared by k docs emits k² candidate rows on a single key, which is
+    * why [[jaccardPairsPrefixDf]] is the family default. */
+  def jaccardPairsPlainDf(docs: DataFrame): DataFrame = {
     // materialized once: both sides of the self-join consume this frame —
     // without it each side re-runs the shingling pass over the corpus.
     // Lifecycle of these localCheckpoint blocks (here and in the other
@@ -114,9 +124,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** PPJoin-style prefix-filtered variant of [[jaccardPairsDf]] — identical
-    * output, built for corpora where frequent shingles make the plain
-    * inverted join's Σdf² fan-out explode (boilerplate-heavy web crawls):
+  /** PPJoin-style prefix-filtered variant — identical output to
+    * [[jaccardPairsPlainDf]], built for corpora where frequent shingles
+    * make the plain inverted join's Σdf² fan-out explode
+    * (boilerplate-heavy web crawls):
     *
     *  1. global canonical shingle order = (document frequency ASC, hash) —
     *     rare shingles first;

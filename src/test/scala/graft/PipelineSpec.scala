@@ -168,12 +168,21 @@ class PipelineSpec extends SparkSpec {
 
   test("prefix-filtered jaccard (PPJoin) is identical to the plain inverted join (sf0.001)") {
     val docs = graft.Tables.load(spark, Sf, "documents")
-    val plain = Dedup.jaccardPairsDf(docs).collect()
+    val plain = Dedup.jaccardPairsPlainDf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
     val prefix = Dedup.jaccardPairsPrefixDf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
     assert(plain.nonEmpty)
     assert(plain.sameElements(prefix))
+  }
+
+  test("jaccard family default is the prefix path: hash joins only, no cartesian") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    // the family default (fed to eq12/eq26/eq49/eq61/eq84) must candidate-
+    // generate on the rare-shingle prefix — hash joins end to end
+    val plan = Dedup.jaccardPairsDf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
   test("minhash-LSH pairs are a subset of exact pairs and recall all high-sim pairs (sf0.001)") {
