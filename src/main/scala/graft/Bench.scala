@@ -7,14 +7,23 @@ import org.apache.spark.sql.SparkSession
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Methodology (SURVEY.md §6): one un-timed warm-up pass (JVM/JIT, codegen
-  * cache, parquet footers), then one timed pass. Each query is forced with
-  * a noop-sink write — unlike `count()`, that cannot let Catalyst prune the
+  * cache, parquet footers), then THREE timed passes per query; the reported
+  * per-query number is the MEDIAN of the three, so one OS/VM contention
+  * window mid-run cannot put a block of queries past their recorded
+  * baseline (the round-6 failure mode). Each query is forced with a
+  * noop-sink write — unlike `count()`, that cannot let Catalyst prune the
   * projected columns away, so the timing covers the full materialized
-  * result. */
+  * result.
+  *
+  * Optional arg 1: comma-separated query names to bench (default all) —
+  * for iterating on one family without paying for the whole suite. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only: Set[String] =
+      if (args.length > 0) args(0).split(",").filter(_.nonEmpty).toSet
+      else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,8 +53,18 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    require(names.nonEmpty, s"no queries match filter ${args.headOption}")
     names.foreach(run) // warm-up pass, un-timed
-    val results = names.map(n => n -> run(n))
+    // three timed passes, interleaved BY PASS (pass 1 of all queries, then
+    // pass 2, ...) so a contention window hits each query in at most one of
+    // its three samples instead of all three
+    val passes = Seq.fill(3)(names.map(n => n -> run(n)))
+    val results = names.map { n =>
+      val samples = passes.map(_.toMap.apply(n))
+      val ok = samples.filter(_ >= 0).sorted
+      n -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
