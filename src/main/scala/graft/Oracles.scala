@@ -1603,11 +1603,14 @@ object Oracles {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // eq65: weighted corpus mixing — md5-of-id rank within source vs the
-    // source-derived quota; pure function of (source, doc_id).
+    // source-derived quota; pure function of (source, doc_id). TRY_CAST:
+    // a source with no trailing digits regexp-extracts to '' — Spark's
+    // cast('') yields NULL (row silently dropped by the quota filter);
+    // plain DuckDB CAST('' AS INT) would hard-error instead.
     "eq65_corpus_mix" ->
       """WITH k AS (
         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS mix_key,
-        |         1 + CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 AS weight
+        |         1 + TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 AS weight
         |  FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY mix_key, doc_id) AS mix_rank
         |      FROM k)
@@ -1679,14 +1682,28 @@ object Oracles {
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // eq82: co-purchase matrix — distinct (user, item) from the JSON
-    // payload, per-user unordered pairs, top-20 cells.
+    // payload, baskets capped at the 256 most-recent items per user
+    // (mirrors EventOps.CoPurchaseBasketCap; row_number over
+    // (last_ts DESC, item ASC) resolves ties identically in both
+    // engines), per-user unordered pairs, top-20 cells. TRY_CAST mirrors
+    // Spark's null-on-unparseable cast semantics — both engines drop a
+    // non-numeric $.k row instead of the oracle hard-erroring on it.
     "eq82_co_purchases" ->
-      """WITH ui AS (
-        |  SELECT DISTINCT user_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      """WITH ui0 AS (
+        |  SELECT user_id,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |         MAX(ts) AS last_ts
         |  FROM events
         |  WHERE event_type = 'purchase'
-        |    AND json_extract_string(props, '$.k') IS NOT NULL)
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ui AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id
+        |                              ORDER BY last_ts DESC, item ASC) AS rn
+        |    FROM ui0)
+        |  WHERE rn <= 256)
         |SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users
         |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2

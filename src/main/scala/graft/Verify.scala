@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query names — default: all]
     val (sfDir, outDir) = (args(0), args(1))
+    // blank tokens are dropped so a "" third arg means "all", not the
+    // impossible query named "" (which would silently write nothing)
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
+      else Set.empty
+    require(only.isEmpty || only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown queries requested: ${(only -- SparkEntry.queries.keySet).mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

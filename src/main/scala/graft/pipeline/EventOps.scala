@@ -491,20 +491,33 @@ object EventOps {
     * bought Y"): distinct (user, item) pairs from the purchase stream's
     * JSON payload, self-joined per user into unordered item pairs,
     * counted across users — the item-item collaborative-filtering
-    * matrix. The pair fan-out is Σᵤ C(|items_u|, 2), bounded by per-user
-    * basket size (never corpus²); at 100 TB the heavy-user tail is the
-    * skew to watch and AQE's skew split handles the join. Top-20 cells
-    * via TakeOrderedAndProject. */
+    * matrix. The pair fan-out is Σᵤ C(|items_u|, 2) — never corpus², but
+    * unbounded in the heavy-user tail: one bot account with a 10k-item
+    * basket emits ~50M pairs on a single join key. So baskets are CAPPED
+    * at the [[CoPurchaseBasketCap]] most-RECENT items per user (standard
+    * CF practice — stale purchases carry little signal anyway), making
+    * the worst key C(256,2) ≈ 32k pairs. The cap is part of the query
+    * contract and mirrored in the oracle SQL. Top-20 cells via
+    * TakeOrderedAndProject. */
+  private[graft] val CoPurchaseBasketCap = 256
+
   def coPurchases(spark: SparkSession, dir: String): DataFrame =
     coPurchasesDf(Tables.load(spark, dir, "events"))
 
   def coPurchasesDf(events: DataFrame): DataFrame = {
+    val byRecency = Window.partitionBy("user_id")
+      .orderBy(col("last_ts").desc, col("item").asc)
     val items = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("ts"))
       .filter(col("item").isNotNull)
-      .distinct()
+      .groupBy("user_id", "item")
+      .agg(max(col("ts")).as("last_ts"))
+      .withColumn("rn", row_number().over(byRecency))
+      .filter(col("rn") <= CoPurchaseBasketCap)
+      .select("user_id", "item")
     val a = items.select(col("user_id"), col("item").as("item_a"))
     val b = items.select(col("user_id"), col("item").as("item_b"))
     a.join(b, Seq("user_id"))

@@ -165,8 +165,22 @@ object StreamingOps extends Serializable {
 
   case class ChangeEvent(user_id: Long, ts: java.sql.Timestamp,
                          event_id: Long, event_type: String)
-  case class ProfileState(lastMs: Long, lastId: Long, lastOp: String,
+  case class ProfileState(lastUs: Long, lastId: Long, lastOp: String,
                           nChanges: Long)
+
+  /** Epoch MICROSECONDS of a timestamp — the full precision Spark stores.
+    * `getTime` alone truncates to millis, which would let two changes in
+    * the same millisecond but different microseconds resolve by event_id
+    * here while the batch twin resolves them by the microsecond — a
+    * parity break (pinned by test). */
+  private def epochUs(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def usToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   case class ProfileRow(user_id: Long, last_op: String,
                         last_ts: java.sql.Timestamp, n_changes: Long,
                         tombstoned: Boolean)
@@ -187,13 +201,13 @@ object StreamingOps extends Serializable {
            state: GroupState[ProfileState]): ProfileRow = {
       val batch = it.toList
       val prev = state.getOption
-      val last = (prev.map(s => (s.lastMs, s.lastId, s.lastOp)).toList ++
-        batch.map(e => (e.ts.getTime, e.event_id, e.event_type)))
+      val last = (prev.map(s => (s.lastUs, s.lastId, s.lastOp)).toList ++
+        batch.map(e => (epochUs(e.ts), e.event_id, e.event_type)))
         .maxBy(t => (t._1, t._2))
       val next = ProfileState(last._1, last._2, last._3,
         prev.map(_.nChanges).getOrElse(0L) + batch.length)
       state.update(next)
-      ProfileRow(userId, next.lastOp, new java.sql.Timestamp(next.lastMs),
+      ProfileRow(userId, next.lastOp, usToTimestamp(next.lastUs),
         next.nChanges, next.lastOp == "error")
     }
     changes

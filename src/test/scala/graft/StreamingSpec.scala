@@ -349,4 +349,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamLive == batchRows,
       "live streaming profiles must equal the batch compaction")
   }
+
+  test("streaming CDC resolves same-millisecond changes by the microsecond, like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // two changes inside ONE millisecond: .000001s id 9 vs .000900s id 1.
+    // Microsecond order says id 1 (purchase) is latest; a millis-truncating
+    // comparison would tie the timestamps and wrongly resolve by event_id
+    // to id 9 (signup).
+    def tsUs(base: String, us: Int): Timestamp = {
+      val t = ts(base); t.setNanos(us * 1000); t
+    }
+    val early = tsUs("2024-01-01 10:00:00", 1)
+    val late = tsUs("2024-01-01 10:00:00", 900)
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val changes = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .as[StreamingOps.ChangeEvent](org.apache.spark.sql.Encoders.product)
+    val q = StreamingOps.cdcState(changes)
+      .writeStream.format("memory").queryName("cdc_us_out")
+      .outputMode("update").start()
+    mem.addData((1L, early, 9L, "signup"), (1L, late, 1L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("cdc_us_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+      .maxBy(_._4)
+    assert(row._2 == "purchase", s"micros must win over event_id: $row")
+    assert(row._3.getNanos == 900000, s"emitted last_ts must keep the micros: $row")
+    // batch parity on the same changelog
+    val events = Seq(
+      (9L, early, 1L, "signup", 0.0, "{}"),
+      (1L, late, 1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = graft.pipeline.EventOps.cdcCompactDf(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(batch.sameElements(Array(
+      (1L, "purchase", "2024-01-01 10:00:00.000900", 2L))))
+  }
 }
