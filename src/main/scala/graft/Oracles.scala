@@ -2021,5 +2021,62 @@ object Oracles {
         |       COUNT(DISTINCT md5(array_to_string(t, ' '))) AS n_norm_distinct,
         |       COUNT(DISTINCT md5(array_to_string(list_sort(t), ' '))) AS n_bow_distinct
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x16: HLL column profiler — the x13 convention at eq74's shape: exact
+    // per-column null/distinct counts hash-compared, the HLL estimate
+    // surfaced as the pinned |approx−exact| ≤ 5% flag.
+    "x16_profile_columns_approx" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS col_name,
+        |         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         COUNT(DISTINCT event_id) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT ts) FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT event_type) FROM events
+        |  UNION ALL
+        |  SELECT 'value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT value) FROM events
+        |  UNION ALL
+        |  SELECT 'props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT props) FROM events)
+        |SELECT col_name, n_null, n_distinct, TRUE AS approx_ok
+        |FROM p ORDER BY col_name""".stripMargin,
+
+    // x17: the streaming CDC operator run in batch mode — eq67's window
+    // compaction, but keeping tombstoned keys visible like the
+    // materialized table the stream serves.
+    "x17_cdc_state_batch" ->
+      """WITH cl AS (
+        |  SELECT * FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM cl)
+        |SELECT user_id, event_type AS last_op,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, n_changes,
+        |       event_type = 'error' AS tombstoned
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // x18: stream-static enrichment parity frame — every event stamped
+    // with its user's profile (count + exact integer cents, the x7
+    // convention).
+    "x18_enrich_history_batch" ->
+      """WITH h AS (
+        |  SELECT user_id, COUNT(*) AS hist_events,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS hist_value_cents
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, e.event_type,
+        |       COALESCE(h.hist_events, 0) AS hist_events,
+        |       COALESCE(h.hist_value_cents, 0) AS hist_value_cents
+        |FROM events e LEFT JOIN h ON e.user_id = h.user_id
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

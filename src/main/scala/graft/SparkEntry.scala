@@ -138,6 +138,12 @@ object SparkEntry {
     "x13_approx_group_users" -> (EventOps.approxUsersPerType _),
     "x14_join_size_estimate" -> (EventOps.joinSizeEstimate _),
     "x15_matryoshka_recall"  -> (Similarity.matryoshkaRecall _),
+    "x16_profile_columns_approx" -> (EventOps.profileColumnsApprox _),
+    // streaming-surface parity frames: x17/x18 run the Structured
+    // Streaming operators' code in batch mode, putting the streaming
+    // surface under the driver's DuckDB oracle (VERDICT r6 ask)
+    "x17_cdc_state_batch"    -> (graft.streaming.StreamingOps.cdcStateBatch _),
+    "x18_enrich_history_batch" -> (graft.streaming.StreamingOps.enrichBatch _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

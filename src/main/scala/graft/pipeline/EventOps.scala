@@ -612,4 +612,39 @@ object EventOps {
           .otherwise(abs(col("au") - col("exact_users")).cast("double")
             / col("exact_users") <= 0.05).as("approx_users_ok"))
       .orderBy("event_type")
+
+  /** x16 — HLL column profiler, the 100 TB default beside [[profileColumns]]:
+    * per-column null counts and distinct cardinalities where the distincts
+    * are HyperLogLog++ sketches (rsd 2%). The exact profiler's six
+    * `countDistinct` plan ONE Expand that multiplies the scan ×7 before the
+    * shuffle; the sketch profiler's aggregate carries six fixed-size HLL
+    * buffers in a single un-expanded pass — O(1) memory per column at any
+    * corpus size. Oracle shape follows the x13 convention: the exact
+    * distincts are hash-compared (both run here so the sketch is
+    * verifiable), and the sketch surfaces as the |approx−exact| ≤ 5%
+    * boolean the oracle pins TRUE. Production drops the exact columns and
+    * with them the Expand. */
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame =
+    profileColumnsApproxDf(Tables.load(spark, dir, "events"))
+
+  def profileColumnsApproxDf(events: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_a"))
+    }
+    def cell(c: String) = struct(
+      lit(c).as("col_name"),
+      col(s"${c}_nulls").as("n_null"),
+      col(s"${c}_d").as("n_distinct"),
+      when(col(s"${c}_d") === 0, col(s"${c}_a") === 0)
+        .otherwise(abs(col(s"${c}_a") - col(s"${c}_d")).cast("double")
+          / col(s"${c}_d") <= 0.05).as("approx_ok"))
+    events.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(cell): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
 }

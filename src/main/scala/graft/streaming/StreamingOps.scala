@@ -215,6 +215,43 @@ object StreamingOps extends Serializable {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** x17 — [[cdcState]] driven in BATCH mode, under the DuckDB oracle:
+    * `mapGroupsWithState` on a batch Dataset processes each key's full
+    * changelog in one invocation against empty initial state, so this runs
+    * the EXACT streaming code path (same fold, same microsecond
+    * (ts, event_id) order, same tombstone flag) and hash-checks it against
+    * a plain window-SQL oracle — the driver-visible correctness signal for
+    * the streaming surface that ScalaTest batch-parity alone didn't give.
+    * Unlike eq67 it keeps tombstoned keys visible (tombstoned=true),
+    * because a materialized CDC table serves deletes to its readers. */
+  def cdcStateBatch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+    val changes = events
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[ChangeEvent](org.apache.spark.sql.Encoders.product)
+    cdcState(changes).toDF()
+      .select(col("user_id"), col("last_op"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("n_changes"), col("tombstoned"))
+      .orderBy("user_id")
+  }
+
+  /** x18 — [[enrichWithHistory]] ∘ [[userHistory]] in batch mode, under
+    * the DuckDB oracle: every event stamped with its user's full-corpus
+    * profile (in production the static side is the nightly snapshot; here
+    * it is derived from the same frame so the oracle can reproduce it
+    * exactly). The event-level output IS the parity frame — the same plan
+    * a micro-batch executes against the broadcast static side. */
+  def enrichBatch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+    enrichWithHistory(events, userHistory(events))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"), col("hist_events"), col("hist_value_cents"))
+      .orderBy("event_id")
+  }
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */
