@@ -2022,6 +2022,55 @@ object Oracles {
         |       COUNT(DISTINCT md5(array_to_string(list_sort(t), ' '))) AS n_bow_distinct
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // eq88: BM25 top-10 retrieval — the eq47 micro-integer convention: ln
+    // quantized to BIGINT micros at the vocab level; every other op is
+    // IEEE-basic on the same expression tree as the Spark plan, so the
+    // per-term contributions and their order-free sums match exactly.
+    "eq88_bm25_topk" -> (s"WITH $toksCte,\n" +
+      """tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |posts AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+        |idf AS (
+        |  SELECT tok,
+        |         CAST(ROUND(ln(1.0::DOUBLE + (st.n_docs - df + 0.5::DOUBLE)
+        |           / (df + 0.5::DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS idf_micro
+        |  FROM (SELECT tok, COUNT(*) AS df FROM posts GROUP BY 1) CROSS JOIN st),
+        |q AS (SELECT DISTINCT qid, tok FROM (
+        |        SELECT doc_id AS qid, unnest(t) AS tok FROM toks WHERE doc_id < 5)),
+        |c AS (
+        |  SELECT q.qid, p.doc_id,
+        |         CAST(ROUND(i.idf_micro::DOUBLE *
+        |           (p.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)
+        |            / (p.tf::DOUBLE + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |               + 0.75::DOUBLE * (d.dl::DOUBLE
+        |                 / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))))) AS BIGINT) AS c_micro
+        |  FROM q JOIN posts p USING (tok) JOIN idf i USING (tok)
+        |       JOIN dls d ON p.doc_id = d.doc_id CROSS JOIN st),
+        |s AS (SELECT qid, doc_id, COUNT(*) AS n_terms,
+        |             CAST(SUM(c_micro) AS BIGINT) AS score_micro
+        |      FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score_micro DESC, doc_id ASC) AS rank FROM s)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, n_terms,
+        |       ROUND(score_micro::DOUBLE / 1000000.0::DOUBLE, 6) AS bm25
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
+    // x19: the stream-stream attribution join in batch mode — plain
+    // interval join per user, 30-minute lookback.
+    "x19_attribution_batch" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |       strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND v.view_ts <= c.click_ts
+        |  AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
     // x16: HLL column profiler — the x13 convention at eq74's shape: exact
     // per-column null/distinct counts hash-compared, the HLL estimate
     // surfaced as the pinned |approx−exact| ≤ 5% flag.

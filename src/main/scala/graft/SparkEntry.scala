@@ -118,6 +118,7 @@ object SparkEntry {
     "eq85_activity_profile"  -> (EventOps.activityProfile _),
     "eq86_media_resize"      -> (Multimodal.resizeMedia _),
     "eq87_psi_drift"         -> (graft.star.AggSurface.psiDrift _),
+    "eq88_bm25_topk"         -> (TextAnalysis.bm25TopK _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);
@@ -144,6 +145,7 @@ object SparkEntry {
     // surface under the driver's DuckDB oracle (VERDICT r6 ask)
     "x17_cdc_state_batch"    -> (graft.streaming.StreamingOps.cdcStateBatch _),
     "x18_enrich_history_batch" -> (graft.streaming.StreamingOps.enrichBatch _),
+    "x19_attribution_batch"  -> (graft.streaming.StreamingOps.attributionBatch _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

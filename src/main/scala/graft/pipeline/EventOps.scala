@@ -629,12 +629,19 @@ object EventOps {
 
   def profileColumnsApproxDf(events: DataFrame): DataFrame = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val aggs = cols.flatMap { c =>
+    // TWO aggregation passes, deliberately: the sketch+null pass is one
+    // clean un-expanded scan (what production runs alone); the exact
+    // distincts — verification-only — go in a SEPARATE agg so their
+    // distinct-rewrite Expand cannot multiply the HLL pass's input (mixed
+    // into one agg, the 6 HLL buffers each update on the ×7-expanded
+    // stream: measured 12.5 s vs ~3 s split at sf0.1). The two 1-row
+    // results meet in a broadcast cross join.
+    val sketchAggs = cols.flatMap { c =>
       Seq(
         sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_d"),
         approx_count_distinct(col(c), 0.02).as(s"${c}_a"))
     }
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_d"))
     def cell(c: String) = struct(
       lit(c).as("col_name"),
       col(s"${c}_nulls").as("n_null"),
@@ -642,7 +649,8 @@ object EventOps {
       when(col(s"${c}_d") === 0, col(s"${c}_a") === 0)
         .otherwise(abs(col(s"${c}_a") - col(s"${c}_d")).cast("double")
           / col(s"${c}_d") <= 0.05).as("approx_ok"))
-    events.agg(aggs.head, aggs.tail: _*)
+    events.agg(sketchAggs.head, sketchAggs.tail: _*)
+      .crossJoin(broadcast(events.agg(exactAggs.head, exactAggs.tail: _*)))
       .select(explode(array(cols.map(cell): _*)).as("p"))
       .select(col("p.*"))
       .orderBy("col_name")

@@ -434,6 +434,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** eq88 — BM25 top-10 retrieval over the inverted index: the query-based
+    * corpus-filtering primitive (find the training docs most relevant to a
+    * benchmark/query panel — the retrieval sibling of eq29's
+    * decontamination). Queries are the doc_id < 5 documents' distinct
+    * token sets; every corpus doc is scored
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with k1=1.2,
+    * b=0.75 (the Robertson/Sparck-Jones formulation, public BM25).
+    *
+    * Engine-parity discipline (the eq47 convention): the ONE libm call
+    * (`ln` in idf) is quantized to integer micros at the vocabulary level,
+    * so every per-(query,doc,term) contribution is IEEE-basic-op
+    * arithmetic on bit-identical doubles → micro-longs whose SUM is
+    * order-free under any partitioning; both engines walk the same
+    * expression tree. Scale shape: posting-list join fans out Σ_{t∈Q}
+    * df(t) — the classic term-at-a-time retrieval plan, never corpus×Q;
+    * stats and idf are vocabulary-bounded; the query panel broadcasts. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKDf(Tables.load(spark, dir, "documents"))
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  def bm25TopKDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: postings, doc lengths and the query panel all
+    // re-consume the tokenized frame
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val posts = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dls = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = posts.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))) * 1000000.0).cast("long"))
+      .select("tok", "idf_micro")
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+    val byScore = Window.partitionBy("qid")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    qterms
+      .join(posts, Seq("tok"))
+      .join(idf, Seq("tok"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfnorm",
+        col("tf").cast("double") * (lit(Bm25K1) + lit(1.0))
+          / (col("tf").cast("double") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+            + lit(Bm25B) * (col("dl").cast("double")
+              / (col("sum_dl").cast("double") / col("n_docs").cast("double"))))))
+      .withColumn("c_micro",
+        round(col("idf_micro").cast("double") * col("tfnorm")).cast("long"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"),
+        round(col("score_micro").cast("double") / 1000000.0, 6).as("bm25"))
+      .orderBy("qid", "rank")
+  }
+
   def tfidfTopTermsDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()

@@ -252,6 +252,25 @@ object StreamingOps extends Serializable {
       .orderBy("event_id")
   }
 
+  /** x19 — [[viewClickAttribution]] in batch mode, under the DuckDB
+    * oracle: on a batch frame the watermarks are no-ops and the
+    * stream-stream interval join degenerates to exactly the inner
+    * interval join a micro-batch pair would compute — so the SAME
+    * declarative plan is hash-checked end-to-end (the third leg of the
+    * x17/x18 streaming-parity surface, covering the stream-stream join
+    * operator class). Timestamps rendered micro-format for the compare. */
+  def attributionBatch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    viewClickAttribution(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        date_format(col("view_ts"), fmt).as("view_ts"),
+        date_format(col("click_ts"), fmt).as("click_ts"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of [[graft.pipeline.EventOps.sessionize]]'s lag-based batch program
     * (per-user session event counts must agree; pinned by test). */

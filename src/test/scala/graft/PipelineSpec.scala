@@ -25,6 +25,39 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Map("s1" -> 1, "s2" -> 1)) // doc 1 (s2) beats doc 5 (s1)
   }
 
+  test("bm25: a query doc retrieves itself first; irrelevant docs score below relevant") {
+    // doc 0 is the query (doc_id < 5); doc 7 shares most of its terms,
+    // doc 8 shares one common term, doc 9 shares nothing
+    val docs = docsDf(Seq(
+      (0L, "spark shuffles partition data across executors", "en", "s", 46L),
+      (7L, "spark shuffles partition data across the cluster nodes", "en", "s", 54L),
+      (8L, "databases store data", "en", "s", 20L),
+      (9L, "unrelated words entirely here", "en", "s", 29L)))
+    val out = TextAnalysis.bm25TopKDf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getAs[Double]("bm25")))
+    assert(out.forall(_._1 == 0L), "only doc 0 is a query")
+    val ranked = out.sortBy(_._2).map(_._3)
+    assert(ranked.head == 0L, "the query doc itself must rank first")
+    assert(ranked.indexOf(7L) < ranked.indexOf(8L), "term overlap must order 7 above 8")
+    assert(!ranked.contains(9L), "a doc sharing no query term never scores")
+    val scores = out.sortBy(_._2).map(_._4)
+    assert(scores.sameElements(scores.sortBy(-(_: Double))), "scores non-increasing by rank")
+  }
+
+  test("bm25: plan is hash-join retrieval — no cartesian, query panel broadcast (sf0.001)") {
+    val out = TextAnalysis.bm25TopKDf(Tables.load(spark, Sf, "documents"))
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the posting/idf/dl joins must all be keyed hash joins; the only
+    // nested-loop joins allowed are the two deliberate 1-row stats cross
+    // joins (explicit Cross build, broadcast side is a single agg row)
+    assert(plan.contains("BroadcastHashJoin"), s"retrieval joins not hash joins:\n$plan")
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2,
+      s"unexpected nested-loop join (non-Cross or >2):\n$plan")
+  }
+
   test("jaccard pairs: identical docs sim 1.0; disjoint docs absent") {
     val docs = docsDf(Seq(
       (0L, "the quick brown fox jumps", "en", "s", 25L),
