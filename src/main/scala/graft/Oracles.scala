@@ -2071,6 +2071,18 @@ object Oracles {
         |  AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
+    // x20: mergeable HLL union — exact per-type and global distincts
+    // hash-compared; the sketch estimates (including the merged ALL row,
+    // whose flag proves union correctness) pinned by the ≤5% booleans.
+    "x20_hll_merge_users" ->
+      """WITH p AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT user_id) FROM events)
+        |SELECT event_type, exact_users, TRUE AS approx_ok
+        |FROM p ORDER BY event_type""".stripMargin,
+
     // x16: HLL column profiler — the x13 convention at eq74's shape: exact
     // per-column null/distinct counts hash-compared, the HLL estimate
     // surfaced as the pinned |approx−exact| ≤ 5% flag.

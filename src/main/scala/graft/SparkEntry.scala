@@ -146,6 +146,7 @@ object SparkEntry {
     "x17_cdc_state_batch"    -> (graft.streaming.StreamingOps.cdcStateBatch _),
     "x18_enrich_history_batch" -> (graft.streaming.StreamingOps.enrichBatch _),
     "x19_attribution_batch"  -> (graft.streaming.StreamingOps.attributionBatch _),
+    "x20_hll_merge_users"    -> (EventOps.hllMergeUsers _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

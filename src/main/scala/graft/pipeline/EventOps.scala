@@ -613,6 +613,43 @@ object EventOps {
             / col("exact_users") <= 0.05).as("approx_users_ok"))
       .orderBy("event_type")
 
+  /** x20 — MERGEABLE-sketch distinct counting (Apache DataSketches HLL via
+    * `hll_sketch_agg`/`hll_union_agg`): per-event-type sketches are built
+    * in one map-side pass, then the global cardinality is a UNION OF THE
+    * SKETCH BUFFERS — no re-scan. This is the cube/dashboard contract at
+    * 100 TB: per-slice sketches persist once (~KB each, fixed memory) and
+    * any rollup — day→month, slice→all — is a cheap buffer merge, which a
+    * plain `approx_count_distinct` result (a number, not a sketch) cannot
+    * do. Output: one row per type plus the merged ALL row; exact distincts
+    * hash-compared, estimates surfaced as the pinned ≤5% flags (x6/x13
+    * convention — the merged flag also proves union correctness, since a
+    * wrong merge would blow the bound). */
+  def hllMergeUsers(spark: SparkSession, dir: String): DataFrame =
+    hllMergeUsersDf(Tables.load(spark, dir, "events"))
+
+  def hllMergeUsersDf(events: DataFrame): DataFrame = {
+    // materialized once: the per-type rows and the ALL-row union both
+    // consume the 5-row sketch frame
+    val per = events.groupBy("event_type")
+      .agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .localCheckpoint()
+    val perRows = per.select(col("event_type"), col("exact_users"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val allRow = per.agg(hll_union_agg(col("sk")).as("g"))
+      .crossJoin(broadcast(
+        events.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("ALL").as("event_type"), col("exact_users"),
+        hll_sketch_estimate(col("g")).as("est"))
+    perRows.unionAll(allRow)
+      .select(col("event_type"), col("exact_users"),
+        when(col("exact_users") === 0, col("est") === 0)
+          .otherwise(abs(col("est") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.05).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
   /** x16 — HLL column profiler, the 100 TB default beside [[profileColumns]]:
     * per-column null counts and distinct cardinalities where the distincts
     * are HyperLogLog++ sketches (rsd 2%). The exact profiler's six

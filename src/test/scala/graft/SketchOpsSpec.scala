@@ -66,6 +66,19 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("x20: per-type and merged-union HLL flags hold; ALL row covers the global distinct") {
+    val out = graft.pipeline.EventOps.hllMergeUsersDf(Tables.load(spark, Sf, "events"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.exists(_._1 == "ALL"), "merged rollup row must be present")
+    out.foreach { case (t, _, ok) => assert(ok, s"HLL estimate out of bounds for $t") }
+    val all = out.find(_._1 == "ALL").get._2
+    val perMax = out.filter(_._1 != "ALL").map(_._2).max
+    val perSum = out.filter(_._1 != "ALL").map(_._2).sum
+    assert(all >= perMax && all <= perSum,
+      "global distinct must sit between the largest slice and the slice sum")
+  }
+
   test("bloom contamination on a corpus with no train/test overlap reports zero") {
     // doc_ids chosen so the md5 split assigns at least one test doc; with
     // wholly distinct vocabularies any test doc must report 0 contaminated
