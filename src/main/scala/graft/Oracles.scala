@@ -310,6 +310,56 @@ object Oracles {
       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** eq89's DuckDB twin of [[graft.pipeline.Clustering.kmeansDf]]: the
+    * iteration count is finite and fixed, so the Lloyd loop unrolls into a
+    * generated CTE chain — a{i} assigns by exact integer squared-L2 with
+    * the cid tie-break, u{i} takes exact BIGINT moments, c{i} floor-divides
+    * (`(s - ((s%n + n) % n)) // n` ≡ Spark `(s - pmod(s, n)) div n`) and
+    * keeps the previous centroid for emptied clusters. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val head =
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(pos AS INT) AS pos,
+         |         CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
+         |  FROM (
+         |    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         |           unnest(embedding)::DOUBLE AS x
+         |    FROM embeddings)),
+         |c0 AS (
+         |  SELECT CAST(r.rn - 1 AS INT) AS cid, v.pos, v.v AS cv
+         |  FROM (SELECT vec_id,
+         |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM (SELECT DISTINCT vec_id FROM v)) r
+         |  JOIN v USING (vec_id)
+         |  WHERE r.rn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY SUM((v.v - c.cv) * (v.v - c.cv)), c.cid) AS rk
+         |    FROM v JOIN c${i - 1} c USING (pos)
+         |    GROUP BY v.vec_id, c.cid)
+         |  WHERE rk = 1),
+         |u$i AS (
+         |  SELECT a.cid, v.pos, SUM(v.v) AS s, COUNT(*) AS n
+         |  FROM a$i a JOIN v USING (vec_id)
+         |  GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT p.cid, p.pos,
+         |         CASE WHEN u.n IS NULL THEN p.cv
+         |              ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cv
+         |  FROM c${i - 1} p LEFT JOIN u$i u ON u.cid = p.cid AND u.pos = p.pos)""".stripMargin
+    }
+    val fin =
+      s"""SELECT c.cid, c.pos, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members,
+         |       ROUND(c.cv::DOUBLE / 1000000.0::DOUBLE, 6) AS centroid
+         |FROM c$iters c
+         |LEFT JOIN (SELECT cid, COUNT(*) AS n FROM a$iters GROUP BY 1) m USING (cid)
+         |ORDER BY c.cid, c.pos""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + fin
+  }
+
   val pipeline: Map[String, String] = Map(
     "eq1_exact_dup_count" ->
       "SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_count FROM documents",
@@ -2074,6 +2124,13 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq89: the Lloyd chain reconstructed as generated CTEs — every
+    // iteration's assignment (exact BIGINT squared-L2 argmin, cid
+    // tie-break) and centroid update (floor-div of exact sums, empty
+    // clusters carry the previous centroid) mirrors Clustering.kmeansDf
+    // term for term, so five rounds stay bit-identical.
+    "eq89_kmeans" -> kmeansSql(k = 8, iters = 5),
+
     "x20_hll_merge_users" ->
       """WITH p AS (
         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users

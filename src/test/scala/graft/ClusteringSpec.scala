@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.pipeline.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("kmeans: two well-separated blobs converge to the blob means (k=2)") {
+    // blob A around (0, 0), blob B around (10, 10); means are exact in
+    // micro-units so the centroid read-back is bit-predictable
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.2f, 0.0f)), (2L, Array(0.0f, 0.2f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.2f, 10.0f)), (5L, Array(10.0f, 10.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansDf(e, k = 2, iters = 5).collect()
+    assert(out.length == 4) // 2 clusters x 2 dims
+    val byCluster = out.groupBy(_.getInt(0)).view.mapValues(
+      _.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))).toMap
+    val centroids = byCluster.values.map(_.map(_._2).toSeq).toSet
+    // means: (0.066667, 0.066667) and (10.066667, 10.066667) — micro-unit
+    // floor division of (200000+0+0)/3 = 66666 micros
+    assert(centroids == Set(Seq(0.066666, 0.066666), Seq(10.066666, 10.066666)))
+    assert(byCluster.values.forall(_.forall(_._1 == 3L))) // 3 members each
+  }
+
+  test("kmeans: emptied cluster keeps its previous centroid (duplicate-point seeding)") {
+    // three seeds over two distinct coordinates: the duplicated coordinate
+    // ties every member to the smaller cid, so the other seed's cluster
+    // empties and must carry its centroid forward unchanged
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)), (2L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansDf(e, k = 3, iters = 3).collect()
+    assert(out.length == 6) // 3 clusters x 2 dims
+    val sizes = out.groupBy(_.getInt(0)).view.mapValues(_.head.getLong(2)).toMap
+    assert(sizes.values.sum == 3L)      // every vector assigned exactly once
+    assert(sizes.values.exists(_ == 0L)) // one cluster emptied
+    // the emptied cluster's centroid is still one of the two input points
+    val empties = out.filter(_.getLong(2) == 0L).map(_.getDouble(3)).toSet
+    assert(empties.subsetOf(Set(1.0, 5.0)))
+  }
+
+  test("kmeans: assignment is broadcast-join shaped, no cartesian (sf0.001)") {
+    val df = Clustering.kmeans(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast assignment join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+}
