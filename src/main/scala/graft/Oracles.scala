@@ -316,48 +316,105 @@ object Oracles {
     * the cid tie-break, u{i} takes exact BIGINT moments, c{i} floor-divides
     * (`(s - ((s%n + n) % n)) // n` ≡ Spark `(s - pmod(s, n)) div n`) and
     * keeps the previous centroid for emptied clusters. */
-  private def kmeansSql(k: Int, iters: Int): String = {
-    val head =
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(pos AS INT) AS pos,
-         |         CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
-         |  FROM (
-         |    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
-         |           unnest(embedding)::DOUBLE AS x
-         |    FROM embeddings)),
-         |c0 AS (
-         |  SELECT CAST(r.rn - 1 AS INT) AS cid, v.pos, v.v AS cv
+  /** The micro-unit exploded view of `embeddings` shared by eq89/x21. */
+  private val microVecCte =
+    """v AS (
+      |  SELECT vec_id, CAST(pos AS INT) AS pos,
+      |         CAST(ROUND(x * 1000000.0::DOUBLE) AS BIGINT) AS v
+      |  FROM (
+      |    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |           unnest(embedding)::DOUBLE AS x
+      |    FROM embeddings))""".stripMargin
+
+  /** One unrolled Lloyd chain over source CTE `src` (vec_id, pos, v),
+    * CTE names suffixed `sfx` — seeds c0$sfx, then a{i}/u{i}/c{i} per
+    * round: exact BIGINT squared-L2 argmin with cid tie-break, exact-sum
+    * floor-div update (`(s - ((s%n + n) % n)) // n` ≡ Spark
+    * `(s - pmod(s, n)) div n`), emptied clusters keep their centroid. */
+  private def lloydCtes(src: String, sfx: String, k: Int, iters: Int): String = {
+    val seed =
+      s"""c0$sfx AS (
+         |  SELECT CAST(r.rn - 1 AS INT) AS cid, s.pos, s.v AS cv
          |  FROM (SELECT vec_id,
          |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |        FROM (SELECT DISTINCT vec_id FROM v)) r
-         |  JOIN v USING (vec_id)
+         |        FROM (SELECT DISTINCT vec_id FROM $src)) r
+         |  JOIN $src s USING (vec_id)
          |  WHERE r.rn <= $k)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""a$i AS (
+      s"""a$i$sfx AS (
          |  SELECT vec_id, cid FROM (
-         |    SELECT v.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY v.vec_id
-         |             ORDER BY SUM((v.v - c.cv) * (v.v - c.cv)), c.cid) AS rk
-         |    FROM v JOIN c${i - 1} c USING (pos)
-         |    GROUP BY v.vec_id, c.cid)
+         |    SELECT s.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY SUM((s.v - c.cv) * (s.v - c.cv)), c.cid) AS rk
+         |    FROM $src s JOIN c${i - 1}$sfx c USING (pos)
+         |    GROUP BY s.vec_id, c.cid)
          |  WHERE rk = 1),
-         |u$i AS (
-         |  SELECT a.cid, v.pos, SUM(v.v) AS s, COUNT(*) AS n
-         |  FROM a$i a JOIN v USING (vec_id)
+         |u$i$sfx AS (
+         |  SELECT a.cid, s.pos, SUM(s.v) AS s, COUNT(*) AS n
+         |  FROM a$i$sfx a JOIN $src s USING (vec_id)
          |  GROUP BY 1, 2),
-         |c$i AS (
+         |c$i$sfx AS (
          |  SELECT p.cid, p.pos,
          |         CASE WHEN u.n IS NULL THEN p.cv
          |              ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cv
-         |  FROM c${i - 1} p LEFT JOIN u$i u ON u.cid = p.cid AND u.pos = p.pos)""".stripMargin
+         |  FROM c${i - 1}$sfx p LEFT JOIN u$i$sfx u ON u.cid = p.cid AND u.pos = p.pos)""".stripMargin
     }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String = {
     val fin =
       s"""SELECT c.cid, c.pos, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members,
          |       ROUND(c.cv::DOUBLE / 1000000.0::DOUBLE, 6) AS centroid
          |FROM c$iters c
          |LEFT JOIN (SELECT cid, COUNT(*) AS n FROM a$iters GROUP BY 1) m USING (cid)
          |ORDER BY c.cid, c.pos""".stripMargin
-    (head +: rounds).mkString(",\n") + "\n" + fin
+    s"WITH $microVecCte,\n" + lloydCtes("v", "", k, iters) + "\n" + fin
+  }
+
+  /** x21: PQ codebooks = one Lloyd chain per subspace slice; codes and the
+    * query's 8×32 distance lookup table union the per-subspace frames; ADC
+    * ranks by exact integer sums, ground truth is the exact integer-L2
+    * top-5 — mirrors Clustering.pqRecallDf term for term. */
+  private def pqSql(subs: Int, dsub: Int, codes: Int, iters: Int): String = {
+    val slices = (0 until subs).map { s =>
+      val lo = s * dsub
+      s"""vs$s AS (
+         |  SELECT vec_id, CAST(pos - $lo AS INT) AS pos, v
+         |  FROM v WHERE pos >= $lo AND pos < ${lo + dsub})""".stripMargin
+    }
+    val chains = (0 until subs).map(s => lloydCtes(s"vs$s", s"_s$s", codes, iters))
+    val codesU = (0 until subs)
+      .map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a$iters" + s"_s$s")
+      .mkString("\n  UNION ALL\n  ")
+    val lutU = (0 until subs)
+      .map(s =>
+        s"""SELECT $s AS sub, c.cid AS code,
+           |       CAST(SUM((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS qd
+           |  FROM c$iters""".stripMargin + s"_s$s c JOIN vs$s q ON q.pos = c.pos AND q.vec_id = 0 GROUP BY 2")
+      .mkString("\n  UNION ALL\n  ")
+    val tail =
+      s"""codes AS (
+         |  $codesU),
+         |lut AS (
+         |  $lutU),
+         |adc AS (
+         |  SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN lut USING (sub, code)
+         |  WHERE vec_id <> 0 GROUP BY 1),
+         |exact AS (
+         |  SELECT b.vec_id FROM v b JOIN v q ON q.pos = b.pos AND q.vec_id = 0
+         |  WHERE b.vec_id <> 0 GROUP BY b.vec_id
+         |  ORDER BY SUM((b.v - q.v) * (b.v - q.v)), b.vec_id LIMIT 5),
+         |top AS (
+         |  SELECT vec_id, adc_dist,
+         |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+         |  FROM adc ORDER BY adc_dist, vec_id LIMIT 10)
+         |SELECT CAST(t.rank AS INT) AS rank, t.vec_id, t.adc_dist,
+         |       (e.vec_id IS NOT NULL) AS hit
+         |FROM top t LEFT JOIN exact e ON e.vec_id = t.vec_id
+         |ORDER BY t.rank""".stripMargin
+    (Seq(s"WITH $microVecCte") ++ slices ++ chains ++ Seq(tail)).mkString(",\n")
   }
 
   val pipeline: Map[String, String] = Map(
@@ -2130,6 +2187,10 @@ object Oracles {
     // clusters carry the previous centroid) mirrors Clustering.kmeansDf
     // term for term, so five rounds stay bit-identical.
     "eq89_kmeans" -> kmeansSql(k = 8, iters = 5),
+
+    // x21: product-quantization ANN — ADC top-10 for the vec_id=0 query
+    // with exact-top-5 hit flags; generated per-subspace Lloyd chains.
+    "x21_pq_recall" -> pqSql(subs = 8, dsub = 8, codes = 32, iters = 3),
 
     "x20_hll_merge_users" ->
       """WITH p AS (

@@ -148,6 +148,7 @@ object SparkEntry {
     "x18_enrich_history_batch" -> (graft.streaming.StreamingOps.enrichBatch _),
     "x19_attribution_batch"  -> (graft.streaming.StreamingOps.attributionBatch _),
     "x20_hll_merge_users"    -> (EventOps.hllMergeUsers _),
+    "x21_pq_recall"          -> (graft.pipeline.Clustering.pqRecall _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -66,7 +66,21 @@ object Clustering {
     // materialized once: seeding, every assign pass and every update pass
     // re-consume the exploded frame (iters·2 + 1 scans otherwise)
     val v = microVectors(e).localCheckpoint()
+    val (cents, assign) = lloyd(v, k, iters)
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    cents.join(sizes, Seq("cid"), "left")
+      .select(col("cid"), col("pos"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(col("cv").cast("double") / Scale, 6).as("centroid"))
+      .orderBy("cid", "pos")
+  }
 
+  /** The Lloyd loop over a pre-exploded micro-unit frame
+    * (vec_id, pos, v). Returns (final centroids (cid, pos, cv), final
+    * assignment (vec_id, cid)) — shared by eq89's full-dimension k-means
+    * and x21's per-subspace PQ codebooks. */
+  private[pipeline] def lloyd(v: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     // k seed rows via top-k (TakeOrderedAndProject); the row_number that
     // turns rank into cid runs over exactly k rows — bounded by design
     val seedIds = v.select(col("vec_id")).distinct()
@@ -93,12 +107,82 @@ object Clustering {
             .otherwise(fdiv(col("s"), col("n"))).as("cv"))
         .localCheckpoint() // k×d rows; cuts the per-iteration lineage
     }
-    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
-    cents.join(sizes, Seq("cid"), "left")
-      .select(col("cid"), col("pos"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"),
-        round(col("cv").cast("double") / Scale, 6).as("centroid"))
-      .orderBy("cid", "pos")
+    (cents, assign)
+  }
+
+  /** x21 — product-quantization ANN with recall evaluation: the third
+    * scale path beside IVF (x3) and SRP-LSH (x5), for corpora where even
+    * the quantized vectors don't fit memory. PQ splits the d=64 space
+    * into m=8 subspaces, learns a 32-code Lloyd codebook per subspace
+    * (3 iterations, the eq89 machinery on a sliced frame), encodes every
+    * vector as 8 small codes (64 dims → 8 bytes, a 32× compression), and
+    * answers the query via the asymmetric-distance computation: an 8×32
+    * lookup table of exact-integer query-to-codeword distances, one
+    * broadcast hash join per vector — no original vectors touched at
+    * query time.
+    *
+    * Everything is exact integer arithmetic (micro-units), so the ADC
+    * ranking is deterministic and the frame hash-checks: output is the
+    * ADC top-10 for the vec_id=0 query, each row flagged with membership
+    * in the exact integer-L2 top-5 (recall@5 surface, the x12 pattern).
+    *
+    * Scale posture: codebook learning touches each subspace slice
+    * (corpus-linear, k×dsub centroid frames); encoding is one broadcast
+    * join per subspace; the query path is a 64-row lookup-table build
+    * plus one broadcast join over the codes — never a vector scan. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    pqRecallDf(Tables.load(spark, dir, "embeddings"))
+
+  private val PqSubspaces = 8
+  private val PqSubDim    = 8 // d=64 / m=8
+  private val PqCodes     = 32
+  private val PqIters     = 3
+
+  def pqRecallDf(e: DataFrame): DataFrame = {
+    // materialized once: 4 codebook builds, the encoder, the query
+    // lookup tables and the exact ground truth all consume this frame
+    val v = microVectors(e).localCheckpoint()
+
+    // per-subspace codebooks + codes, rebased to local pos 0..dsub-1
+    val parts = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim
+      val vs = v.filter(col("pos") >= lo && col("pos") < lo + PqSubDim)
+        .select(col("vec_id"), (col("pos") - lo).cast("int").as("pos"), col("v"))
+      val (cents, codes) = lloyd(vs, PqCodes, PqIters)
+      val qd = cents.join(vs.filter(col("vec_id") === 0), Seq("pos"))
+        .groupBy(col("cid").as("code"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("qd"))
+      (codes.select(col("vec_id"), lit(s).as("sub"), col("cid").as("code")),
+        qd.select(lit(s).as("sub"), col("code"), col("qd")))
+    }
+    val codes = parts.map(_._1).reduce(_.union(_))
+    val lut   = parts.map(_._2).reduce(_.union(_)) // 4×16 rows
+
+    // ADC: one broadcast join codes ⋈ lookup table, sum over subspaces
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("qd")).as("adc_dist"))
+      .filter(col("vec_id") =!= 0)
+
+    // exact integer-L2 ground truth top-5 (query row broadcast)
+    val q = v.filter(col("vec_id") === 0)
+      .select(col("pos"), col("v").as("qv"))
+    val exact = v.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("pos"))
+      .groupBy("vec_id")
+      .agg(sum((col("v") - col("qv")) * (col("v") - col("qv"))).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(5)
+      .select(col("vec_id").as("hit_id"))
+
+    // row_number over exactly 10 rows — bounded by design
+    val byAdc = Window.orderBy(col("adc_dist"), col("vec_id"))
+    adc.orderBy(col("adc_dist"), col("vec_id")).limit(10)
+      .withColumn("rank", row_number().over(byAdc))
+      .join(broadcast(exact), col("vec_id") === col("hit_id"), "left")
+      .select(col("rank"), col("vec_id"), col("adc_dist"),
+        col("hit_id").isNotNull.as("hit"))
+      .orderBy("rank")
   }
 
   /** One Lloyd assignment pass: nearest centroid per vector by exact

@@ -46,6 +46,33 @@ class ClusteringSpec extends SparkSpec {
     assert(empties.subsetOf(Set(1.0, 5.0)))
   }
 
+  test("pq recall: separated blobs retrieve the query's blob, adc ranking is monotone") {
+    // two tight 64-dim blobs; query vec 0 sits in blob A, so the exact
+    // top-5 and the PQ top ranks must both stay inside A
+    def vec(base: Float, jitter: Float): Array[Float] =
+      Array.tabulate(64)(i => base + (if (i % 2 == 0) jitter else -jitter))
+    val e = (
+      (0L to 5L).map(i => (i, vec(0.1f, 0.001f * i))) ++
+      (6L to 11L).map(i => (i, vec(-0.4f, 0.001f * i)))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.pqRecallDf(e).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 10)) // ranks dense
+    val adc = out.map(_.getLong(2))
+    assert(adc.zip(adc.tail).forall { case (a, b) => a <= b }) // monotone
+    // the 5 nearest by ADC are the rest of blob A, all exact-top-5 hits
+    val top5 = out.take(5)
+    assert(top5.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 5L))
+    assert(top5.forall(_.getBoolean(3)))
+    assert(out.drop(5).forall(!_.getBoolean(3))) // blob B never hits
+  }
+
+  test("pq recall: plan is broadcast/hash joins only, no cartesian (sf0.001)") {
+    val p = plan(Clustering.pqRecall(spark, Sf))
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast lut join:\n$p")
+  }
+
   test("kmeans: assignment is broadcast-join shaped, no cartesian (sf0.001)") {
     val df = Clustering.kmeans(spark, Sf)
     val p = plan(df)
