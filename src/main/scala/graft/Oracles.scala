@@ -2181,6 +2181,40 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq90: bigram-LM surprise — ln once per bigram TYPE quantized to
+    // micros (eq47's discipline), exact BIGINT doc sums, add-one
+    // smoothing with c(w1·) = bigram starts and V = unigram vocab size.
+    "eq90_bigram_surprise" ->
+      """WITH tt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 2
+        |                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |                ELSE []::VARCHAR[] END) AS bg
+        |  FROM tt),
+        |bc AS (SELECT bg, COUNT(*) AS c_ab FROM bi GROUP BY bg),
+        |ctx AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_ctx
+        |  FROM bc GROUP BY 1),
+        |vv AS (
+        |  SELECT COUNT(DISTINCT token) AS v FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents)),
+        |sc AS (
+        |  SELECT bc.bg,
+        |         CAST(ROUND(ln((bc.c_ab + 1)::DOUBLE / (ctx.c_ctx + vv.v))
+        |              * 1000000.0::DOUBLE) AS BIGINT) AS logp_micro
+        |  FROM bc JOIN ctx ON ctx.w1 = string_split(bc.bg, ' ')[1] CROSS JOIN vv),
+        |d AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         CAST(SUM(logp_micro) AS BIGINT) AS logprob_micro
+        |  FROM bi JOIN sc USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, logprob_micro,
+        |       ROUND(CAST(logprob_micro AS DOUBLE) / (n_bigrams * 1000000.0::DOUBLE), 6) AS avg_logprob
+        |FROM d ORDER BY avg_logprob ASC, doc_id LIMIT 20""".stripMargin,
+
     // eq89: the Lloyd chain reconstructed as generated CTEs — every
     // iteration's assignment (exact BIGINT squared-L2 argmin, cid
     // tie-break) and centroid update (floor-div of exact sums, empty

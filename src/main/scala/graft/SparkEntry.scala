@@ -120,6 +120,7 @@ object SparkEntry {
     "eq87_psi_drift"         -> (graft.star.AggSurface.psiDrift _),
     "eq88_bm25_topk"         -> (TextAnalysis.bm25TopK _),
     "eq89_kmeans"            -> (graft.pipeline.Clustering.kmeans _),
+    "eq90_bigram_surprise"   -> (TextAnalysis.bigramSurprise _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

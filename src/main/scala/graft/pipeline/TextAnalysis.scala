@@ -497,6 +497,59 @@ object TextAnalysis {
       .orderBy("qid", "rank")
   }
 
+  /** eq90 — bigram-LM surprise scoring: train an add-one-smoothed bigram
+    * model on the corpus itself, score every document by its average
+    * bigram log-probability, and surface the 20 most surprising (lowest
+    * avg) documents — the CCNet-style "LM perplexity filter" a pretraining
+    * pipeline runs to catch gibberish, boilerplate explosions, and
+    * wrong-language spills that unigram stats (eq47) miss.
+    *
+    * Determinism is eq47's discipline one level up: `ln` runs once per
+    * bigram TYPE (vocabulary-bounded, never per instance), quantized to
+    * integer micros; per-document sums are then exact BIGINT adds, so the
+    * ranking cut is bit-stable. P(w2|w1) = (c(w1w2)+1) / (c(w1·)+V) with
+    * c(w1·) = bigram starts and V = unigram vocabulary size.
+    *
+    * Scale posture: two token-key shuffles (bigram count, context
+    * roll-up: vocab-bounded frames), one broadcast of the 1-row V, one
+    * bigram-key join back to instances, TakeOrderedAndProject for the
+    * cut. Single-token documents have no bigrams and drop out — a length
+    * filter's job (eq35), not the LM's. */
+  def bigramSurprise(spark: SparkSession, dir: String): DataFrame =
+    bigramSurpriseDf(Tables.load(spark, dir, "documents"))
+
+  def bigramSurpriseDf(docs: DataFrame): DataFrame = {
+    // bigram instances — materialized once: type counts and the scoring
+    // join both consume it (two corpus shingling passes otherwise)
+    val bi = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleExpressions.shingles(col("text"), 2)).as("bg"))
+      .localCheckpoint()
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // vocab-bounded; context roll-up + scorer reuse it
+    val ctx = bc
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c_ab")).as("c_ctx"))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val scored = bc
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp_micro",
+        round(log((col("c_ab") + lit(1)).cast("double") / (col("c_ctx") + col("v")))
+          * 1000000.0).cast("long"))
+      .select("bg", "logp_micro")
+    bi.join(scored, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_micro")).as("logprob_micro"))
+      .withColumn("avg_logprob",
+        round(col("logprob_micro").cast("double") / (col("n_bigrams") * 1000000.0), 6))
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+      .limit(20)
+  }
+
   def tfidfTopTermsDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()

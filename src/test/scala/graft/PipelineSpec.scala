@@ -348,6 +348,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == ((1L, -693147L, -0.693147)))
   }
 
+  test("bigram surprise: hand-computed micros; the unseen-bigram doc ranks most surprising") {
+    // corpus bigrams: "a b" x3 (docs 0,1), "b a" x1 (doc 1), "c c" x1
+    // (doc 2); vocab V=3. doc 2's "c c" has c_ab=1, c_ctx=1 ->
+    // p=(1+1)/(1+3)=0.5; doc 0: "a b" p=(3+1)/(3+3)=2/3
+    val docs = docsDf(Seq(
+      (0L, "a b", "en", "s", 3L),
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "c c", "en", "s", 3L)))
+    val out = TextAnalysis.bigramSurpriseDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((1L, -405465L, -0.405465))) // ln(2/3) = -0.405465
+    assert(out(2L) == ((1L, -693147L, -0.693147))) // ln(0.5)
+    // doc 1: bigrams "a b","b a","a b": 2*ln(2/3) + ln((1+1)/(1+3))
+    assert(out(1L) == ((3L, -1504077L, -0.501359)))
+  }
+
+  test("bigram surprise: ranking ascends, cut is 20, single-token docs drop (sf0.001)") {
+    val rows = TextAnalysis.bigramSurprise(spark, Sf).collect()
+    assert(rows.length == 20)
+    val avgs = rows.map(_.getAs[Double]("avg_logprob"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b },
+      "output must be the 20 lowest average log-probs, ascending")
+    rows.foreach(r => assert(r.getAs[Long]("n_bigrams") > 0))
+  }
+
   test("unigram logprob: tokens conserved; rarer-vocab docs score lower (sf0.001)") {
     val docs = Tables.load(spark, Sf, "documents")
     val rows = TextAnalysis.unigramLogprobDf(docs).collect()
