@@ -2181,6 +2181,51 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq91: per-nation OLS revenue trend — five exact BIGINT moments over
+    // (month index, revenue cents), slope/intercept as two fixed-shape
+    // double divisions per nation.
+    "eq91_trend_slopes" ->
+      """WITH m AS (
+        |  SELECT n_name,
+        |         CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT) AS x,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT n_name, COUNT(*) AS n_months,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT n_name, n_months,
+        |       ROUND(CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_month,
+        |       ROUND(CAST(sxx * sy - sx * sxy AS DOUBLE)
+        |             / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS intercept_cents
+        |FROM a ORDER BY n_name""".stripMargin,
+
+    // x22: the streaming session_window operator driven in batch — eq5's
+    // gaps-and-islands boundary (≥ 30 min), session end = last event +
+    // gap, matching Spark's half-open session windows.
+    "x22_session_window_batch" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM flags)
+        |SELECT strftime(MIN(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts)::TIMESTAMP + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       user_id, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     // eq90: bigram-LM surprise — ln once per bigram TYPE quantized to
     // micros (eq47's discipline), exact BIGINT doc sums, add-one
     // smoothing with c(w1·) = bigram starts and V = unigram vocab size.

@@ -121,6 +121,7 @@ object SparkEntry {
     "eq88_bm25_topk"         -> (TextAnalysis.bm25TopK _),
     "eq89_kmeans"            -> (graft.pipeline.Clustering.kmeans _),
     "eq90_bigram_surprise"   -> (TextAnalysis.bigramSurprise _),
+    "eq91_trend_slopes"      -> (graft.star.StarQueries.trendSlopes _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);
@@ -150,6 +151,7 @@ object SparkEntry {
     "x19_attribution_batch"  -> (graft.streaming.StreamingOps.attributionBatch _),
     "x20_hll_merge_users"    -> (EventOps.hllMergeUsers _),
     "x21_pq_recall"          -> (graft.pipeline.Clustering.pqRecall _),
+    "x22_session_window_batch" -> (graft.streaming.StreamingOps.sessionWindowBatch _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

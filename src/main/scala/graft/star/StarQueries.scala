@@ -83,4 +83,47 @@ object StarQueries {
         round(col("total_qty"), 6).as("total_qty"), col("n_items"))
       .orderBy("n_name", "rank")
   }
+
+  /** eq91 — per-nation revenue trend: closed-form OLS over the monthly
+    * revenue series, the "is this market growing or shrinking" analytic a
+    * warehouse publishes per dimension. All five regression moments
+    * (n, Σx, Σy, Σx², Σxy) are exact BIGINT sums over integer terms —
+    * x = months since 1995-01 (0..82 on this corpus), y = exact revenue
+    * cents — so slope and intercept are two fixed-shape double divisions
+    * per nation: bit-deterministic, order-free under any partitioning.
+    *
+    * Scale posture: one star join (dims broadcast), one (nation, month)
+    * shuffle with map-side partials, then a 25-row nation roll-up. The
+    * moment magnitudes stay far inside BIGINT and the 2^53 double-exact
+    * window even at 1000× this corpus (n·Σxy ~ 1e16 needs ~10⁹ months·
+    * cents·months — revenue cents would hit BIGINT limits first). */
+  def trendSlopes(spark: SparkSession, dir: String): DataFrame =
+    trendSlopesDf(
+      Tables.load(spark, dir, "lineitem"), Tables.load(spark, dir, "orders"),
+      Tables.load(spark, dir, "customer"), Tables.load(spark, dir, "nation"))
+
+  def trendSlopesDf(li: DataFrame, o: DataFrame, c: DataFrame, n: DataFrame): DataFrame = {
+    val monthly = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("n_name", "x")
+      .agg(sum(col("cents")).as("y"))
+    monthly.groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_name"), col("n_months"),
+        round((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope_cents_per_month"),
+        round((col("sxx") * col("sy") - col("sx") * col("sxy")).cast("double")
+          / (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept_cents"))
+      .orderBy("n_name")
+  }
 }

@@ -282,4 +282,20 @@ object StreamingOps extends Serializable {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** x22 — the `session_window` surface driven in batch (the x17/x18
+    * convention): same operator, same 30-minute gap, full-history input,
+    * so the driver's DuckDB oracle (gaps-and-islands with the ≥30 min
+    * boundary, end = last event + gap) pins the session-merge semantics
+    * the stream runs incrementally. Watermark is a no-op in batch. */
+  def sessionWindowBatch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    sessionCounts(events)
+      .select(
+        date_format(col("session_start"), fmt).as("session_start"),
+        date_format(col("session_end"), fmt).as("session_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
 }

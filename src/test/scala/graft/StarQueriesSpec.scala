@@ -108,6 +108,26 @@ class StarQueriesSpec extends SparkSpec {
     assert(r.head.getLong(1) == 10L, "all ten bins populated on both sides")
   }
 
+  test("eq91: perfectly linear monthly series recovers exact slope and intercept") {
+    import spark.implicits._
+    // one nation, months x = 0,1,2 with revenue 100, 200, 300 cents:
+    // OLS must return slope 100 cents/month, intercept 100 exactly
+    val li = Seq(
+      (1L, java.sql.Date.valueOf("1995-01-15"), 1.00),
+      (2L, java.sql.Date.valueOf("1995-02-15"), 2.00),
+      (3L, java.sql.Date.valueOf("1995-03-15"), 3.00))
+      .toDF("l_orderkey", "l_shipdate", "l_extendedprice")
+    val o = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("o_orderkey", "o_custkey")
+    val c = Seq((10L, 20L)).toDF("c_custkey", "c_nationkey")
+    val n = Seq((20L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val r = graft.star.StarQueries.trendSlopesDf(li, o, c, n).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "FRANCE")
+    assert(r.head.getLong(1) == 3L)
+    assert(r.head.getDouble(2) == 100.0)
+    assert(r.head.getDouble(3) == 100.0)
+  }
+
   test("eq68: ten near-equal bins, rows conserved, ranges ordered and disjoint") {
     val rows = graft.star.AggSurface.equidepthBins(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("bin")).toSeq == (1 to 10))

@@ -156,6 +156,16 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(8L) == batch(8L))
   }
 
+  test("x22 batch session_window frame agrees with the lag-based sessionizer per user (sf0.001)") {
+    val sw = StreamingOps.sessionWindowBatch(spark, Sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = EventOps.sessionize(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sw == batch)
+  }
+
   test("stream-static enrichment join stamps historical profiles; unseen users 0-fill") {
     implicit val sqlCtx = spark.sqlContext
     // static profile side from the batch fixture
