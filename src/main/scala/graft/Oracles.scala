@@ -417,6 +417,48 @@ object Oracles {
     (Seq(s"WITH $microVecCte") ++ slices ++ chains ++ Seq(tail)).mkString(",\n")
   }
 
+  /** eq13's full reconstruction at a given verify threshold (eq13 runs
+    * at 0.5; the eq95 density oracle reuses the pipeline at 0.4). */
+  private def embeddingNeardupsSql(threshold: Double): String = {
+    val values = hyperplaneValues(128)
+    s"""WITH pl AS (
+        |  SELECT pid // 8 AS band, pid % 8 AS bit,
+        |         list_transform(range(1, len(bits) + 1),
+        |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
+        |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
+        |  FROM (VALUES $values) AS t(pid, bits)),
+        |dots AS (
+        |  SELECT vec_id, band, bit, SUM(x * y) AS d FROM (
+        |    SELECT e.vec_id, pl.band, pl.bit,
+        |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
+        |    FROM embeddings e CROSS JOIN pl)
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, band,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT vec_id, band,
+        |         CASE WHEN f = -1 THEN sig ELSE xor(sig, 1 << f) END AS probe
+        |  FROM sigs CROSS JOIN generate_series(-1, 7) AS g(f)),
+        |cands AS (
+        |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
+        |                  greatest(x.vec_id, y.vec_id) AS vec_b
+        |  FROM sigs x JOIN probes y
+        |    ON x.band = y.band AND x.sig = y.probe AND x.vec_id <> y.vec_id),
+        |un AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM cands c
+        |  JOIN embeddings a ON a.vec_id = c.vec_a
+        |  JOIN embeddings b ON b.vec_id = c.vec_b),
+        |sims AS (
+        |  SELECT vec_a, vec_b, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |  FROM un GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims
+        |WHERE sim >= $threshold::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val pipeline: Map[String, String] = Map(
     "eq1_exact_dup_count" ->
       "SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_count FROM documents",
@@ -552,45 +594,7 @@ object Oracles {
     // band signatures, identical hamming<=1 candidates, and identical
     // exact-cosine verification — the full approximate algorithm is
     // oracle-checked end-to-end, not just the verify step.
-    "eq13_embedding_neardups" -> {
-      val values = hyperplaneValues(128)
-      s"""WITH pl AS (
-        |  SELECT pid // 8 AS band, pid % 8 AS bit,
-        |         list_transform(range(1, len(bits) + 1),
-        |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
-        |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
-        |  FROM (VALUES $values) AS t(pid, bits)),
-        |dots AS (
-        |  SELECT vec_id, band, bit, SUM(x * y) AS d FROM (
-        |    SELECT e.vec_id, pl.band, pl.bit,
-        |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
-        |    FROM embeddings e CROSS JOIN pl)
-        |  GROUP BY 1, 2, 3),
-        |sigs AS (
-        |  SELECT vec_id, band,
-        |         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS sig
-        |  FROM dots GROUP BY 1, 2),
-        |probes AS (
-        |  SELECT vec_id, band,
-        |         CASE WHEN f = -1 THEN sig ELSE xor(sig, 1 << f) END AS probe
-        |  FROM sigs CROSS JOIN generate_series(-1, 7) AS g(f)),
-        |cands AS (
-        |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
-        |                  greatest(x.vec_id, y.vec_id) AS vec_b
-        |  FROM sigs x JOIN probes y
-        |    ON x.band = y.band AND x.sig = y.probe AND x.vec_id <> y.vec_id),
-        |un AS (
-        |  SELECT c.vec_a, c.vec_b,
-        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-        |  FROM cands c
-        |  JOIN embeddings a ON a.vec_id = c.vec_a
-        |  JOIN embeddings b ON b.vec_id = c.vec_b),
-        |sims AS (
-        |  SELECT vec_a, vec_b, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
-        |  FROM un GROUP BY 1, 2)
-        |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims
-        |WHERE sim >= 0.5::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
-    },
+    "eq13_embedding_neardups" -> embeddingNeardupsSql(0.5),
 
     "eq15_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
@@ -2181,6 +2185,102 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq92: cross-document duplicated-span fraction — word 8-gram
+    // instances probed against the distinct-doc document frequency;
+    // fan-out Σ df, never df².
+    "eq92_dup_spans" ->
+      """WITH tt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 8
+        |                THEN list_transform(range(1, len(t) - 6),
+        |                       i -> array_to_string(t[i:i+7], ' '))
+        |                ELSE []::VARCHAR[] END) AS sg
+        |  FROM tt),
+        |df AS (
+        |  SELECT sg, COUNT(*) AS ndocs FROM (SELECT DISTINCT doc_id, sg FROM sh)
+        |  GROUP BY sg)
+        |SELECT sh.doc_id, COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       ROUND(CAST(SUM(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS dup_fraction
+        |FROM sh JOIN df USING (sg)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // eq93: per-source percent_rank normalization of the eq8 quality
+    // score — rank order (quality NULLS FIRST, doc_id) is tie-free, so
+    // the rank ratio is identical in both engines.
+    "eq93_quality_quantile_norm" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |         length(text) AS nc,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         least(nc / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        |         alpha::DOUBLE / nc AS alpha_ratio,
+        |         len(list_filter(toks, t -> t IN ('the', 'a', 'data', 'value')))::DOUBLE / len(toks) AS stop_ratio
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         ROUND(0.4::DOUBLE * len_score + 0.4::DOUBLE * alpha_ratio
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio), 6) AS quality
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |         ROUND(percent_rank() OVER (PARTITION BY source
+        |           ORDER BY quality ASC NULLS FIRST, doc_id ASC), 6) AS q_norm
+        |  FROM s)
+        |SELECT doc_id, source, quality, q_norm, q_norm >= 0.5::DOUBLE AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // eq94: derandomized Poisson bootstrap — md5_key28(event_id:b) micros
+    // inverted through the quantized Poisson(1) CDF; exact integer cents
+    // replica sums; CI = exact p05/p95 of the 32 six-dp replica means
+    // (quantile_cont ≡ Spark percentile, the x8 pairing).
+    "eq94_bootstrap_ci" ->
+      s"""WITH reps AS (
+        |  SELECT e.event_id, CAST(ROUND(e.value * 100) AS BIGINT) AS cents, g.b
+        |  FROM events e CROSS JOIN generate_series(0, 31) AS g(b)),
+        |h AS (
+        |  SELECT cents, b,
+        |         substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 7) AS h7
+        |  FROM reps),
+        |u AS (SELECT cents, b, ($hex7OfH7) % 1000000 AS u FROM h),
+        |w AS (
+        |  SELECT cents, b,
+        |         CAST(CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |                   WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |                   WHEN u < 996340 THEN 4 ELSE 5 END AS BIGINT) AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT b, ROUND(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS BIGINT), 6) AS mean_cents
+        |  FROM w GROUP BY b)
+        |SELECT COUNT(*) AS n_replicas,
+        |       ROUND(quantile_cont(mean_cents, 0.05), 6) AS ci_lo_cents,
+        |       ROUND(quantile_cont(mean_cents, 0.95), 6) AS ci_hi_cents
+        |FROM m""".stripMargin,
+
+    // eq95: density cores — neighbor degree over the eq13 pair set (the
+    // SAME SQL), core = degree ≥ 3; zero-degree vectors kept via the
+    // corpus spine left join.
+    "eq95_density_cores" ->
+      s"""WITH pairs AS (
+        |  SELECT vec_a, vec_b FROM (${embeddingNeardupsSql(0.4)})),
+        |deg AS (
+        |  SELECT vec_id, COUNT(*) AS degree FROM (
+        |    SELECT vec_a AS vec_id FROM pairs
+        |    UNION ALL
+        |    SELECT vec_b AS vec_id FROM pairs)
+        |  GROUP BY 1)
+        |SELECT e.vec_id, CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+        |       COALESCE(d.degree, 0) >= 3 AS is_core
+        |FROM embeddings e LEFT JOIN deg d USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
+
     // eq91: per-nation OLS revenue trend — five exact BIGINT moments over
     // (month index, revenue cents), slope/intercept as two fixed-shape
     // double divisions per nation.

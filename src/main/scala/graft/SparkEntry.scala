@@ -122,6 +122,10 @@ object SparkEntry {
     "eq89_kmeans"            -> (graft.pipeline.Clustering.kmeans _),
     "eq90_bigram_surprise"   -> (TextAnalysis.bigramSurprise _),
     "eq91_trend_slopes"      -> (graft.star.StarQueries.trendSlopes _),
+    "eq92_dup_spans"         -> (TextAnalysis.dupSpans _),
+    "eq93_quality_quantile_norm" -> (TextAnalysis.qualityQuantileNorm _),
+    "eq94_bootstrap_ci"      -> (EventOps.bootstrapCi _),
+    "eq95_density_cores"     -> (Dedup.densityCores _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -411,7 +411,14 @@ object Dedup {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsDf(Tables.load(spark, dir, "embeddings"))
 
-  def embeddingNearDupsDf(e: DataFrame): DataFrame = {
+  def embeddingNearDupsDf(e: DataFrame): DataFrame =
+    embeddingNearDupsAt(e, 0.5)
+
+  /** The eq13 pipeline with a caller-chosen verify threshold — same
+    * banded candidate generation, so lower thresholds trade recall for
+    * the fixed collision probability of the bands (documented at
+    * [[densityCoresDf]], its consumer). */
+  private[pipeline] def embeddingNearDupsAt(e: DataFrame, threshold: Double): DataFrame = {
     val firstRow = e.selectExpr("size(embedding)").take(1)
     if (firstRow.isEmpty) // empty table: no pairs (the pre-banding path degraded the same way)
       return e.sparkSession.emptyDataFrame
@@ -436,7 +443,7 @@ object Dedup {
       .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
       .distinct()
-    verifyPairs(e, cands)
+    verifyPairs(e, cands, threshold)
   }
 
   /** Brute-force all-pairs variant — the exactness baseline the banded
@@ -625,14 +632,15 @@ object Dedup {
 
   /** Exact-cosine verification of candidate (vec_a, vec_b) pairs: norms
     * once per vector, one codegen'd dot per pair, ≥ 0.5 filter. */
-  private def verifyPairs(e: DataFrame, cands: DataFrame): DataFrame = {
+  private def verifyPairs(e: DataFrame, cands: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     val withNorm = e.select(col("vec_id"), col("embedding"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
     cands
       .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
       .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= 0.5)
+      .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
@@ -739,5 +747,37 @@ object Dedup {
       .filter(col("lev") <= 10)
       .select(col("doc_a"), col("doc_b"), col("lev"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** eq95 — density cores over the embedding near-dup graph: per vector,
+    * its neighbor DEGREE among SRP-LSH banded candidates verified at exact
+    * cosine ≥ 0.4 and a DBSCAN-style core flag (degree ≥ 3). The bar sits
+    * BELOW eq13's 0.5 near-dup threshold on purpose: this corpus's
+    * planted near-dups form a perfect matching (max degree 1 at 0.5), and
+    * density mining looks for the broader semantic clumps underneath the
+    * pair layer. At 0.4 the banded candidate generation still recalls
+    * ~90% of true pairs (16 bands × 9 probes at 8 bits). Cores are the "mode collapse" regions a curation
+    * pipeline down-samples — dense semantic clumps that survive pairwise
+    * dedup because no single pair crosses the near-dup bar alone. Built
+    * entirely on [[embeddingNearDupsDf]]'s banded output: one union of
+    * the two pair sides, one degree roll-up, one left join back to the
+    * corpus spine — adds nothing corpus-quadratic. */
+  def densityCores(spark: SparkSession, dir: String): DataFrame =
+    densityCoresDf(Tables.load(spark, dir, "embeddings"))
+
+  private val CoreMinDegree = 3
+
+  private[pipeline] val CoreThreshold = 0.4
+
+  def densityCoresDf(e: DataFrame): DataFrame = {
+    val pairs = embeddingNearDupsAt(e, CoreThreshold).select(col("vec_a"), col("vec_b"))
+    val deg = pairs.select(col("vec_a").as("vec_id"))
+      .union(pairs.select(col("vec_b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    e.select(col("vec_id")).join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        (coalesce(col("degree"), lit(0L)) >= CoreMinDegree).as("is_core"))
+      .orderBy("vec_id")
   }
 }

@@ -692,4 +692,46 @@ object EventOps {
       .select(col("p.*"))
       .orderBy("col_name")
   }
+
+  /** eq94 — Poisson-bootstrap confidence interval for the mean event
+    * value: the distributed bootstrap (each row enters replica b with
+    * multiplicity ~ Poisson(1), the standard approximation to
+    * sample-with-replacement that needs no global N and no shuffle of the
+    * resample itself). Multiplicities are DERANDOMIZED: u =
+    * md5_key28(event_id:b) % 10⁶ inverted through the Poisson(1) CDF
+    * quantized to micros (367879 | 735759 | 919699 | 981012 | 996340),
+    * so both engines draw the identical 32 resamples and the CI is
+    * hash-checkable. Replica sums are exact integer cents; the CI is the
+    * exact p05/p95 of the 32 six-dp replica means (percentile ≡
+    * quantile_cont, the x8-proven pairing).
+    *
+    * Scale shape: one ×32 map-side explode (bounded fan-out), one
+    * 32-group aggregation, one 32-row final percentile — corpus-linear
+    * with no skew exposure. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiDf(graft.Tables.load(spark, dir, "events"))
+
+  private val PoissonCdfMicros = Seq(367879L, 735759L, 919699L, 981012L, 996340L)
+
+  def bootstrapCiDf(events: DataFrame): DataFrame = {
+    val reps = events
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u", graft.functions.Md5Expressions.md5_key28(
+        concat(col("event_id").cast("string"), lit(":"), col("b").cast("string")))
+        % 1000000L)
+      .withColumn("w",
+        PoissonCdfMicros.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
+          case ((thr, i), rest) => when(col("u") < thr, i).otherwise(rest)
+        }.cast("long"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .withColumn("mean_cents",
+        round(col("swc").cast("double") / col("sw"), 6))
+    reps.agg(
+      count(lit(1)).as("n_replicas"),
+      round(expr("percentile(mean_cents, 0.05)"), 6).as("ci_lo_cents"),
+      round(expr("percentile(mean_cents, 0.95)"), 6).as("ci_hi_cents"))
+  }
 }

@@ -497,6 +497,60 @@ object TextAnalysis {
       .orderBy("qid", "rank")
   }
 
+  /** eq92 — cross-document duplicated-span fraction: per document, the
+    * share of its 8-token shingle instances that occur in at least one
+    * OTHER document — the doc-level signal behind exact-substring dedup
+    * (strip or down-weight documents that are mostly recycled spans).
+    * Complements eq30 (within-doc repetition) and eq12 (whole-doc
+    * similarity): this one catches documents assembled from boilerplate
+    * that are neither self-repetitive nor near-duplicates of any single
+    * source.
+    *
+    * Scale shape: explode to shingle instances, distinct (doc, shingle)
+    * roll-up for document frequency, then one instance⋈type join on the
+    * shingle key — fan-out Σ df (linear in corpus tokens), never df².
+    * Docs under 8 tokens have no spans and are excluded. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansDf(Tables.load(spark, dir, "documents"))
+
+  def dupSpansDf(docs: DataFrame): DataFrame = {
+    // materialized once: the df roll-up and the per-doc probe both
+    // consume the exploded instances
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleExpressions.shingles(col("text"), 8)).as("sg"))
+      .localCheckpoint()
+    val docFreq = sh.select("doc_id", "sg").distinct()
+      .groupBy("sg").agg(count(lit(1)).as("ndocs"))
+    sh.join(docFreq, Seq("sg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup").cast("double") / col("n_spans"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** eq93 — per-source quantile normalization of the eq8 quality score:
+    * `percent_rank` within each source, so a single global threshold
+    * keeps the same FRACTION of every source regardless of how its raw
+    * score distribution sits — the standard fix for "source A's scorer
+    * runs hot" bias when mixing crawls. Deterministic: rank order is
+    * (quality, doc_id), no ties possible; the rank ratio is the same
+    * integer division in both engines. One window shuffle on source. */
+  def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    qualityQuantileNormDf(Tables.load(spark, dir, "documents"))
+
+  def qualityQuantileNormDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").asc_nulls_first, col("doc_id").asc)
+    qualityCols(docs)
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("q_norm", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("q_norm") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   /** eq90 — bigram-LM surprise scoring: train an add-one-smoothed bigram
     * model on the corpus itself, score every document by its average
     * bigram log-probability, and surface the 20 most surprising (lowest

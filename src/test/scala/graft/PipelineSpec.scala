@@ -373,6 +373,58 @@ class PipelineSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_bigrams") > 0))
   }
 
+  test("dup spans: shared 8-gram marks both docs; unique doc scores zero") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (0L, shared, "en", "s", 10L),                 // 1 span, duplicated
+      (1L, shared + " tail", "en", "s", 12L),       // 2 spans, 1 duplicated
+      (2L, (1 to 9).map(i => s"u$i").mkString(" "), "en", "s", 9L))) // unique
+    val out = TextAnalysis.dupSpansDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((1L, 1L, 1.0)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
+  test("quality quantile norm: per-source ranks span [0,1]; keep is the top half per source") {
+    val rows = TextAnalysis.qualityQuantileNorm(spark, Sf).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (_, rs) =>
+      val norms = rs.map(_.getAs[Double]("q_norm"))
+      assert(norms.min == 0.0 && norms.max == 1.0)
+      val kept = rs.count(_.getAs[Boolean]("keep"))
+      // percent_rank >= 0.5 keeps the upper half (±1 for odd sizes)
+      assert(math.abs(kept - rs.length / 2.0) <= 1.0)
+    }
+  }
+
+  test("bootstrap CI: 32 replicas, lo <= hi, and the CI brackets the exact mean (sf0.001)") {
+    val events = Tables.load(spark, Sf, "events")
+    val exactMean = events.agg(
+      (sum(round(col("value") * 100).cast("long")).cast("double")
+        / count(lit(1))).as("m")).head().getDouble(0)
+    val r = graft.pipeline.EventOps.bootstrapCiDf(events).head()
+    assert(r.getLong(0) == 32L)
+    val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+    assert(lo <= hi)
+    assert(lo <= exactMean && exactMean <= hi,
+      s"90% CI [$lo, $hi] should bracket the exact mean $exactMean")
+  }
+
+  test("density cores: a clique of near-identical vectors crosses the core bar") {
+    import spark.implicits._
+    // four near-identical vectors (pairwise sim ~1 > 0.4) + one orthogonal-ish
+    def vec(eps: Float) = Array.tabulate(64)(i => if (i == 0) 1.0f else eps)
+    val e = Seq(
+      (0L, vec(0.00f)), (1L, vec(0.01f)), (2L, vec(0.02f)), (3L, vec(0.03f)),
+      (4L, Array.tabulate(64)(i => if (i == 63) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Dedup.densityCoresDf(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    (0L to 3L).foreach(i => assert(out(i) == ((3L, true)), s"vec $i should be a core"))
+    assert(out(4L)._1 == 0L && !out(4L)._2)
+  }
+
   test("unigram logprob: tokens conserved; rarer-vocab docs score lower (sf0.001)") {
     val docs = Tables.load(spark, Sf, "documents")
     val rows = TextAnalysis.unigramLogprobDf(docs).collect()
