@@ -2185,6 +2185,60 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq96: point-in-time state two ways — raw-log replay cut at the
+    // as-of literal vs interval-containment lookup in the eq64 SCD-2
+    // dimension built over FULL history; agree is the audit column.
+    "eq96_asof_state_audit" -> {
+      val t = s"TIMESTAMP '${graft.pipeline.EventOps.AsofStateTs}'"
+      s"""WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN value < 20 THEN 'low'
+        |              WHEN value < 55 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |ra AS (
+        |  SELECT user_id, tier AS tier_replay FROM (
+        |    SELECT user_id, tier,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM p WHERE ts <= $t)
+        |  WHERE rn = 1),
+        |l AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM p),
+        |ch AS (SELECT * FROM l WHERE prev_tier IS NULL OR tier <> prev_tier),
+        |v AS (SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts FROM ch),
+        |lk AS (
+        |  SELECT user_id, tier AS tier_scd2,
+        |         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+        |  FROM v WHERE ts <= $t AND (valid_to_ts IS NULL OR valid_to_ts > $t))
+        |SELECT user_id, tier_replay, tier_scd2, valid_from,
+        |       tier_replay = tier_scd2 AS agree
+        |FROM ra JOIN lk USING (user_id) ORDER BY user_id""".stripMargin
+    },
+
+    // eq97: near-dup graph topology — edges/wedges/triangles over the
+    // 0.4 banded pair graph (the SAME reconstruction as eq95), triangle
+    // count by vertex-ordered edge joins.
+    "eq97_graph_clustering" ->
+      s"""WITH e AS (
+        |  SELECT vec_a AS a, vec_b AS b FROM (${embeddingNeardupsSql(0.4)})),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges,
+        |         COUNT(*) AS n_vertices
+        |  FROM deg),
+        |t AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |c AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT c.n_edges, w.n_vertices, w.n_wedges, t.n_triangles,
+        |       CASE WHEN w.n_wedges = 0 THEN NULL
+        |            ELSE ROUND(3.0::DOUBLE * t.n_triangles / CAST(w.n_wedges AS DOUBLE), 6)
+        |       END AS global_clustering
+        |FROM c, w, t""".stripMargin,
+
     // eq92: cross-document duplicated-span fraction — word 8-gram
     // instances probed against the distinct-doc document frequency;
     // fan-out Σ df, never df².

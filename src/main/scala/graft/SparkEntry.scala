@@ -126,6 +126,8 @@ object SparkEntry {
     "eq93_quality_quantile_norm" -> (TextAnalysis.qualityQuantileNorm _),
     "eq94_bootstrap_ci"      -> (EventOps.bootstrapCi _),
     "eq95_density_cores"     -> (Dedup.densityCores _),
+    "eq96_asof_state_audit"  -> (EventOps.asofStateAudit _),
+    "eq97_graph_clustering"  -> (Dedup.graphClustering _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -780,4 +780,44 @@ object Dedup {
         (coalesce(col("degree"), lit(0L)) >= CoreMinDegree).as("is_core"))
       .orderBy("vec_id")
   }
+
+  /** eq97 — near-dup graph topology audit: edge, wedge (open 2-path) and
+    * triangle counts over the cosine ≥ 0.4 banded pair graph, plus the
+    * global clustering coefficient 3·triangles / wedges — the one-row
+    * answer to "is the near-dup layer a matching, chains, or dense
+    * clumps", which decides whether pairwise dedup suffices or the eq26
+    * connected-components pass is required. Triangles are counted by the
+    * canonical vertex-ordered edge join (a<b<c: e1(a,b) ⋈ e2(b,c) ⋈
+    * e3(a,c)) — fan-out bounded by Σ deg² of the PAIR graph, never
+    * corpus-sized. Wedges are Σ C(deg, 2) from the degree roll-up. */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame =
+    graphClusteringDf(Tables.load(spark, dir, "embeddings"))
+
+  def graphClusteringDf(e: DataFrame): DataFrame = {
+    // edges are vec_a < vec_b by construction; materialized once — the
+    // degree roll-up and all three triangle-join sides consume it
+    val edges = embeddingNearDupsAt(e, CoreThreshold)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"),
+      count(lit(1)).as("n_vertices"))
+    val tris = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e2.b").as("tc"))
+      .join(edges.as("e3"),
+        col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+    ecnt.crossJoin(broadcast(wedges)).crossJoin(broadcast(tris))
+      .select(col("n_edges"), col("n_vertices"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(3.0) * col("n_triangles")
+            / col("n_wedges").cast("double"), 6))
+          .as("global_clustering"))
+  }
 }

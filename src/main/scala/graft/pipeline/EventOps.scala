@@ -693,6 +693,58 @@ object EventOps {
       .orderBy("col_name")
   }
 
+  /** eq96 — point-in-time ("time travel") state reconstruction, two ways,
+    * with a consistency audit: the as-of question every warehouse answers
+    * when reproducing a historical report or debugging a training-data
+    * snapshot. Path A replays the raw change log (last purchase ≤ T per
+    * user, (ts, event_id) total order). Path B looks T up in the eq64
+    * SCD-2 dimension (the interval with valid_from ≤ T < valid_to, open
+    * current rows included) — the dimension is built over FULL history
+    * first, exactly like a production dim table, then probed at the
+    * literal. The two tiers agree by construction; `agree` is the pinned
+    * audit column (and the whole frame is hash-checked, so a divergence
+    * between the replay and the interval build is a round-failing event).
+    *
+    * Scale: both paths are one user_id window each; the probe is a
+    * map-side filter on the interval frame, no extra shuffle. T is the
+    * literal mid-corpus timestamp (no now()), per the §2.9 as-of rule. */
+  def asofStateAudit(spark: SparkSession, dir: String): DataFrame =
+    asofStateAuditDf(Tables.load(spark, dir, "events"))
+
+  private[graft] val AsofStateTs = "2024-01-15 00:00:00"
+
+  def asofStateAuditDf(events: DataFrame): DataFrame = {
+    val t = to_timestamp(lit(AsofStateTs))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .withColumn("tier",
+        when(col("value") < 20, "low")
+          .when(col("value") < 55, "mid")
+          .otherwise("high"))
+    // path A: direct replay of the log cut at T
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val replay = p.filter(col("ts") <= t)
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("tier").as("tier_replay"))
+    // path B: the SCD-2 dimension (eq64's collapse/close rules over full
+    // history) probed with the interval-containment predicate at T
+    val wAsc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lookup = p
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wAsc))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(wAsc))
+      .filter(col("ts") <= t &&
+        (col("valid_to_ts").isNull || col("valid_to_ts") > t))
+      .select(col("user_id"), col("tier").as("tier_scd2"),
+        date_format(col("ts"), fmt).as("valid_from"))
+    replay.join(lookup, Seq("user_id"))
+      .withColumn("agree", col("tier_replay") === col("tier_scd2"))
+      .orderBy("user_id")
+  }
+
   /** eq94 — Poisson-bootstrap confidence interval for the mean event
     * value: the distributed bootstrap (each row enters replica b with
     * multiplicity ~ Poisson(1), the standard approximation to

@@ -411,6 +411,39 @@ class PipelineSpec extends SparkSpec {
       s"90% CI [$lo, $hi] should bracket the exact mean $exactMean")
   }
 
+  test("asof state audit: replay and SCD2 lookup agree; post-T changes invisible") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 flips low->high across T=2024-01-15; u2 first purchases after T
+    val events = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-20 00:00:00"), 1L, "purchase", 60.0, "{}"),
+      (3L, ts("2024-01-16 00:00:00"), 2L, "purchase", 30.0, "{}"),
+      (4L, ts("2024-01-14 00:00:00"), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.pipeline.EventOps.asofStateAuditDf(events).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // only u1 has state at T
+    val r = out.head
+    assert(r.getString(1) == "low" && r.getString(2) == "low")
+    assert(r.getString(3) == "2024-01-10 00:00:00.000000") // covering interval start
+    assert(r.getBoolean(4))
+  }
+
+  test("graph clustering: a 3-clique plus an isolated pair gives coefficient 1.0") {
+    import spark.implicits._
+    def vec(fill: Float, at: Int) = Array.tabulate(64)(i => if (i == at) 1.0f else fill)
+    val e = Seq(
+      (0L, vec(0.01f, 0)), (1L, vec(0.02f, 0)), (2L, vec(0.03f, 0)), // clique
+      (3L, vec(0.01f, 63)), (4L, vec(0.02f, 63))                     // far pair
+    ).toDF("vec_id", "embedding")
+    val r = graft.pipeline.Dedup.graphClusteringDf(e).head()
+    assert(r.getLong(0) == 4L) // 3 clique edges + 1 pair edge
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == 3L) // wedges only inside the clique
+    assert(r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("density cores: a clique of near-identical vectors crosses the core bar") {
     import spark.implicits._
     // four near-identical vectors (pairwise sim ~1 > 0.4) + one orthogonal-ish
