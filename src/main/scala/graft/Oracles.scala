@@ -459,6 +459,39 @@ object Oracles {
         |WHERE sim >= $threshold::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** The x1 reconstruction through the verified-pair CTE `j` (doc_a,
+    * doc_b, exact jac) with `mins`/`cand` exposed — shared by x1 and the
+    * x23 estimate-error eval. */
+  private lazy val minhashCtes: String = {
+    val perms = graft.pipeline.Dedup.minhashPerms()
+    val pmValues = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    s"WITH $toksCte,\n" +
+    s"""s AS (SELECT doc_id, list_distinct(sh) AS shd, len(list_distinct(sh)) AS sz
+      |       FROM shingled WHERE len(sh) > 0),
+      |ex AS (SELECT doc_id, unnest(shd) AS sg FROM s),
+      |hx AS (SELECT doc_id, substr(md5(sg), 1, 7) AS h7 FROM ex),
+      |xx AS (SELECT doc_id, $hex7OfH7 AS x FROM hx),
+      |pm AS (SELECT * FROM (VALUES $pmValues) AS t(i, a, b)),
+      |mins AS (
+      |  SELECT doc_id, i, MIN((a::BIGINT * x + b) % 2147483647) AS m
+      |  FROM xx CROSS JOIN pm GROUP BY 1, 2),
+      |keys AS (
+      |  SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
+      |  FROM mins GROUP BY 1, 2),
+      |ok AS (SELECT band, band_key FROM keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+      |kk AS (SELECT k.doc_id, k.band, k.band_key FROM keys k JOIN ok USING (band, band_key)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM kk x JOIN kk y ON x.band = y.band AND x.band_key = y.band_key
+      |                     AND x.doc_id < y.doc_id),
+      |ver AS (
+      |  SELECT doc_a, doc_b, len(list_intersect(a.shd, b.shd)) AS common,
+      |         a.sz AS sz_a, b.sz AS sz_b
+      |  FROM cand JOIN s a ON a.doc_id = cand.doc_a JOIN s b ON b.doc_id = cand.doc_b),
+      |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM ver)""".stripMargin
+  }
+
   val pipeline: Map[String, String] = Map(
     "eq1_exact_dup_count" ->
       "SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_count FROM documents",
@@ -1307,37 +1340,29 @@ object Oracles {
     // guard → pair join → exact-Jaccard ≥ 0.2 verify. Identical arithmetic
     // in both engines: every intermediate ≤ 2⁵⁹ so DuckDB's checked BIGINT
     // math never overflows.
-    "x1_minhash_lsh_pairs" -> {
-      val perms = graft.pipeline.Dedup.minhashPerms()
-      val pmValues = perms.zipWithIndex
-        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-      s"WITH $toksCte,\n" +
-      s"""s AS (SELECT doc_id, list_distinct(sh) AS shd, len(list_distinct(sh)) AS sz
-        |       FROM shingled WHERE len(sh) > 0),
-        |ex AS (SELECT doc_id, unnest(shd) AS sg FROM s),
-        |hx AS (SELECT doc_id, substr(md5(sg), 1, 7) AS h7 FROM ex),
-        |xx AS (SELECT doc_id, $hex7OfH7 AS x FROM hx),
-        |pm AS (SELECT * FROM (VALUES $pmValues) AS t(i, a, b)),
-        |mins AS (
-        |  SELECT doc_id, i, MIN((a::BIGINT * x + b) % 2147483647) AS m
-        |  FROM xx CROSS JOIN pm GROUP BY 1, 2),
-        |keys AS (
-        |  SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
-        |  FROM mins GROUP BY 1, 2),
-        |ok AS (SELECT band, band_key FROM keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
-        |kk AS (SELECT k.doc_id, k.band, k.band_key FROM keys k JOIN ok USING (band, band_key)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM kk x JOIN kk y ON x.band = y.band AND x.band_key = y.band_key
-        |                     AND x.doc_id < y.doc_id),
-        |ver AS (
-        |  SELECT doc_a, doc_b, len(list_intersect(a.shd, b.shd)) AS common,
-        |         a.sz AS sz_a, b.sz AS sz_b
-        |  FROM cand JOIN s a ON a.doc_id = cand.doc_a JOIN s b ON b.doc_id = cand.doc_b),
-        |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM ver)
-        |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
-        |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "x1_minhash_lsh_pairs" ->
+      (s"$minhashCtes\n" +
+        """SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin),
+
+    // x23: the x1 pipeline's signature-agreement Jaccard estimate laid
+    // beside the exact value for every qualifying pair — n_agree from the
+    // SAME mins CTE, the error column itself hash-checked.
+    "x23_minhash_est_error" ->
+      (s"$minhashCtes,\n" +
+      """est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM cand c
+        |  JOIN mins ma ON ma.doc_id = c.doc_a
+        |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2)
+        |SELECT j.doc_a, j.doc_b, ROUND(j.jac, 6) AS jaccard,
+        |       ROUND(e.n_agree::DOUBLE / 64, 6) AS jaccard_est,
+        |       e.n_agree,
+        |       ROUND(ABS(ROUND(e.n_agree::DOUBLE / 64, 6) - ROUND(j.jac, 6)), 6) AS abs_err
+        |FROM j JOIN est e USING (doc_a, doc_b)
+        |WHERE j.jac >= 0.2::DOUBLE ORDER BY j.doc_a, j.doc_b""".stripMargin),
 
     // x9: the bloom-prefiltered decontamination totals are EXACT (bloom
     // false positives are killed by the verify join, false negatives are

@@ -158,6 +158,7 @@ object SparkEntry {
     "x20_hll_merge_users"    -> (EventOps.hllMergeUsers _),
     "x21_pq_recall"          -> (graft.pipeline.Clustering.pqRecall _),
     "x22_session_window_batch" -> (graft.streaming.StreamingOps.sessionWindowBatch _),
+    "x23_minhash_est_error"  -> (Dedup.minhashEstError _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -278,7 +278,14 @@ object Dedup {
     * buckets, so recall for high-sim pairs survives (pinned by test). */
   private val MaxBucket = 50
 
-  def minhashLshPairsDf(docs: DataFrame): DataFrame = {
+  def minhashLshPairsDf(docs: DataFrame): DataFrame =
+    minhashParts(docs)._2
+
+  /** The x1 machinery split for reuse: returns (signature frame
+    * (doc_id, m0..m63), verified pairs frame (doc_a, doc_b, jaccard)) —
+    * x1 consumes the pairs; x23's estimate-error eval joins the pairs
+    * back to the signatures. */
+  private[pipeline] def minhashParts(docs: DataFrame): (DataFrame, DataFrame) = {
     // materialized once: the signature pass and BOTH sides of the verify
     // join consume this frame (three shingling passes otherwise)
     val sets = docs.select(col("doc_id"),
@@ -317,13 +324,14 @@ object Dedup {
     val withSets = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"), col("sz").as("sz_b")), Seq("doc_b"))
-    withSets
+    val pairs = withSets
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+    (sig, pairs)
   }
 
   /** 64-bit SimHash per document: per-token md5, each of the first 16 hex
@@ -819,5 +827,37 @@ object Dedup {
           .otherwise(round(lit(3.0) * col("n_triangles")
             / col("n_wedges").cast("double"), 6))
           .as("global_clustering"))
+  }
+
+  /** x23 — MinHash estimate-error evaluation: for every x1 near-dup pair,
+    * the 64-hash signature-agreement Jaccard ESTIMATE (n_agree/64, the
+    * quantity LSH banding actually thresholds on) laid beside the exact
+    * set Jaccard, with the absolute error — the honest-approximation
+    * audit for the whole MinHash family (x12's pattern applied to
+    * similarity values instead of retrieval ranks). Everything is
+    * deterministic (md5-affine permutations), so the error column itself
+    * is hash-checked; the sampling-theory bound (σ = √(J(1−J)/64) ≤ 0.063)
+    * is pinned by test, not by oracle flag. Adds two id-keyed joins of
+    * the pair frame against the signature frame — pair-scaled, not
+    * corpus-scaled. */
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame =
+    minhashEstErrorDf(Tables.load(spark, dir, "documents"))
+
+  def minhashEstErrorDf(docs: DataFrame): DataFrame = {
+    val (sig, pairs) = minhashParts(docs)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_agree", agree.cast("long"))
+      .withColumn("jaccard_est",
+        round(col("n_agree").cast("double") / NumHashes, 6))
+      .withColumn("abs_err",
+        round(abs(col("jaccard_est") - col("jaccard")), 6))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("jaccard_est"), col("n_agree"), col("abs_err"))
+      .orderBy("doc_a", "doc_b")
   }
 }

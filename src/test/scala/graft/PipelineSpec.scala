@@ -411,6 +411,19 @@ class PipelineSpec extends SparkSpec {
       s"90% CI [$lo, $hi] should bracket the exact mean $exactMean")
   }
 
+  test("minhash estimate error: identical docs estimate 1.0; errors inside the sampling bound (sf0.001)") {
+    val rows = Dedup.minhashEstError(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (jac, est, nAgree, err) = (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))
+      assert(nAgree >= 0L && nAgree <= 64L)
+      assert(est >= 0.0 && est <= 1.0)
+      if (jac == 1.0) assert(est == 1.0, "identical sets must agree on every minhash")
+      // 4.5 sigma of the 64-hash estimator at its J >= 0.2 worst case
+      assert(err <= 0.29, s"estimate error $err outside the sampling bound (J=$jac)")
+    }
+  }
+
   test("asof state audit: replay and SCD2 lookup agree; post-T changes invisible") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
