@@ -77,35 +77,45 @@ object Clustering {
 
   /** The Lloyd loop over a pre-exploded micro-unit frame
     * (vec_id, pos, v). Returns (final centroids (cid, pos, cv), final
-    * assignment (vec_id, cid)) — shared by eq89's full-dimension k-means
-    * and x21's per-subspace PQ codebooks. */
+    * assignment (vec_id, cid)) — eq89's entry point; delegates to
+    * [[lloydBy]] with a single constant group. */
   private[pipeline] def lloyd(v: DataFrame, k: Int, iters: Int)
       : (DataFrame, DataFrame) = {
-    // k seed rows via top-k (TakeOrderedAndProject); the row_number that
-    // turns rank into cid runs over exactly k rows — bounded by design
-    val seedIds = v.select(col("vec_id")).distinct()
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(k)
-    val byHash = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = seedIds
-      .withColumn("cid", (row_number().over(byHash) - 1).cast("int"))
-      .select("vec_id", "cid")
+    val (c, a) = lloydBy(v.withColumn("sub", lit(0)), k, iters)
+    (c.drop("sub"), a.drop("sub"))
+  }
 
-    var cents = seeds.join(v, "vec_id")
-      .select(col("cid"), col("pos"), col("v").as("cv"))
+  /** GROUPED Lloyd: one loop drives an independent k-means per `sub`
+    * group simultaneously — (sub, cid) centroid keys, (sub, pos)
+    * assignment joins, (sub, cid, pos) updates. x21 runs its 8 subspace
+    * codebooks through a single 3-iteration loop this way instead of 8
+    * separate chains: same arithmetic (seeds, argmin, floor-div updates
+    * are all per-sub), ~8× fewer Spark jobs. Seeds rank (md5(vec_id),
+    * vec_id) per sub — a partition-bounded window, k rows kept per group.
+    */
+  private[pipeline] def lloydBy(v: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val seedW = Window.partitionBy("sub").orderBy(col("h"), col("vec_id"))
+    val seeds = v.select("sub", "vec_id").distinct()
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= k)
+      .select(col("sub"), col("vec_id"), (col("rn") - 1).cast("int").as("cid"))
+
+    var cents = seeds.join(v, Seq("sub", "vec_id"))
+      .select(col("sub"), col("cid"), col("pos"), col("v").as("cv"))
       .localCheckpoint()
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       assign = assignTo(v, cents)
-      val upd = assign.join(v, "vec_id")
-        .groupBy("cid", "pos")
+      val upd = assign.join(v, Seq("sub", "vec_id"))
+        .groupBy("sub", "cid", "pos")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      cents = cents.join(upd, Seq("cid", "pos"), "left")
-        .select(col("cid"), col("pos"),
+      cents = cents.join(upd, Seq("sub", "cid", "pos"), "left")
+        .select(col("sub"), col("cid"), col("pos"),
           when(col("n").isNull, col("cv"))
             .otherwise(fdiv(col("s"), col("n"))).as("cv"))
-        .localCheckpoint() // k×d rows; cuts the per-iteration lineage
+        .localCheckpoint() // groups×k×d rows; cuts the per-iteration lineage
     }
     (cents, assign)
   }
@@ -139,27 +149,25 @@ object Clustering {
   private val PqIters     = 3
 
   def pqRecallDf(e: DataFrame): DataFrame = {
-    // materialized once: 4 codebook builds, the encoder, the query
+    // materialized once: the codebook build, the encoder, the query
     // lookup tables and the exact ground truth all consume this frame
     val v = microVectors(e).localCheckpoint()
 
-    // per-subspace codebooks + codes, rebased to local pos 0..dsub-1
-    val parts = (0 until PqSubspaces).map { s =>
-      val lo = s * PqSubDim
-      val vs = v.filter(col("pos") >= lo && col("pos") < lo + PqSubDim)
-        .select(col("vec_id"), (col("pos") - lo).cast("int").as("pos"), col("v"))
-      val (cents, codes) = lloyd(vs, PqCodes, PqIters)
-      val qd = cents.join(vs.filter(col("vec_id") === 0), Seq("pos"))
-        .groupBy(col("cid").as("code"))
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("qd"))
-      (codes.select(col("vec_id"), lit(s).as("sub"), col("cid").as("code")),
-        qd.select(lit(s).as("sub"), col("code"), col("qd")))
-    }
-    val codes = parts.map(_._1).reduce(_.union(_))
-    val lut   = parts.map(_._2).reduce(_.union(_)) // 4×16 rows
+    // all 8 subspace codebooks in ONE grouped Lloyd loop: sub = pos/8,
+    // local pos = pos mod 8 (8× fewer jobs than 8 separate chains)
+    val vs = v.select(col("vec_id"),
+      (col("pos") / PqSubDim).cast("int").as("sub"),
+      pmod(col("pos"), lit(PqSubDim)).cast("int").as("pos"), col("v"))
+    val (cents, codes) = lloydBy(vs, PqCodes, PqIters)
+
+    // the query's per-(sub, code) distance lookup table — 8×32 rows
+    val lut = cents.join(vs.filter(col("vec_id") === 0), Seq("sub", "pos"))
+      .groupBy(col("sub"), col("cid").as("code"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("qd"))
 
     // ADC: one broadcast join codes ⋈ lookup table, sum over subspaces
-    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+    val adc = codes.select(col("vec_id"), col("sub"), col("cid").as("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
       .groupBy("vec_id")
       .agg(sum(col("qd")).as("adc_dist"))
       .filter(col("vec_id") =!= 0)
@@ -185,14 +193,15 @@ object Clustering {
       .orderBy("rank")
   }
 
-  /** One Lloyd assignment pass: nearest centroid per vector by exact
-    * integer squared-L2, ties to the smallest cid. One broadcast of the
-    * k×d centroid frame, one (vec_id, cid) partial-agg shuffle. */
+  /** One grouped Lloyd assignment pass: nearest centroid per (sub,
+    * vector) by exact integer squared-L2, ties to the smallest cid. One
+    * broadcast of the groups×k×d centroid frame, one partial-agg
+    * shuffle. */
   private def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
-    v.join(broadcast(cents), "pos")
-      .groupBy("vec_id", "cid")
+    v.join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy("sub", "vec_id", "cid")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
-      .groupBy("vec_id")
+      .groupBy("sub", "vec_id")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+      .select(col("sub"), col("vec_id"), col("m.cid").as("cid"))
 }
