@@ -2210,6 +2210,46 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq98: winsorized mean per type — exact micro-integer clipping at
+    // the quantile_cont bounds (x8 pairing), one division per type.
+    "eq98_winsorized_means" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, b.p05, b.p95,
+        |         LEAST(GREATEST(CAST(ROUND(e.value * 1000000.0::DOUBLE) AS BIGINT),
+        |                        CAST(ROUND(b.p05 * 1000000.0::DOUBLE) AS BIGINT)),
+        |               CAST(ROUND(b.p95 * 1000000.0::DOUBLE) AS BIGINT)) AS vm,
+        |         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, COUNT(*) AS n_events,
+        |       ROUND(MAX(p05), 6) AS p05, ROUND(MAX(p95), 6) AS p95,
+        |       ROUND(CAST(SUM(vm) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS winsorized_mean,
+        |       ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0::DOUBLE), 6) AS raw_mean
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // eq99: modality-agreement audit — the eq12 text pair set vs the
+    // eq13 embedding pair set (both reconstructions shared), pair-set
+    // Jaccard as the one-row agreement signal.
+    "eq99_modality_agreement" ->
+      (s"WITH $toksCte,\n$jaccardCtes,\n" +
+        s"""tp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+          |ep AS (SELECT vec_a AS doc_a, vec_b AS doc_b
+          |       FROM (${embeddingNeardupsSql(0.5)})),
+          |bt AS (SELECT COUNT(*) AS n_both FROM tp JOIN ep USING (doc_a, doc_b)),
+          |nt AS (SELECT COUNT(*) AS n_text_pairs FROM tp),
+          |ne AS (SELECT COUNT(*) AS n_embedding_pairs FROM ep)
+          |SELECT nt.n_text_pairs, ne.n_embedding_pairs, bt.n_both,
+          |       CASE WHEN nt.n_text_pairs + ne.n_embedding_pairs - bt.n_both = 0
+          |            THEN NULL
+          |            ELSE ROUND(CAST(bt.n_both AS DOUBLE)
+          |                 / CAST(nt.n_text_pairs + ne.n_embedding_pairs - bt.n_both AS DOUBLE), 6)
+          |       END AS pair_jaccard
+          |FROM nt, ne, bt""".stripMargin),
+
     // eq96: point-in-time state two ways — raw-log replay cut at the
     // as-of literal vs interval-containment lookup in the eq64 SCD-2
     // dimension built over FULL history; agree is the audit column.

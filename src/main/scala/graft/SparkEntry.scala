@@ -128,6 +128,8 @@ object SparkEntry {
     "eq95_density_cores"     -> (Dedup.densityCores _),
     "eq96_asof_state_audit"  -> (EventOps.asofStateAudit _),
     "eq97_graph_clustering"  -> (Dedup.graphClustering _),
+    "eq98_winsorized_means"  -> (graft.star.AggSurface.winsorizedMeans _),
+    "eq99_modality_agreement" -> (Dedup.modalityAgreement _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

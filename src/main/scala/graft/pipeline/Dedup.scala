@@ -860,4 +860,33 @@ object Dedup {
         col("jaccard_est"), col("n_agree"), col("abs_err"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** eq99 — near-dup MODALITY agreement audit: does the text layer
+    * (eq12, 3-gram Jaccard ≥ 0.2) and the embedding layer (eq13, cosine
+    * ≥ 0.5) nominate the same pairs? One row: both pair counts, the
+    * intersection (doc_id ≡ vec_id on this corpus), and the Jaccard of
+    * the two pair SETS — the "do my cheap and expensive dedup signals
+    * agree" check run before trusting either alone at 100 TB. Composes
+    * the two existing pipelines unchanged; adds one pair-keyed join and
+    * three 1-row aggregates. */
+  def modalityAgreement(spark: SparkSession, dir: String): DataFrame =
+    modalityAgreementDf(
+      Tables.load(spark, dir, "documents"), Tables.load(spark, dir, "embeddings"))
+
+  def modalityAgreementDf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val tp = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val ep = embeddingNearDupsDf(emb)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nBoth = tp.join(ep, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
+    tp.agg(count(lit(1)).as("n_text_pairs"))
+      .crossJoin(broadcast(ep.agg(count(lit(1)).as("n_embedding_pairs"))))
+      .crossJoin(broadcast(nBoth))
+      .withColumn("pair_union",
+        col("n_text_pairs") + col("n_embedding_pairs") - col("n_both"))
+      .select(col("n_text_pairs"), col("n_embedding_pairs"), col("n_both"),
+        when(col("pair_union") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double")
+            / col("pair_union").cast("double"), 6))
+          .as("pair_jaccard"))
+  }
 }

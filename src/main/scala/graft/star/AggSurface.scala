@@ -283,4 +283,39 @@ object AggSurface {
         round(max(col("value")), 6).as("hi"))
       .orderBy("bin")
   }
+
+  /** eq98 — winsorized mean per event type: the robust-mean cleaning step
+    * (clip to the exact [p05, p95] of each type, then average) that keeps
+    * a fat-tailed or corrupted value column from dragging per-slice
+    * statistics. Exactness: the percentile bounds (quantile_cont ≡ Spark
+    * percentile, the x8 pairing) are quantized to integer micros, values
+    * are clipped in BIGINT micro space, and the clipped sum is an exact
+    * integer — order-free — with ONE final division per type. Two passes
+    * over events (bounds, then clip+sum), one broadcast of the per-type
+    * bounds frame. */
+  def winsorizedMeans(spark: SparkSession, dir: String): DataFrame =
+    winsorizedMeansDf(graft.Tables.load(spark, dir, "events"))
+
+  def winsorizedMeansDf(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    events.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("p05"), col("p95"),
+        least(greatest(round(col("value") * 1000000.0).cast("long"),
+            round(col("p05") * 1000000.0).cast("long")),
+          round(col("p95") * 1000000.0).cast("long")).as("vm"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(max(col("p05")), 6).as("p05"),
+        round(max(col("p95")), 6).as("p95"),
+        round(sum(col("vm")).cast("double")
+          / (count(lit(1)) * 1000000.0), 6).as("winsorized_mean"),
+        round(sum(col("cents")).cast("double")
+          / (count(lit(1)) * 100.0), 6).as("raw_mean"))
+      .orderBy("event_type")
+  }
 }

@@ -411,6 +411,41 @@ class PipelineSpec extends SparkSpec {
       s"90% CI [$lo, $hi] should bracket the exact mean $exactMean")
   }
 
+  test("winsorized means: constant column is a fixed point; outliers shrink the mean") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val flat = (1 to 20).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 1L, "view", 7.0, "{}"))
+    val spiked = (1 to 19).map(i =>
+      (100L + i, ts("2024-01-01 10:00:00"), 1L, "click", 10.0, "{}")) :+
+      ((120L, ts("2024-01-01 10:00:00"), 1L, "click", 1000.0, "{}"))
+    val events = (flat ++ spiked)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.star.AggSurface.winsorizedMeansDf(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = out("view")
+    assert(v.getDouble(4) == 7.0 && v.getDouble(5) == 7.0) // fixed point
+    val c = out("click")
+    assert(c.getDouble(4) < c.getDouble(5), "clipping the 1000 spike must shrink the mean")
+    assert(c.getDouble(2) <= c.getDouble(3)) // p05 <= p95
+  }
+
+  test("modality agreement: a pair duplicated in both layers counts in the intersection") {
+    import spark.implicits._
+    val docs = docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "unrelated totally different words here", "en", "s", 38L)))
+    def vec(eps: Float) = Array.tabulate(64)(i => if (i == 0) 1.0f else eps)
+    val emb = Seq(
+      (0L, vec(0.01f)), (1L, vec(0.02f)),
+      (2L, Array.tabulate(64)(i => if (i == 63) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.modalityAgreementDf(docs, emb).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("minhash estimate error: identical docs estimate 1.0; errors inside the sampling bound (sf0.001)") {
     val rows = Dedup.minhashEstError(spark, Sf).collect()
     assert(rows.nonEmpty)
