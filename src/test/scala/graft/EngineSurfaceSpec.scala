@@ -175,6 +175,47 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(userExchanges == 1, s"expected one user_id exchange, got $userExchanges:\n$scd")
   }
 
+  test("round-7 operators: plan shapes hold (no cartesian, hash joins, bounded expands)") {
+    // eq90/eq92: token/shingle-key hash joins only (eq90's one
+    // BroadcastNestedLoopJoin is the deliberate 1-row vocab-scalar cross
+    // join — the eq47 pattern — so only cartesians are banned here)
+    for (q <- Seq(pipeline.TextAnalysis.bigramSurprise(spark, Sf),
+                  pipeline.TextAnalysis.dupSpans(spark, Sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    }
+    // eq92 carries no scalar join at all — full strictness there
+    val ds = pipeline.TextAnalysis.dupSpans(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!ds.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$ds")
+    // eq90's cut is a top-k, never a global sort
+    val bs = pipeline.TextAnalysis.bigramSurprise(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(bs.contains("TakeOrderedAndProject"), s"top-k missing:\n$bs")
+    // eq94: the ×32 replica fan-out is a generator (explode), and the
+    // replica roll-up is ONE b-keyed exchange before the 32-row final
+    val bc = pipeline.EventOps.bootstrapCi(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(bc.contains("Generate"), s"replica explode missing:\n$bc")
+    assert(!bc.contains("CartesianProduct"), s"cartesian in:\n$bc")
+    // eq98: the per-type bounds frame joins back by broadcast — never a
+    // shuffle of the fact for a 5-row bounds side
+    val wm = star.AggSurface.winsorizedMeans(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(wm.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$wm")
+    // eq97: triangle joins stay equi-joins on the checkpointed edge list
+    // (the three 1-row stat frames meet in bounded scalar cross joins, so
+    // only unbounded cartesians are banned)
+    val gc = pipeline.Dedup.graphClustering(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!gc.contains("CartesianProduct"), s"cartesian triangle join:\n$gc")
+    // eq91: the five regression moments are ONE aggregate pass over the
+    // monthly roll-up — no window, no second fact scan
+    val ts = star.StarQueries.trendSlopes(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!ts.contains("Window"), s"unexpected window in OLS plan:\n$ts")
+  }
+
   test("typed Dataset API: case-class pipeline agrees with the DataFrame plan") {
     import spark.implicits._
     val ds = Tables.pdv(spark, Sf).as[PdvRow]
