@@ -2210,6 +2210,58 @@ object Oracles {
     // x20: mergeable HLL union — exact per-type and global distincts
     // hash-compared; the sketch estimates (including the merged ALL row,
     // whose flag proves union correctness) pinned by the ≤5% booleans.
+    // eq100: α=½ EWMA — the recursion closed-formed as an exact BIGINT
+    // dot product with power-of-two shift weights, one final division.
+    "eq100_ewma_daily" ->
+      """WITH d AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, day, cents,
+        |         CASE WHEN i = 1 THEN 1::BIGINT
+        |              ELSE (1::BIGINT << CAST(i - 2 AS INT)) END AS w
+        |  FROM ix),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |         strftime(MAX(day), '%Y-%m-%d') AS last_day,
+        |         CAST(SUM(w * cents) AS BIGINT) AS s_scaled
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n_days, last_day,
+        |       ROUND(CAST(s_scaled AS DOUBLE)
+        |             / CAST((1::BIGINT << CAST(n_days - 1 AS INT)) AS DOUBLE), 6) AS ewma_cents,
+        |       ROUND(CAST(s_scaled AS DOUBLE)
+        |             / CAST((1::BIGINT << CAST(n_days - 1 AS INT)) AS DOUBLE), 6) AS forecast_cents
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // eq101: Hamilton largest-remainder apportionment — floors, mods and
+    // the remainder rank all in exact integers; Σ alloc ≡ budget.
+    "eq101_token_budget" -> {
+      val b = graft.pipeline.CorpusOps.BudgetTokens
+      s"""WITH c AS (
+        |  SELECT source,
+        |         CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS c_total FROM c),
+        |f AS (
+        |  SELECT source, n_tokens,
+        |         ($b * n_tokens - (($b * n_tokens) % c_total)) // c_total AS base,
+        |         ($b * n_tokens) % c_total AS remainder
+        |  FROM c CROSS JOIN t),
+        |r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (ORDER BY remainder DESC, source ASC) AS BIGINT) AS rk,
+        |         $b - SUM(base) OVER () AS shortfall
+        |  FROM f)
+        |SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+        |       CAST(remainder AS BIGINT) AS remainder,
+        |       CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM r ORDER BY source""".stripMargin
+    },
+
     // eq98: winsorized mean per type — exact micro-integer clipping at
     // the quantile_cont bounds (x8 pairing), one division per type.
     "eq98_winsorized_means" ->

@@ -520,4 +520,44 @@ object CorpusOps {
       .select(col("source"), col("doc_id"), col("weight"), col("mix_rank"))
       .orderBy("source", "mix_rank")
   }
+
+  /** eq101 — largest-remainder apportionment of a fixed token budget
+    * across sources: every pretraining mix ultimately rounds fractional
+    * source shares into whole token (or document) quotas, and naive
+    * flooring under- or over-shoots the budget. Hamilton's method is
+    * exact in integers end to end: alloc_i = ⌊B·c_i / C⌋ plus one extra
+    * for the (B − Σ⌊·⌋) largest remainders, remainder_i = B·c_i mod C —
+    * no floating point anywhere, Σ alloc ≡ B by construction (asserted
+    * by test). Tie-break on (remainder DESC, source ASC). One token
+    * count per source, one |sources|-row window — corpus-linear. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetDf(Tables.load(spark, dir, "documents"))
+
+  private[graft] val BudgetTokens = 1000000L
+
+  def tokenBudgetDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("source"), ws_token_count(col("text")).as("tk"))
+      .groupBy("source").agg(sum(col("tk")).as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).as("c_total"))
+    val byRemainder = Window.orderBy(col("remainder").desc, col("source").asc)
+    counts.crossJoin(broadcast(total))
+      // exact floor: (B·c − (B·c mod C)) / C is divisible, so the double
+      // division is exact and the cast is a no-op numerically
+      .withColumn("base",
+        ((lit(BudgetTokens) * col("n_tokens")
+          - pmod(lit(BudgetTokens) * col("n_tokens"), col("c_total")))
+          / col("c_total")).cast("long"))
+      .withColumn("remainder", pmod(lit(BudgetTokens) * col("n_tokens"), col("c_total")))
+      // global window over the per-source aggregate — |sources| rows,
+      // bounded by design (same caveat class as the k-row seed windows)
+      .withColumn("shortfall", lit(BudgetTokens) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(byRemainder))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("base"), col("remainder"),
+        col("alloc_tokens"))
+      .orderBy("source")
+  }
 }

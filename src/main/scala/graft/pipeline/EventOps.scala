@@ -786,4 +786,43 @@ object EventOps {
       round(expr("percentile(mean_cents, 0.05)"), 6).as("ci_lo_cents"),
       round(expr("percentile(mean_cents, 0.95)"), 6).as("ci_hi_cents"))
   }
+
+  /** eq100 — exponential smoothing (EWMA, α = ½) of the daily revenue
+    * series per event type, plus the one-step-ahead forecast (= the
+    * final level): the standard load/volume trending signal. α = ½ makes
+    * the recursion s_t = (x_t + s_{t-1})/2 EXACT in integers: the closed
+    * form is s_n·2ⁿ⁻¹ = x_1 + Σ_{i≥2} x_i·2ⁱ⁻², so the level is one
+    * BIGINT dot product with power-of-two weights (shiftleft — no
+    * floating-point pow) and ONE final double division. At this corpus
+    * (30 days, ~10⁶-cent daily totals) the scaled sum stays ≈ 10¹⁴ —
+    * inside both BIGINT and double-exact range; a longer series would
+    * renormalize per window (documented bound, asserted by test).
+    *
+    * One (type, day) roll-up shuffle, one type-partitioned index window,
+    * one 5-row final aggregate. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaDailyDf(Tables.load(spark, dir, "events"))
+
+  def ewmaDailyDf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("w", expr("CASE WHEN i = 1 THEN 1L ELSE shiftleft(1L, cast(i - 2 AS INT)) END"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("last_day"),
+        sum(col("w") * col("cents")).as("s_scaled"),
+        max(when(col("i") === 1, col("cents"))).as("first_cents"))
+      .withColumn("ewma_cents",
+        round(col("s_scaled").cast("double")
+          / expr("shiftleft(1L, cast(n_days - 1 AS INT))").cast("double"), 6))
+      .select(col("event_type"), col("n_days"), col("last_day"),
+        col("ewma_cents"), col("ewma_cents").as("forecast_cents"))
+      .orderBy("event_type")
+  }
+
 }

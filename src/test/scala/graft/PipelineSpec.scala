@@ -411,6 +411,37 @@ class PipelineSpec extends SparkSpec {
       s"90% CI [$lo, $hi] should bracket the exact mean $exactMean")
   }
 
+  test("ewma daily: hand-computed half-life recursion on a 3-day series") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // daily cents 100, 200, 400 -> s1=100, s2=150, s3=275 exactly
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.00, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 2.00, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "view", 4.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.pipeline.EventOps.ewmaDailyDf(events).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "2024-01-03")
+    assert(r.getDouble(3) == 275.0)
+    assert(r.getDouble(4) == 275.0)
+  }
+
+  test("token budget: Hamilton apportionment is exact and exhausts the budget") {
+    val out = graft.pipeline.CorpusOps.tokenBudget(spark, Sf).collect()
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum ==
+      graft.pipeline.CorpusOps.BudgetTokens, "allocation must exhaust the budget exactly")
+    // literal two-source corpus: counts 1 and 2, B=10^6, C=3 -> bases
+    // 333333/666666, shortfall 1 goes to the larger remainder
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one", "en", "a", 3L),
+      (1L, "two words", "en", "b", 9L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lit2 = graft.pipeline.CorpusOps.tokenBudgetDf(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(lit2 == Map("a" -> 333333L, "b" -> 666667L))
+  }
+
   test("winsorized means: constant column is a fixed point; outliers shrink the mean") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
