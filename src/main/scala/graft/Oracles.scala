@@ -281,7 +281,9 @@ object Oracles {
       |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
 
-  private lazy val lshTopkSql = {
+  /** The SRP bucket CTEs (pl/dots/bk/qb) shared by x5 and the x24
+    * probe-radius sweep. */
+  private lazy val lshBucketCtes: String = {
     val values = hyperplaneValues(8)
     s"""WITH pl AS (
       |  SELECT pid AS bit,
@@ -297,8 +299,12 @@ object Oracles {
       |  GROUP BY 1, 2),
       |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
       |       FROM dots GROUP BY 1),
-      |qb AS (SELECT bucket AS q FROM bk WHERE vec_id = 0),
-      |cand AS (SELECT b.vec_id FROM bk b, qb
+      |qb AS (SELECT bucket AS q FROM bk WHERE vec_id = 0)""".stripMargin
+  }
+
+  private lazy val lshTopkSql = {
+    s"$lshBucketCtes,\n" +
+    """cand AS (SELECT b.vec_id FROM bk b, qb
       |         WHERE bit_count(xor(b.bucket, qb.q)) <= 2 AND b.vec_id <> 0),
       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       |un AS (
@@ -1487,6 +1493,38 @@ object Oracles {
     // engine's 37-probe set (self + hamming ≤ 2) is exactly
     // bit_count(xor(bucket, query_bucket)) <= 2.
     "x5_lsh_topk" -> lshTopkSql,
+
+    // x24: SRP-LSH probe-radius sweep — the SAME bucket CTEs as x5, per
+    // radius candidate counts + recall@5 vs the exact top-5.
+    "x24_lsh_probe_sweep" ->
+      (s"$lshBucketCtes,\n" +
+        s"""r AS (SELECT unnest([0, 1, 2]) AS radius),
+          |cand AS (
+          |  SELECT r.radius, b.vec_id FROM bk b, qb, r
+          |  WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, qb.q)) <= r.radius),
+          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |un AS (
+          |  SELECT c.radius, e.vec_id,
+          |         unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+          |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN q),
+          |sims AS (
+          |  SELECT radius, vec_id,
+          |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS sim
+          |  FROM un GROUP BY 1, 2),
+          |rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY radius
+          |    ORDER BY sim DESC, vec_id ASC) AS rk
+          |  FROM sims),
+          |ex AS (SELECT vec_id FROM ($cosineTopkSql)),
+          |h AS (
+          |  SELECT radius, COUNT(*) AS n_hits
+          |  FROM rk JOIN ex USING (vec_id) WHERE rk.rk <= 5 GROUP BY 1),
+          |nc AS (SELECT radius, COUNT(*) AS n_candidates FROM cand GROUP BY 1)
+          |SELECT CAST(nc.radius AS INT) AS radius, nc.n_candidates,
+          |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+          |       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+          |FROM nc LEFT JOIN h ON nc.radius = h.radius
+          |ORDER BY radius""".stripMargin),
 
     // x12: ANN recall@5 evaluation — the exact, IVF, and LSH top-k
     // reconstructions (the SAME SQL strings as the eq4/x3/x5 entries)

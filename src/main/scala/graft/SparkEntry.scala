@@ -163,6 +163,7 @@ object SparkEntry {
     "x21_pq_recall"          -> (graft.pipeline.Clustering.pqRecall _),
     "x22_session_window_batch" -> (graft.streaming.StreamingOps.sessionWindowBatch _),
     "x23_minhash_est_error"  -> (Dedup.minhashEstError _),
+    "x24_lsh_probe_sweep"    -> ((s, d) => Similarity.lshProbeSweep(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

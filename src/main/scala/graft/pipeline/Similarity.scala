@@ -474,4 +474,59 @@ object Similarity {
     }
     v.select(col("pos"), col("v").as("loading_ppm")).orderBy("pos")
   }
+
+  /** x24 — SRP-LSH probe-radius sweep: recall@5 and candidate volume at
+    * hamming radii 0/1/2 around the query bucket — the tuning matrix that
+    * decides how many probe buckets a production ANN deployment pays for.
+    * Radius 2 is exactly the x5 configuration, so the sweep's last row
+    * grades the shipped default; the monotone recall-vs-candidates trade
+    * is pinned by test. Candidates are computed with the direct
+    * `bit_count(bucket XOR q) ≤ r` predicate (an EVAL formulation — the
+    * production path x5 enumerates probe buckets so the scan can prune;
+    * same candidate set, different access pattern, both deterministic).
+    * One bucketed scan crossed with the 3-row radius frame; top-5 per
+    * radius via a rank window over ≤3 bounded candidate partitions. */
+  def lshProbeSweep(spark: SparkSession, dir: String, queryId: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val dimRow = e.selectExpr("size(embedding)").take(1)
+    if (dimRow.isEmpty)
+      return e.sparkSession.range(0).select(
+        lit(0).as("radius"), lit(0L).as("n_candidates"),
+        lit(0L).as("n_hits"), lit(0.0).as("recall"))
+    val hps = hyperplanes(dimRow(0).getInt(0), LshBits)
+    // materialized once: the candidate filter and count both consume it
+    val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), hps))
+      .localCheckpoint()
+    // driver-side: the query's bucket id (1-row collect, bounded — the
+    // x5 contract)
+    val qRow = bucketed.filter(col("vec_id") === queryId).select("bucket").take(1)
+    if (qRow.isEmpty)
+      return e.sparkSession.range(0).select(
+        lit(0).as("radius"), lit(0L).as("n_candidates"),
+        lit(0L).as("n_hits"), lit(0.0).as("recall"))
+    val qb = qRow(0).getInt(0)
+    val radii = spark.range(1)
+      .select(explode(array(lit(0), lit(1), lit(2))).as("radius"))
+    val cands = bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(radii))
+      .filter(expr(s"bit_count(bucket ^ $qb)") <= col("radius"))
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val byRadius = Window.partitionBy("radius")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val ranked = cands.crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("embedding"), col("qe")), 6))
+      .withColumn("rk", row_number().over(byRadius))
+    val exact = cosineTopK(spark, dir, queryId)
+      .select(col("vec_id").as("hit_id"))
+    val hits = ranked.filter(col("rk") <= 5)
+      .join(broadcast(exact), col("vec_id") === col("hit_id"))
+      .groupBy("radius").agg(count(lit(1)).as("n_hits"))
+    cands.groupBy("radius").agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("radius"), "left")
+      .select(col("radius"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5, 6).as("recall"))
+      .orderBy("radius")
+  }
 }

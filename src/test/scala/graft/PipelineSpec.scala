@@ -411,6 +411,19 @@ class PipelineSpec extends SparkSpec {
       s"90% CI [$lo, $hi] should bracket the exact mean $exactMean")
   }
 
+  test("lsh probe sweep: candidates and recall are monotone in the radius (sf0.001)") {
+    import graft.pipeline.Similarity
+    val rows = Similarity.lshProbeSweep(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val cands = rows.map(_.getLong(1))
+    val recalls = rows.map(_.getDouble(3))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      "a larger probe radius can only add candidates")
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "a larger probe radius can only add hits")
+    rows.foreach(r => assert(r.getLong(2) <= 5L && r.getDouble(3) <= 1.0))
+  }
+
   test("ewma daily: hand-computed half-life recursion on a 3-day series") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
