@@ -637,8 +637,8 @@ object Oracles {
 
     "eq15_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-        |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+        |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "eq16_revenue_by_nation" ->
