@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** The deduplication family over `documents` (training-data-pipeline
-  * surface): exact, exact-keep-first, n-gram Jaccard (exact, inverted
-  * index), MinHash+LSH (approximate candidates, exact verify), SimHash
-  * (hamming-bucketed), and embedding-cosine near-dup.
+  * surface): exact, exact-keep-first, n-gram Jaccard (exact, PPJoin
+  * prefix-filtered by default), MinHash+LSH (approximate candidates,
+  * exact verify, plus the x23 estimate-error eval), SimHash
+  * (hamming-bucketed), embedding-cosine near-dup — and the graph layer
+  * on top of the pair sets: connected components, cluster
+  * representatives, PageRank, density cores, topology stats, and the
+  * text-vs-embedding modality-agreement audit.
   *
   * Scale posture: every variant is a shuffle-on-key program —
   * hash-partition by content hash / shingle / band / bit-chunk — with no

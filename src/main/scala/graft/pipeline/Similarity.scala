@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column):
-  * brute-force cosine top-k as the exactness baseline, and an IVF
-  * (inverted-file) variant as the scale path.
+  * brute-force cosine top-k as the exactness baseline; IVF and SRP-LSH
+  * (with the x24 probe-radius sweep) as the scale paths; plus the
+  * evaluation surface — recall@k (x12), matryoshka prefix-dim recall
+  * (x15), int8 quantization (x11) — and the centroid/variance/Gramian/
+  * PCA statistics family. Product quantization lives in [[Clustering]].
   *
   * Vector math is pure Catalyst higher-order functions (`zip_with` +
   * `aggregate` folds) in double precision — codegen'd, no UDF, and the
