@@ -1552,6 +1552,20 @@ object Oracles {
         |       TRUE AS approx_magasins_ok, TRUE AS approx_produits_ok
         |FROM pdv""".stripMargin),
 
+    // x25: the salted fact⋈dim join — semantics are the PLAIN join's, so
+    // the oracle runs it unsalted; exact integer cents make the roll-up
+    // bit-equal (the x7 convention on the join side).
+    "x25_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS hist_events,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS hist_value_cents
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(d.hist_events) AS BIGINT) AS partner_events,
+        |       CAST(SUM(d.hist_value_cents) AS BIGINT) AS partner_value_cents
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // x7: the salted two-phase aggregation sums integer cents, so its
     // result is bit-equal to this direct single-phase groupBy.
     "x7_salted_agg" ->

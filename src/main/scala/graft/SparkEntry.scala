@@ -164,6 +164,7 @@ object SparkEntry {
     "x22_session_window_batch" -> (graft.streaming.StreamingOps.sessionWindowBatch _),
     "x23_minhash_est_error"  -> (Dedup.minhashEstError _),
     "x24_lsh_probe_sweep"    -> ((s, d) => Similarity.lshProbeSweep(s, d)),
+    "x25_salted_join"        -> (EventOps.saltedJoinTotals _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -825,4 +825,42 @@ object EventOps {
       .orderBy("event_type")
   }
 
+
+  /** x25 — SALTED JOIN: the join-side twin of x7's salted aggregation,
+    * for the case where the hot key sits on the probe side of a
+    * fact ⋈ dim join (one power user's events all land on one reducer of
+    * a shuffled hash join). The dimension (per-user profile) is
+    * replicated ×[[JoinSaltBuckets]] with a salt column; each fact row
+    * draws a deterministic salt from its event_id and joins on
+    * (user_id, salt) — every hot user's rows now spread over
+    * [[JoinSaltBuckets]] reducers. Semantics are THE PLAIN JOIN's:
+    * results roll up to per-type totals in exact integer cents, and the
+    * oracle runs the unsalted join — bit-equality IS the correctness
+    * statement (the x7 convention). At broadcast-able dim sizes Spark
+    * would broadcast and salting is moot; this pattern is for the
+    * dim-too-big, key-skewed regime. */
+  def saltedJoinTotals(spark: SparkSession, dir: String): DataFrame =
+    saltedJoinTotalsDf(Tables.load(spark, dir, "events"))
+
+  private val JoinSaltBuckets = 8
+
+  def saltedJoinTotalsDf(events: DataFrame): DataFrame = {
+    val dim = events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("hist_events"),
+        sum(round(col("value") * 100).cast("long")).as("hist_value_cents"))
+    val dimSalted = dim.crossJoin(
+      events.sparkSession.range(JoinSaltBuckets).select(col("id").cast("int").as("salt")))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("salt", pmod(hash(col("event_id")), lit(JoinSaltBuckets)))
+      .join(dimSalted, Seq("user_id", "salt"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("hist_events")).as("partner_events"),
+        sum(col("hist_value_cents")).as("partner_value_cents"))
+      .orderBy("event_type")
+  }
 }

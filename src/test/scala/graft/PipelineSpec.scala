@@ -751,6 +751,30 @@ class PipelineSpec extends SparkSpec {
     salted.zip(direct).foreach { case (s, d) => assert(math.abs(s._3 - d._3) < 1e-4) }
   }
 
+  test("salted join is bit-equal to the plain join on a hot-key fixture") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 is the hot key (30 events); users 2 and 3 are cold
+    val events = ((1 to 30).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 1L, "view", 10.0, "{}")) ++ Seq(
+      (31L, ts("2024-01-01 10:00:00"), 2L, "click", 5.0, "{}"),
+      (32L, ts("2024-01-01 10:00:00"), 3L, "view", 2.5, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = events.groupBy("user_id").agg(
+      count(lit(1)).as("hist_events"),
+      sum(round(col("value") * 100).cast("long")).as("hist_value_cents"))
+    val plain = events.join(dim, Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("hist_events")).as("partner_events"),
+        sum(col("hist_value_cents")).as("partner_value_cents"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val salted = EventOps.saltedJoinTotalsDf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(salted.sameElements(plain))
+  }
+
   test("sessionize: 30-minute gap splits sessions (literal fixture)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
