@@ -1876,6 +1876,41 @@ object Oracles {
     // engines), per-user unordered pairs, top-20 cells. TRY_CAST mirrors
     // Spark's null-on-unparseable cast semantics — both engines drop a
     // non-numeric $.k row instead of the oracle hard-erroring on it.
+    // eq102: co-purchase lift over the SAME capped baskets as eq82 —
+    // exact integer counts, lift = n_pairs·N / (n_a·n_b) rounded before
+    // the top-20 cut.
+    "eq102_pair_lift" ->
+      """WITH ui0 AS (
+        |  SELECT user_id,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |         MAX(ts) AS last_ts
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ui AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id
+        |                              ORDER BY last_ts DESC, item ASC) AS rn
+        |    FROM ui0)
+        |  WHERE rn <= 256),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM ui),
+        |marg AS (SELECT item, COUNT(*) AS n_item FROM ui GROUP BY 1),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pairs
+        |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_pairs,
+        |       ma.n_item AS n_a, mb.n_item AS n_b,
+        |       ROUND(CAST(p.n_pairs * tot.n_total AS DOUBLE)
+        |             / CAST(ma.n_item * mb.n_item AS DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN marg ma ON ma.item = p.item_a
+        |JOIN marg mb ON mb.item = p.item_b
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
+
     "eq82_co_purchases" ->
       """WITH ui0 AS (
         |  SELECT user_id,

@@ -513,9 +513,24 @@ object EventOps {
     coPurchasesDf(Tables.load(spark, dir, "events"))
 
   def coPurchasesDf(events: DataFrame): DataFrame = {
+    val items = basketItemsDf(events)
+    val a = items.select(col("user_id"), col("item").as("item_a"))
+    val b = items.select(col("user_id"), col("item").as("item_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+  }
+
+  /** The capped per-user basket item set shared by eq82 and eq102:
+    * distinct (user, item) purchases, each user's basket bounded to the
+    * [[CoPurchaseBasketCap]] most recent items (the r7 skew cap). */
+  private def basketItemsDf(events: DataFrame): DataFrame = {
     val byRecency = Window.partitionBy("user_id")
       .orderBy(col("last_ts").desc, col("item").asc)
-    val items = events
+    events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
@@ -526,13 +541,41 @@ object EventOps {
       .withColumn("rn", row_number().over(byRecency))
       .filter(col("rn") <= CoPurchaseBasketCap)
       .select("user_id", "item")
+  }
+
+  /** eq102 — co-purchase LIFT: association strength
+    * P(a,b) / (P(a)·P(b)) for the item pairs, the market-basket metric
+    * that separates "popular with everything" from genuinely associated
+    * items (raw pair counts — eq82 — rank ubiquitous items first even
+    * when independent). All counts are exact integers over the SAME
+    * capped baskets as eq82; lift is one double division of exact BIGINT
+    * products per surviving pair, rounded BEFORE the top-20 cut. Adds
+    * two item-keyed marginal joins and a 1-row total broadcast to eq82's
+    * bounded pair fan-out. */
+  def pairLift(spark: SparkSession, dir: String): DataFrame =
+    pairLiftDf(Tables.load(spark, dir, "events"))
+
+  def pairLiftDf(events: DataFrame): DataFrame = {
+    // materialized once: marginals, total and both pair sides consume it
+    val items = basketItemsDf(events).localCheckpoint()
+    val total = items.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val marg = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val a = items.select(col("user_id"), col("item").as("item_a"))
     val b = items.select(col("user_id"), col("item").as("item_b"))
     a.join(b, Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(marg.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+      .join(marg.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        round((col("n_pairs") * col("n_total")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6))
+      .select(col("item_a"), col("item_b"), col("n_pairs"),
+        col("n_a"), col("n_b"), col("lift"))
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
       .limit(20)
   }
 

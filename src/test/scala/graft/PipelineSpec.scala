@@ -751,6 +751,26 @@ class PipelineSpec extends SparkSpec {
     salted.zip(direct).foreach { case (s, d) => assert(math.abs(s._3 - d._3) < 1e-4) }
   }
 
+  test("pair lift: hand-computed lift separates associated from independent pairs") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ev(id: Long, u: Long, item: Long) =
+      (id, ts("2024-01-01 10:00:00"), u, "purchase", 1.0, s"""{"k": $item}""")
+    // items 1+2 always together (3 of 4 users); item 3 with everyone:
+    // lift(1,2) = 3*4/(3*3) = 1.333333 > lift(1,3) = 3*4/(3*4) = 1.0
+    val events = Seq(
+      ev(1, 10, 1), ev(2, 10, 2), ev(3, 10, 3),
+      ev(4, 11, 1), ev(5, 11, 2), ev(6, 11, 3),
+      ev(7, 12, 1), ev(8, 12, 2), ev(9, 12, 3),
+      ev(10, 13, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.pipeline.EventOps.pairLiftDf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out((1L, 2L)) == 1.333333)
+    assert(out((1L, 3L)) == 1.0)
+    assert(out((2L, 3L)) == 1.0)
+  }
+
   test("salted join is bit-equal to the plain join on a hot-key fixture") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
