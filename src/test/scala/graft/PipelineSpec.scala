@@ -440,6 +440,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(4) == 275.0)
   }
 
+  test("ewma daily: scaled sums stay inside the BIGINT and double-exact windows (sf0.001)") {
+    // the closed form weights the newest day by 2^(n-2): the exactness
+    // argument in the Scaladoc needs n small enough that the scaled sum
+    // stays under 2^53 (double-exact) — pin it on the fixture, and pin
+    // the series length far from the 2^62 BIGINT cliff
+    val events = Tables.load(spark, Sf, "events")
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("cents")).as("mx"))
+      .collect()
+    daily.foreach { r =>
+      val (n, mx) = (r.getLong(1), r.getLong(2))
+      assert(n <= 40L, s"series length $n approaches the shift-weight overflow cliff")
+      // n·mx·2^(n-2) bounds the scaled sum
+      assert(BigInt(n) * BigInt(mx) * BigInt(2).pow((n - 2).toInt.max(0))
+        < BigInt(2).pow(53), "scaled EWMA sum must stay double-exact")
+    }
+  }
+
   test("token budget: Hamilton apportionment is exact and exhausts the budget") {
     val out = graft.pipeline.CorpusOps.tokenBudget(spark, Sf).collect()
     assert(out.map(_.getAs[Long]("alloc_tokens")).sum ==
