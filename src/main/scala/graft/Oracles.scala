@@ -1876,6 +1876,32 @@ object Oracles {
     // engines), per-user unordered pairs, top-20 cells. TRY_CAST mirrors
     // Spark's null-on-unparseable cast semantics — both engines drop a
     // non-numeric $.k row instead of the oracle hard-erroring on it.
+    // eq103: declarative data-quality gates — one exact violation count
+    // per expectation over a single scan, fixed one-row-per-gate output.
+    "eq103_quality_gates" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user_null,
+        |    CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain,
+        |    CAST(SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 10000.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_value_range,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |                    OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_window,
+        |    CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS v_id_dup
+        |  FROM events),
+        |g AS (
+        |  SELECT 'event_id_not_null' AS gate, n_rows, v_id_null AS n_violations FROM a
+        |  UNION ALL SELECT 'event_id_unique', n_rows, v_id_dup FROM a
+        |  UNION ALL SELECT 'event_type_in_domain', n_rows, v_type_domain FROM a
+        |  UNION ALL SELECT 'ts_in_window', n_rows, v_ts_window FROM a
+        |  UNION ALL SELECT 'user_id_not_null', n_rows, v_user_null FROM a
+        |  UNION ALL SELECT 'value_in_range', n_rows, v_value_range FROM a)
+        |SELECT gate, n_rows, n_violations, n_violations = 0 AS pass
+        |FROM g ORDER BY gate""".stripMargin,
+
     // eq102: co-purchase lift over the SAME capped baskets as eq82 —
     // exact integer counts, lift = n_pairs·N / (n_a·n_b) rounded before
     // the top-20 cut.

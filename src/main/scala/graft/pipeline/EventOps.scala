@@ -906,4 +906,47 @@ object EventOps {
         sum(col("hist_value_cents")).as("partner_value_cents"))
       .orderBy("event_type")
   }
+
+  /** eq103 — declarative data-quality gates: the expectations battery a
+    * pipeline runs against a landing table before letting it feed
+    * anything downstream (the data-contract pattern). Each gate is one
+    * exact violation count over a single shared scan — non-null keys,
+    * domain membership, value range, timestamp window, key uniqueness —
+    * plus a PASS verdict per gate and the row count it was judged
+    * against. One aggregate pass (the uniqueness gate adds the one
+    * count-distinct it needs), output fixed at one row per gate
+    * regardless of corpus size. Uniqueness is judged over NON-NULL keys
+    * (count(key) − countDistinct(key)) so a null id is one not-null
+    * violation, not a not-null violation plus a phantom duplicate. */
+  def qualityGates(spark: SparkSession, dir: String): DataFrame =
+    qualityGatesDf(Tables.load(spark, dir, "events"))
+
+  def qualityGatesDf(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("event_id").isNull.cast("long")).as("v_id_null"),
+      sum(col("user_id").isNull.cast("long")).as("v_user_null"),
+      sum((!col("event_type").isin("view", "click", "purchase", "signup", "error"))
+        .cast("long")).as("v_type_domain"),
+      sum((col("value").isNull || col("value") < 0.0 || col("value") > 10000.0)
+        .cast("long")).as("v_value_range"),
+      sum((col("ts") < to_timestamp(lit("2024-01-01 00:00:00")) ||
+        col("ts") >= to_timestamp(lit("2024-02-01 00:00:00"))).cast("long"))
+        .as("v_ts_window"),
+      (count(col("event_id")) - countDistinct(col("event_id"))).as("v_id_dup"))
+    def gate(name: String, c: String) = struct(
+      lit(name).as("gate"),
+      col(c).as("n_violations"),
+      (col(c) === 0).as("pass"))
+    agg.select(col("n_rows"), explode(array(
+        gate("event_id_not_null", "v_id_null"),
+        gate("event_id_unique", "v_id_dup"),
+        gate("event_type_in_domain", "v_type_domain"),
+        gate("ts_in_window", "v_ts_window"),
+        gate("user_id_not_null", "v_user_null"),
+        gate("value_in_range", "v_value_range"))).as("g"))
+      .select(col("g.gate").as("gate"), col("n_rows"),
+        col("g.n_violations").as("n_violations"), col("g.pass").as("pass"))
+      .orderBy("gate")
+  }
 }

@@ -772,6 +772,29 @@ class PipelineSpec extends SparkSpec {
     salted.zip(direct).foreach { case (s, d) => assert(math.abs(s._3 - d._3) < 1e-4) }
   }
 
+  test("quality gates: each expectation fires on a purpose-built dirty fixture") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dirty = Seq(
+      (Some(1L), ts("2024-01-05 00:00:00"), Some(1L), "view", 10.0, "{}"),   // clean
+      (Some(1L), ts("2024-01-05 00:00:00"), Some(2L), "view", 10.0, "{}"),   // dup id
+      (None,     ts("2024-01-05 00:00:00"), Some(3L), "view", 10.0, "{}"),   // null id
+      (Some(4L), ts("2024-01-05 00:00:00"), None,     "view", 10.0, "{}"),   // null user
+      (Some(5L), ts("2024-01-05 00:00:00"), Some(5L), "bogus", 10.0, "{}"),  // bad type
+      (Some(6L), ts("2024-01-05 00:00:00"), Some(6L), "view", -1.0, "{}"),   // bad value
+      (Some(7L), ts("2023-12-31 23:59:59"), Some(7L), "view", 10.0, "{}"))   // bad ts
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.pipeline.EventOps.qualityGatesDf(dirty).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("event_id_not_null") == ((1L, false)))
+    assert(out("event_id_unique") == ((1L, false)))
+    assert(out("event_type_in_domain") == ((1L, false)))
+    assert(out("value_in_range") == ((1L, false)))
+    assert(out("ts_in_window") == ((1L, false)))
+    assert(out("user_id_not_null") == ((1L, false)))
+    assert(out.values.forall(_._1 == 1L), "exactly one violation per gate in this fixture")
+  }
+
   test("pair lift: hand-computed lift separates associated from independent pairs") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
