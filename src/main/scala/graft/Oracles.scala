@@ -465,10 +465,12 @@ object Oracles {
         |WHERE sim >= $threshold::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** The x1 reconstruction through the verified-pair CTE `j` (doc_a,
-    * doc_b, exact jac) with `mins`/`cand` exposed — shared by x1 and the
-    * x23 estimate-error eval. */
-  private lazy val minhashCtes: String = {
+  /** The shingle → 28-bit key → 64-permutation → band-key prefix of the
+    * x1 reconstruction, ending in `s (doc_id, shd, sz)` and `keys
+    * (doc_id, band, band_key)` — shared by the whole-corpus pairing
+    * (x1/x23, via [[minhashCtes]]) and eq104's incremental index probe,
+    * in lockstep with the engine-side `Dedup.signatureParts` sharing. */
+  private lazy val minhashKeyCtes: String = {
     val perms = graft.pipeline.Dedup.minhashPerms()
     val pmValues = perms.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
@@ -484,8 +486,15 @@ object Oracles {
       |  FROM xx CROSS JOIN pm GROUP BY 1, 2),
       |keys AS (
       |  SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
-      |  FROM mins GROUP BY 1, 2),
-      |ok AS (SELECT band, band_key FROM keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+      |  FROM mins GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The x1 reconstruction through the verified-pair CTE `j` (doc_a,
+    * doc_b, exact jac) with `mins`/`cand` exposed — shared by x1 and the
+    * x23 estimate-error eval. */
+  private lazy val minhashCtes: String =
+    s"$minhashKeyCtes,\n" +
+    s"""ok AS (SELECT band, band_key FROM keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
       |kk AS (SELECT k.doc_id, k.band, k.band_key FROM keys k JOIN ok USING (band, band_key)),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -496,7 +505,6 @@ object Oracles {
       |         a.sz AS sz_a, b.sz AS sz_b
       |  FROM cand JOIN s a ON a.doc_id = cand.doc_a JOIN s b ON b.doc_id = cand.doc_b),
       |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM ver)""".stripMargin
-  }
 
   val pipeline: Map[String, String] = Map(
     "eq1_exact_dup_count" ->
@@ -1901,6 +1909,40 @@ object Oracles {
         |  UNION ALL SELECT 'value_in_range', n_rows, v_value_range FROM a)
         |SELECT gate, n_rows, n_violations, n_violations = 0 AS pass
         |FROM g ORDER BY gate""".stripMargin,
+
+    // eq104: incremental cross-snapshot dedup — the x1 signature pipeline
+    // (shared minhashKeyCtes prefix, bit-identical affine permutations and
+    // band keys) with the corpus split old/new on doc_id % 10, the bucket
+    // guard applied on the INDEX (old) side only, candidates = new band
+    // keys probing the guarded index, verify = exact Jaccard ≥ 0.5, and an
+    // exact-content-hash layer that wins over 'near'. No old×old pairing
+    // anywhere — the whole point of the incremental pattern.
+    "eq104_incremental_dedup" ->
+      (s"$minhashKeyCtes,\n" +
+        """old_keys AS (SELECT * FROM keys WHERE doc_id % 10 < 8),
+          |new_keys AS (SELECT * FROM keys WHERE doc_id % 10 >= 8),
+          |ok AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+          |po AS (SELECT k.doc_id, k.band, k.band_key
+          |       FROM old_keys k JOIN ok USING (band, band_key)),
+          |cand AS (
+          |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          |  FROM new_keys n JOIN po o ON n.band = o.band AND n.band_key = o.band_key),
+          |ver AS (
+          |  SELECT new_id, len(list_intersect(a.shd, b.shd)) AS common,
+          |         a.sz AS sz_n, b.sz AS sz_o
+          |  FROM cand JOIN s a ON a.doc_id = cand.new_id
+          |            JOIN s b ON b.doc_id = cand.old_id),
+          |near AS (SELECT DISTINCT new_id FROM ver
+          |         WHERE common::DOUBLE / (sz_n + sz_o - common) >= 0.5::DOUBLE),
+          |oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+          |v AS (
+          |  SELECT d.lang,
+          |         CASE WHEN md5(d.text) IN (SELECT h FROM oldh) THEN 'exact'
+          |              WHEN d.doc_id IN (SELECT new_id FROM near) THEN 'near'
+          |              ELSE 'novel' END AS verdict
+          |  FROM documents d WHERE d.doc_id % 10 >= 8)
+          |SELECT lang, verdict, COUNT(*) AS n_docs
+          |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // eq102: co-purchase lift over the SAME capped baskets as eq82 —
     // exact integer counts, lift = n_pairs·N / (n_a·n_b) rounded before

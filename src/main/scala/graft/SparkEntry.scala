@@ -134,6 +134,7 @@ object SparkEntry {
     "eq101_token_budget"     -> (CorpusOps.tokenBudget _),
     "eq102_pair_lift"        -> (EventOps.pairLift _),
     "eq103_quality_gates"    -> (EventOps.qualityGates _),
+    "eq104_incremental_dedup" -> (Dedup.incrementalDedup _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -285,11 +285,12 @@ object Dedup {
   def minhashLshPairsDf(docs: DataFrame): DataFrame =
     minhashParts(docs)._2
 
-  /** The x1 machinery split for reuse: returns (signature frame
-    * (doc_id, m0..m63), verified pairs frame (doc_a, doc_b, jaccard)) —
-    * x1 consumes the pairs; x23's estimate-error eval joins the pairs
-    * back to the signatures. */
-  private[pipeline] def minhashParts(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** The signature half of the x1 machinery, split out so the
+    * whole-corpus pairing (x1/x23) and the incremental old-index probe
+    * (eq104) share one bit-identical shingle → 28-bit key → 64-permutation
+    * → band-key pass. Returns (sets (doc_id, shd, sz), sig (doc_id,
+    * m0..m63), banded (doc_id, band, band_key)). */
+  private[pipeline] def signatureParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // materialized once: the signature pass and BOTH sides of the verify
     // join consume this frame (three shingling passes otherwise)
     val sets = docs.select(col("doc_id"),
@@ -316,6 +317,15 @@ object Dedup {
       }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+    (sets, sig, banded)
+  }
+
+  /** The x1 machinery split for reuse: returns (signature frame
+    * (doc_id, m0..m63), verified pairs frame (doc_a, doc_b, jaccard)) —
+    * x1 consumes the pairs; x23's estimate-error eval joins the pairs
+    * back to the signatures. */
+  private[pipeline] def minhashParts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (sets, sig, banded) = signatureParts(docs)
     val smallBuckets = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= MaxBucket)
@@ -336,6 +346,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
     (sig, pairs)
+  }
+
+  /** Exact-Jaccard threshold for the eq104 'near' verdict: stricter than
+    * x1's 0.2 pair floor — an incremental gate answers "is this new doc
+    * a near-COPY of something already indexed", not "is it related". */
+  private val IncrementalNearThreshold = 0.5
+
+  /** eq104 — incremental cross-snapshot dedup: classify every document of
+    * an incoming batch against an existing corpus as `exact` (content-hash
+    * match), `near` (MinHash band collision with an indexed doc, verified
+    * by exact Jaccard ≥ 0.5), or `novel` — WITHOUT ever pairing the old
+    * corpus against itself. This is the pattern that keeps 100 TB crawls
+    * tractable: the corpus-side signatures/band keys are a precomputed
+    * index you probe with the (much smaller) batch, so per-ingest cost is
+    * O(batch × bucket), not O(corpus²) — re-running whole-corpus dedup
+    * (eq12/eq26) per ingest would be.
+    *
+    * The snapshot split is deterministic — `doc_id % 10 ∈ {8,9}` is the
+    * incoming batch (~20%), the rest is the indexed corpus — so the
+    * DuckDB oracle reconstructs the full pipeline verbatim (same affine
+    * permutations, band keys, bucket guard, verify join; the x1
+    * convention). The bucket guard (≤ [[MaxBucket]]) is applied on the
+    * INDEX side only: a degenerate boilerplate bucket in the corpus is
+    * dropped, mirroring the stop-bucket list a production index ships
+    * with. Exact beats near when both fire. One row per (lang, verdict);
+    * output is O(langs), invariant to corpus size. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupDf(Tables.load(spark, dir, "documents"))
+
+  def incrementalDedupDf(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 10 >= 8
+    // one shingle/signature pass over the union stands in for "read the
+    // stored index + sign the batch" — the split happens on band keys
+    val (sets, _, banded) = signatureParts(docs)
+    val newDocs = docs.filter(isNew).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    // exact layer: batch content hash probed against the corpus hash set
+    val oldHashes = docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
+    val exactIds = newDocs.join(oldHashes, Seq("h"), "left_semi").select("doc_id")
+    // near layer: batch band keys probe the bucket-guarded corpus index
+    val bandedOld = banded.filter(!isNew)
+    val bandedNew = banded.filter(isNew)
+    val okBuckets = bandedOld.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= MaxBucket)
+      .select("band", "band_key")
+    val cands = bandedNew.as("n")
+      .join(bandedOld.join(okBuckets, Seq("band", "band_key")).as("o"), Seq("band", "band_key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val nearIds = cands
+      .join(sets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
+      .join(sets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
+      .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .filter(col("common").cast("double") / (col("sz_n") + col("sz_o") - col("common"))
+        >= IncrementalNearThreshold)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    newDocs
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("is_exact"), lit("exact"))
+          .when(col("is_near"), lit("near"))
+          .otherwise(lit("novel")))
+      .groupBy("lang", "verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "verdict")
   }
 
   /** 64-bit SimHash per document: per-token md5, each of the first 16 hex

@@ -795,6 +795,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.forall(_._1 == 1L), "exactly one violation per gate in this fixture")
   }
 
+  test("incremental dedup: exact beats near, near needs jaccard >= 0.5, short docs can still be exact") {
+    val base = "spark shuffles hash partitions across executors nightly while catalyst prunes columns early"
+    val docs = docsDf(Seq(
+      // old corpus (doc_id % 10 < 8)
+      (1L, base, "en", "s", 10L),
+      (2L, "completely unrelated words about gardening tomatoes rain barrels compost", "en", "s", 10L),
+      (3L, "hi there", "en", "s", 2L), // < 3 tokens: no shingles, index-invisible
+      // new batch (doc_id % 10 >= 8)
+      (8L, base, "en", "s", 10L),                                    // exact dup of 1
+      (9L, base + " tonight", "en", "s", 10L),                       // near dup of 1 (high overlap)
+      (18L, "a totally novel document mentioning quantum chromodynamics and lattice gauge theory", "en", "s", 10L),
+      (19L, "hi there", "fr", "s", 2L)))                             // exact dup of 3 despite no shingles
+    val out = graft.pipeline.Dedup.incrementalDedupDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("en", "exact") -> 1L, ("en", "near") -> 1L,
+      ("en", "novel") -> 1L, ("fr", "exact") -> 1L))
+  }
+
   test("pair lift: hand-computed lift separates associated from independent pairs") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
