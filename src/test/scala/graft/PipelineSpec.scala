@@ -627,9 +627,10 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("x1/x2 candidate generation is hash-join only — no cartesian in the physical plans") {
+  test("x1/x2/eq104 candidate generation is hash-join only — no cartesian in the physical plans") {
     val docs = graft.Tables.load(spark, Sf, "documents")
-    for (q <- Seq(Dedup.minhashLshPairsDf(docs), Dedup.simhashPairsDf(docs))) {
+    for (q <- Seq(Dedup.minhashLshPairsDf(docs), Dedup.simhashPairsDf(docs),
+        Dedup.incrementalDedupDf(docs))) {
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
