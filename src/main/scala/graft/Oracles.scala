@@ -1944,6 +1944,35 @@ object Oracles {
           |SELECT lang, verdict, COUNT(*) AS n_docs
           |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // eq105: nearest-centroid confusion matrix — micro-unit quantization
+    // (the eq36 convention), centroid = raw integer SUM vector (cosine is
+    // scale-invariant so no mean/rounding on the prototype), dot and norms
+    // exact BIGINT, one divide-and-round per cell, argmax on the ROUNDED
+    // cosine with label as the tie-break.
+    "eq105_centroid_confusion" ->
+      """WITH u AS (
+        |  SELECT vec_id, label,
+        |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+        |         CAST(ROUND(unnest(embedding)::DOUBLE * 1000000.0::DOUBLE) AS BIGINT) AS v
+        |  FROM embeddings),
+        |c AS (SELECT label AS cl, pos, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY 1, 2),
+        |cn AS (SELECT cl, CAST(SUM(s * s) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |dots AS (
+        |  SELECT u.vec_id, u.label, c.cl,
+        |         CAST(SUM(u.v * c.s) AS BIGINT) AS dot,
+        |         CAST(SUM(u.v * u.v) AS BIGINT) AS nv
+        |  FROM u JOIN c USING (pos) GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT vec_id, label, cl,
+        |         ROUND(dot::DOUBLE / (SQRT(nv::DOUBLE) * SQRT(ns::DOUBLE)), 6) AS cos
+        |  FROM dots JOIN cn USING (cl) WHERE nv > 0),
+        |best AS (
+        |  SELECT vec_id, label, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+        |  FROM sc)
+        |SELECT label, cl AS predicted, COUNT(*) AS n_vecs
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // eq102: co-purchase lift over the SAME capped baskets as eq82 —
     // exact integer counts, lift = n_pairs·N / (n_a·n_b) rounded before
     // the top-20 cut.

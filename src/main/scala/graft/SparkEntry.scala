@@ -135,6 +135,7 @@ object SparkEntry {
     "eq102_pair_lift"        -> (EventOps.pairLift _),
     "eq103_quality_gates"    -> (EventOps.qualityGates _),
     "eq104_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "eq105_centroid_confusion" -> (Similarity.centroidConfusion _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

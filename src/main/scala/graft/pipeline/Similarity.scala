@@ -207,6 +207,52 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** eq105 — nearest-centroid classification eval: every vector is
+    * assigned to its most-cosine-similar label centroid and the result is
+    * the confusion matrix (label, predicted, n_vecs) — the embedding-
+    * quality probe behind "are the classes separable at all" and cluster-
+    * assignment drift checks. Cosine is invariant under positive scaling
+    * of either side, so the centroid is represented by its raw
+    * scaled-integer SUM vector (no mean, no rounding on the prototype) and
+    * the vector by its micro-unit quantization: dot and both norms are
+    * exact BIGINT sums (|v| ≤ ~10⁷, |s| ≤ 10⁶·rows-per-label ⇒ products
+    * stay < 2⁶³ up to ~10⁵ rows per label at 64 dims; widen to
+    * DECIMAL(38,0) past that), and the only float op is one
+    * divide-and-round per (vector, centroid) cell. The argmax orders by
+    * the 6-dp-ROUNDED cosine then label — deterministic in both engines.
+    * Scale shape: centroid frame is labels × dims rows (broadcast); the
+    * score join explodes each vector ×labels — corpus × k·dims work,
+    * linear in the corpus, one shuffle on vec_id. */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame =
+    centroidConfusionDf(Tables.load(spark, dir, "embeddings"))
+
+  def centroidConfusionDf(embeddings: DataFrame): DataFrame = {
+    val u = embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("x").cast("double") * 1000000.0).cast("long").as("v"))
+    val cent = u.groupBy(col("label").as("cl"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+      .localCheckpoint()
+    val centNorms = cent.groupBy("cl").agg(sum(col("s") * col("s")).as("ns"))
+    val scored = u.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(
+        sum(col("v") * col("s")).as("dot"),
+        sum(col("v") * col("v")).as("nv"))
+      .join(broadcast(centNorms), Seq("cl"))
+      .filter(col("nv") > 0)
+      .withColumn("cos", round(col("dot").cast("double")
+        / (sqrt(col("nv").cast("double")) * sqrt(col("ns").cast("double"))), 6))
+    val best = scored.withColumn("rn",
+        row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("cl").asc)))
+      .filter(col("rn") === 1)
+    best.groupBy(col("label"), col("cl").as("predicted"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "predicted")
+  }
+
   /** eq41 — SemDeDup-style semantic dedup: pairwise cosine ONLY inside a
     * cluster (here the `label` column — in production the cell id of an
     * offline k-means over the embeddings, exactly as the SemDeDup paper

@@ -814,6 +814,25 @@ class PipelineSpec extends SparkSpec {
       ("en", "novel") -> 1L, ("fr", "exact") -> 1L))
   }
 
+  test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
+    import spark.implicits._
+    // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
+    // points straight at label 1's prototype — the one off-diagonal cell
+    val e = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0), (5L, Array(0f, 1f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidConfusionDf(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0, 0) -> 2L, (0, 1) -> 1L, (1, 1) -> 2L))
+    // identical prototypes: every cosine ties, the lower label must win
+    val tied = Seq((1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.centroidConfusionDf(tied).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(t == Map((0, 0) -> 1L, (1, 0) -> 1L))
+  }
+
   test("pair lift: hand-computed lift separates associated from independent pairs") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
