@@ -1973,6 +1973,33 @@ object Oracles {
         |SELECT label, cl AS predicted, COUNT(*) AS n_vecs
         |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // eq106: temperature-scaled resampling — p_l^0.3 quantized to
+    // micro-units is the one float op (POWER ≡ Math.pow to the ulp on
+    // these operands; the rounding makes a flip require a .5-boundary
+    // landing); rate and membership are exact integers, keep-key is the
+    // eq31 md5-28-bit convention at ppm granularity.
+    "eq106_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+        |w AS (SELECT lang, n_docs, n_total,
+        |             CAST(ROUND(POWER(n_docs::DOUBLE / n_total::DOUBLE, 0.3)
+        |                        * 1000000.0) AS BIGINT) AS w_micro
+        |      FROM c CROSS JOIN t),
+        |ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM w),
+        |r AS (SELECT lang, n_docs,
+        |             LEAST(1000000::BIGINT,
+        |                   (w_micro * (n_total // 2) * 1000000) // (w_sum * n_docs)) AS rate_ppm
+        |      FROM w CROSS JOIN ws),
+        |h AS (SELECT d.lang, d.n_chars, substr(md5(d.text), 1, 7) AS h7, r.rate_ppm
+        |      FROM documents d JOIN r USING (lang)),
+        |k AS (SELECT lang, n_chars FROM h WHERE ($hex7OfH7) % 1000000 < rate_ppm),
+        |kk AS (SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |       FROM k GROUP BY 1)
+        |SELECT r.lang, r.n_docs, r.rate_ppm,
+        |       COALESCE(kk.n_kept, 0) AS n_kept,
+        |       COALESCE(kk.kept_chars, 0) AS kept_chars
+        |FROM r LEFT JOIN kk USING (lang) ORDER BY r.lang""".stripMargin,
+
     // eq102: co-purchase lift over the SAME capped baskets as eq82 —
     // exact integer counts, lift = n_pairs·N / (n_a·n_b) rounded before
     // the top-20 cut.

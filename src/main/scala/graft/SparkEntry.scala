@@ -136,6 +136,7 @@ object SparkEntry {
     "eq103_quality_gates"    -> (EventOps.qualityGates _),
     "eq104_incremental_dedup" -> (Dedup.incrementalDedup _),
     "eq105_centroid_confusion" -> (Similarity.centroidConfusion _),
+    "eq106_temperature_mix"  -> (CorpusOps.temperatureMix _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -560,4 +560,48 @@ object CorpusOps {
         col("alloc_tokens"))
       .orderBy("source")
   }
+
+  /** eq106 — temperature-scaled (α-) multilingual resampling: the
+    * XLM-R-style rebalancing where language l's target share is
+    * q_l ∝ p_l^α (α = [[TemperatureAlpha]] < 1 flattens the distribution,
+    * up-weighting rare languages), realised as a deterministic
+    * content-keyed keep-rate per language against a half-corpus budget.
+    * Arithmetic discipline: the ONLY float op is one pow-and-round per
+    * language (p_l^α quantized to micro-units; the eq47-ln precedent);
+    * the share normalization, budget split and per-language rate
+    * rate_ppm = min(10⁶, ⌊wµ_l·B·10⁶ / (Σwµ·n_l)⌋) are exact BIGINT
+    * (operands positive, floor div in both engines; numerator ≤ 10¹²·N —
+    * widen to DECIMAL(38,0) past ~10⁶ rows per the eq57 caveat class).
+    * Membership is the eq31 convention — md5-28-bit of the TEXT mod 10⁶
+    * under rate_ppm — so the sample is reproducible across runs, engines
+    * and partitionings, and exact duplicates travel together. Scale
+    * shape: two |langs|-row scalar aggregates, then one broadcast join +
+    * map-side filter over the corpus — linear, no wide shuffle. */
+  private[graft] val TemperatureAlpha = 0.3
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixDf(Tables.load(spark, dir, "documents"))
+
+  def temperatureMixDf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("w_micro",
+        round(pow(col("n_docs").cast("double") / col("n_total").cast("double"),
+          TemperatureAlpha) * 1000000.0).cast("long"))
+    val wsum = w.agg(sum(col("w_micro")).as("w_sum"))
+    val rates = w.crossJoin(broadcast(wsum))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("(w_micro * (n_total div 2) * 1000000) div (w_sum * n_docs)")))
+      .select(col("lang"), col("n_docs"), col("rate_ppm"))
+    val kept = docs.join(broadcast(rates), Seq("lang"))
+      .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy("lang")
+  }
 }

@@ -833,6 +833,26 @@ class PipelineSpec extends SparkSpec {
     assert(t == Map((0, 0) -> 1L, (1, 0) -> 1L))
   }
 
+  test("temperature mix: alpha<1 up-weights the rare language; single-lang rate is the exact half-budget") {
+    // one language: p=1, pow(1,a)=1 exactly in both engines, so the rate
+    // is pure integer arithmetic — (1e6 * (N div 2) * 1e6) div (1e6 * N)
+    val solo = docsDf((1L to 10L).map(i => (i, s"solo doc number $i text", "en", "s", 20L)))
+    val soloRow = graft.pipeline.CorpusOps.temperatureMixDf(solo).collect()
+    assert(soloRow.length == 1)
+    assert(soloRow(0).getAs[Long]("rate_ppm") == 500000L)
+    // 8:2 split — flattening must give the rare language the higher rate
+    val mixed = docsDf((1L to 8L).map(i => (i, s"common language doc $i", "en", "s", 20L)) ++
+      Seq((9L, "rare language doc nine", "fr", "s", 20L),
+        (10L, "rare language doc ten", "fr", "s", 20L)))
+    val rows = graft.pipeline.CorpusOps.temperatureMixDf(mixed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("fr").getAs[Long]("rate_ppm") > rows("en").getAs[Long]("rate_ppm"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("rate_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("pair lift: hand-computed lift separates associated from independent pairs") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
