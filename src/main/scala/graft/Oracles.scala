@@ -465,6 +465,33 @@ object Oracles {
         |WHERE sim >= $threshold::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Shared CTE chain ending in `best (vec_id, label, cl, cos, rn)` —
+    * every embedding cosine-scored against every label-centroid integer
+    * SUM prototype and ranked per vector (the eq105 scoring pass), reused
+    * by eq107's IVF probe list; in lockstep with the engine-side
+    * `Similarity.centroidScores` sharing. */
+  private val centroidScoreCtes =
+    """u AS (
+      |  SELECT vec_id, label,
+      |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+      |         CAST(ROUND(unnest(embedding)::DOUBLE * 1000000.0::DOUBLE) AS BIGINT) AS v
+      |  FROM embeddings),
+      |c AS (SELECT label AS cl, pos, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY 1, 2),
+      |cn AS (SELECT cl, CAST(SUM(s * s) AS BIGINT) AS ns FROM c GROUP BY 1),
+      |dots AS (
+      |  SELECT u.vec_id, u.label, c.cl,
+      |         CAST(SUM(u.v * c.s) AS BIGINT) AS dot,
+      |         CAST(SUM(u.v * u.v) AS BIGINT) AS nv
+      |  FROM u JOIN c USING (pos) GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT vec_id, label, cl,
+      |         ROUND(dot::DOUBLE / (SQRT(nv::DOUBLE) * SQRT(ns::DOUBLE)), 6) AS cos
+      |  FROM dots JOIN cn USING (cl) WHERE nv > 0),
+      |best AS (
+      |  SELECT vec_id, label, cl, cos,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+      |  FROM sc)""".stripMargin
+
   /** The shingle → 28-bit key → 64-permutation → band-key prefix of the
     * x1 reconstruction, ending in `s (doc_id, shd, sz)` and `keys
     * (doc_id, band, band_key)` — shared by the whole-corpus pairing
@@ -1948,30 +1975,41 @@ object Oracles {
     // (the eq36 convention), centroid = raw integer SUM vector (cosine is
     // scale-invariant so no mean/rounding on the prototype), dot and norms
     // exact BIGINT, one divide-and-round per cell, argmax on the ROUNDED
-    // cosine with label as the tie-break.
+    // cosine with label as the tie-break. CTEs shared with eq107.
     "eq105_centroid_confusion" ->
-      """WITH u AS (
-        |  SELECT vec_id, label,
-        |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
-        |         CAST(ROUND(unnest(embedding)::DOUBLE * 1000000.0::DOUBLE) AS BIGINT) AS v
-        |  FROM embeddings),
-        |c AS (SELECT label AS cl, pos, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY 1, 2),
-        |cn AS (SELECT cl, CAST(SUM(s * s) AS BIGINT) AS ns FROM c GROUP BY 1),
-        |dots AS (
-        |  SELECT u.vec_id, u.label, c.cl,
-        |         CAST(SUM(u.v * c.s) AS BIGINT) AS dot,
-        |         CAST(SUM(u.v * u.v) AS BIGINT) AS nv
-        |  FROM u JOIN c USING (pos) GROUP BY 1, 2, 3),
-        |sc AS (
-        |  SELECT vec_id, label, cl,
-        |         ROUND(dot::DOUBLE / (SQRT(nv::DOUBLE) * SQRT(ns::DOUBLE)), 6) AS cos
-        |  FROM dots JOIN cn USING (cl) WHERE nv > 0),
-        |best AS (
-        |  SELECT vec_id, label, cl,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
-        |  FROM sc)
-        |SELECT label, cl AS predicted, COUNT(*) AS n_vecs
-        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      (s"WITH $centroidScoreCtes\n" +
+        """SELECT label, cl AS predicted, COUNT(*) AS n_vecs
+          |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // eq107: cross-lingual bitext mining — eq105's centroid cells as the
+    // IVF coarse quantizer (queries probe rn<=2 cells, targets indexed at
+    // rn=1), exact cosine on candidates only, margin = best minus
+    // runner-up on the ROUNDED cosine, tgt_id tie-break, top-20 cut.
+    "eq107_bitext_mining" ->
+      (s"WITH $centroidScoreCtes,\n" +
+        """langm AS (SELECT doc_id, lang FROM documents),
+          |src AS (SELECT b.vec_id AS src_id, l.lang AS src_lang, b.cl
+          |        FROM best b JOIN langm l ON l.doc_id = b.vec_id
+          |        WHERE b.rn <= 2 AND l.lang <> 'en'),
+          |tgt AS (SELECT b.vec_id AS tgt_id, b.cl
+          |        FROM best b JOIN langm l ON l.doc_id = b.vec_id
+          |        WHERE b.rn = 1 AND l.lang = 'en'),
+          |cand AS (SELECT DISTINCT src_id, src_lang, tgt_id FROM src JOIN tgt USING (cl)),
+          |un AS (SELECT c.src_id, c.src_lang, c.tgt_id,
+          |              unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+          |       FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
+          |                   JOIN embeddings b ON b.vec_id = c.tgt_id),
+          |cs AS (SELECT src_id, src_lang, tgt_id,
+          |              ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cos
+          |       FROM un GROUP BY 1, 2, 3),
+          |rk AS (SELECT *,
+          |              row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS r,
+          |              lead(cos) OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS cos_next
+          |       FROM cs)
+          |SELECT src_id, src_lang, tgt_id, cos,
+          |       ROUND(cos - COALESCE(cos_next, 0.0::DOUBLE), 6) AS margin
+          |FROM rk WHERE r = 1 AND cos >= 0.3::DOUBLE
+          |ORDER BY margin DESC, src_id ASC LIMIT 20""".stripMargin),
 
     // eq106: temperature-scaled resampling — p_l^0.3 quantized to
     // micro-units is the one float op (POWER ≡ Math.pow to the ulp on

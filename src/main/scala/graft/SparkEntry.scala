@@ -137,6 +137,7 @@ object SparkEntry {
     "eq104_incremental_dedup" -> (Dedup.incrementalDedup _),
     "eq105_centroid_confusion" -> (Similarity.centroidConfusion _),
     "eq106_temperature_mix"  -> (CorpusOps.temperatureMix _),
+    "eq107_bitext_mining"    -> (Similarity.bitextMine _),
     // approximate ops — oracle-checked like everything else: deterministic
     // pipelines (x1–x5, x7) are reconstructed verbatim in DuckDB (seeded
     // constants spliced as SQL literals, md5 as the shared hash);

@@ -226,7 +226,18 @@ object Similarity {
   def centroidConfusion(spark: SparkSession, dir: String): DataFrame =
     centroidConfusionDf(Tables.load(spark, dir, "embeddings"))
 
-  def centroidConfusionDf(embeddings: DataFrame): DataFrame = {
+  def centroidConfusionDf(embeddings: DataFrame): DataFrame =
+    centroidScores(embeddings)
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("cl").as("predicted"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "predicted")
+
+  /** The eq105 scoring pass split for reuse: every vector cosine-scored
+    * against every label-centroid prototype, ranked per vector —
+    * (vec_id, label, cl, cos, rn). eq105 keeps rn = 1 for the confusion
+    * matrix; eq107 uses rn ≤ 2 as the IVF probe list for bitext mining. */
+  private[pipeline] def centroidScores(embeddings: DataFrame): DataFrame = {
     val u = embeddings
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("label"), col("pos"),
@@ -235,7 +246,7 @@ object Similarity {
       .agg(sum(col("v")).as("s"))
       .localCheckpoint()
     val centNorms = cent.groupBy("cl").agg(sum(col("s") * col("s")).as("ns"))
-    val scored = u.join(broadcast(cent), Seq("pos"))
+    u.join(broadcast(cent), Seq("pos"))
       .groupBy(col("vec_id"), col("label"), col("cl"))
       .agg(
         sum(col("v") * col("s")).as("dot"),
@@ -244,13 +255,56 @@ object Similarity {
       .filter(col("nv") > 0)
       .withColumn("cos", round(col("dot").cast("double")
         / (sqrt(col("nv").cast("double")) * sqrt(col("ns").cast("double"))), 6))
-    val best = scored.withColumn("rn",
+      .withColumn("rn",
         row_number().over(Window.partitionBy("vec_id")
           .orderBy(col("cos").desc, col("cl").asc)))
-      .filter(col("rn") === 1)
-    best.groupBy(col("label"), col("cl").as("predicted"))
-      .agg(count(lit(1)).as("n_vecs"))
-      .orderBy("label", "predicted")
+  }
+
+  /** Mining floor for eq107: a pair is emitted only when its exact cosine
+    * reaches this — on synthetic embeddings the cross-lingual ceiling is
+    * ~0.49, so 0.3 keeps the mined set selective but non-empty. */
+  private[graft] val BitextCosFloor = 0.3
+
+  /** eq107 — cross-lingual bitext mining, the parallel-corpus bootstrap:
+    * for every non-English document, find its best English neighbour by
+    * embedding cosine and score the match with the MARGIN criterion
+    * (best minus runner-up — the absolute-threshold-free signal from the
+    * LASER/CCMatrix mining line: a true translation is not just close,
+    * it is close and ISOLATED). Candidates come from an IVF-style coarse
+    * quantizer — the eq105 label-centroid cells: each query probes its 2
+    * nearest cells, the target side is indexed in its 1 nearest — so
+    * pair work is Σ(cell sizes × probing queries), never |src|×|tgt|;
+    * at 100 TB the cells are a k-means codebook (eq89) and the per-cell
+    * joins are ordinary co-partitioned equi-joins. Exact cosine on
+    * candidates only; ranking and margin use the 6-dp-ROUNDED cosine
+    * with tgt_id tie-break — deterministic in both engines. Output:
+    * top-20 mined pairs by (margin DESC, src_id). */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame =
+    bitextMineDf(Tables.load(spark, dir, "documents"), Tables.load(spark, dir, "embeddings"))
+
+  def bitextMineDf(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val langOf = docs.select(col("doc_id").as("vec_id"), col("lang"))
+    val scored = centroidScores(embeddings).join(langOf, Seq("vec_id"))
+    val src = scored.filter(col("rn") <= 2 && col("lang") =!= "en")
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"), col("cl"))
+    val tgt = scored.filter(col("rn") === 1 && col("lang") === "en")
+      .select(col("vec_id").as("tgt_id"), col("cl"))
+    val cands = src.join(tgt, Seq("cl"))
+      .select("src_id", "src_lang", "tgt_id")
+      .distinct()
+    val withCos = cands
+      .join(embeddings.select(col("vec_id").as("src_id"), col("embedding").as("se")), Seq("src_id"))
+      .join(embeddings.select(col("vec_id").as("tgt_id"), col("embedding").as("te")), Seq("tgt_id"))
+      .withColumn("cos", round(cosine(col("se"), col("te")), 6))
+    val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id").asc)
+    withCos
+      .withColumn("r", row_number().over(w))
+      .withColumn("cos_next", lead(col("cos"), 1).over(w))
+      .filter(col("r") === 1 && col("cos") >= BitextCosFloor)
+      .withColumn("margin", round(col("cos") - coalesce(col("cos_next"), lit(0.0)), 6))
+      .select(col("src_id"), col("src_lang"), col("tgt_id"), col("cos"), col("margin"))
+      .orderBy(col("margin").desc, col("src_id").asc)
+      .limit(20)
   }
 
   /** eq41 — SemDeDup-style semantic dedup: pairwise cosine ONLY inside a

@@ -853,6 +853,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bitext mining: isolated match out-margins the crowded one; sub-floor sources drop") {
+    import spark.implicits._
+    val docs = docsDf(Seq(
+      (1L, "requete un", "fr", "s", 10L), (3L, "requete trois", "fr", "s", 10L),
+      (5L, "requete cinq", "fr", "s", 10L),
+      (2L, "target two", "en", "s", 10L), (4L, "target four", "en", "s", 10L),
+      (6L, "target six", "en", "s", 10L)))
+    // single label = single IVF cell, so candidacy is total and only the
+    // margin semantics are under test: src 1 has two near-equal English
+    // neighbours (2 and 6), src 3 has one isolated neighbour (4), src 5
+    // points away from every target (below the 0.3 floor)
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (3L, Array(0f, 1f), 0), (5L, Array(-1f, -1f), 0),
+      (2L, Array(1f, 0f), 0), (4L, Array(0.1f, 0.9f), 0), (6L, Array(0.95f, 0.05f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.bitextMineDf(docs, emb).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 1L), "isolated match ranks first, floor excludes 5")
+    val bySrc = rows.map(r => r.getLong(0) -> r).toMap
+    assert(bySrc(1L).getAs[Long]("tgt_id") == 2L && bySrc(1L).getAs[Double]("cos") == 1.0)
+    assert(bySrc(3L).getAs[Long]("tgt_id") == 4L)
+    assert(bySrc(3L).getAs[Double]("margin") > bySrc(1L).getAs[Double]("margin"))
+  }
+
   test("pair lift: hand-computed lift separates associated from independent pairs") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
