@@ -1369,6 +1369,30 @@ object Oracles {
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS total_chars
         |FROM cls GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // eq108: PII scrub — the four RE2-safe detector regexes and the fixed
+    // redaction order are spliced from the engine's PiiPatterns (single
+    // source of truth); DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics; fixture-backed like eq45.
+    "eq108_pii_scrub" -> {
+      val ps = graft.pipeline.TextAnalysis.PiiPatterns
+      def cnt(name: String) =
+        s"len(regexp_extract_all(text, '${ps.find(_._1 == name).get._2}'))"
+      val red = ps.foldLeft("text") { case (c, (_, re, tag)) =>
+        s"regexp_replace($c, '$re', '$tag', 'g')"
+      }
+      s"""WITH d AS (
+        |  SELECT doc_id, text, lang
+        |  FROM read_json('${graft.pipeline.TextAnalysis.PiiFixturePath}',
+        |         columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'},
+        |         format = 'newline_delimited'))
+        |SELECT doc_id, lang,
+        |       ${cnt("ssn")} AS n_ssn, ${cnt("phone")} AS n_phone,
+        |       ${cnt("email")} AS n_email, ${cnt("ip")} AS n_ip,
+        |       ${cnt("ssn")} + ${cnt("phone")} + ${cnt("email")} + ${cnt("ip")} AS n_pii,
+        |       md5($red) AS redacted_md5
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

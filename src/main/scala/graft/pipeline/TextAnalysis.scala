@@ -622,4 +622,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rank")
   }
+
+  /** eq108 — PII detection + redaction, the release gate no training
+    * corpus ships without. Four detector regexes (SSN-shape, phone,
+    * email, dotted-quad IPv4 — deliberately RE2-safe: no lookaround, no
+    * backreferences, ASCII `\d`, so the Java and RE2 engines match
+    * identically) are counted per document and then replaced, in a FIXED
+    * documented order (ssn → phone → email → ip; the patterns are
+    * mutually non-overlapping by shape, the order is pinned anyway so
+    * both engines rewrite identically), with bracketed placeholders. The
+    * synthetic corpus carries no PII by construction, so like eq45 this
+    * runs over a checked-in JSONL fixture; the per-doc counts AND the md5
+    * of every redacted text are hash-checked. Pure map-side regex work —
+    * at 100 TB this is a narrow projection with zero shuffle (the
+    * presentation sort stands in for the partitioned write). */
+  val PiiFixturePath = "/root/repo/src/test/resources/fixtures/pii_docs.jsonl"
+
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                        "[SSN]"),
+    ("phone", "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b",                "[PHONE]"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",   "[EMAIL]"),
+    ("ip",    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",   "[IP]"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubDf(spark.read
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .json(PiiFixturePath))
+
+  def piiScrubDf(docs: DataFrame): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs) { case (df, (name, re, _)) =>
+      df.withColumn(s"n_$name", regexp_count(col("text"), lit(re)))
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+    counted
+      .withColumn("redacted_md5", md5(redacted.cast("binary")))
+      .select(col("doc_id"), col("lang"),
+        col("n_ssn"), col("n_phone"), col("n_email"), col("n_ip"),
+        (col("n_ssn") + col("n_phone") + col("n_email") + col("n_ip")).as("n_pii"),
+        col("redacted_md5"))
+      .orderBy("doc_id")
+  }
 }

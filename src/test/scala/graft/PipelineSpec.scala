@@ -876,6 +876,25 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc(3L).getAs[Double]("margin") > bySrc(1L).getAs[Double]("margin"))
   }
 
+  test("pii scrub: counts per type and the redacted text match a hand-redaction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a@b.co and c@d.org call 555-123-4567 ssn 111-22-3333 ip 10.0.0.1", "en"),
+      (2L, "nothing sensitive here at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.pipeline.TextAnalysis.piiScrubDf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_email") == 2 && r1.getAs[Int]("n_phone") == 1 &&
+      r1.getAs[Int]("n_ssn") == 1 && r1.getAs[Int]("n_ip") == 1 &&
+      r1.getAs[Int]("n_pii") == 5)
+    val expected = "[EMAIL] and [EMAIL] call [PHONE] ssn [SSN] ip [IP]"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r1.getAs[String]("redacted_md5") == md)
+    assert(out(2L).getAs[Int]("n_pii") == 0)
+  }
+
   test("pair lift: hand-computed lift separates associated from independent pairs") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
