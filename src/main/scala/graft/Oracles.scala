@@ -1393,6 +1393,23 @@ object Oracles {
         |FROM d ORDER BY doc_id""".stripMargin
     },
 
+    // eq109: distinct-n diversity — unigrams from the token array, bigrams
+    // via list_transform, trigrams from the shared shingle CTE; the
+    // distinct count groups on the n-gram key (vocabulary-bounded).
+    "eq109_ngram_diversity" -> (s"WITH $toksCte,\n" +
+      """g AS (
+        |  SELECT lang, 1 AS n, unnest(t) AS g FROM shingled
+        |  UNION ALL
+        |  SELECT lang, 2 AS n,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM shingled
+        |  UNION ALL
+        |  SELECT lang, 3 AS n, unnest(sh) AS g FROM shingled)
+        |SELECT lang, n, COUNT(*) AS total_ngrams,
+        |       COUNT(DISTINCT g) AS distinct_ngrams,
+        |       ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS distinct_ratio
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -623,6 +623,30 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** eq109 — n-gram diversity (the "distinct-n" metric): per language
+    * and n ∈ {1,2,3}, total vs distinct n-gram counts and their ratio —
+    * the corpus-health probe for template spam and mode collapse (a
+    * boilerplate-flooded slice shows a cratered distinct-2/3 ratio long
+    * before any per-doc signal fires). Shingling is the shared native
+    * expression at widths 1–3; the distinct count shuffles on the n-gram
+    * key — vocabulary-bounded, the same scale class as eq33's heavy
+    * hitters. Output is |langs| × 3 rows regardless of corpus size. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    ngramDiversityDf(Tables.load(spark, dir, "documents"))
+
+  def ngramDiversityDf(docs: DataFrame): DataFrame =
+    (1 to 3).map { n =>
+      docs.select(col("lang"), lit(n).as("n"),
+        explode(graft.functions.ShingleExpressions.shingles(col("text"), n)).as("g"))
+    }.reduce(_ unionByName _)
+      .groupBy("lang", "n")
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(col("g")).as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+      .orderBy("lang", "n")
+
   /** eq108 — PII detection + redaction, the release gate no training
     * corpus ships without. Four detector regexes (SSN-shape, phone,
     * email, dotted-quad IPv4 — deliberately RE2-safe: no lookaround, no

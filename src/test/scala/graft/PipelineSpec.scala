@@ -876,6 +876,16 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc(3L).getAs[Double]("margin") > bySrc(1L).getAs[Double]("margin"))
   }
 
+  test("ngram diversity: hand-counted distinct ratios; repetition craters distinct-n") {
+    val docs = docsDf(Seq(
+      (1L, "a b a b", "en", "s", 7L),     // uni: 4 tot / 2 dist; bi: 3/2 (a b, b a, a b); tri: 2/2
+      (2L, "x x x x", "fr", "s", 7L)))    // uni: 4/1; bi: 3/1; tri: 2/1
+    val out = graft.pipeline.TextAnalysis.ngramDiversityDf(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("en", 1)) == ((4L, 2L)) && out(("en", 2)) == ((3L, 2L)) && out(("en", 3)) == ((2L, 2L)))
+    assert(out(("fr", 1)) == ((4L, 1L)) && out(("fr", 2)) == ((3L, 1L)) && out(("fr", 3)) == ((2L, 1L)))
+  }
+
   test("pii scrub: counts per type and the redacted text match a hand-redaction") {
     import spark.implicits._
     val docs = Seq(
