@@ -598,7 +598,7 @@ object CorpusOps {
       .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
-    rates.join(kept, Seq("lang"), "left")
+    rates.join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("rate_ppm"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))

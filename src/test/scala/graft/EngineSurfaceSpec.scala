@@ -216,6 +216,30 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(!ts.contains("Window"), s"unexpected window in OLS plan:\n$ts")
   }
 
+  test("eq103-eq109 operators: plan shapes hold (broadcast prototypes, no cartesian, no stray shuffle)") {
+    // eq105/eq107: the centroid prototype frames (labels x dims) join by
+    // broadcast; candidate generation stays equi-join — never a cartesian
+    for (q <- Seq(pipeline.Similarity.centroidConfusion(spark, Sf),
+                  pipeline.Similarity.bitextMine(spark, Sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"prototype join not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    }
+    // eq106: the 5-row rate frame joins the corpus by broadcast and the
+    // membership test is a map-side filter — no sort-merge join anywhere
+    val tm = pipeline.CorpusOps.temperatureMix(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(tm.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$tm")
+    assert(!tm.contains("SortMergeJoin"), s"sort-merge of a 5-row side:\n$tm")
+    // eq103/eq108: single-pass shapes — no join at all in either plan
+    for (q <- Seq(pipeline.EventOps.qualityGates(spark, Sf),
+                  pipeline.TextAnalysis.piiScrub(spark, Sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"unexpected join in single-pass op:\n$plan")
+    }
+  }
+
   test("typed Dataset API: case-class pipeline agrees with the DataFrame plan") {
     import spark.implicits._
     val ds = Tables.pdv(spark, Sf).as[PdvRow]
