@@ -1952,6 +1952,27 @@ object Oracles {
     // engines), per-user unordered pairs, top-20 cells. TRY_CAST mirrors
     // Spark's null-on-unparseable cast semantics — both engines drop a
     // non-numeric $.k row instead of the oracle hard-erroring on it.
+    // eq110: leakage-safe train-set assembly — every feature aggregate
+    // carries ts < cut inside the FILTER, the label carries ts >= cut;
+    // one grouped pass, population gated on having feature-window events.
+    "eq110_train_assembly" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (ts < TIMESTAMP '2024-01-29 00:00:00') AS n_events,
+        |    COUNT(*) FILTER (event_type = 'purchase'
+        |                     AND ts < TIMESTAMP '2024-01-29 00:00:00') AS n_purchases,
+        |    CAST(COALESCE(SUM(CAST(ROUND(value * 100.0) AS BIGINT))
+        |                    FILTER (ts < TIMESTAMP '2024-01-29 00:00:00'), 0) AS BIGINT)
+        |      AS value_cents,
+        |    COUNT(DISTINCT CAST(ts AS DATE))
+        |      FILTER (ts < TIMESTAMP '2024-01-29 00:00:00') AS n_active_days,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |                  AND ts >= TIMESTAMP '2024-01-29 00:00:00'
+        |             THEN 1 ELSE 0 END) AS label
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events, n_purchases, value_cents, n_active_days, label
+        |FROM f WHERE n_events > 0 ORDER BY user_id""".stripMargin,
+
     // eq103: declarative data-quality gates — one exact violation count
     // per expectation over a single scan, fixed one-row-per-gate output.
     "eq103_quality_gates" ->

@@ -907,6 +907,38 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** eq110 — leakage-safe training-set assembly: per-user features from
+    * STRICTLY before the as-of cut (2024-01-29) and a binary label
+    * (purchased on/after it) in one conditional-aggregation pass. The
+    * leakage guarantee is structural, not procedural: every feature
+    * aggregate carries the `ts < cut` predicate inside the agg expression
+    * and the label carries `ts >= cut`, so no code path can mix windows —
+    * the point-in-time discipline eq96 audits, applied at dataset-build
+    * time. Population = users with ≥ 1 feature-window event (a user with
+    * only label-window activity has no features to train on). ONE scan,
+    * ONE shuffle on user_id — the naive build (feature frame ⋈ label
+    * frame) scans the fact twice and shuffles twice for the same result.
+    * Value mass in exact integer cents (the x7 convention). */
+  private val TrainCut = "2024-01-29 00:00:00"
+
+  def trainAssembly(spark: SparkSession, dir: String): DataFrame =
+    trainAssemblyDf(Tables.load(spark, dir, "events"))
+
+  def trainAssemblyDf(events: DataFrame): DataFrame = {
+    val cut = to_timestamp(lit(TrainCut))
+    val inF = col("ts") < cut
+    events.groupBy("user_id")
+      .agg(
+        sum(inF.cast("long")).as("n_events"),
+        sum((inF && col("event_type") === "purchase").cast("long")).as("n_purchases"),
+        coalesce(sum(when(inF, round(col("value") * 100).cast("long"))), lit(0L))
+          .as("value_cents"),
+        countDistinct(when(inF, to_date(col("ts")))).as("n_active_days"),
+        max((!inF && col("event_type") === "purchase").cast("int")).as("label"))
+      .filter(col("n_events") > 0)
+      .orderBy("user_id")
+  }
+
   /** eq103 — declarative data-quality gates: the expectations battery a
     * pipeline runs against a landing table before letting it feed
     * anything downstream (the data-contract pattern). Each gate is one

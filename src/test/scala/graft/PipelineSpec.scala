@@ -773,6 +773,30 @@ class PipelineSpec extends SparkSpec {
     salted.zip(direct).foreach { case (s, d) => assert(math.abs(s._3 - d._3) < 1e-4) }
   }
 
+  test("train assembly: features never see the label window; label-only users are excluded") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 2 feature events on 2 days, one purchase AFTER the cut -> label 1
+      (1L, ts("2024-01-10 00:00:00"), Some(1L), "view", 10.0, "{}"),
+      (2L, ts("2024-01-11 00:00:00"), Some(1L), "purchase", 25.5, "{}"),
+      (3L, ts("2024-01-30 00:00:00"), Some(1L), "purchase", 99.0, "{}"),
+      // user 2: feature events only, post-cut activity is NOT a purchase -> label 0
+      (4L, ts("2024-01-12 00:00:00"), Some(2L), "purchase", 5.0, "{}"),
+      (5L, ts("2024-01-30 00:00:00"), Some(2L), "view", 1.0, "{}"),
+      // user 3: label-window activity ONLY -> excluded from the population
+      (6L, ts("2024-01-30 00:00:00"), Some(3L), "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.pipeline.EventOps.trainAssemblyDf(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_events") == 2L && u1.getAs[Long]("n_purchases") == 1L)
+    assert(u1.getAs[Long]("value_cents") == 3550L, "post-cut purchase value must NOT leak into features")
+    assert(u1.getAs[Long]("n_active_days") == 2L && u1.getAs[Int]("label") == 1)
+    assert(out(2L).getAs[Int]("label") == 0)
+  }
+
   test("quality gates: each expectation fires on a purpose-built dirty fixture") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
