@@ -1393,6 +1393,34 @@ object Oracles {
         |FROM d ORDER BY doc_id""".stripMargin
     },
 
+    // eq111: contrastive triplets — positives from the shared exact-pair
+    // CTE at the rounded-jaccard 0.5 floor, negatives from the per-lang
+    // md5 hash ring (lead with first_value wrap), false negatives (any
+    // >= 0.2 pair with the anchor) discarded via NOT EXISTS.
+    "eq111_contrastive_triplets" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +
+      s"""pp AS (SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+        |       WHERE jac >= 0.2::DOUBLE),
+        |pos AS (SELECT * FROM pp WHERE jaccard >= 0.5::DOUBLE),
+        |hx2 AS (SELECT doc_id, lang, substr(md5(text), 1, 7) AS h7 FROM documents),
+        |ring AS (SELECT doc_id, lang, $hex7OfH7 AS k FROM hx2),
+        |nxt AS (
+        |  SELECT doc_id,
+        |         COALESCE(lead(doc_id) OVER w,
+        |                  first_value(doc_id) OVER (PARTITION BY lang ORDER BY k, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS neg_id
+        |  FROM ring WINDOW w AS (PARTITION BY lang ORDER BY k, doc_id)),
+        |tr AS (
+        |  SELECT pos.doc_a, pos.doc_b, pos.jaccard, n.neg_id
+        |  FROM pos JOIN nxt n ON n.doc_id = pos.doc_a
+        |  WHERE n.neg_id <> pos.doc_a AND n.neg_id <> pos.doc_b),
+        |rel AS (SELECT LEAST(doc_a, doc_b) AS lo, GREATEST(doc_a, doc_b) AS hi FROM pp)
+        |SELECT doc_a AS anchor_id, doc_b AS positive_id, neg_id AS negative_id, jaccard
+        |FROM tr
+        |WHERE NOT EXISTS (SELECT 1 FROM rel
+        |                  WHERE rel.lo = LEAST(tr.doc_a, tr.neg_id)
+        |                    AND rel.hi = GREATEST(tr.doc_a, tr.neg_id))
+        |ORDER BY anchor_id, positive_id""".stripMargin),
+
     // eq109: distinct-n diversity — unigrams from the token array, bigrams
     // via list_transform, trigrams from the shared shingle CTE; the
     // distinct count groups on the n-gram key (vocabulary-bounded).

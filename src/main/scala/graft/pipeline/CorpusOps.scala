@@ -561,6 +561,51 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** eq111 — contrastive triplet assembly: (anchor, positive, negative)
+    * training examples for embedding models. Positives are the exact
+    * near-dup pairs at Jaccard ≥ 0.5 (anchor = the lower doc_id, the
+    * eq12 orientation); negatives are drawn DETERMINISTICALLY from a
+    * same-language md5 hash ring — each anchor's negative is the next
+    * document clockwise on (md5-28-key, doc_id) order, wrapping at the
+    * partition end — which is "random" in content terms yet reproducible
+    * across runs, engines and partitionings (no RNG anywhere; the eq31
+    * key discipline). A ring-next that happens to be RELATED to the
+    * anchor (any ≥ 0.2 pair) is discarded rather than shipped as a false
+    * negative — the standard false-negative filter in contrastive
+    * mining. Scale shape: pair mining is the PPJoin prefix path (shared
+    * with eq12), the ring is one window over (lang, key), and the
+    * false-negative check is an anti-join on the unordered pair key —
+    * all equi-joins, no corpus² anywhere. */
+  def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame =
+    contrastiveTripletsDf(Tables.load(spark, dir, "documents"))
+
+  def contrastiveTripletsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one pair-mining pass feeds both the positive set and the
+    // false-negative filter
+    val allPairs = Dedup.jaccardPairsDf(docs).localCheckpoint()
+    val positives = allPairs.filter(col("jaccard") >= 0.5)
+    val ringW = Window.partitionBy("lang").orderBy(col("k").asc, col("doc_id").asc)
+    val ring = docs.select(col("doc_id"), col("lang"), md5_key28(col("text")).as("k"))
+      .withColumn("neg_id", coalesce(
+        lead(col("doc_id"), 1).over(ringW),
+        first(col("doc_id")).over(
+          ringW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+    val related = allPairs.select(
+      least(col("doc_a"), col("doc_b")).as("lo"),
+      greatest(col("doc_a"), col("doc_b")).as("hi"))
+    positives
+      .join(ring.select(col("doc_id").as("doc_a"), col("neg_id")), Seq("doc_a"))
+      .filter(col("neg_id") =!= col("doc_a") && col("neg_id") =!= col("doc_b"))
+      .join(related,
+        least(col("doc_a"), col("neg_id")) === col("lo")
+          && greatest(col("doc_a"), col("neg_id")) === col("hi"),
+        "left_anti")
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
+        col("neg_id").as("negative_id"), col("jaccard"))
+      .orderBy("anchor_id", "positive_id")
+  }
+
   /** eq106 — temperature-scaled (α-) multilingual resampling: the
     * XLM-R-style rebalancing where language l's target share is
     * q_l ∝ p_l^α (α = [[TemperatureAlpha]] < 1 flattens the distribution,

@@ -797,6 +797,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("label") == 0)
   }
 
+  test("contrastive triplets: positive is the near-dup, negative is unrelated and same-lang") {
+    val docs = docsDf(Seq(
+      (0L, "a b c d e f g h i j", "en", "s", 15L),
+      (1L, "a b c d e f g h i k", "en", "s", 15L),   // near-dup of 0 (J = 7/9)
+      (2L, "totally different words about weather patterns today", "en", "s", 15L),
+      (3L, "another unrelated text on cooking pasta slowly tonight", "en", "s", 15L),
+      (4L, "document in another language entirely here", "fr", "s", 15L)))
+    val out = graft.pipeline.CorpusOps.contrastiveTripletsDf(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("anchor_id") == 0L && r.getAs[Long]("positive_id") == 1L)
+    // hand-computed md5-28 ring over the en docs: 0 -> 3 -> 1 -> 2 -> 0,
+    // so the anchor's clockwise neighbour (and negative) is doc 3 —
+    // same-lang, unrelated, never the near-dup partner
+    assert(r.getAs[Long]("negative_id") == 3L)
+  }
+
   test("quality gates: each expectation fires on a purpose-built dirty fixture") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
