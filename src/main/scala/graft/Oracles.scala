@@ -1438,6 +1438,39 @@ object Oracles {
         |       ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS distinct_ratio
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // eq112: BPE merge-pair counting — adjacent char pairs inside every
+    // whitespace-token occurrence (substr windows over the same lowercased
+    // token stream as the engine), top-30 with a pair-string tie-break.
+    "eq112_bpe_pairs" -> (s"WITH $toksCte,\n" +
+      """tk AS (SELECT unnest(t) AS tok FROM toks),
+        |p AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair
+        |      FROM tk, unnest(range(1, length(tok))) AS u(i)
+        |      WHERE length(tok) >= 2)
+        |SELECT pair, COUNT(*) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin),
+
+    // eq113: Spearman rank correlation (row_number ranks, doc_id
+    // tie-break) between n_chars and punctuation count, per language.
+    // Rank-moment sums are exact integers in both engines (DuckDB sums
+    // BIGINT into HUGEINT, Spark into LONG — both exact at this scale),
+    // so the ::DOUBLE sqrt/divide is the only floating-point, written in
+    // the same shape as the engine's expression.
+    "eq113_rank_corr" ->
+      """WITH sig AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rx,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_punct, doc_id) AS ry
+        |  FROM sig)
+        |SELECT lang, COUNT(*) AS n,
+        |       ROUND((COUNT(*)*SUM(rx*ry) - SUM(rx)*SUM(ry))::DOUBLE /
+        |             (SQRT((COUNT(*)*SUM(rx*rx) - SUM(rx)*SUM(rx))::DOUBLE) *
+        |              SQRT((COUNT(*)*SUM(ry*ry) - SUM(ry)*SUM(ry))::DOUBLE)), 6) AS spearman
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -673,6 +673,75 @@ object TextAnalysis {
       .schema("doc_id LONG, text STRING, lang STRING")
       .json(PiiFixturePath))
 
+  /** eq112 — BPE merge-pair counting, the first step of byte-pair-encoding
+    * tokenizer training: over every whitespace-token occurrence, count the
+    * adjacent character pairs (the initial BPE symbols are single chars,
+    * so the top pair is the first merge a trainer would apply) and keep
+    * the 30 heaviest candidates. All map-side until the pair groupBy —
+    * `sequence`/`transform`/`substring` are codegen'd array expressions,
+    * no UDF — and the shuffle key space is bounded by the character-pair
+    * vocabulary (≤ |alphabet|²), not the corpus, so the plan is the same
+    * shape at 100 TB: full scan, tiny shuffle, 30-row result
+    * (`TakeOrderedAndProject`). Ties at the cut break on the pair string,
+    * so the result is deterministic and hash-checkable. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairsDf(Tables.load(spark, dir, "documents"))
+
+  def bpePairsDf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(30)
+
+  /** eq113 — Spearman rank correlation between two per-document quality
+    * signals (length in chars vs punctuation density), per language: the
+    * standard "do my quality metrics agree?" audit before gating a corpus
+    * on either one. Ranks are `row_number` with a doc_id tie-break —
+    * deterministic, so unlike average-tied-rank Spearman the statistic is
+    * hash-checkable; with distinct-valued signals the two coincide. The
+    * correlation is computed from the five integer rank-moment sums
+    * (n·Σxy − Σx·Σy over the √ terms), each exact in a long, so the only
+    * floating-point is the final sqrt/divide — identical single IEEE ops
+    * in both engines. Two window sorts per language partition + a 5-row
+    * aggregate; at 100 TB ranks of genuinely corpus-sized partitions
+    * would move to approximate ranks off x26-style quantile sketches. */
+  def rankCorr(spark: SparkSession, dir: String): DataFrame =
+    rankCorrDf(Tables.load(spark, dir, "documents"))
+
+  def rankCorrDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = docs.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"))
+    val byLen   = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val byPunct = Window.partitionBy("lang").orderBy(col("n_punct").asc, col("doc_id").asc)
+    sig
+      .withColumn("rx", row_number().over(byLen).cast("long"))
+      .withColumn("ry", row_number().over(byPunct).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(
+        col("lang"), col("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("spearman"))
+      .orderBy("lang")
+  }
+
   def piiScrubDf(docs: DataFrame): DataFrame = {
     val counted = PiiPatterns.foldLeft(docs) { case (df, (name, re, _)) =>
       df.withColumn(s"n_$name", regexp_count(col("text"), lit(re)))

@@ -927,6 +927,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(("fr", 1)) == ((4L, 1L)) && out(("fr", 2)) == ((3L, 1L)) && out(("fr", 3)) == ((2L, 1L)))
   }
 
+  test("bpe pairs: hand-counted adjacent char pairs, case-folded, singles dropped") {
+    val docs = docsDf(Seq(
+      (1L, "AB ab x cde", "en", "s", 11L), // ab ×2, cd, de; "x" too short
+      (2L, "be ab", "fr", "s", 5L)))       // be, ab → ab totals 3
+    val out = graft.pipeline.TextAnalysis.bpePairsDf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 3L), ("be", 1L), ("cd", 1L), ("de", 1L)),
+      "count-desc then pair-asc ordering")
+  }
+
+  test("spearman rank corr: hand-computed rank moments per language") {
+    val docs = docsDf(Seq(
+      // en ranks: by n_chars (1,2,3); by punct count (2,1,3) → rho = 0.5
+      (1L, "a.", "en", "s", 10L), (2L, "b", "en", "s", 20L),
+      (3L, "c!!", "en", "s", 30L),
+      // fr: both signals in the same order → rho = 1.0
+      (4L, ".", "fr", "s", 5L), (5L, ". .", "fr", "s", 9L)))
+    val out = graft.pipeline.TextAnalysis.rankCorrDf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("en") == ((3L, 0.5)) && out("fr") == ((2L, 1.0)))
+  }
+
   test("pii scrub: counts per type and the redacted text match a hand-redaction") {
     import spark.implicits._
     val docs = Seq(
