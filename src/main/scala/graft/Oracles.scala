@@ -1703,6 +1703,42 @@ object Oracles {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // x26: exact p50/p90 per type AND for the merged-ALL row hash-compared
+    // (quantile_cont ≡ Spark percentile); the KLL sketch — whose quantile
+    // values are run-varying by design (randomized compaction) — surfaces
+    // only as its guaranteed rank-bound flags, pinned TRUE.
+    "x26_kll_quantiles" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |         ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |         ROUND(quantile_cont(value, 0.9), 6) AS p90_exact
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'ALL',
+        |         ROUND(quantile_cont(value, 0.5), 6),
+        |         ROUND(quantile_cont(value, 0.9), 6)
+        |  FROM events)
+        |SELECT event_type, p50_exact, p90_exact,
+        |       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+        |FROM per ORDER BY event_type""".stripMargin,
+
+    // x27: exact audience set-algebra (the eq23 counts, single flags pass)
+    // hash-compared; theta intersection/A-not-B/union estimates surface as
+    // the pinned ≤5% flags (deterministic: fixed hash seed, exact mode at
+    // these cohort sizes).
+    "x27_theta_audience" ->
+      """WITH flags AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CASE WHEN v = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only,
+        |  CAST(SUM(CASE WHEN v = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN v = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+        |  TRUE AS view_only_ok, TRUE AS both_ok, TRUE AS any_ok
+        |FROM flags""".stripMargin,
+
     // x7: the salted two-phase aggregation sums integer cents, so its
     // result is bit-equal to this direct single-phase groupBy.
     "x7_salted_agg" ->

@@ -318,4 +318,134 @@ object AggSurface {
           / (count(lit(1)) * 100.0), 6).as("raw_mean"))
       .orderBy("event_type")
   }
+
+  /** x26 — MERGEABLE quantiles via KLL (DataSketches), the x20-of-x8:
+    * where `percentile_approx`'s GK sketch degrades under merging, KLL
+    * carries an a-priori normalized rank-error bound that SURVIVES buffer
+    * merges — so per-slice sketches persisted once can answer any rollup's
+    * quantiles later, the cube contract at 100 TB. One typed-Aggregator
+    * pass builds a sketch per event type (partials shuffle as KB byte
+    * images); the ≤|types| sketch rows are collected (bounded-collect
+    * contract, the x9/x10 "build once, probe everywhere" pattern), the ALL
+    * row is a driver-side BUFFER MERGE of the per-type images, and each
+    * sketch's p50/p90 answers re-enter the plan as broadcast literals for
+    * the same rank-interval audit as x8 — lt/le counts against [(q−ε)·n,
+    * (q+ε)·n] with ε = 5× the sketch's own `getNormalizedRankError`
+    * guarantee (KLL compaction is randomized, so quantile values are
+    * run-varying and only the guaranteed-bound flags are pinned; a wrong
+    * merge would blow the ALL row's bound). Exact p50/p90 per type and
+    * merged-ALL are hash-checked alongside. */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import graft.functions.DsSketchAggregators.KllDoublesAgg
+
+    val events = Tables.load(spark, dir, "events")
+    val kll = udaf(new KllDoublesAgg(200), org.apache.spark.sql.Encoders.scalaDouble)
+    val per = events.groupBy("event_type")
+      .agg(
+        kll(col("value")).as("skb"),
+        round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90_exact"))
+      .collect() // ≤ |event types| rows, ~KB sketch each
+    val sketches = per.map { r =>
+      r.getString(0) -> KllDoublesSketch.heapify(Memory.wrap(r.getAs[Array[Byte]]("skb")))
+    }.toSeq.sortBy(_._1)
+    val merged = KllDoublesSketch.newHeapInstance(200)
+    sketches.foreach { case (_, s) => merged.merge(s) }
+    val probes = (sketches :+ ("ALL" -> merged)).map { case (t, s) =>
+      (t, s.getQuantile(0.5), s.getQuantile(0.9), 5.0 * s.getNormalizedRankError(false))
+    }
+    import spark.implicits._
+    val probeDf = probes.toDF("event_type", "p50a", "p90a", "eps")
+    val exact = events.sparkSession.createDataFrame(
+      spark.sparkContext.parallelize(per.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getString(0),
+          r.getAs[Double]("p50_exact"), r.getAs[Double]("p90_exact"))), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("event_type", "string").add("p50_exact", "double").add("p90_exact", "double"))
+      .unionByName(events.agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90_exact"))
+        .select(lit("ALL").as("event_type"), col("p50_exact"), col("p90_exact")))
+    // rank audit: every event row feeds its own type AND the merged ALL row
+    val tagged = events.select(col("event_type"), col("value"))
+      .unionByName(events.select(lit("ALL").as("event_type"), col("value")))
+    tagged
+      .join(broadcast(probeDf), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("eps")).as("eps"),
+        sum(when(col("value") < col("p50a"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p90a"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("value") <= col("p90a"), 1L).otherwise(0L)).as("le90"))
+      .join(broadcast(exact), Seq("event_type"))
+      .select(
+        col("event_type"), col("p50_exact"), col("p90_exact"),
+        (col("lt50") <= (lit(0.5) + col("eps")) * col("n") &&
+          col("le50") >= (lit(0.5) - col("eps")) * col("n")).as("p50_in_bounds"),
+        (col("lt90") <= (lit(0.9) + col("eps")) * col("n") &&
+          col("le90") >= (lit(0.9) - col("eps")) * col("n")).as("p90_in_bounds"))
+      .orderBy("event_type")
+  }
+
+  /** x27 — theta-sketch audience overlap, the approximate eq23: theta is
+    * the ONLY mergeable sketch family with set INTERSECTION / A-NOT-B
+    * estimates (HLL unions only), which is exactly the audience-overlap
+    * question. One typed-Aggregator pass builds a sketch per cohort
+    * (viewers, buyers) over the hashed user stream; the two KB-sized
+    * compact images are collected (bounded-collect contract) and the
+    * overlap estimates — intersection, A-not-B, union — are driver-side
+    * SET OPERATIONS ON SKETCH BUFFERS, never a re-scan: the 100 TB
+    * contract where cohort sketches persist once and any pairwise overlap
+    * matrix is assembled from buffers alone. Exact counts (the eq23
+    * set-algebra, reusing one per-user flags pass) are hash-checked;
+    * estimates surface as ≤5% flags — deterministic because theta hashes
+    * with a fixed seed and, under 2^12 nominal entries, these cohorts
+    * stay in exact mode (the flags also prove the buffer ops are sound:
+    * corrupt set-algebra would not land within 5%). */
+  def thetaAudience(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import graft.functions.DsSketchAggregators.ThetaUnionAgg
+
+    val events = Tables.load(spark, dir, "events")
+    val th = udaf(new ThetaUnionAgg(12), org.apache.spark.sql.Encoders.scalaLong)
+    // A theta sketch is duplicate-insensitive, so pre-distinct the
+    // (cohort, user) pairs first: the distinct is a cheap map-side partial
+    // hash-agg, and the sketch aggregator — whose per-row cost is a
+    // serialize/heapify round-trip — then sees |users| rows, not |events|.
+    val per = events.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type")
+      .agg(th(col("user_id")).as("skb"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("skb")).toMap
+    def wrap(t: String) = Sketches.wrapSketch(Memory.wrap(per(t)))
+    val inter = SetOperation.builder().buildIntersection()
+      .intersect(wrap("view"), wrap("purchase")).getEstimate
+    val aNotB = SetOperation.builder().buildANotB()
+      .aNotB(wrap("view"), wrap("purchase")).getEstimate
+    val un = { val u = SetOperation.builder().buildUnion()
+      u.union(wrap("view")); u.union(wrap("purchase")); u.getResult.getEstimate }
+    // exact counts: eq23's one-pass per-user flags feed every branch
+    val flags = events.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+    def ok(est: Double, exact: org.apache.spark.sql.Column) =
+      when(exact === 0, lit(est) === 0.0)
+        .otherwise(abs(lit(est) - exact) / exact <= 0.05)
+    flags.agg(
+      sum(when(col("v") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n_view_only"),
+      sum(when(col("v") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("v") === 1 || col("b") === 1, 1L).otherwise(0L)).as("n_any"))
+      .select(
+        col("n_view_only"), col("n_both"), col("n_any"),
+        ok(aNotB, col("n_view_only")).as("view_only_ok"),
+        ok(inter, col("n_both")).as("both_ok"),
+        ok(un, col("n_any")).as("any_ok"))
+  }
 }

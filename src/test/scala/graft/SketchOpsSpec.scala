@@ -79,6 +79,38 @@ class SketchOpsSpec extends SparkSpec {
       "global distinct must sit between the largest slice and the slice sum")
   }
 
+  test("x26: KLL rank flags hold per type and for the merged ALL row; exact quantiles ordered") {
+    val out = graft.star.AggSurface.kllQuantiles(spark, Sf).collect()
+    assert(out.exists(_.getString(0) == "ALL"), "merged-buffer ALL row must be present")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_bounds") && r.getAs[Boolean]("p90_in_bounds"),
+        s"KLL guarantee violated for ${r.getString(0)}")
+      assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p90_exact"))
+    }
+  }
+
+  test("x27: theta set-op estimates are exact-mode on known cohorts; query flags hold") {
+    import graft.functions.DsSketchAggregators.ThetaUnionAgg
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    // two hand-built cohorts: {1..60} and {41..100} → |A∩B|=20, |A\B|=40, |A∪B|=100
+    val agg = new ThetaUnionAgg(12)
+    def sketchOf(ids: Range): Array[Byte] =
+      ids.foldLeft(agg.zero)((b, i) => agg.reduce(b, i.toLong))
+    val a = Sketches.wrapSketch(Memory.wrap(sketchOf(1 to 60)))
+    val b = Sketches.wrapSketch(Memory.wrap(sketchOf(41 to 100)))
+    assert(SetOperation.builder().buildIntersection().intersect(a, b).getEstimate == 20.0)
+    assert(SetOperation.builder().buildANotB().aNotB(a, b).getEstimate == 40.0)
+    val u = SetOperation.builder().buildUnion(); u.union(a); u.union(b)
+    assert(u.getResult.getEstimate == 100.0)
+    // split-and-merge associativity in exact mode: same estimate
+    val m = agg.merge(sketchOf(1 to 30), sketchOf(31 to 60))
+    assert(Sketches.wrapSketch(Memory.wrap(m)).getEstimate == 60.0)
+    val out = graft.star.AggSurface.thetaAudience(spark, Sf).collect()
+    assert(out.length == 1 && Seq("view_only_ok", "both_ok", "any_ok")
+      .forall(c => out(0).getAs[Boolean](c)), "theta estimate flags must hold")
+  }
+
   test("bloom contamination on a corpus with no train/test overlap reports zero") {
     // doc_ids chosen so the md5 split assigns at least one test doc; with
     // wholly distinct vocabularies any test doc must report 0 contaminated
