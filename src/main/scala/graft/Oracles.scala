@@ -1471,6 +1471,62 @@ object Oracles {
         |              SQRT((COUNT(*)*SUM(ry*ry) - SUM(ry)*SUM(ry))::DOUBLE)), 6) AS spearman
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // eq114: Z-order layout audit — the full deterministic pipeline
+    // rebuilt in SQL: integer fixed-width bucketing (operands
+    // non-negative, so DuckDB's floor-div ≡ Spark's trunc-div), explicit
+    // 8+8-bit interleave, top-6-bit file assignment, per-file zone maps,
+    // and the every-97th-event probe panel counting zone-map containment
+    // hits per layout. AVGs are over exact integer sums, so the one
+    // double division per column agrees bit-for-bit.
+    "eq114_zorder_layout" -> {
+      val interleave = (0 until 8).map(i =>
+        s"(((ubkt >> $i) & 1) << ${2 * i + 1}) + (((dbkt >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH bounds AS (
+        |  SELECT min(user_id) umin, max(user_id) umax,
+        |         min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) dmin,
+        |         max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) dmax,
+        |         min(event_id) emin, max(event_id) emax
+        |  FROM events),
+        |z AS (
+        |  SELECT event_id,
+        |    (user_id - umin) * 256 // (umax - umin + 1) AS ubkt,
+        |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) - dmin) * 256
+        |      // (dmax - dmin + 1) AS dbkt,
+        |    (event_id - emin) * 65536 // (emax - emin + 1) AS ebkt
+        |  FROM events, bounds),
+        |zv AS (SELECT event_id, ubkt, dbkt, ebkt, ($interleave) AS zval FROM z),
+        |layouts AS (
+        |  SELECT 'zorder' AS layout, zval >> 10 AS file_id, ubkt, dbkt, event_id FROM zv
+        |  UNION ALL
+        |  SELECT 'linear', ebkt >> 10, ubkt, dbkt, event_id FROM zv),
+        |zones AS (
+        |  SELECT layout, file_id, min(ubkt) fumin, max(ubkt) fumax,
+        |         min(dbkt) fdmin, max(dbkt) fdmax, count(*) AS n
+        |  FROM layouts GROUP BY 1, 2),
+        |fs AS (
+        |  SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(SUM(n) AS BIGINT) AS n_rows,
+        |         CAST(MAX(n) AS BIGINT) AS max_file_rows,
+        |         ROUND(AVG(fumax - fumin), 6) AS avg_u_span,
+        |         ROUND(AVG(fdmax - fdmin), 6) AS avg_d_span
+        |  FROM zones GROUP BY 1),
+        |probes AS (SELECT event_id AS pid, ubkt AS pu, dbkt AS pd
+        |           FROM zv WHERE event_id % 97 = 0),
+        |hits AS (
+        |  SELECT layout, pid, count(*) AS files_hit
+        |  FROM probes JOIN zones
+        |    ON pu BETWEEN fumin AND fumax AND pd BETWEEN fdmin AND fdmax
+        |  GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT layout, CAST(count(*) AS BIGINT) AS n_probes,
+        |         ROUND(AVG(files_hit), 6) AS avg_files_hit
+        |  FROM hits GROUP BY 1)
+        |SELECT ph.layout, n_files, n_rows, max_file_rows, avg_u_span,
+        |       avg_d_span, n_probes, avg_files_hit
+        |FROM ph JOIN fs ON ph.layout = fs.layout ORDER BY 1""".stripMargin
+    },
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -981,4 +981,78 @@ object EventOps {
         col("g.n_violations").as("n_violations"), col("g.pass").as("pass"))
       .orderBy("gate")
   }
+
+  /** eq114 — Z-order layout audit: quantifies what multi-column
+    * clustering buys data skipping. Both query dimensions (user, day) are
+    * scaled to 8-bit buckets with integer arithmetic (operands
+    * non-negative, so trunc-div ≡ floor-div in both engines), their bits
+    * interleaved into a 16-bit Z-value, and rows assigned to 64 "files"
+    * two ways: by the Z-value's top 6 bits (the Z-order layout) and by
+    * arrival order (event_id rank, the naive layout). Per layout the
+    * per-file zone maps (min/max of each dimension — exactly the parquet
+    * row-group stats a reader prunes on) are aggregated, and a
+    * deterministic probe panel (every 97th event's coordinates) counts
+    * how many files a point lookup must open under each layout. Every
+    * step is embarrassingly parallel — fixed-width bucketing needs only a
+    * broadcast 1-row bounds aggregate, file assignment is a pure
+    * projection (no global sort), and the probe⋈zone-map containment
+    * join broadcasts the ≤128 zone rows. At 100 TB this IS the layout
+    * decision loop: write with `repartitionByRange(zval)` +
+    * `sortWithinPartitions`, and this audit prices the rewrite before
+    * paying for it. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    zorderLayoutDf(Tables.load(spark, dir, "events"))
+
+  def zorderLayoutDf(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_id"),
+      col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+    val bounds = base.agg(
+      min("user_id").as("umin"), max("user_id").as("umax"),
+      min("day").as("dmin"), max("day").as("dmax"),
+      min("event_id").as("emin"), max("event_id").as("emax"))
+    val zExpr = (0 until 8).map(i =>
+      s"shiftleft(shiftright(ubkt, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(dbkt, $i) & 1, ${2 * i})").mkString(" + ")
+    val z = base.crossJoin(broadcast(bounds))
+      .select(
+        col("event_id"),
+        expr("(user_id - umin) * 256L div (umax - umin + 1)").as("ubkt"),
+        expr("(day - dmin) * 256L div (dmax - dmin + 1)").as("dbkt"),
+        expr("(event_id - emin) * 65536L div (emax - emin + 1)").as("ebkt"))
+      .withColumn("zval", expr(zExpr))
+    val layouts = z
+      .select(lit("zorder").as("layout"), expr("shiftright(zval, 10)").as("file_id"),
+        col("ubkt"), col("dbkt"), col("event_id"))
+      .unionByName(z.select(lit("linear").as("layout"),
+        expr("shiftright(ebkt, 10)").as("file_id"),
+        col("ubkt"), col("dbkt"), col("event_id")))
+    val zones = layouts.groupBy("layout", "file_id").agg(
+      min("ubkt").as("fumin"), max("ubkt").as("fumax"),
+      min("dbkt").as("fdmin"), max("dbkt").as("fdmax"),
+      count(lit(1)).as("n"))
+    val probes = z.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("pid"), col("ubkt").as("pu"), col("dbkt").as("pd"))
+    val hits = probes
+      .join(broadcast(zones),
+        col("pu").between(col("fumin"), col("fumax")) &&
+          col("pd").between(col("fdmin"), col("fdmax")))
+      .groupBy("layout", "pid")
+      .agg(count(lit(1)).as("files_hit"))
+    val fileStats = zones.groupBy("layout").agg(
+      count(lit(1)).as("n_files"),
+      sum("n").as("n_rows"),
+      max("n").as("max_file_rows"),
+      round(avg(col("fumax") - col("fumin")), 6).as("avg_u_span"),
+      round(avg(col("fdmax") - col("fdmin")), 6).as("avg_d_span"))
+    hits.groupBy("layout")
+      .agg(count(lit(1)).as("n_probes"),
+        round(avg("files_hit"), 6).as("avg_files_hit"))
+      .join(fileStats, Seq("layout"))
+      .select(col("layout"), col("n_files"), col("n_rows"), col("max_file_rows"),
+        col("avg_u_span"), col("avg_d_span"), col("n_probes"), col("avg_files_hit"))
+      .orderBy("layout")
+  }
 }

@@ -1605,6 +1605,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("eq114 zorder: 4-corner fixture lands each corner in its own file; real data prunes better than linear") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // corners of a 256x256 bucket grid: user 0/255 x day 0/255 ('1970-01-01'
+    // +255d = '1970-09-13'). Bucket scaling maps each to (0|255, 0|255);
+    // the bit-interleave puts the four corners in z-files 0/21/42/63, so
+    // BOTH layouts use 4 one-row files with zero zone span, and the single
+    // probe (event_id 0 -> (0,0)) opens exactly one file in each.
+    val events = Seq(
+      (0L, ts("1970-01-01 00:00:00"), 0L, "view", 0.0, "{}"),
+      (1L, ts("1970-09-13 00:00:00"), 0L, "view", 0.0, "{}"),
+      (2L, ts("1970-01-01 00:00:00"), 255L, "view", 0.0, "{}"),
+      (3L, ts("1970-09-13 00:00:00"), 255L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.zorderLayoutDf(events).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 4L && r.getLong(3) == 1L,
+        s"corner fixture must yield 4 one-row files for ${r.getString(0)}")
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+      assert(r.getLong(6) == 1L && r.getDouble(7) == 1.0)
+    }
+    // real data: the z-order layout must open no more files per point
+    // probe than arrival order, with tighter user-dimension zone maps
+    val real = EventOps.zorderLayout(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (zo, lin) = (real("zorder"), real("linear"))
+    assert(zo.getLong(2) == lin.getLong(2), "layouts must conserve rows")
+    assert(zo.getDouble(7) <= lin.getDouble(7),
+      "z-order must not probe worse than linear")
+    assert(zo.getDouble(4) < lin.getDouble(4),
+      "z-order user-dim zone maps must be tighter")
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
