@@ -1527,6 +1527,28 @@ object Oracles {
         |FROM ph JOIN fs ON ph.layout = fs.layout ORDER BY 1""".stripMargin
     },
 
+    // eq115: Pareto frontier by the INDEPENDENT all-pairs formulation —
+    // a user is on the frontier iff no other user weakly dominates it on
+    // (total cents ↑, event count ↓) with at least one strict edge. The
+    // engine's bucket-pruned sweep must produce exactly this set; integer
+    // cents make both sides exact, and the /100 render has ≤2 decimals so
+    // the 2-dp round is representation-stable in both engines.
+    "eq115_pareto_frontier" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT a.user_id,
+        |       ROUND(a.cents::DOUBLE / 100.0::DOUBLE, 2) AS total_value,
+        |       a.n AS n_events
+        |FROM u a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM u b
+        |  WHERE b.cents >= a.cents AND b.n <= a.n
+        |    AND (b.cents > a.cents OR b.n < a.n))
+        |ORDER BY total_value DESC, a.user_id""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

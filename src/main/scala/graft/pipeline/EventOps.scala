@@ -982,6 +982,63 @@ object EventOps {
       .orderBy("gate")
   }
 
+  /** eq115 — Pareto frontier (2-D skyline): the users no other user
+    * strictly dominates on (total spend ↑, event count ↓) — "most value
+    * for the fewest interactions". The naive skyline is an all-pairs
+    * NOT-EXISTS (the oracle's INDEPENDENT formulation, O(n²)); the engine
+    * computes the same set distributed: per-user integer-cents totals
+    * (one shuffle), fixed-width 256-bucket partitioning on the spend
+    * axis via a broadcast bounds row, a ≤256-row bucket-metadata frame
+    * whose strictly-higher-bucket suffix-min prunes every user a higher
+    * spend bucket dominates (safe by dominance transitivity: if a pruned
+    * same-bucket point dominated a survivor, its own dominator — in a
+    * strictly higher bucket — would have pruned that survivor too), and
+    * an exact within-bucket sweep (range-frame running min over the few
+    * survivors). The only global structure is the bucket suffix-min —
+    * zone-map-sized metadata, not data — so no global sort touches the
+    * per-user frame. Duplicate (spend, count) points are mutually
+    * non-dominating and all surface, matching the oracle's strict
+    * dominance. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontierDf(Tables.load(spark, dir, "events"))
+
+  def paretoFrontierDf(events: DataFrame): DataFrame = {
+    val u = events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+    val bounds = u.agg(min("cents").as("cmin"), max("cents").as("cmax"))
+    val b = u.crossJoin(broadcast(bounds))
+      .withColumn("cbkt", expr("(cents - cmin) * 256L div (cmax - cmin + 1)"))
+      .drop("cmin", "cmax")
+    // bucket metadata: min event count per spend bucket, then the
+    // strictly-higher-bucket suffix min (≤256 rows, single-partition
+    // window over metadata only)
+    val bstats = b.groupBy("cbkt").agg(min("n").as("bmin"))
+    val thr = bstats
+      .withColumn("thr", min("bmin").over(
+        Window.orderBy(col("cbkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("cbkt", "thr")
+    val cand = b.join(broadcast(thr), Seq("cbkt"))
+      .filter(col("thr").isNull || col("n") < col("thr"))
+    // exact within-bucket skyline over the survivors: same-cents group
+    // keeps only its min-count rows; the range frame sees strictly
+    // higher cents inside the bucket
+    val wSame = Window.partitionBy("cbkt", "cents")
+    val wHigher = Window.partitionBy("cbkt").orderBy(col("cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    cand
+      .withColumn("minn_same", min("n").over(wSame))
+      .withColumn("minn_hi", min("n").over(wHigher))
+      .filter(col("n") === col("minn_same") &&
+        (col("minn_hi").isNull || col("minn_hi") > col("n")))
+      .select(col("user_id"),
+        round(col("cents").cast("double") / 100.0, 2).as("total_value"),
+        col("n").as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+  }
+
   /** eq114 — Z-order layout audit: quantifies what multi-column
     * clustering buys data skipping. Both query dimensions (user, day) are
     * scaled to 8-bit buckets with integer arithmetic (operands

@@ -1639,6 +1639,31 @@ class PipelineSpec extends SparkSpec {
       "z-order user-dim zone maps must be tighter")
   }
 
+  test("eq115 pareto: hand-computed antichain survives, dominated and tied points resolve per strict dominance") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // per-user (cents, n): u1 (300,5) u2 (200,2) u3 (100,1) u4 (250,4)
+    // u5 (260,5) u6 (100,1). u5 is dominated by u1 (more cents, same n);
+    // u3/u6 are identical — mutually non-dominating, both stay. Frontier
+    // by total_value desc: u1, u4, u2, u3, u6.
+    val rows = Seq(
+      (1L, Seq(1.00, 0.50, 0.50, 0.50, 0.50)),
+      (2L, Seq(1.00, 1.00)),
+      (3L, Seq(1.00)),
+      (4L, Seq(1.00, 0.50, 0.50, 0.50)),
+      (5L, Seq(1.00, 0.60, 0.50, 0.25, 0.25)),
+      (6L, Seq(1.00)))
+    val events = rows.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (u * 100 + i, ts("2024-01-05 10:00:00"), u, "view", v, "{}") }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.paretoFrontierDf(events).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3.00, 5L), (4L, 2.50, 4L), (2L, 2.00, 2L),
+      (3L, 1.00, 1L), (6L, 1.00, 1L)))
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
