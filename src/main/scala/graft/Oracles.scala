@@ -1549,6 +1549,34 @@ object Oracles {
         |    AND (b.cents > a.cents OR b.n < a.n))
         |ORDER BY total_value DESC, a.user_id""".stripMargin,
 
+    // eq116: categorical association audit — per-cell MI terms floored
+    // into integer micros (order-free BIGINT sums, the keySkewStats
+    // entropy pattern), χ² via n·(Σ c²/(r·s) − 1) with the ratio as exact
+    // integer division; every double op (one LN per cell, three final
+    // renders) written in the same shape as the engine's expressions.
+    "eq116_assoc_audit" ->
+      """WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |rx AS (SELECT lang, CAST(count(*) AS BIGINT) AS r
+        |       FROM documents GROUP BY 1),
+        |cy AS (SELECT source, CAST(count(*) AS BIGINT) AS s
+        |       FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS kx,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS ky
+        |      FROM documents),
+        |cells AS (
+        |  SELECT n, kx, ky,
+        |    CAST(FLOOR(c * LN((n * c)::DOUBLE / (r * s)) * 1000000) AS BIGINT) AS mi_micro,
+        |    (c * c * 1000000) // (r * s) AS chi_micro
+        |  FROM j JOIN rx USING (lang) JOIN cy USING (source) CROSS JOIN t)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells, kx AS n_langs, ky AS n_sources,
+        |  ROUND(CAST(SUM(mi_micro) AS BIGINT)::DOUBLE / (n * 1000000), 6) AS mi_nats,
+        |  ROUND((n * CAST(SUM(chi_micro) AS BIGINT))::DOUBLE / 1000000 - n, 6) AS chi2,
+        |  ROUND(SQRT(((n * CAST(SUM(chi_micro) AS BIGINT))::DOUBLE / 1000000 - n)
+        |        / (n * LEAST(kx - 1, ky - 1))), 6) AS cramers_v
+        |FROM cells GROUP BY n, kx, ky""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -742,6 +742,51 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** eq116 — categorical association audit: mutual information, χ² and
+    * Cramér's V between two metadata columns (lang × source) — the
+    * feature-relevance / leakage-screening question a training pipeline
+    * asks before conditioning a sampler on a column ("does source leak
+    * language?"). One joint groupBy(x, y) is the only data-sized shuffle;
+    * the ≤|X|·|Y| cell frame joins broadcast marginals and a broadcast
+    * 1-row total. Per-cell MI terms are floored into integer MICROS and
+    * summed as BIGINTs (order-free, the keySkewStats entropy pattern);
+    * χ² uses the identity n·(Σ c²/(r·s) − 1) with the per-cell ratio as
+    * exact integer division — so the only floating point is one `ln` per
+    * cell inside the floor and the three final renders, every double op
+    * written in the same shape as the oracle SQL. */
+  def assocAudit(spark: SparkSession, dir: String): DataFrame =
+    assocAuditDf(Tables.load(spark, dir, "documents"))
+
+  def assocAuditDf(docs: DataFrame): DataFrame = {
+    val joint = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val rx = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+    val cy = docs.groupBy("source").agg(count(lit(1)).as("s"))
+    val tot = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("kx"),
+      countDistinct(col("source")).as("ky"))
+    joint
+      .join(broadcast(rx), Seq("lang"))
+      .join(broadcast(cy), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("kx"), col("ky"),
+        floor(col("c") * log((col("n") * col("c")).cast("double") /
+          (col("r") * col("s"))) * lit(1000000)).cast("long").as("mi_micro"),
+        expr("c * c * 1000000L div (r * s)").as("chi_micro"))
+      .groupBy("n", "kx", "ky")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("mi_micro").as("mi_sum"), sum("chi_micro").as("chi_sum"))
+      .select(
+        col("n"), col("n_cells"), col("kx").as("n_langs"), col("ky").as("n_sources"),
+        round(col("mi_sum").cast("double") / (col("n") * lit(1000000L)), 6)
+          .as("mi_nats"),
+        round((col("n") * col("chi_sum")).cast("double") / lit(1000000) - col("n"), 6)
+          .as("chi2"),
+        round(sqrt(((col("n") * col("chi_sum")).cast("double") / lit(1000000)
+            - col("n")) / (col("n") * least(col("kx") - 1, col("ky") - 1))), 6)
+          .as("cramers_v"))
+  }
+
   def piiScrubDf(docs: DataFrame): DataFrame = {
     val counted = PiiPatterns.foldLeft(docs) { case (df, (name, re, _)) =>
       df.withColumn(s"n_$name", regexp_count(col("text"), lit(re)))

@@ -1664,6 +1664,27 @@ class PipelineSpec extends SparkSpec {
       (3L, 1.00, 1L), (6L, 1.00, 1L)))
   }
 
+  test("eq116 assoc: perfect association gives MI=ln2, chi2=n, V=1; independence gives all zeros") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, String)]) =
+      rows.zipWithIndex.map { case ((l, s), i) => (i.toLong, "t", l, s, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // perfect 2x2 association: en<->a, fr<->b, two docs each. Every MI
+    // cell term is 2*ln2 -> floor(1386294.36...) micros; chi2 = n = 4.
+    val perfect = TextAnalysis.assocAuditDf(
+      docs(Seq(("en", "a"), ("en", "a"), ("fr", "b"), ("fr", "b")))).head()
+    assert(perfect.getLong(1) == 2L)
+    assert(perfect.getAs[Double]("mi_nats") == 0.693147)
+    assert(perfect.getAs[Double]("chi2") == 4.0)
+    assert(perfect.getAs[Double]("cramers_v") == 1.0)
+    // uniform 2x2: every cell term ln(1) = 0, chi2 and V exactly 0
+    val indep = TextAnalysis.assocAuditDf(
+      docs(Seq(("en", "a"), ("en", "b"), ("fr", "a"), ("fr", "b")))).head()
+    assert(indep.getAs[Double]("mi_nats") == 0.0)
+    assert(indep.getAs[Double]("chi2") == 0.0)
+    assert(indep.getAs[Double]("cramers_v") == 0.0)
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
