@@ -1577,6 +1577,41 @@ object Oracles {
         |        / (n * LEAST(kx - 1, ky - 1))), 6) AS cramers_v
         |FROM cells GROUP BY n, kx, ky""".stripMargin,
 
+    // eq117: CUPED readout — variant = the shared 28-bit md5 key of the
+    // user id mod 2 (eq27/x1 fragment); θ and both adjusted means are
+    // recomputed from the same exact BIGINT moment sums with every double
+    // op in the engine's association order.
+    "eq117_cuped_readout" ->
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN datepart('day', ts) <= 15
+        |                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN datepart('day', ts) > 15
+        |                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT x, y, substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS h7 FROM pu),
+        |vv AS (SELECT x, y, ($hex7OfH7) % 2 AS variant FROM h),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM vv),
+        |byv AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+        |         CAST(SUM(x) AS BIGINT) AS svx, CAST(SUM(y) AS BIGINT) AS svy
+        |  FROM vv GROUP BY 1),
+        |th AS (
+        |  SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |                 ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) END AS theta
+        |  FROM pooled)
+        |SELECT variant, nv AS n_users,
+        |  ROUND(svx::DOUBLE / nv / 100, 6) AS pre_mean,
+        |  ROUND(svy::DOUBLE / nv / 100, 6) AS post_mean,
+        |  ROUND((svy::DOUBLE / nv - theta * (svx::DOUBLE / nv - sx::DOUBLE / n)) / 100, 6)
+        |    AS adj_mean,
+        |  ROUND(theta, 6) AS theta
+        |FROM byv CROSS JOIN th ORDER BY variant""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

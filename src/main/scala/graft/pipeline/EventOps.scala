@@ -1039,6 +1039,50 @@ object EventOps {
       .orderBy(col("total_value").desc, col("user_id"))
   }
 
+  /** eq117 — CUPED-adjusted experiment readout: the variance-reduced A/B
+    * metric (Deng et al.'s pre-period covariate adjustment) every
+    * experimentation platform reports. Variant assignment is a pure
+    * function of the unit id (the eq27 28-bit md5 key, mod 2) so both
+    * engines agree without a stored assignment table. Per-user pre-
+    * (day ≤ 15) and post-period spend are exact integer cents from ONE
+    * conditional-aggregation pass; θ = cov(x,y)/var(x) comes from pooled
+    * BIGINT moment sums (order-free), and the adjusted means are three
+    * mirrored double ops over a 2-row variant frame joined to the
+    * broadcast 1-row pooled moments. Moment magnitudes: |xy| ≤ (per-user
+    * cents)² ≈ 10⁸ summed over users — the production variant at 10⁹
+    * users shifts the moments to DecimalType(38,0), same plan shape. */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame =
+    cupedReadoutDf(Tables.load(spark, dir, "events"))
+
+  def cupedReadoutDf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, col("cents")).otherwise(0L)).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        graft.functions.Md5Expressions.md5_key28(col("user_id").cast("string")) % 2)
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val theta = when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+      .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("nv"), sum("x").as("svx"), sum("y").as("svy"))
+      .crossJoin(broadcast(pooled))
+      .select(
+        col("variant"), col("nv").as("n_users"),
+        round(col("svx").cast("double") / col("nv") / 100, 6).as("pre_mean"),
+        round(col("svy").cast("double") / col("nv") / 100, 6).as("post_mean"),
+        round((col("svy").cast("double") / col("nv") - theta *
+          (col("svx").cast("double") / col("nv") -
+            col("sx").cast("double") / col("n"))) / 100, 6).as("adj_mean"),
+        round(theta, 6).as("theta"))
+      .orderBy("variant")
+  }
+
   /** eq114 — Z-order layout audit: quantifies what multi-column
     * clustering buys data skipping. Both query dimensions (user, day) are
     * scaled to 8-bit buckets with integer arithmetic (operands

@@ -1685,6 +1685,27 @@ class PipelineSpec extends SparkSpec {
     assert(indep.getAs[Double]("cramers_v") == 0.0)
   }
 
+  test("eq117 cuped: perfect covariate gives theta=2 and equalizes adjusted means exactly") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // four users with post = 2*pre exactly (cents 100..400 / 200..800):
+    // pooled theta = cov/var = 2.0, and since y = 2x per user, every
+    // variant's adjusted mean collapses to 2*x_bar = 500 cents = 5.00 —
+    // independent of how the md5 parity splits the users.
+    val events = (1 to 4).flatMap { u =>
+      Seq(
+        (u * 10L, ts(s"2024-01-05 10:00:00"), u.toLong, "view", u * 1.00, "{}"),
+        (u * 10L + 1, ts(s"2024-01-20 10:00:00"), u.toLong, "view", u * 2.00, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.cupedReadoutDf(events).collect()
+    assert(out.map(_.getLong(1)).sum == 4L)
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") == 2.0)
+      assert(r.getAs[Double]("adj_mean") == 5.0,
+        s"variant ${r.get(0)} adjusted mean must collapse to 5.00")
+    }
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
