@@ -1612,6 +1612,30 @@ object Oracles {
         |  ROUND(theta, 6) AS theta
         |FROM byv CROSS JOIN th ORDER BY variant""".stripMargin,
 
+    // eq118: Benford audit — first digit from the decimal string of the
+    // exact cents (both engines render positive BIGINTs identically),
+    // shares as integer PPM, and the expectation's one double op
+    // (log10 + floor) written in the engine's shape.
+    "eq118_benford_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM obs),
+        |spine AS (SELECT CAST(d AS BIGINT) AS digit FROM generate_series(1, 9) AS g(d))
+        |SELECT spine.digit, COALESCE(n_obs, 0) AS n_obs,
+        |       COALESCE(n_obs, 0) * 1000000 // total AS obs_ppm,
+        |       CAST(FLOOR(LOG10((spine.digit + 1)::DOUBLE / spine.digit) * 1000000) AS BIGINT)
+        |         AS exp_ppm,
+        |       ABS(COALESCE(n_obs, 0) * 1000000 // total
+        |           - CAST(FLOOR(LOG10((spine.digit + 1)::DOUBLE / spine.digit) * 1000000) AS BIGINT))
+        |         AS dev_ppm
+        |FROM spine LEFT JOIN obs ON spine.digit = obs.digit CROSS JOIN t
+        |ORDER BY spine.digit""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -1083,6 +1083,42 @@ object EventOps {
       .orderBy("variant")
   }
 
+  /** eq118 — Benford first-digit audit: the classic anomaly screen for
+    * fabricated or re-keyed monetary data — compare the first significant
+    * digit's distribution against Benford's log₁₀(1+1/d) expectation.
+    * The first digit is taken from the DECIMAL STRING of the exact
+    * integer cents (no floating log on the hot path — `log10(1000)`
+    * rounding at bucket boundaries is exactly the bug class this dodges);
+    * one groupBy(digit) over the scan is the only shuffle, and the 9-row
+    * digit spine left-joins the observed counts so missing digits report
+    * zero instead of vanishing. Shares are integer PPM (`n·10⁶ div
+    * total`); the Benford expectation — the audit's only floating point —
+    * is floored to PPM in the same shape as the oracle. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditDf(Tables.load(spark, dir, "events"))
+
+  def benfordAuditDf(events: DataFrame): DataFrame = {
+    val obs = events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .filter(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum("n_obs").as("total"))
+    val spine = events.sparkSession.range(1, 10).toDF("digit")
+    spine
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n_obs"),
+        expr("n_obs * 1000000L div total").as("obs_ppm"),
+        floor(log10((col("digit") + 1).cast("double") / col("digit")) * 1000000)
+          .cast("long").as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .orderBy("digit")
+  }
+
   /** eq114 — Z-order layout audit: quantifies what multi-column
     * clustering buys data skipping. Both query dimensions (user, day) are
     * scaled to 8-bit buckets with integer arithmetic (operands

@@ -1706,6 +1706,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("eq118 benford: hand-counted digits, zero/negative excluded, spine zero-fills absent digits") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cents 100, 25, 999, 1 -> digits 1,2,9,1; the 0.00 and negative rows
+    // must not count. total 4: d1 500000 ppm, d2/d9 250000 ppm.
+    val events = Seq(
+      (1L, 1.00), (2L, 0.25), (3L, 9.99), (4L, 0.01), (5L, 0.00), (6L, -3.00))
+      .map { case (i, v) => (i, ts("2024-01-05 10:00:00"), i, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.benfordAuditDf(events).collect()
+    assert(out.length == 9, "all nine digits must be present via the spine")
+    val byDigit = out.map(r => r.getLong(0) -> r).toMap
+    assert(byDigit(1L).getLong(1) == 2L && byDigit(1L).getLong(2) == 500000L)
+    assert(byDigit(2L).getLong(1) == 1L && byDigit(9L).getLong(1) == 1L)
+    assert(byDigit(3L).getLong(1) == 0L && byDigit(3L).getLong(2) == 0L)
+    // Benford expectation for digit 1: floor(log10(2) * 1e6) = 301029 ppm
+    assert(byDigit(1L).getLong(3) == 301029L)
+    assert(byDigit(1L).getLong(4) == 500000L - 301029L)
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
