@@ -1636,6 +1636,75 @@ object Oracles {
         |FROM spine LEFT JOIN obs ON spine.digit = obs.digit CROSS JOIN t
         |ORDER BY spine.digit""".stripMargin,
 
+    // eq119: Gopher-style quality gate — house tokenizer
+    // (regexp_split_to_array of trim(lower(text))), per-(doc, token) counts
+    // feed one row per doc; every ratio is integer PPM so the rule flags
+    // are float-free in both engines.
+    "eq119_gopher_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(c) AS BIGINT) AS n_words,
+        |         CAST(SUM(c * length(w)) AS BIGINT) AS n_word_chars,
+        |         CAST(MAX(c) AS BIGINT) AS top_c,
+        |         CAST(COALESCE(SUM(CASE WHEN w IN ('the','a','of','and','to')
+        |                                THEN c END), 0) AS BIGINT) AS stop_hits
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_words,
+        |       n_word_chars * 1000000 // n_words AS mwl_ppm,
+        |       stop_hits,
+        |       top_c * 1000000 // n_words AS top_ppm,
+        |       n_words BETWEEN 50 AND 100000 AS r_words,
+        |       n_word_chars * 1000000 // n_words BETWEEN 3000000 AND 10000000
+        |         AS r_wlen,
+        |       stop_hits >= 2 AS r_stop,
+        |       top_c * 1000000 // n_words <= 100000 AS r_top,
+        |       (n_words BETWEEN 50 AND 100000)
+        |         AND (n_word_chars * 1000000 // n_words
+        |              BETWEEN 3000000 AND 10000000)
+        |         AND stop_hits >= 2
+        |         AND top_c * 1000000 // n_words <= 100000 AS pass
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // eq120: per-nation Gini + top-decile revenue share — rank formula over
+    // ascending integer cents (tie order cannot change Σi·x; custkey
+    // tie-break pins the decile cut). The rank-weighted sum and the ×10⁶
+    // numerators run in HUGEINT, mirroring the engine's decimal(38,0);
+    // the PPM quotients are ≤10⁶ and cast back to BIGINT.
+    "eq120_gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, cents, ck,
+        |         row_number() OVER (PARTITION BY n_name ORDER BY cents, ck) AS i,
+        |         CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+        |         CAST(SUM(cents) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+        |  FROM rev
+        |  JOIN customer ON c_custkey = ck
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |g AS (
+        |  SELECT n_name, MAX(n) AS n_customers, MAX(tot) AS total_cents,
+        |         CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS ix,
+        |         CAST(COALESCE(SUM(CASE WHEN i > n - ((n + 9) // 10)
+        |                                THEN cents END), 0) AS BIGINT)
+        |           AS top_cents
+        |  FROM j GROUP BY 1)
+        |SELECT n_name, n_customers, total_cents,
+        |       CAST((2*ix - (n_customers+1)*CAST(total_cents AS HUGEINT))
+        |         * 1000000 // (n_customers*CAST(total_cents AS HUGEINT))
+        |         AS BIGINT) AS gini_ppm,
+        |       CAST(CAST(top_cents AS HUGEINT) * 1000000 // total_cents
+        |         AS BIGINT) AS top_decile_ppm
+        |FROM g ORDER BY n_name""".stripMargin,
+
     // ── x1–x8: approximate / engine-internal operators, oracle-checked by
     // reconstructing each DETERMINISTIC pipeline verbatim in DuckDB (seeded
     // constants spliced as literals, md5 as the shared hash — xxhash64-free

@@ -787,6 +787,47 @@ object TextAnalysis {
           .as("cramers_v"))
   }
 
+  /** eq119 — Gopher-style multi-rule quality gate (the published repetition
+    * and well-formedness screens a pretraining corpus is filtered with):
+    * word count in [50, 100k], mean word length in [3, 10], ≥2 stop-word
+    * hits, most-frequent-token share ≤ 10%. One explode feeds both
+    * aggregation levels — (doc, token) counts partial-aggregate map-side,
+    * then collapse to one row per doc — so the whole gate is two
+    * doc-keyed shuffles with no skew surface (per-doc vocabulary is
+    * bounded by doc length). Ratios are integer PPM (`x·10⁶ div n_words`),
+    * so the flags are bit-deterministic and the oracle reproduces them
+    * without any floating point. */
+  def gopherGate(spark: SparkSession, dir: String): DataFrame =
+    gopherGateDf(Tables.load(spark, dir, "documents"))
+
+  def gopherGateDf(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+    cnt
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_words"),
+        sum(col("c") * length(col("w"))).as("n_word_chars"),
+        max("c").as("top_c"),
+        coalesce(
+          sum(when(col("w").isin("the", "a", "of", "and", "to"), col("c"))),
+          lit(0L)).as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        expr("n_word_chars * 1000000L div n_words").as("mwl_ppm"),
+        col("stop_hits"),
+        expr("top_c * 1000000L div n_words").as("top_ppm"))
+      .withColumn("r_words", col("n_words").between(50L, 100000L))
+      .withColumn("r_wlen", col("mwl_ppm").between(3000000L, 10000000L))
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("r_top", col("top_ppm") <= 100000L)
+      .withColumn("pass",
+        col("r_words") && col("r_wlen") && col("r_stop") && col("r_top"))
+      .orderBy("doc_id")
+  }
+
   def piiScrubDf(docs: DataFrame): DataFrame = {
     val counted = PiiPatterns.foldLeft(docs) { case (df, (name, re, _)) =>
       df.withColumn(s"n_$name", regexp_count(col("text"), lit(re)))

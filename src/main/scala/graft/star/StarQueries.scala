@@ -126,4 +126,55 @@ object StarQueries {
           .as("intercept_cents"))
       .orderBy("n_name")
   }
+
+  /** eq120 — per-nation revenue concentration: exact Gini coefficient and
+    * top-decile share over customer lifetime revenue (integer cents).
+    * Gini via the rank formula `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)` with
+    * xᵢ ascending — tie order cannot change Σi·xᵢ (equal x), and the
+    * explicit custkey tie-break makes the top-decile cut deterministic
+    * anyway. The ranking shuffle partitions by nation (≤25 groups at TPC-H
+    * shape — each nation's customers sort within one partition; at a
+    * billion customers the per-nation sort is the intrinsic cost of an
+    * exact Gini, and the distributed sort-within-partition is exactly how
+    * Spark executes it). The rank-weighted sum and the PPM numerators are
+    * carried as decimal(38,0) — `Σi·x · 10⁶` clears 2⁶³ already at a few
+    * hundred customers per group — and `div` (integral divide) brings the
+    * ≤10⁶ PPM result back to BIGINT exactly; no floating point anywhere. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame =
+    giniConcentrationDf(
+      Tables.load(spark, dir, "orders"),
+      Tables.load(spark, dir, "customer"), Tables.load(spark, dir, "nation"))
+
+  def giniConcentrationDf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val rev = orders
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val j = rev
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"), col("o_custkey").as("ck"))
+    val byNation = Window.partitionBy("n_name")
+    val ranked = j
+      .withColumn("i",
+        row_number().over(byNation.orderBy(col("cents"), col("ck"))))
+      .withColumn("n", count(lit(1)).over(byNation))
+      .withColumn("tot", sum("cents").over(byNation))
+    ranked
+      .groupBy("n_name")
+      .agg(
+        max("n").as("n_customers"), max("tot").as("total_cents"),
+        sum(col("i").cast("decimal(38,0)") * col("cents")).as("ix"),
+        // top decile = the ceil(n/10) highest-revenue customers,
+        // i.e. ascending rank i > n - (n+9) div 10
+        sum(when(expr("i > n - ((n + 9) div 10)"), col("cents")))
+          .as("top_cents"))
+      .select(col("n_name"), col("n_customers"), col("total_cents"),
+        expr("(2*ix - (n_customers+1) * cast(total_cents as decimal(38,0)))" +
+          " * 1000000 div (n_customers * cast(total_cents as decimal(38,0)))")
+          .as("gini_ppm"),
+        expr("cast(top_cents as decimal(38,0)) * 1000000 div total_cents")
+          .as("top_decile_ppm"))
+      .orderBy("n_name")
+  }
 }

@@ -1726,6 +1726,30 @@ class PipelineSpec extends SparkSpec {
     assert(byDigit(1L).getLong(4) == 500000L - 301029L)
   }
 
+  test("eq119 gopher gate: hand-computed flags — clean doc passes, short/repetitive docs fail the right rules") {
+    import spark.implicits._
+    // A: 60 words ("the a" + 58 distinct 4-char words) — every rule passes.
+    //    chars 3+1+58*4 = 236 -> mwl 3_933_333 ppm; top share 1/60 = 16_666.
+    // B: 4 words — fails r_words, r_wlen (11/4 = 2_750_000), r_top (250_000).
+    // C: 50 words, "spam"*49 + "the" — fails r_stop (1 hit) and r_top
+    //    (49/50 = 980_000) but passes r_words (50 inclusive) and r_wlen.
+    val docs = Seq(
+      (1L, "the a " + (1 to 58).map(i => f"wd$i%02d").mkString(" ")),
+      (2L, "the a tiny doc"),
+      (3L, (Seq.fill(49)("spam") :+ "the").mkString(" ")))
+      .map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.gopherGateDf(docs).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 60L && byId(1L).getLong(2) == 3933333L &&
+      byId(1L).getLong(3) == 2L && byId(1L).getLong(4) == 16666L)
+    assert(byId(1L).getBoolean(9), "doc 1 must pass all rules")
+    assert(!byId(2L).getBoolean(5) && !byId(2L).getBoolean(6) &&
+      byId(2L).getBoolean(7) && !byId(2L).getBoolean(8) && !byId(2L).getBoolean(9))
+    assert(byId(3L).getBoolean(5) && byId(3L).getBoolean(6) &&
+      !byId(3L).getBoolean(7) && !byId(3L).getBoolean(8) && !byId(3L).getBoolean(9))
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()

@@ -128,6 +128,31 @@ class StarQueriesSpec extends SparkSpec {
     assert(r.head.getDouble(3) == 100.0)
   }
 
+  test("eq120 gini: perfect equality gives 0, hand-computed skew gives 500000 ppm; split orders pre-aggregate") {
+    import spark.implicits._
+    // EQ: four customers at 1.00 each -> gini 0, top decile (1 cust) 250000.
+    // SK: revenues [9.00, 1.00, 1.00, 1.00] -> sorted cents [100,100,100,900]:
+    //     ix = 100+200+300+3600 = 4200, tot = 1200,
+    //     gini = (8400 - 5*1200)*1e6 div (4*1200) = 500000; top 750000.
+    //     Customer 11's 9.00 arrives as two orders (4.00 + 5.00).
+    val orders = (Seq((1L, 1.00), (2L, 1.00), (3L, 1.00), (4L, 1.00),
+      (11L, 4.00), (11L, 5.00), (12L, 1.00), (13L, 1.00), (14L, 1.00)))
+      .zipWithIndex
+      .map { case ((ck, p), i) => (i.toLong + 1, ck, p) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (11L, 200L), (12L, 200L), (13L, 200L), (14L, 200L))
+      .toDF("c_custkey", "c_nationkey")
+    val nation = Seq((100L, "EQ"), (200L, "SK")).toDF("n_nationkey", "n_name")
+    val r = graft.star.StarQueries
+      .giniConcentrationDf(orders, customer, nation).collect()
+    val byName = r.map(x => x.getString(0) -> x).toMap
+    assert(byName("EQ").getLong(1) == 4L && byName("EQ").getLong(2) == 400L)
+    assert(byName("EQ").getLong(3) == 0L && byName("EQ").getLong(4) == 250000L)
+    assert(byName("SK").getLong(2) == 1200L)
+    assert(byName("SK").getLong(3) == 500000L && byName("SK").getLong(4) == 750000L)
+  }
+
   test("eq68: ten near-equal bins, rows conserved, ranges ordered and disjoint") {
     val rows = graft.star.AggSurface.equidepthBins(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("bin")).toSeq == (1 to 10))
