@@ -75,15 +75,51 @@ class QueryServiceSpec extends SparkSpec {
     assert(QueryService.mapBuildFailure(missing) == ApiError.NotFound("Base de données"))
   }
 
-  test("events loads via explicit schema; no session-global nanosAsLong flag") {
-    // force-decode ts (LongType over parquet TIMESTAMP(NANOS)) — a
-    // limit(1).count() would column-prune the scan and pass even if
-    // decoding ts failed at execution
+  test("events ts decodes to real 2024 instants whatever unit the fixture ships") {
+    // The driver regenerated events.parquet between rounds 6 and 7 flipping
+    // ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS); a loader hard-coding
+    // either unit is off by 1000× in one direction (epoch lands in 1970 or
+    // year ~56k — never 2024). Force-decode ts: a limit(1).count() would
+    // column-prune the scan and pass even if decoding failed at execution.
     val ts = Tables.load(spark, Sf, "events")
       .select("ts").limit(1).collect()(0).getTimestamp(0)
     assert(ts.toInstant.atZone(java.time.ZoneOffset.UTC).getYear == 2024,
       s"implausible event timestamp $ts")
-    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+  }
+
+  test("events loader round-trips the same instant from NANOS, MICROS, and MILLIS fixtures") {
+    val micros = 1704067200123456L // 2024-01-01T00:00:00.123456Z
+    val cases = Seq(
+      ("NANOS", micros * 1000L, micros),
+      ("MICROS", micros, micros),
+      ("MILLIS", micros / 1000L, micros / 1000L * 1000L)) // millis fixture has ms precision
+    for ((unit, raw, wantMicros) <- cases) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ts_$unit").toString
+      TestParquet.writeEvents(s"$dir/events.parquet", unit, raw)
+      assert(Tables.tsUnit(spark, s"$dir/events.parquet") ==
+        (unit match {
+          case "NANOS" => Tables.TsNanos
+          case "MICROS" => Tables.TsMicros
+          case "MILLIS" => Tables.TsMillis
+        }))
+      val got = Tables.load(spark, dir, "events").select("ts").collect()(0).getTimestamp(0).toInstant
+      val gotMicros = Math.addExact(Math.multiplyExact(got.getEpochSecond, 1000000L), got.getNano / 1000L)
+      assert(gotMicros == wantMicros, s"$unit fixture decoded to $got")
+    }
+  }
+
+  test("fixture-schema drift guard: live fixture validates; uninterpretable ts fails loudly") {
+    Tables.validate(spark, Sf)
+    // ts stored as a string is drift the loader cannot interpret — it must
+    // throw an explicit 'fixture drift' error, not corrupt timestamps
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    spark.range(1).selectExpr(
+      "id AS event_id", "'2024-01-01T00:00:00' AS ts", "id AS user_id",
+      "'view' AS event_type", "1.0 AS value", "'{}' AS props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] { Tables.tsUnit(spark, s"$dir/events.parquet") }
+    assert(e.getMessage.contains("fixture drift"), e.getMessage)
   }
 
   test("results serialize to records-style JSON (views.py:152-154)") {
