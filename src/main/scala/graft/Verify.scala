@@ -32,6 +32,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Fixture preflight metadata: the ENGINE's decoded view of the base
+    // tables (row counts; events ts range in epoch-micros). The parity
+    // harness compares these against the oracle's native read of the same
+    // parquet, so an engine-vs-oracle fixture disagreement — e.g. the r7
+    // ts-unit drift, where every Spark timestamp was 1000× off while
+    // DuckDB read the file correctly — fails one explicit preflight check
+    // instead of 27 opaque per-query hash mismatches.
+    locally {
+      import org.apache.spark.sql.functions.{count, max, min, unix_micros}
+      val counts = Tables.base.map { t =>
+        s""""$t": ${Tables.load(spark, sfDir, t).count()}"""
+      }.mkString("{", ", ", "}")
+      val ev = Tables.load(spark, sfDir, "events")
+        .agg(unix_micros(min(org.apache.spark.sql.functions.col("ts"))).as("lo"),
+             unix_micros(max(org.apache.spark.sql.functions.col("ts"))).as("hi"))
+        .head()
+      Files.writeString(Paths.get(s"$outDir/_fixture_meta.json"),
+        s"""{"counts": $counts, "events_ts_min_us": ${ev.getLong(0)}, "events_ts_max_us": ${ev.getLong(1)}}""")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

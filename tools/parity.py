@@ -16,6 +16,32 @@ for p in glob.glob(f'{sf}/*.parquet'):
     t = p.split('/')[-1].replace('.parquet', '')
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+# Preflight: the engine's decoded view of the fixtures (written by Verify)
+# must agree with DuckDB's native read BEFORE any query comparison — a
+# fixture-schema drift (e.g. the r7 events ts-unit flip) then fails here
+# with one explicit message instead of dozens of opaque hash mismatches.
+import os
+meta_path = f'{out}/_fixture_meta.json'
+if os.path.exists(meta_path):
+    meta = json.load(open(meta_path))
+    problems = []
+    for t, n in meta['counts'].items():
+        dn = con.execute(f'SELECT COUNT(*) FROM {t}').fetchone()[0]
+        if dn != n:
+            problems.append(f'{t}: engine={n} rows, oracle={dn} rows')
+    lo, hi = con.execute(
+        'SELECT epoch_us(min(ts)::TIMESTAMP), epoch_us(max(ts)::TIMESTAMP) FROM events').fetchone()
+    if (lo, hi) != (meta['events_ts_min_us'], meta['events_ts_max_us']):
+        problems.append(
+            f"events ts range (epoch us): engine=[{meta['events_ts_min_us']}, "
+            f"{meta['events_ts_max_us']}], oracle=[{lo}, {hi}] — likely ts-unit drift")
+    if problems:
+        print('PREFLIGHT FAIL — engine and oracle disagree on the fixtures themselves:')
+        for p in problems:
+            print(f'  {p}')
+        sys.exit(2)
+    print('preflight: engine and oracle agree on fixture counts and events ts range')
+
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 if len(sys.argv) > 3:  # optional comma-separated subset of query names
     keep = set(sys.argv[3].split(','))
