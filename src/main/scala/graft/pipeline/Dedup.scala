@@ -110,18 +110,20 @@ object Dedup {
     * source dir would need an explicit [[clearDerivedCaches]]. */
   private final class PlanMemo[T] {
     private val m = new scala.collection.concurrent.TrieMap[
-      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), T]
-    def apply(docs: DataFrame)(f: => T): T =
-      m.getOrElseUpdate((docs.sparkSession, docs.queryExecution.analyzed.canonicalized), f)
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any), T]
+    def apply(docs: DataFrame, extra: Any = ())(f: => T): T =
+      m.getOrElseUpdate((docs.sparkSession, docs.queryExecution.analyzed.canonicalized, extra), f)
     def clear(): Unit = m.clear()
   }
 
   private val pairTableCache = new PlanMemo[DataFrame]
   private val signaturePartsCache = new PlanMemo[(DataFrame, DataFrame, DataFrame)]
   private val minhashPartsCache = new PlanMemo[(DataFrame, DataFrame)]
+  private val embPairsCache = new PlanMemo[DataFrame]
 
   def clearDerivedCaches(): Unit = {
-    pairTableCache.clear(); signaturePartsCache.clear(); minhashPartsCache.clear()
+    pairTableCache.clear(); signaturePartsCache.clear()
+    minhashPartsCache.clear(); embPairsCache.clear()
   }
 
   def jaccardPairsDf(docs: DataFrame): DataFrame =
@@ -558,8 +560,16 @@ object Dedup {
   /** The eq13 pipeline with a caller-chosen verify threshold — same
     * banded candidate generation, so lower thresholds trade recall for
     * the fixed collision probability of the bands (documented at
-    * [[densityCoresDf]], its consumer). */
-  private[pipeline] def embeddingNearDupsAt(e: DataFrame, threshold: Double): DataFrame = {
+    * [[densityCoresDf]], its consumer). Memoized per (embeddings plan,
+    * threshold) with the verified pairs checkpointed: eq13/eq99 share the
+    * 0.5-threshold frame and eq95/eq97 the core-threshold one, so the SRP
+    * banding + multi-probe self-join + exact verify runs once per session,
+    * not once per consumer (the embedding-side twin of the pair-table
+    * materialization above). */
+  private[pipeline] def embeddingNearDupsAt(e: DataFrame, threshold: Double): DataFrame =
+    embPairsCache(e, threshold)(embeddingNearDupsAtUncached(e, threshold).localCheckpoint())
+
+  private def embeddingNearDupsAtUncached(e: DataFrame, threshold: Double): DataFrame = {
     val firstRow = e.selectExpr("size(embedding)").take(1)
     if (firstRow.isEmpty) // empty table: no pairs (the pre-banding path degraded the same way)
       return e.sparkSession.emptyDataFrame
