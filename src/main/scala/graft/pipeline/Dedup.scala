@@ -82,6 +82,14 @@ object Dedup {
         graft.functions.ShingleExpressions.shingle_hashes(col("text"), 3).as("sh"))
       .withColumn("sz", size(col("sh")))
 
+  /** The corpus shingle-set frame, filtered to non-empty and checkpointed
+    * ONCE per docs plan: the prefix Jaccard path, the plain equivalence
+    * variant, and containment mining all read this one materialization
+    * instead of re-shingling the corpus each. */
+  private[pipeline] def shingleSets(docs: DataFrame): DataFrame =
+    shingleSetsCache(docs)(
+      shingleSetsDf(docs).filter(col("sz") > 0).localCheckpoint())
+
   /** Exact n-gram Jaccard near-dup pairs (sim ≥ 0.2). The DEFAULT for the
     * whole eq12 family (eq26/eq49/eq61/eq84 compose it) is the PPJoin
     * prefix-filtered path [[jaccardPairsPrefixDf]] — lossless (prefix
@@ -120,10 +128,12 @@ object Dedup {
   private val signaturePartsCache = new PlanMemo[(DataFrame, DataFrame, DataFrame)]
   private val minhashPartsCache = new PlanMemo[(DataFrame, DataFrame)]
   private val embPairsCache = new PlanMemo[DataFrame]
+  private val shingleSetsCache = new PlanMemo[DataFrame]
 
   def clearDerivedCaches(): Unit = {
     pairTableCache.clear(); signaturePartsCache.clear()
     minhashPartsCache.clear(); embPairsCache.clear()
+    shingleSetsCache.clear()
   }
 
   def jaccardPairsDf(docs: DataFrame): DataFrame =
@@ -138,15 +148,15 @@ object Dedup {
     * shared by k docs emits k² candidate rows on a single key, which is
     * why [[jaccardPairsPrefixDf]] is the family default. */
   def jaccardPairsPlainDf(docs: DataFrame): DataFrame = {
-    // materialized once: both sides of the self-join consume this frame —
-    // without it each side re-runs the shingling pass over the corpus.
-    // Lifecycle of these localCheckpoint blocks (here and in the other
-    // pair-mining paths): scale-proportional but bounded per call, and
-    // reclaimed by Spark's ContextCleaner once the returned frame is
-    // unreferenced — a long-lived session does not pin them forever.
-    val ex = shingleSetsDf(docs).filter(col("sz") > 0)
+    // both sides of the self-join derive from the one memoized shingle-set
+    // checkpoint ([[shingleSets]]); the explode re-runs per side but reads
+    // in-memory checkpointed rows, not the corpus.
+    // Lifecycle of the localCheckpoint blocks in these pair-mining paths:
+    // scale-proportional but bounded per (session, corpus), held by the
+    // memo caches; [[clearDerivedCaches]] releases them to the
+    // ContextCleaner.
+    val ex = shingleSets(docs)
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
-      .localCheckpoint()
     val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
     a.join(b, Seq("sg"))
@@ -176,9 +186,9 @@ object Dedup {
     * plain variant by test. */
   def jaccardPairsPrefixDf(docs: DataFrame): DataFrame = {
     val t = JaccardThreshold
-    // materialized once: freq, prefix and both verify-join sides all
-    // consume this frame (up to five shingling passes otherwise)
-    val sets = shingleSetsDf(docs).filter(col("sz") > 0).localCheckpoint()
+    // freq, prefix and both verify-join sides all consume the one memoized
+    // shingle-set checkpoint (up to five shingling passes otherwise)
+    val sets = shingleSets(docs)
     val ex = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sg").asc)
@@ -249,10 +259,10 @@ object Dedup {
     containmentPairsDf(Tables.load(spark, dir, "documents"))
 
   def containmentPairsDf(docs: DataFrame): DataFrame = {
-    // materialized once: both sides of the inverted-index self-join
-    val ex = shingleSetsDf(docs).filter(col("sz") > 0)
+    // both sides of the inverted-index self-join derive from the one
+    // memoized shingle-set checkpoint ([[shingleSets]])
+    val ex = shingleSets(docs)
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
-      .localCheckpoint()
     val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sg"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sg"))
     // mine each UNORDERED pair once (half the aggregation input/state of a

@@ -209,6 +209,36 @@ class PipelineSpec extends SparkSpec {
     assert(plain.sameElements(prefix))
   }
 
+  test("PPJoin ≡ plain on randomized corpora with hot boilerplate shingles (property)") {
+    // The prefix theorem's boundary cases — docs shorter than the prefix
+    // length, ceil() at exact threshold multiples, one shingle shared by
+    // half the corpus — are exactly what random corpora hit and the live
+    // fixture may not. Five seeded corpora of 40 docs with a planted
+    // boilerplate prefix (a deliberately hot shingle run).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val boiler = "lorem ipsum dolor sit amet consectetur"
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+      withBoiler <- Gen.oneOf(true, false)
+    } yield (if (withBoiler) boiler + " " else "") + ws.mkString(" ")
+    for (seed <- 1L to 5L) {
+      val rows = Gen.listOfN(40, docGen)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val plain = Dedup.jaccardPairsPlainDf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      val prefix = Dedup.jaccardPairsPrefixDf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      assert(plain.sameElements(prefix),
+        s"seed $seed: plain ${plain.length} pairs vs prefix ${prefix.length}")
+    }
+  }
+
   test("jaccard family default is the prefix path: hash joins only, no cartesian") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     // the family default (fed to eq12/eq26/eq49/eq61/eq84) must candidate-
