@@ -31,6 +31,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast on fixture-schema drift (footer reads only)
+    Tables.validate(spark, sfDir)
 
     // SURVEY.md §4: cache the pdv view within the bench session. Spark's
     // CacheManager substitutes the cached InMemoryRelation into every query

@@ -857,6 +857,35 @@ object Oracles {
         |       ROUND(n_contaminated::DOUBLE / sz, 6) AS contamination
         |FROM m ORDER BY doc_id""".stripMargin),
 
+    // eq122: decontamination blast radius — the eq29 split/shingle CTEs,
+    // then test→train shingle join counted two ways (distinct leaked
+    // shingles, distinct train docs touched) plus the hottest leaked
+    // shingle's train df. Top-20 by touch count, doc_id tie-break.
+    "eq122_decontam_blast" -> (s"WITH $toksCte,\n" +
+      s"""sp AS (SELECT doc_id, substr(md5(text), 1, 7) AS h7, sh FROM shingled),
+        |b AS (SELECT doc_id, sh, ($hex7OfH7) % 100 AS bucket FROM sp),
+        |s AS (SELECT doc_id, list_distinct(sh) AS shd,
+        |        CASE WHEN bucket < 80 THEN 'train'
+        |             WHEN bucket < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM b),
+        |tr AS (SELECT doc_id AS train_id, unnest(shd) AS sg FROM s WHERE split = 'train'),
+        |te AS (SELECT doc_id, unnest(shd) AS sg FROM s WHERE split = 'test' AND len(shd) > 0),
+        |dfq AS (SELECT sg, COUNT(*) AS train_df FROM tr GROUP BY 1),
+        |hits AS (SELECT te.doc_id, te.sg, tr.train_id FROM te JOIN tr ON te.sg = tr.sg),
+        |perdoc AS (SELECT doc_id,
+        |             COUNT(DISTINCT sg) AS n_leaked_shingles,
+        |             COUNT(DISTINCT train_id) AS n_train_docs_hit
+        |           FROM hits GROUP BY 1),
+        |mx AS (SELECT te.doc_id, MAX(dfq.train_df) AS max_train_df
+        |       FROM te JOIN dfq ON te.sg = dfq.sg GROUP BY 1)
+        |SELECT p.doc_id,
+        |       CAST(p.n_leaked_shingles AS BIGINT) AS n_leaked_shingles,
+        |       CAST(p.n_train_docs_hit AS BIGINT) AS n_train_docs_hit,
+        |       CAST(mx.max_train_df AS BIGINT) AS max_train_df
+        |FROM perdoc p JOIN mx ON p.doc_id = mx.doc_id
+        |ORDER BY p.n_train_docs_hit DESC, p.doc_id LIMIT 20""".stripMargin),
+
     // eq30: per-doc total vs distinct shingle occurrences (repetition).
     "eq30_repetition_stats" -> (s"WITH $toksCte\n" +
       """SELECT doc_id, lang,
@@ -3249,5 +3278,40 @@ object Oracles {
         |       COALESCE(h.hist_value_cents, 0) AS hist_value_cents
         |FROM events e LEFT JOIN h ON e.user_id = h.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    // eq121: padding-waste audit — batch = (row_number-1)//32 per lang
+    // under both assembly orders; padded = Σ batch_max × batch_size. All
+    // integer math (BIGINT counts/sums, // for the ppm), so the frame
+    // hash-checks exactly; the token count is eq101's ws form.
+    "eq121_padding_waste" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |n AS (
+        |  SELECT lang, n_tok,
+        |         (CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) - 1) // 32 AS batch
+        |  FROM t),
+        |s AS (
+        |  SELECT lang, n_tok,
+        |         (CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS BIGINT) - 1) // 32 AS batch
+        |  FROM t),
+        |nb AS (SELECT lang, batch, MAX(n_tok) AS mx, SUM(n_tok) AS tok, COUNT(*) AS c
+        |       FROM n GROUP BY 1, 2),
+        |sb AS (SELECT lang, batch, MAX(n_tok) AS mx, SUM(n_tok) AS tok, COUNT(*) AS c
+        |       FROM s GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT 'naive' AS strategy, lang, COUNT(*) AS n_batches,
+        |         SUM(mx * c) AS padded_tokens, SUM(tok) AS real_tokens
+        |  FROM nb GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'length_sorted', lang, COUNT(*), SUM(mx * c), SUM(tok)
+        |  FROM sb GROUP BY 1, 2)
+        |SELECT strategy, lang,
+        |       CAST(n_batches AS BIGINT) AS n_batches,
+        |       CAST(padded_tokens AS BIGINT) AS padded_tokens,
+        |       CAST(real_tokens AS BIGINT) AS real_tokens,
+        |       CAST(((padded_tokens - real_tokens) * 1000000) // padded_tokens AS BIGINT) AS waste_ppm
+        |FROM agg ORDER BY strategy, lang""".stripMargin,
   )
 }

@@ -22,6 +22,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast on fixture-schema drift (footer reads only) — one explicit
+    // error beats 159 queries against corrupted decodes.
+    Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

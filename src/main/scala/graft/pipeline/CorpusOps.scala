@@ -467,6 +467,50 @@ object CorpusOps {
       .orderBy("lang", "shard_id")
   }
 
+  /** eq121 — padding-waste audit of training-batch assembly: documents are
+    * packed into fixed-size batches of [[PadBatch]] and padded to each
+    * batch's max token length (the attention-mask shape every trainer
+    * pays); compared across two assembly orders — `naive` (doc_id arrival
+    * order) vs `length_sorted` (token count, then doc_id) — per language.
+    * Length-sorted batching is the standard fix for padding waste; this
+    * query QUANTIFIES the win as an exact integer ppm so a curation
+    * pipeline can decide whether the extra sort is worth it. Windows are
+    * PARTITIONED BY lang (same scale posture as eq34: no global sort; at
+    * 100 TB the partition key grows a day/shard component, changing batch
+    * numbering but not the waste arithmetic). All integer math — counts,
+    * sums, and the ppm ratio are exact, so the frame hash-checks. */
+  private val PadBatch = 32
+
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame =
+    paddingWasteDf(Tables.load(spark, dir, "documents"))
+
+  def paddingWasteDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), col("doc_id"),
+      ws_token_count(col("text")).cast("long").as("n_tok"))
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(order: _*)
+      toks
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"(rn - 1) div $PadBatch"))
+        .groupBy("lang", "batch")
+        .agg(max(col("n_tok")).as("mx"), sum(col("n_tok")).as("tok"),
+          count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("mx") * col("c")).as("padded_tokens"),
+          sum(col("tok")).as("real_tokens"))
+        .withColumn("strategy", lit(name))
+    }
+    strategy("naive", Seq(col("doc_id")))
+      .unionByName(strategy("length_sorted", Seq(col("n_tok"), col("doc_id"))))
+      .withColumn("waste_ppm",
+        expr("((padded_tokens - real_tokens) * 1000000L) div padded_tokens"))
+      .select(col("strategy"), col("lang"), col("n_batches"),
+        col("padded_tokens"), col("real_tokens"), col("waste_ppm"))
+      .orderBy("strategy", "lang")
+  }
+
   /** eq35 — length-outlier trimming: per-language p05/p95 bounds on
     * `n_chars` (exact interpolated percentile, ≡ DuckDB `quantile_cont`)
     * and the kept/dropped tally — the Gopher-style "drop the pathological

@@ -344,6 +344,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** eq122 — decontamination blast radius: eq29 answers "how contaminated
+    * is each test doc"; this answers the operational flip side — "what
+    * does it COST to decontaminate": for the top-20 most entangled test
+    * docs, how many leaked shingles they carry, how many DISTINCT train
+    * docs share at least one of them (the docs a shingle-level scrub would
+    * have to touch), and the hottest leaked shingle's train document
+    * frequency (the worst single-shingle blast). Shape: the test→train
+    * join is shuffle-on-shingle (never doc×doc); its fan-out is
+    * Σ test_df×train_df per shingle, the decontam analogue of the
+    * inverted-index join — a production run caps ultra-hot shingles first
+    * (the eq12 PPJoin lesson), which only SHRINKS this audit's inputs.
+    * All-integer output, deterministic top-20 tie-broken by doc_id. */
+  def decontamBlast(spark: SparkSession, dir: String): DataFrame =
+    decontamBlastDf(Tables.load(spark, dir, "documents"))
+
+  def decontamBlastDf(docs: DataFrame): DataFrame = {
+    val sets = splitShingleSets(docs)
+    val train = sets.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), explode(col("shd")).as("sg"))
+    val test = sets.filter(col("split") === "test" && col("sz") > 0)
+      .select(col("doc_id"), explode(col("shd")).as("sg"))
+    val trainDf = train.groupBy("sg").agg(count(lit(1)).as("train_df"))
+    val hits = test.join(train, Seq("sg"))
+    val perDoc = hits.groupBy("doc_id").agg(
+      countDistinct(col("sg")).as("n_leaked_shingles"),
+      countDistinct(col("train_id")).as("n_train_docs_hit"))
+    val hottest = test.join(trainDf, Seq("sg"))
+      .groupBy("doc_id").agg(max(col("train_df")).as("max_train_df"))
+    perDoc.join(hottest, Seq("doc_id"))
+      .orderBy(col("n_train_docs_hit").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** x9 — Bloom-prefiltered decontamination: per-language totals of the
     * same train→test shingle-leakage audit as [[contamination]], computed
     * through the 100 TB plan shape — a Bloom filter over the train

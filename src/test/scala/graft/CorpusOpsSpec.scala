@@ -113,6 +113,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_tokens")).sum == corpusTokens)
   }
 
+  test("padding waste: hand-computed batch padding; sorted order never wastes more") {
+    // one lang, 34 docs -> batches of 32 + 2. Doc i has i+1 tokens, doc_id
+    // order == length order EXCEPT doc 0 (35 tokens, the longest, first).
+    // naive: batch0 = docs 0..31 (tokens 35,2,3..32) max 35 c 32;
+    //        batch1 = docs 32,33 (33,34) max 34 c 2
+    // sorted: batch0 = tokens 2..33 (docs 1..32) max 33; batch1 = {34, 35}
+    val mk = (i: Long, n: Int) => (i, (1 to n).map(_ => "w").mkString(" "), "en", "s", n.toLong)
+    val docs = docsDf(mk(0L, 35) +: (1L to 33L).map(i => mk(i, i.toInt + 1)))
+    val out = CorpusOps.paddingWasteDf(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_batches"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("waste_ppm"))).toMap
+    val real = 35L + (2 to 34).map(_.toLong).sum
+    // naive: 35*32 + 34*2 = 1188; sorted: 33*32 + 35*2 = 1126
+    assert(out("naive") == ((2L, 1188L, real, (1188L - real) * 1000000L / 1188L)))
+    assert(out("length_sorted") == ((2L, 1126L, real, (1126L - real) * 1000000L / 1126L)))
+
+    // fixture corpus: real_tokens identical across strategies per lang, and
+    // length-sorted padding never exceeds naive padding
+    val fx = CorpusOps.paddingWasteDf(fixtureDocs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("padded_tokens"), r.getAs[Long]("real_tokens"))).toMap
+    fx.keys.map(_._2).toSeq.distinct.foreach { lang =>
+      assert(fx(("naive", lang))._2 == fx(("length_sorted", lang))._2)
+      assert(fx(("length_sorted", lang))._1 <= fx(("naive", lang))._1,
+        s"$lang: sorted padding exceeds naive")
+    }
+  }
+
   test("length trim: per-lang tallies partition the corpus; uniform length trims nothing") {
     val out = CorpusOps.lengthTrimDf(fixtureDocs).collect()
     val perLang = fixtureDocs.groupBy("lang").count()

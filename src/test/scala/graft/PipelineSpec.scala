@@ -722,6 +722,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.length.toLong == expected)
   }
 
+  test("decontam blast agrees with eq29 leak counts; touch counts bounded by the train split") {
+    val blast = TextAnalysis.decontamBlast(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_leaked_shingles"), r.getAs[Long]("n_train_docs_hit"),
+          r.getAs[Long]("max_train_df"))).toMap
+    assert(blast.nonEmpty)
+    // same leaked-shingle definition as eq29: distinct test-doc shingles
+    // found in the train vocabulary
+    val eq29 = TextAnalysis.contamination(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated")).toMap
+    val nTrain = graft.Tables.load(spark, Sf, "documents")
+      .withColumn("bucket", graft.functions.Md5Expressions.md5_key28(col("text")) % 100)
+      .filter(col("bucket") < 80).count()
+    blast.foreach { case (id, (leaked, touched, mxDf)) =>
+      assert(eq29(id) == leaked, s"doc $id: eq29 says ${eq29(id)} leaked, blast says $leaked")
+      assert(leaked >= 1 && touched >= 1 && mxDf >= 1)
+      assert(touched <= nTrain, s"doc $id touches $touched > $nTrain train docs")
+      assert(mxDf <= nTrain)
+    }
+  }
+
   test("repetition stats: hand-computed on a literal fixture; <3-token docs excluded") {
     val docs = docsDf(Seq(
       (0L, "a b c a b c a b", "en", "s", 15L),  // shingles: abc bca cab abc bca cab -> t=6 d=3
