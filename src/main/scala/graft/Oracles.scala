@@ -662,6 +662,28 @@ object Oracles {
       """SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
         |WHERE jac >= 0.2::DOUBLE ORDER BY doc_a, doc_b""".stripMargin),
 
+    // eq123: quality×duplication profile — eq12's pair CTEs, members =
+    // either side of a qualifying pair, ntile(4) per lang over
+    // (n_chars, doc_id); counts + integral-div ppm, all integers.
+    "eq123_quality_dup_profile" -> (s"WITH $toksCte,\n$jaccardCtes,\n" +
+      """m AS (SELECT DISTINCT doc_id FROM (
+        |        SELECT doc_a AS doc_id FROM j WHERE jac >= 0.2::DOUBLE
+        |        UNION ALL
+        |        SELECT doc_b FROM j WHERE jac >= 0.2::DOUBLE)),
+        |q AS (SELECT lang, doc_id,
+        |             CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+        |      FROM documents),
+        |g AS (SELECT q.lang, q.quartile,
+        |             COUNT(*) AS n_docs,
+        |             COUNT(m.doc_id) AS n_dup_docs
+        |      FROM q LEFT JOIN m ON q.doc_id = m.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT lang, quartile,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+        |       CAST((n_dup_docs * 1000000) // n_docs AS BIGINT) AS dup_ppm
+        |FROM g ORDER BY lang, quartile""".stripMargin),
+
     // Reconstructs the engine's SRP-LSH banding exactly (the verified-pair
     // form): the ±1 hyperplanes are spliced in as sign strings from the
     // same seeded stream the engine uses, so both engines compute identical

@@ -243,6 +243,35 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** eq123 — quality×duplication profile: for each (lang, length
+    * quartile), how many docs participate in ≥1 near-dup pair (the eq12
+    * pair table) — the audit that tells a curation pipeline WHERE its
+    * duplication lives. The common expectation (boilerplate is short and
+    * duplicated; long-form is unique) decides whether dedup can be
+    * restricted to the cheap quartiles at 100 TB. Length quartile =
+    * ntile(4) per lang over (n_chars, doc_id) — windows partitioned by
+    * lang, no global sort; pair membership is a distinct projection of the
+    * memoized pair table, so the mining cost is shared, not re-paid.
+    * Integer output (counts + ppm), hash-exact. */
+  def qualityDupProfile(spark: SparkSession, dir: String): DataFrame =
+    qualityDupProfileDf(Tables.load(spark, dir, "documents"))
+
+  def qualityDupProfileDf(docs: DataFrame): DataFrame = {
+    val pairs = jaccardPairsDf(docs)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .join(members, Seq("doc_id"), "left_outer")
+      .groupBy("lang", "quartile")
+      .agg(count(lit(1)).as("n_docs"), count(col("is_dup")).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000L) div n_docs"))
+      .orderBy("lang", "quartile")
+  }
+
   /** eq43 — asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A|
     * over distinct 3-token shingle sets, emitted DIRECTIONALLY for every
     * ordered pair with C ≥ [[ContainmentThreshold]]. Containment catches

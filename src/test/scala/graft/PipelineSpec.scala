@@ -743,6 +743,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quality-dup profile: planted short dups land in quartile 1; tallies partition each lang") {
+    // 8 en docs: 0 and 1 are identical short docs (the only near-dup pair);
+    // 2..7 are unique long docs sharing no shingle. ntile(4) over 8 docs ->
+    // 2 per quartile by (n_chars, doc_id): the dup pair is exactly quartile 1.
+    val uniq = Seq(
+      "u1 v1 w1 x1 y1 z1 q1 r1", "u2 v2 w2 x2 y2 z2 q2 r2",
+      "u3 v3 w3 x3 y3 z3 q3 r3", "u4 v4 w4 x4 y4 z4 q4 r4",
+      "u5 v5 w5 x5 y5 z5 q5 r5", "u6 v6 w6 x6 y6 z6 q6 r6")
+    val docs = docsDf(
+      Seq((0L, "a b c d e", "en", "s", 9L), (1L, "a b c d e", "en", "s", 9L)) ++
+        uniq.zipWithIndex.map { case (t, i) => (i + 2L, t, "en", "s", 20L + i) })
+    val out = Dedup.qualityDupProfileDf(docs).collect()
+      .map(r => r.getAs[Long]("quartile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"), r.getAs[Long]("dup_ppm"))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)))
+    (2L to 4L).foreach(q => assert(out(q) == ((2L, 0L, 0L)), s"quartile $q"))
+
+    // live fixture: per-lang quartile tallies partition the lang; dup
+    // members tally matches the pair table's distinct membership
+    val docsFx = graft.Tables.load(spark, Sf, "documents")
+    val fx = Dedup.qualityDupProfileDf(docsFx).collect()
+    val perLang = docsFx.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fx.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == perLang(lang))
+      rows.foreach(r => assert(r.getAs[Long]("dup_ppm") >= 0 && r.getAs[Long]("dup_ppm") <= 1000000L))
+    }
+    val pairs = Dedup.jaccardPairsDf(docsFx)
+    val nMembers = pairs.select(col("doc_a")).union(pairs.select(col("doc_b"))).distinct().count()
+    assert(fx.map(_.getAs[Long]("n_dup_docs")).sum == nMembers)
+  }
+
   test("repetition stats: hand-computed on a literal fixture; <3-token docs excluded") {
     val docs = docsDf(Seq(
       (0L, "a b c a b c a b", "en", "s", 15L),  // shingles: abc bca cab abc bca cab -> t=6 d=3
