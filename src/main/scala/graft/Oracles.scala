@@ -2665,6 +2665,31 @@ object Oracles {
         |       md5(substring(s, (frame_idx * 64 + 1)::BIGINT, 64)) AS frame_md5
         |FROM ix ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // eq124: scene-change detection — per-frame byte sums re-derived from
+    // hex(encode(text)) (the x4 byte-expansion pattern), consecutive
+    // deltas via 1-based list indexing, cut threshold 16 × 64 = 1024.
+    "eq124_scene_changes" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) // 64 AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT * FROM b WHERE n_frames >= 2),
+        |s AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, n_frames), f ->
+        |      list_sum(list_transform(range(f * 64, f * 64 + 64), i ->
+        |        (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1) * 16 +
+        |        (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1)))) AS sums
+        |  FROM fr),
+        |d AS (
+        |  SELECT doc_id, n_frames,
+        |         list_transform(range(1, n_frames), f -> abs(sums[f + 1] - sums[f])) AS deltas
+        |  FROM s)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(len(list_filter(deltas, x -> x > 1024)) AS BIGINT) AS n_cuts,
+        |       CAST(list_max(deltas) AS BIGINT) AS max_delta
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // eq84: cluster representatives — eq26's recursive closure joined
     // with eq8's quality, per-cluster argmax (quality desc, doc_id asc).
     "eq84_cluster_reps" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +

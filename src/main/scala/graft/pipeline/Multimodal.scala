@@ -208,4 +208,45 @@ object Multimodal {
         md5(expr(s"substring(p, frame_idx * $FrameBytes + 1, $FrameBytes)"))
           .as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
+
+  /** Scene-cut threshold for [[sceneChanges]]: a transition counts as a
+    * cut when consecutive frames' byte sums differ by more than 16 per
+    * byte (16 × [[FrameBytes]] total). */
+  private[graft] val CutDelta = 16L * FrameBytes
+
+  /** eq124 — scene-change detection over the eq83 frame stream: per-frame
+    * "luma" (unsigned-byte sum, the native [[
+    * graft.functions.BinaryExpressions.FrameByteSums]] single scan), then
+    * a lag window PARTITIONED BY doc_id marks transitions whose delta
+    * exceeds [[CutDelta]] — the keyframe-selection step of a video
+    * curation pipeline (sample MORE frames around cuts, fewer inside
+    * static scenes), with the decode stub exactly where eq83 documents
+    * it. Per-payload work is linear in payload bytes; the window never
+    * crosses payloads, so there is no global sort — the same posture as
+    * eq83/eq50. All-integer output, hash-exact. */
+  def sceneChanges(spark: SparkSession, dir: String): DataFrame =
+    sceneChangesDf(Tables.load(spark, dir, "documents"))
+
+  def sceneChangesDf(docs: DataFrame): DataFrame = {
+    val framed = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .withColumn("sums",
+        graft.functions.BinaryExpressions.frame_byte_sums(col("p"), FrameBytes))
+      .filter(size(col("sums")) >= 2) // at least one transition
+      .select(col("doc_id"), size(col("sums")).cast("long").as("n_frames"),
+        posexplode(col("sums")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "luma")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    framed
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("delta", abs(col("luma") - col("prev")))
+      .groupBy("doc_id")
+      .agg(first(col("n_frames")).as("n_frames"),
+        sum(when(col("delta") > CutDelta, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("delta")).as("max_delta"))
+      .orderBy("doc_id")
+  }
 }

@@ -1516,6 +1516,25 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc(1L).map(_.getString(3)).distinct.length == 1)
   }
 
+  test("scene changes: hand-computed cut thresholds; single-frame payloads excluded") {
+    // frames are 64 bytes; 'a'=97 -> frame sum 6208. Doc 1: a|b frames,
+    // delta (98-97)*64 = 64 <= 1024 -> no cut. Doc 2: a|z frames, delta
+    // (122-97)*64 = 1600 > 1024 -> one cut. Doc 3: a|z|z -> one cut then
+    // delta 0. Doc 4: 1 frame -> excluded (no transition).
+    val docs = docsDf(Seq(
+      (1L, "a" * 64 + "b" * 64, "en", "s", 128L),
+      (2L, "a" * 64 + "z" * 64, "en", "s", 128L),
+      (3L, "a" * 64 + "z" * 128, "en", "s", 192L),
+      (4L, "a" * 64, "en", "s", 64L)))
+    val r = graft.pipeline.Multimodal.sceneChangesDf(docs).collect()
+      .map(row => row.getLong(0) -> ((row.getAs[Long]("n_frames"),
+        row.getAs[Long]("n_cuts"), row.getAs[Long]("max_delta")))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((2L, 0L, 64L)))
+    assert(r(2L) == ((2L, 1L, 1600L)))
+    assert(r(3L) == ((3L, 1L, 1600L)))
+  }
+
   test("cluster reps: quality argmax wins, equal quality falls back to min doc_id") {
     val docs = docsDf(Seq(
       (0L, "the quick brown fox jumps over dogs", "en", "s", 35L),
