@@ -1199,6 +1199,27 @@ object Oracles {
     // integer microsecond gaps, seconds rendered at 6 dp. DuckDB orders by
     // nano-precision ts where Spark sees micros, but ties after truncation
     // produce identical gap multisets either way.
+    // eq125: burstiness (Fano factor) per event type — per-minute counts
+    // over the observed span; fano in exact BIGINT ppm (numerator
+    // non-negative by Cauchy–Schwarz, so // and Spark's div agree), one
+    // double division at the end (the eq53 rounding discipline).
+    "eq125_burstiness" ->
+      """WITH m AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 60000000 AS minute
+        |  FROM events),
+        |p AS (SELECT event_type, minute, COUNT(*) AS x FROM m GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |         CAST(MAX(minute) - MIN(minute) + 1 AS BIGINT) AS span_minutes,
+        |         CAST(SUM(x) AS BIGINT) AS n_events,
+        |         CAST(SUM(x * x) AS BIGINT) AS sx2
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, span_minutes, n_events,
+        |       ROUND(CAST((n_events * 1000000) // span_minutes AS DOUBLE) / 1000000.0::DOUBLE, 6) AS mean_per_min,
+        |       ROUND(CAST(((span_minutes * sx2 - n_events * n_events) * 1000000)
+        |                  // (span_minutes * n_events) AS DOUBLE) / 1000000.0::DOUBLE, 6) AS fano
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "eq53_interevent_gaps" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -118,6 +118,40 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** eq125 — burstiness audit (index of dispersion): per event type, the
+    * Fano factor of per-minute arrival counts over the type's observed
+    * minute span — var/mean ≈ 1 for Poisson-like traffic, ≫ 1 for bursty
+    * (flash crowds, retry storms), ≈ 0 for metronomic (bots, schedulers).
+    * The number that sizes streaming micro-batch capacity and flags
+    * synthetic traffic. Zero minutes inside the span count via the span
+    * term (Σx² over observed minutes only — zeros contribute nothing);
+    * fano = (span·Σx² − S²) / (span·S), non-negative by Cauchy–Schwarz,
+    * computed in exact BIGINT ppm then one double division (the eq53
+    * rounding discipline; at extreme corpus scale the products move to
+    * decimal(38,0) — the eq120 pattern). Two shuffles: (type, minute)
+    * pre-agg collapses map-side, then 5 type rows. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessDf(Tables.load(spark, dir, "events"))
+
+  def burstinessDf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy("event_type", "minute")
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(
+        (max(col("minute")) - min(col("minute")) + lit(1L)).as("span_minutes"),
+        sum(col("x")).as("n_events"),
+        sum(col("x") * col("x")).as("sx2"))
+      .withColumn("mean_per_min",
+        round(expr("(n_events * 1000000L) div span_minutes").cast("double") / 1000000.0, 6))
+      .withColumn("fano",
+        round(expr("((span_minutes * sx2 - n_events * n_events) * 1000000L)" +
+          " div (span_minutes * n_events)").cast("double") / 1000000.0, 6))
+      .select(col("event_type"), col("span_minutes"), col("n_events"),
+        col("mean_per_min"), col("fano"))
+      .orderBy("event_type")
+
   /** eq53 — per-user inter-event gap statistics: the lag-window "think
     * time" features behind session quality scoring and bot detection.
     * Gaps are exact integer microseconds (`unix_micros` differences), so

@@ -1262,6 +1262,27 @@ class PipelineSpec extends SparkSpec {
     assert(out(9L) == ((1L, 0.0, 0.0, 0.0)), "equal timestamps contribute a 0 gap")
   }
 
+  test("burstiness: hand-computed Fano; concentrated traffic disperses, single minute is 0") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // view: minutes {0: 3 events, 2: 1 event} -> span 3, S 4, Σx² 10
+    //   fano = (3·10 − 16)/(3·4) = 14/12 -> ppm 1166666 -> 1.166666
+    //   mean = 4/3 -> ppm 1333333 -> 1.333333
+    // purchase: 2 events in one minute -> span 1, fano (1·4 − 4)/(1·2) = 0
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:20"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:40"), 3L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:02:10"), 1L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      (6L, ts("2024-01-01 11:00:30"), 2L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.burstinessDf(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("view") == ((3L, 4L, 1.333333, 1.166666)))
+    assert(out("purchase") == ((1L, 2L, 2.0, 0.0)))
+  }
+
   test("retention cohorts: hand-computed triangle on a two-cohort fixture") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // weeks: 2024-01-01 (Mon) and 2024-01-08. u1 active both weeks,
