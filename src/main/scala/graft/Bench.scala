@@ -40,6 +40,11 @@ object Bench {
     // one materialization instead of re-running the fact⋈dim join per query.
     // (Representative: a production deployment materializes this view; the
     // oracle-checked Verify path stays cache-free.)
+    // The one-time materialization cost below (pdv view + Jaccard pair
+    // table) is excluded from every per-query figure by design — it is the
+    // production materialize-once shape — but must stay auditable, so it is
+    // timed and emitted as "setup_sec" in the JSON (ADVICE r8).
+    val setupT0 = System.nanoTime()
     val pdv = Tables.pdv(spark, sfDir).cache()
     pdv.count()
 
@@ -52,6 +57,7 @@ object Bench {
     // (The oracle-checked Verify path stays cache-free.)
     val pairs = graft.pipeline.Dedup.jaccardPairs(spark, sfDir).cache()
     pairs.count()
+    val setupSec = (System.nanoTime() - setupT0) / 1e9
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
@@ -80,7 +86,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the full per-query map to a file: the driver's stdout
     // capture has truncated the JSON line to a tail before (ADVICE r7),

@@ -48,61 +48,86 @@ object Tables {
 
   private val tsUnitCache = new scala.collection.concurrent.TrieMap[String, TsUnit]
 
-  /** Sniff the parquet logical-type unit of `column` from ONE footer under
-    * `path` (file or directory). Footer reads are metadata-only. Fails loudly
-    * on anything other than an INT64 TIMESTAMP(NANOS|MICROS|MILLIS): a
-    * fixture-schema drift the engine cannot interpret must stop the run, not
-    * corrupt every downstream timestamp (VERDICT r7 — 27 queries lost to a
-    * silent unit flip). A bare INT64 with no annotation is disambiguated by
-    * magnitude: epoch-nanos for 2024 ≈ 1.7e18, micros ≈ 1.7e15, millis ≈
-    * 1.7e12 — three decades apart, unambiguous for any date 1973–5138. */
+  /** Sniff the parquet logical-type unit of `column` from the footer(s)
+    * under `path` (file or directory — for a directory EVERY part file is
+    * sniffed and must agree, so mixed-unit drift across part files fails
+    * loudly instead of decoding half the rows with the wrong unit). Footer
+    * reads are metadata-only. Fails loudly on anything other than an INT64
+    * TIMESTAMP(NANOS|MICROS|MILLIS): a fixture-schema drift the engine
+    * cannot interpret must stop the run, not corrupt every downstream
+    * timestamp (VERDICT r7 — 27 queries lost to a silent unit flip). A bare
+    * INT64 with no annotation is disambiguated by magnitude: epoch-nanos
+    * for 2024 ≈ 1.7e18, micros ≈ 1.7e15, millis ≈ 1.7e12 — three decades
+    * apart, unambiguous for any date 1973–5138. */
   def tsUnit(spark: SparkSession, path: String, column: String = "ts"): TsUnit =
     tsUnitCache.getOrElseUpdate(s"$path#$column", {
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
-      val file =
+      val files =
         if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).collectFirst {
+          fs.listStatus(p).toSeq.collect {
             case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
-          }.getOrElse(throw new IllegalStateException(s"no parquet files under $path"))
-        else p
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        require(schema.containsField(column),
-          s"fixture drift: $file has no '$column' column (schema: $schema)")
-        val field = schema.getType(Seq(column): _*)
-        require(field.isPrimitive &&
-          field.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT64,
-          s"fixture drift: $file '$column' is ${field}, expected INT64 timestamp " +
-            "(INT96/string/date encodings are not supported by this loader)")
-        field.asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.NANOS  => TsNanos
-              case LogicalTypeAnnotation.TimeUnit.MICROS => TsMicros
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => TsMillis
-            }
-          case null =>
-            // unannotated INT64: fall back to magnitude (see scaladoc)
-            val max = reader.getFooter.getBlocks.get(0).getColumns.asScala
-              .find(_.getPath.toDotString == column)
-              .map(_.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue)
-              .getOrElse(throw new IllegalStateException(
-                s"fixture drift: $file '$column' has no stats to infer epoch unit from"))
-            if (math.abs(max) >= 100000000000000000L) TsNanos
-            else if (math.abs(max) >= 100000000000000L) TsMicros
-            else TsMillis
-          case other =>
-            throw new IllegalStateException(
-              s"fixture drift: $file '$column' annotated $other, expected TIMESTAMP")
-        }
-      } finally reader.close()
+          }
+        else Seq(p)
+      require(files.nonEmpty, s"no parquet files under $path")
+      val units = files.map(f => f -> tsUnitOfFile(conf, f, column))
+      val distinct = units.map(_._2).distinct
+      if (distinct.length > 1)
+        throw new IllegalStateException(
+          s"fixture drift: part files under $path disagree on '$column' epoch unit: " +
+            units.map { case (f, u) => s"${f.getName}=$u" }.mkString(", "))
+      distinct.head
     })
+
+  /** One footer's verdict for [[tsUnit]]. Every unexpected shape — a
+    * zero-row-group file, absent column statistics, a non-INT64 physical
+    * type, a non-TIMESTAMP annotation — throws the explicit 'fixture drift'
+    * message rather than an opaque NPE/IOOBE (ADVICE r8). */
+  private def tsUnitOfFile(conf: org.apache.hadoop.conf.Configuration,
+                           file: org.apache.hadoop.fs.Path,
+                           column: String): TsUnit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      require(schema.containsField(column),
+        s"fixture drift: $file has no '$column' column (schema: $schema)")
+      val field = schema.getType(Seq(column): _*)
+      require(field.isPrimitive &&
+        field.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT64,
+        s"fixture drift: $file '$column' is ${field}, expected INT64 timestamp " +
+          "(INT96/string/date encodings are not supported by this loader)")
+      field.asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.NANOS  => TsNanos
+            case LogicalTypeAnnotation.TimeUnit.MICROS => TsMicros
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => TsMillis
+          }
+        case null =>
+          // unannotated INT64: fall back to magnitude (see scaladoc)
+          val blocks = reader.getFooter.getBlocks
+          val max = blocks.asScala.iterator
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == column)
+            .flatMap(c => Option(c.getStatistics).flatMap(s => Option(s.genericGetMax)))
+            .map(_.asInstanceOf[java.lang.Long].longValue)
+            .reduceOption((a: Long, b: Long) => math.max(a, b))
+            .getOrElse(throw new IllegalStateException(
+              s"fixture drift: $file '$column' has no row-group statistics " +
+                s"to infer epoch unit from (${blocks.size} row groups)"))
+          if (math.abs(max) >= 100000000000000000L) TsNanos
+          else if (math.abs(max) >= 100000000000000L) TsMicros
+          else TsMillis
+        case other =>
+          throw new IllegalStateException(
+            s"fixture drift: $file '$column' annotated $other, expected TIMESTAMP")
+      }
+    } finally reader.close()
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
