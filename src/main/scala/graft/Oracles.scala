@@ -242,6 +242,50 @@ object Oracles {
       |    ELSE []::VARCHAR[] END AS sh
       |  FROM toks)""".stripMargin
 
+  /** eq126: the iterative BPE trainer, unrolled — DuckDB recursive CTEs
+    * cannot aggregate over the working table, so each merge round is a CTE
+    * trio: `pN` pair counts (vocabulary-weighted), `bN` the argmax pair
+    * (cnt DESC, pair ASC tie-break — the engine's determinism rule), `vN`
+    * the vocab with that pair merged. Symbols are carried in the engine's
+    * enclosed representation (every symbol wrapped in chr(31)), so merging
+    * is the same literal `replace` of `␟l␟␟r␟` with `␟lr␟` and DuckDB's
+    * scan-after-match `replace` reproduces BPE's left-to-right
+    * non-overlapping merge exactly. */
+  private def bpeTrainSql(merges: Int): String = {
+    val sep = "chr(31)"
+    val rounds = (1 to merges).map { r =>
+      val prev = s"v${r - 1}"
+      val head =
+        s"""p$r AS (
+           |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+           |    SELECT wc, unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS pair
+           |    FROM (SELECT wc, list_filter(str_split(s, $sep), x -> x <> '') AS sy FROM $prev))
+           |  GROUP BY 1),
+           |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      val rewrite =
+        if (r == merges) ""
+        else
+          s""",
+             |v$r AS (
+             |  SELECT replace(v.s,
+             |           $sep || split_part(b.pair, ' ', 1) || $sep || $sep || split_part(b.pair, ' ', 2) || $sep,
+             |           $sep || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || $sep) AS s,
+             |         v.wc
+             |  FROM $prev v, b$r b)""".stripMargin
+      head + rewrite
+    }.mkString(",\n")
+    val out = (1 to merges)
+      .map(r => s"SELECT $r AS merge_rank, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $toksCte,\n" +
+      s"""v0 AS (
+         |  SELECT regexp_replace(tok, '(.)', $sep || '\\1' || $sep, 'g') AS s,
+         |         COUNT(*) AS wc
+         |  FROM (SELECT unnest(t) AS tok FROM toks)
+         |  WHERE length(tok) >= 2 GROUP BY 1),
+         |""".stripMargin + rounds + "\n" + out + "\nORDER BY merge_rank"
+  }
+
   /** eq4 / x3 / x5 reconstructions as standalone SELECTs — map entries AND
     * subqueries of x12's recall evaluation, one copy each so the eval can
     * never drift from the queries it grades. */
@@ -1520,6 +1564,14 @@ object Oracles {
         |      WHERE length(tok) >= 2)
         |SELECT pair, COUNT(*) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin),
+
+    // eq126: iterative BPE trainer — the N-round merge loop unrolled (one
+    // CTE trio per round: pair counts, argmax with pair tie-break,
+    // rewritten vocab). Same enclosed-symbol string representation and
+    // literal-replace merge as the engine, so left-to-right non-overlap
+    // semantics agree; SUM is cast back to BIGINT (DuckDB sums to
+    // HUGEINT, which pandas would render differently).
+    "eq126_bpe_train" -> bpeTrainSql(graft.pipeline.TextAnalysis.BpeTrainMerges),
 
     // eq113: Spearman rank correlation (row_number ranks, doc_id
     // tie-break) between n_chars and punctuation count, per language.

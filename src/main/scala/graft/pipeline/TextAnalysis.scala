@@ -732,6 +732,85 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(30)
 
+  /** eq126 — iterative BPE trainer (the loop eq112 only takes the first
+    * step of): run N merge rounds of byte-pair-encoding tokenizer training
+    * and emit the learned merge table (merge_rank, pair, cnt) — the actual
+    * artifact a BPE trainer produces. Faithful to the published algorithm
+    * (Sennrich et al. 2016): training iterates over the WORD VOCABULARY
+    * weighted by occurrence count (one groupBy over the corpus up front,
+    * then every round touches only |vocab| rows — at 100 TB the corpus is
+    * scanned once and the loop runs over a frame bounded by vocabulary
+    * size, not corpus size), each round picks the globally heaviest
+    * adjacent symbol pair (ties broken on the pair string, so the merge
+    * sequence is deterministic and hash-checkable) and rewrites every
+    * word's symbol sequence left-to-right non-overlapping before
+    * re-counting — real re-tokenization between rounds, the same
+    * bounded-iteration + per-round `localCheckpoint` discipline as eq89's
+    * Lloyd loop.
+    *
+    * Symbol sequences are carried as a single string with every symbol
+    * enclosed in U+001F separators (`␟a␟␟b␟…` — tokens are
+    * whitespace-split so the separator cannot occur in a symbol): merging
+    * pair (l,r) is then the literal `replace` of `␟l␟␟r␟` with `␟lr␟`,
+    * whose scan-after-match semantics are exactly BPE's left-to-right
+    * non-overlapping merge ("a a a" + (a,a) → "aa a") and identical in
+    * Spark and DuckDB, keeping the whole round codegen'd string/array work
+    * with no UDF. Each round's argmax is a 1-row checkpointed frame
+    * attached back by broadcast cross join (scalar attachment, not a
+    * cartesian); the merge table is the union of the N 1-row frames. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainDf(Tables.load(spark, dir, "documents"), BpeTrainMerges)
+
+  private[graft] val BpeTrainMerges = 6
+  private val BpeSep = ""
+
+  /** Adjacent symbol pairs of an enclosed symbol string, as "l r" strings.
+    * Guarded: a fully-merged single-symbol word yields an empty array
+    * (Spark's `sequence(1, 0)` would otherwise DESCEND, not return empty). */
+  private def bpeAdjacentPairs(s: Column): Column = {
+    val sy = filter(split(s, BpeSep), x => x =!= lit(""))
+    when(size(sy) >= 2,
+      transform(sequence(lit(1), size(sy) - 1),
+        i => concat_ws(" ", element_at(sy, i), element_at(sy, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def bpeTrainDf(docs: DataFrame, merges: Int): DataFrame = {
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("tok"), "(.)", BpeSep + "$1" + BpeSep).as("s"),
+        col("wc"))
+      .localCheckpoint()
+    val chosen = Seq.newBuilder[DataFrame]
+    for (r <- 1 to merges) {
+      // the round's argmax pair — 1 row, checkpointed so the output row and
+      // the merge application both read the one evaluation
+      val best = vocab
+        .select(col("wc"), explode(bpeAdjacentPairs(col("s"))).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .localCheckpoint()
+      chosen += best.select(lit(r).as("merge_rank"), col("pair"), col("cnt"))
+      if (r < merges) {
+        val sides = broadcast(best.select(
+          split(col("pair"), " ").getItem(0).as("lsym"),
+          split(col("pair"), " ").getItem(1).as("rsym")))
+        vocab = vocab.crossJoin(sides)
+          .select(
+            replace(col("s"),
+              concat(lit(BpeSep), col("lsym"), lit(BpeSep),
+                lit(BpeSep), col("rsym"), lit(BpeSep)),
+              concat(lit(BpeSep), col("lsym"), col("rsym"), lit(BpeSep))).as("s"),
+            col("wc"))
+          .localCheckpoint()
+      }
+    }
+    chosen.result().reduce(_ union _).orderBy("merge_rank")
+  }
+
   /** eq113 — Spearman rank correlation between two per-document quality
     * signals (length in chars vs punctuation density), per language: the
     * standard "do my quality metrics agree?" audit before gating a corpus

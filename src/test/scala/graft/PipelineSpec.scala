@@ -25,6 +25,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Map("s1" -> 1, "s2" -> 1)) // doc 1 (s2) beats doc 5 (s1)
   }
 
+  test("bpe trainer: hand-computed 3-merge fixture") {
+    // vocab: abab wc=3, cd wc=3. Round 1: "a b" 2·3=6 beats "b a" 3 and
+    // "c d" 3 → abab becomes [ab,ab]. Round 2: "ab ab" 3 ties "c d" 3,
+    // pair-string tie-break picks "ab ab" → abab fully merged. Round 3:
+    // only "c d" 3 remains.
+    val docs = docsDf(Seq(
+      (0L, "abab abab cd", "en", "s", 12L),
+      (1L, "abab cd cd", "en", "s", 10L)))
+    val out = TextAnalysis.bpeTrainDf(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "a b", 6L), (2, "ab ab", 3L), (3, "c d", 3L)))
+  }
+
+  test("bpe trainer: left-to-right non-overlapping merge and pair exhaustion") {
+    // "aaa" symbols [a,a,a]: round 1 merges (a,a) left-to-right
+    // NON-overlapping → [aa,a] (not [aa,aa]); round 2 merges (aa,a);
+    // round 3 finds no pairs left and emits no row.
+    val docs = docsDf(Seq((0L, "aaa aaa", "en", "s", 7L)))
+    val out = TextAnalysis.bpeTrainDf(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "a a", 4L), (2, "aa a", 2L)))
+  }
+
   test("bm25: a query doc retrieves itself first; irrelevant docs score below relevant") {
     // doc 0 is the query (doc_id < 5); doc 7 shares most of its terms,
     // doc 8 shares one common term, doc 9 shares nothing
