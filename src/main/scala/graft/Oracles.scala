@@ -3171,6 +3171,35 @@ object Oracles {
         |FROM sh JOIN df USING (sg)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
+    // eq127: maximal duplicated span lengths — eq92's duplicated 8-gram
+    // starts chained into maximal runs via the islands trick
+    // (pos − row_number per doc); a run of m consecutive duplicated
+    // starts is a maximal duplicated span of m+7 tokens. pos is 0-based
+    // to match Spark's posexplode; SUM cast pins BIGINT.
+    "eq127_max_dup_spans" ->
+      """WITH tt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS sg
+        |  FROM tt, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |df AS (
+        |  SELECT sg, COUNT(*) AS ndocs FROM (SELECT DISTINCT doc_id, sg FROM sh)
+        |  GROUP BY sg),
+        |dup AS (
+        |  SELECT sh.doc_id, sh.pos FROM sh JOIN df USING (sg) WHERE df.ndocs > 1),
+        |isl AS (
+        |  SELECT doc_id,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup),
+        |sp AS (
+        |  SELECT doc_id, grp, COUNT(*) + 7 AS span_tokens FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_max_spans,
+        |       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+        |       CAST(SUM(span_tokens) AS BIGINT) AS total_span_tokens
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // eq93: per-source percent_rank normalization of the eq8 quality
     // score — rank order (quality NULLS FIRST, doc_id) is tie-free, so
     // the rank ratio is identical in both engines.

@@ -563,6 +563,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** eq127 — maximal duplicated span lengths: the suffix-granular view of
+    * exact-substring dedup (Lee et al. 2022 build a corpus suffix array and
+    * strip substrings of ≥ L tokens that occur twice; the distributed
+    * re-expression is the CHUNKED SUFFIX KEY: every suffix truncated to
+    * L=8 tokens becomes a shuffle key — exactly the 8-gram — and maximal
+    * duplicated spans are recovered by CHAINING consecutive duplicated
+    * window starts). Where eq92 reports the doc-level duplicated-window
+    * fraction, this reports the spans themselves: per document, each
+    * maximal run of m consecutive duplicated 8-gram start positions is a
+    * maximal duplicated span of m+7 tokens (every 8-token window of it
+    * occurs elsewhere), and the output is the per-doc span count, longest
+    * span, and summed span length — the shape a dedup pass consumes to
+    * decide strip-vs-drop. Invariant vs eq92 (pinned by test):
+    * `total_span_tokens − 7·n_max_spans = eq92.n_dup`.
+    *
+    * Scale shape: one posexplode to 8-gram instances, the same Σ-df probe
+    * join as eq92 (never df²), then the islands trick (pos − row_number)
+    * inside a per-document window — partition key doc_id, frame bounded by
+    * document length, no global sort but the presentation orderBy. Docs
+    * with no duplicated window emit no row. */
+  def maxDupSpans(spark: SparkSession, dir: String): DataFrame =
+    maxDupSpansDf(Tables.load(spark, dir, "documents"))
+
+  def maxDupSpansDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleExpressions.shingles(col("text"), 8)))
+      .select(col("doc_id"), col("pos"), col("col").as("sg"))
+      .localCheckpoint() // df roll-up and probe both consume the instances
+    val docFreq = sh.select("doc_id", "sg").distinct()
+      .groupBy("sg").agg(count(lit(1)).as("ndocs"))
+    val dup = sh.join(docFreq, Seq("sg"))
+      .filter(col("ndocs") > 1)
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy("doc_id", "grp")
+      .agg((count(lit(1)) + lit(7)).as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_max_spans"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        sum(col("span_tokens")).as("total_span_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** eq93 — per-source quantile normalization of the eq8 quality score:
     * `percent_rank` within each source, so a single global threshold
     * keeps the same FRACTION of every source regardless of how its raw

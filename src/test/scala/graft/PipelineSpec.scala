@@ -25,6 +25,32 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Map("s1" -> 1, "s2" -> 1)) // doc 1 (s2) beats doc 5 (s1)
   }
 
+  test("eq127 maximal dup spans: planted fixture values + eq92 agreement") {
+    // docs 0/1 share a 9-token run (one maximal span of 9: dup window
+    // starts chain 2 long); docs 2/3 share two separate 8-token runs
+    // (two islands of one window each); doc 4 is unique (no row).
+    val c9 = (1 to 9).map(i => s"c$i").mkString(" ")
+    val d8 = (1 to 8).map(i => s"d$i").mkString(" ")
+    val e8 = (1 to 8).map(i => s"e$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (0L, s"a0 a1 $c9 a2", "en", "s", 0L),
+      (1L, s"$c9 b0 b1 b2", "en", "s", 0L),
+      (2L, s"$d8 m0 $e8", "en", "s", 0L),
+      (3L, s"$e8 n0 n1 $d8", "en", "s", 0L),
+      (4L, (1 to 9).map(i => s"u$i").mkString(" "), "en", "s", 0L)))
+    val spans = TextAnalysis.maxDupSpansDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (0L, 1L, 9L, 9L), (1L, 1L, 9L, 9L),
+      (2L, 2L, 8L, 16L), (3L, 2L, 8L, 16L)))
+    // agreement with eq92: same doc set, and each doc's duplicated-window
+    // count decomposes as total_span_tokens − 7·n_max_spans = n_dup
+    val dup92 = TextAnalysis.dupSpansDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup92.filter(_._2 > 0).keySet == spans.map(_._1).toSet)
+    spans.foreach { case (id, n, _, total) => assert(total - 7 * n == dup92(id)) }
+  }
+
   test("bpe trainer: hand-computed 3-merge fixture") {
     // vocab: abab wc=3, cd wc=3. Round 1: "a b" 2·3=6 beats "b a" 3 and
     // "c d" 3 → abab becomes [ab,ab]. Round 2: "ab ab" 3 ties "c d" 3,
