@@ -2,7 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** The §2.9 canonicalization rules (SURVEY.md) as a shared prod/test util:
   * rows sorted by all columns ascending (NULLS FIRST), fields rendered as
@@ -35,4 +35,20 @@ object Canonical {
       .map("%02x".format(_)).mkString
 
   def hash(df: DataFrame): String = sha256(serialize(df))
+
+  /** Presentation-sort elision (VERDICT r8 task 7). Most declared queries
+    * end in an `orderBy` that exists ONLY so the driver's hash compare and
+    * the golden hashes see a canonical row order — at 100 TB those global
+    * sorts (an extra rangepartitioning exchange + full sort of the output)
+    * would be dropped or replaced by write-time bucketing. Queries whose
+    * output is corpus-sized route their terminal sort through
+    * [[presentationOrder]]; flipping this flag off yields the production
+    * plan (no range exchange), and EngineSurfaceSpec pins exactly that.
+    * Default ON: the oracle/golden contract requires canonical order.
+    * Top-k queries do NOT use this — their `orderBy+limit` is semantics,
+    * not presentation. */
+  @volatile var presentationSorts: Boolean = true
+
+  def presentationOrder(df: DataFrame, first: Column, rest: Column*): DataFrame =
+    if (presentationSorts) df.orderBy((first +: rest): _*) else df
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, EventOps, Similarity}
+
+/** Adversarial-skew rehearsal bench (VERDICT r8 task 2) — the wall-clock
+  * twin of SkewSpec. Three hostile fixtures, generated deterministically
+  * in-memory:
+  *
+  *   1. hot shingle  — one 3-token boilerplate phrase in 50% of 20k docs:
+  *      the plain inverted Jaccard join pays Σ C(df,2) ≈ 50M candidate
+  *      verifications; the PPJoin prefix path's candidate set is EMPTY
+  *      (the hot shingle never enters a prefix). The blowup is visible in
+  *      wall-clock (~4-5× locally) AND in the candidate counts.
+  *   2. hot user     — one user owns 30% of 8M events, dim-too-big regime
+  *      (broadcast disabled): the unsalted probe-side join funnels 2.4M
+  *      rows through ONE reducer; the x25 salted join caps every reducer
+  *      at ~300k. On local[32] the shared core pool absorbs the straggler
+  *      (all cores drain one box's work either way), so wall-clock parity
+  *      here is EXPECTED — the scale-relevant measurement is per-reducer
+  *      input, which is what becomes stage wall-clock on a real cluster;
+  *      SkewSpec's plan assert covers the AQE-rescue of the unsalted
+  *      shape.
+  *   3. giant cluster — 60% of 16k embeddings share one (mislabeled)
+  *      cluster label: SemDeDup's within-cluster pair mass is ~48.6M; the
+  *      SRP sub-sharding guard collapses it ~18× (wall-clock ~3×) and
+  *      keeps the planted true duplicates.
+  *
+  * Methodology: one un-timed warm-up, then three timed passes per
+  * measurement, median reported (the Bench discipline). Prints ONE JSON
+  * line and writes it to SKEWBENCH.json (committed as the round artifact).
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def median3(f: => Unit): Double = {
+      f // warm-up
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+
+    // ---- 1. hot shingle in 50% of 20k docs ---------------------------
+    val docs = spark.range(20000).select(
+        col("id").as("doc_id"),
+        concat(
+          concat_ws(" ", (0 until 12).map(t =>
+            concat(lit("u"), col("id"), lit(s"t$t"))): _*),
+          when(col("id") % 2 === 0, lit(" spam spam spam")).otherwise(lit(""))).as("text"),
+        lit("en").as("lang"), lit("s").as("source"), lit(0L).as("n_chars"))
+      .localCheckpoint()
+    // materializes the shared shingle-set checkpoint too, so the timed
+    // paths below compare the JOIN strategies, not the shingling
+    val plainCands = Dedup.plainCandidateCount(docs)
+    val prefixCands = Dedup.prefixCandidatesDf(docs).count()
+    val plainSec = median3(Dedup.jaccardPairsPlainDf(docs).count())
+    val prefixSec = median3(Dedup.jaccardPairsPrefixDf(docs).count())
+
+    // ---- 2. one user owning 30% of 8M events -------------------------
+    val events = spark.range(8000000).select(
+        col("id").as("event_id"),
+        when(col("id") % 10 < 3, 0L).otherwise(col("id") % 997 + 1).as("user_id"),
+        concat(lit("t"), col("id") % 5, lit("x" * 60)).as("event_type"),
+        (col("id") % 1000).cast("double").divide(100.0).as("value"))
+      .localCheckpoint()
+    def unsaltedJoinTotals(): Unit = {
+      // the x25 join WITHOUT the salt — dim built inline exactly as the
+      // salted path builds its own, so the timings compare join layouts
+      val dim = events.groupBy("user_id").agg(
+        count(lit(1)).as("hist_events"),
+        sum(round(col("value") * 100).cast("long")).as("hist_value_cents"))
+      events.select(col("event_id"), col("user_id"), col("event_type"))
+        .join(dim, Seq("user_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("hist_events")).as("partner_events"),
+          sum(col("hist_value_cents")).as("partner_value_cents"))
+        .collect()
+    }
+    // the x25 contract: salting targets the dim-TOO-BIG, key-skewed
+    // regime — at broadcast-able dim sizes Spark broadcasts and the skew
+    // never materializes. Disable broadcast so both paths run the shuffled
+    // join that regime forces, making the reducer skew real.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val unsaltedSec = median3(unsaltedJoinTotals())
+    val saltedSec = median3(EventOps.saltedJoinTotalsDf(events).collect())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    val hotRows = events.filter(col("user_id") === 0L).count()
+    val maxSaltedGroup = events
+      .withColumn("salt", pmod(hash(col("event_id")), lit(8)))
+      .groupBy("user_id", "salt").count()
+      .agg(max("count")).head().getLong(0)
+
+    // ---- 3. giant mislabeled cluster over 16k embeddings --------------
+    def comp(seed: Int, d: Int): Float =
+      (scala.util.hashing.MurmurHash3.productHash((seed, d)) % 1000) / 1000.0f
+    val emb = (0L until 16000L).map { id =>
+      val v =
+        if (id < 40) { // twenty planted near-identical twin pairs
+          val a = (0 until 64).map(d => comp(100000 + (id / 2).toInt, d)).toArray
+          if (id % 2 == 1) a(0) += 0.01f
+          a
+        } else (0 until 64).map(d => comp(id.toInt, d)).toArray
+      val label = if (id < 9600) 0 else (id % 8 + 1).toInt
+      (id, v, label)
+    }.toDF("vec_id", "embedding", "label").localCheckpoint()
+    val clusterPairMass = emb.groupBy("label").count()
+      .agg(expr("sum(count * (count - 1) div 2)")).head().getLong(0)
+    val shardedPairMass = Similarity.shardedGroupsDf(emb, cap = 1000)
+      .groupBy("label", "shard").count()
+      .agg(expr("sum(count * (count - 1) div 2)")).head().getLong(0)
+    val plainSemSec = median3(Similarity.semanticDedupDf(emb).collect())
+    val shardedSemSec = median3(Similarity.semanticDedupShardedDf(emb, cap = 1000).collect())
+    val plainDups = Similarity.semanticDedupDf(emb)
+      .agg(sum("n_dup_pairs")).head().getLong(0)
+    val shardedDups = Similarity.semanticDedupShardedDf(emb, cap = 1000)
+      .agg(sum("n_dup_pairs")).head().getLong(0)
+    // recall on the planted twins: a twin pair survives sub-sharding iff
+    // both members draw the same SRP shard
+    val shardAssign = Similarity.shardedGroupsDf(emb, cap = 1000)
+      .select(col("vec_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twinsKept = (0L until 40L by 2)
+      .count(i => shardAssign(i) == shardAssign(i + 1))
+
+    val json =
+      s"""{"metric":"skewbench","unit":"sec","cpus":$cpus,""" +
+        s""""hot_shingle":{"docs":20000,"hot_df":10000,""" +
+        s""""plain_candidates":$plainCands,"prefix_candidates":$prefixCands,""" +
+        s""""plain_sec":$plainSec,"prefix_sec":$prefixSec},""" +
+        s""""hot_user":{"events":8000000,"hot_user_rows":$hotRows,""" +
+        s""""max_salted_group_rows":$maxSaltedGroup,""" +
+        s""""unsalted_sec":$unsaltedSec,"salted_sec":$saltedSec},""" +
+        s""""giant_cluster":{"vectors":16000,"giant_members":9600,""" +
+        s""""cluster_pair_mass":$clusterPairMass,"sharded_pair_mass":$shardedPairMass,""" +
+        s""""plain_dup_pairs":$plainDups,"sharded_dup_pairs":$shardedDups,""" +
+        s""""planted_twins":20,"planted_twins_kept":$twinsKept,""" +
+        s""""plain_sec":$plainSemSec,"sharded_sec":$shardedSemSec}}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEWBENCH_OUT", "SKEWBENCH.json")),
+      json.getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[skewbench] file sink failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

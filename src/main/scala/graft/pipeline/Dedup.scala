@@ -224,22 +224,8 @@ object Dedup {
     * plain variant by test. */
   def jaccardPairsPrefixDf(docs: DataFrame): DataFrame = {
     val t = JaccardThreshold
-    // freq, prefix and both verify-join sides all consume the one memoized
-    // shingle-set checkpoint (up to five shingling passes otherwise)
     val sets = shingleSets(docs)
-    val ex = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
-    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sg").asc)
-    val prefix = ex.join(freq, Seq("sg"))
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
-      .select(col("doc_id"), col("sg"))
-      .localCheckpoint() // self-joined below
-    val cands = prefix.as("a").join(prefix.as("b"), Seq("sg"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cands
+    prefixCandidatesDf(docs)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -249,6 +235,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The prefix path's CANDIDATE pairs (before exact verification) —
+    * factored out so the skew rehearsal (SkewSpec / [[graft.SkewBench]])
+    * can pin the candidate cardinality on hostile fixtures. freq, prefix
+    * and the verify-join in [[jaccardPairsPrefixDf]] all consume the one
+    * memoized shingle-set checkpoint. */
+  private[graft] def prefixCandidatesDf(docs: DataFrame): DataFrame = {
+    val t = JaccardThreshold
+    val sets = shingleSets(docs)
+    val ex = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sg").asc)
+    val prefix = ex.join(freq, Seq("sg"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+      .select(col("doc_id"), col("sg"))
+      .localCheckpoint() // self-joined below
+    prefix.as("a").join(prefix.as("b"), Seq("sg"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The PLAIN inverted join's candidate-row cardinality Σ_sg C(df_sg, 2)
+    * — computed from the document-frequency table alone (no need to
+    * materialize the quadratic join itself), for the skew rehearsal's
+    * "what the naive path would have paid" figure. */
+  private[graft] def plainCandidateCount(docs: DataFrame): Long =
+    shingleSets(docs)
+      .select(explode(col("sh")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+      .agg(coalesce(expr("sum(df * (df - 1) div 2)"), lit(0L)).as("c"))
+      .head().getLong(0)
 
   /** eq49 — source-overlap provenance matrix: the eq12 near-dup pairs
     * rolled up to (source, source) cells — how many qualifying pairs link
@@ -651,7 +670,15 @@ object Dedup {
     if (firstRow.isEmpty) // empty table: no pairs (the pre-banding path degraded the same way)
       return e.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("sim"))
-    val dim = firstRow(0).getInt(0)
+    verifyPairs(e, srpCandidatesDf(e, firstRow(0).getInt(0)), threshold)
+  }
+
+  /** The SRP-LSH banded candidate pairs (before exact cosine verify) —
+    * factored out so the skew rehearsal can pin that banding follows TRUE
+    * similarity structure, not cluster assignment: a mislabeled giant
+    * cluster inflates within-cluster all-pairs quadratically while the
+    * banded candidate set stays bounded. */
+  private[graft] def srpCandidatesDf(e: DataFrame, dim: Int): DataFrame = {
     val hps = Similarity.hyperplanes(dim, NdBandBits * NdBands)
     // one native eval per row for all 16 signatures — the composable
     // 128×typedLit-dot form was dominated by plan/codegen constant cost
@@ -664,14 +691,13 @@ object Dedup {
     val probes = sigs.select(col("vec_id"), col("band"),
       explode(array(col("sig") +:
         (0 until NdBandBits).map(f => col("sig").bitwiseXOR(lit(1 << f))): _*)).as("probe"))
-    val cands = sigs.as("x")
+    sigs.as("x")
       .join(probes.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.probe") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
       .distinct()
-    verifyPairs(e, cands, threshold)
   }
 
   /** Brute-force all-pairs variant — the exactness baseline the banded

@@ -343,6 +343,67 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Giant-cluster guard for [[semanticDedupDf]] — the adversarial case
+    * the skew rehearsal (SkewSpec / [[graft.SkewBench]]) measures:
+    * SemDeDup's pair work is Σ(cluster size)², so one mislabeled GIANT
+    * cluster (collapsed clustering, k chosen too small) degrades toward
+    * corpus². The guard: clusters whose member count exceeds `cap` are
+    * sub-sharded by one 8-bit SRP band over the member vectors (the eq13
+    * banding machinery, deterministic hyperplanes), and pair search runs
+    * within (label, shard) — candidate mass inside a degenerate cluster
+    * collapses by ~2⁸ while well-sized clusters are untouched (shard 0).
+    * Near-identical members still collide: for cos ≥ 0.95 each SRP bit
+    * flips with p = θ/π ≤ 0.1, so true duplicate pairs survive the
+    * sub-shard w.h.p. — the same recall contract as the banded near-dup
+    * path (eq13/x12), invoked only where the cluster size itself proves
+    * the labels degenerate. Output schema matches [[semanticDedupDf]]
+    * (rolled up to the ORIGINAL label), so the two compare row-for-row. */
+  def semanticDedupSharded(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupShardedDf(Tables.load(spark, dir, "embeddings"))
+
+  def semanticDedupShardedDf(embeddings: DataFrame, cap: Int = 1000): DataFrame = {
+    val sharded = shardedGroupsDf(embeddings, cap)
+    val a = sharded.select(col("label"), col("shard"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = sharded.select(col("label"), col("shard"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val dups = a.join(b, Seq("label", "shard"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= SemanticThreshold)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("vec_b")).as("n_dropped"))
+    embeddings
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+      .join(dups, Seq("label"), "left")
+      .select(col("label"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("label")
+  }
+
+  /** Member → (label, shard) assignment behind [[semanticDedupShardedDf]],
+    * exposed so the skew rehearsal can compute candidate cardinalities
+    * (Σ C(group,2)) without materializing the quadratic join. Shard = 0
+    * for members of clusters within `cap`; the first 8-bit SRP band
+    * signature (+1, so it never collides with the 0 sentinel) for members
+    * of oversized clusters. The size roll-up is label-bounded and
+    * broadcast. */
+  private[graft] def shardedGroupsDf(embeddings: DataFrame, cap: Int): DataFrame = {
+    val firstRow = embeddings.selectExpr("size(embedding)").take(1)
+    if (firstRow.isEmpty)
+      return embeddings.select(col("label"), col("vec_id"), col("embedding"), lit(0).as("shard"))
+    val hps = hyperplanes(firstRow(0).getInt(0), 8)
+    val sizes = embeddings.groupBy("label").agg(count(lit(1)).as("cl_n"))
+    embeddings.join(broadcast(sizes), Seq("label"))
+      .withColumn("shard",
+        when(col("cl_n") > cap,
+          element_at(graft.functions.VectorFunctions.srp_band_signatures(
+            col("embedding"), hps, 8), 1) + 1)
+          .otherwise(lit(0)))
+      .select(col("label"), col("vec_id"), col("embedding"), col("shard"))
+  }
+
   /** eq46 — quality-gated class prototypes, the engine's first cross-modal
     * query: documents surviving eq8's quality threshold (≥ 0.5 on the
     * 6-dp score, the eq38 keep rule) select their embeddings via the

@@ -91,13 +91,14 @@ object TextAnalysis {
           + lit(0.2) * (lit(1.0) - col("stop_ratio")), 6))
 
   def qualityScoreDf(docsIn: DataFrame): DataFrame =
-    qualityCols(docsIn).select(
-      col("doc_id"),
-      col("n_tokens"),
-      round(col("alpha_ratio"), 6).as("alpha_ratio"),
-      round(col("stop_ratio"), 6).as("stop_ratio"),
-      col("quality"))
-      .orderBy("doc_id")
+    graft.Canonical.presentationOrder(
+      qualityCols(docsIn).select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        col("quality")),
+      col("doc_id")) // canonicalization-only sort: corpus-sized output
 
   /** eq38 — quality-threshold corpus filter: the C4-style END step that
     * consumes the per-document score — per language, how many documents
@@ -554,13 +555,14 @@ object TextAnalysis {
       .localCheckpoint()
     val docFreq = sh.select("doc_id", "sg").distinct()
       .groupBy("sg").agg(count(lit(1)).as("ndocs"))
-    sh.join(docFreq, Seq("sg"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_fraction",
-        round(col("n_dup").cast("double") / col("n_spans"), 6))
-      .orderBy("doc_id")
+    graft.Canonical.presentationOrder(
+      sh.join(docFreq, Seq("sg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_fraction",
+          round(col("n_dup").cast("double") / col("n_spans"), 6)),
+      col("doc_id")) // canonicalization-only sort: corpus-sized output
   }
 
   /** eq127 — maximal duplicated span lengths: the suffix-granular view of
@@ -598,16 +600,17 @@ object TextAnalysis {
       .filter(col("ndocs") > 1)
       .select(col("doc_id"), col("pos"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    dup
-      .withColumn("grp", col("pos") - row_number().over(byPos))
-      .groupBy("doc_id", "grp")
-      .agg((count(lit(1)) + lit(7)).as("span_tokens"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_max_spans"),
-        max(col("span_tokens")).as("max_span_tokens"),
-        sum(col("span_tokens")).as("total_span_tokens"))
-      .orderBy("doc_id")
+    graft.Canonical.presentationOrder(
+      dup
+        .withColumn("grp", col("pos") - row_number().over(byPos))
+        .groupBy("doc_id", "grp")
+        .agg((count(lit(1)) + lit(7)).as("span_tokens"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_max_spans"),
+          max(col("span_tokens")).as("max_span_tokens"),
+          sum(col("span_tokens")).as("total_span_tokens")),
+      col("doc_id")) // canonicalization-only sort: corpus-sized output
   }
 
   /** eq93 — per-source quantile normalization of the eq8 quality score:

@@ -114,6 +114,27 @@ class EngineSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("presentation-sort elision: the production plan drops the terminal global sort") {
+    // the terminal orderBy on corpus-sized outputs exists only for the
+    // oracle/golden canonical row order (VERDICT r8 task 7); with
+    // Canonical.presentationSorts off the same query must plan WITHOUT
+    // the range-partitioning exchange + global sort
+    val docs = Tables.load(spark, Sf, "documents")
+    val canonical = pipeline.TextAnalysis.qualityScoreDf(docs)
+      .queryExecution.executedPlan.toString
+    assert(canonical.contains("rangepartitioning"),
+      s"canonical plan should carry the presentation sort:\n$canonical")
+    Canonical.presentationSorts = false
+    try {
+      val production = pipeline.TextAnalysis.qualityScoreDf(docs)
+        .queryExecution.executedPlan.toString
+      assert(!production.contains("rangepartitioning"),
+        s"production plan must drop the global sort:\n$production")
+      assert(!production.contains("Sort "),
+        s"production plan must contain no sort at all for this map-side query:\n$production")
+    } finally Canonical.presentationSorts = true
+  }
+
   test("q1 plan: predicate pushed into the part scan, read schemas pruned, top-k never full-sorts q5") {
     val q1Plan = retail.RetailQueries.q1(spark, Sf).queryExecution.executedPlan.toString
     assert(q1Plan.contains("PushedFilters") && q1Plan.contains("EqualTo(p_type,STANDARD)"),
