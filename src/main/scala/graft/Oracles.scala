@@ -1116,6 +1116,57 @@ object Oracles {
         |FROM m LEFT JOIN g ON m.label = g.label ORDER BY m.label""".stripMargin
     },
 
+    // eq128: SemDeDup giant-cluster guard — eq41's within-cluster pairing
+    // with clusters above the cap sub-sharded by the FIRST 8-bit SRP band
+    // (planes spliced as sign strings, the eq13 reconstruction; the
+    // engine's hyperplanes(dim, 8) is the same prefix of the seeded
+    // stream). Shard = sig + 1 for oversized clusters, 0 otherwise, so
+    // within-cap labels reproduce eq41's counts exactly.
+    "eq128_semantic_dedup_sharded" -> {
+      val t = graft.pipeline.Similarity.SemanticThreshold
+      val cap = graft.pipeline.Similarity.SemanticShardCap
+      val values = hyperplaneValues(8)
+      s"""WITH pl AS (
+        |  SELECT pid AS bit,
+        |         list_transform(range(1, len(bits) + 1),
+        |           i -> CASE WHEN substr(bits, i::INT, 1) = '+'
+        |                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS h
+        |  FROM (VALUES $values) AS t(pid, bits)),
+        |dots AS (
+        |  SELECT vec_id, bit, SUM(x * y) AS d FROM (
+        |    SELECT e.vec_id, pl.bit,
+        |           unnest(e.embedding)::DOUBLE AS x, unnest(pl.h) AS y
+        |    FROM embeddings e CROSS JOIN pl)
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS sig
+        |  FROM dots GROUP BY 1),
+        |sz AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label),
+        |mm AS (
+        |  SELECT e.vec_id, e.label, e.embedding,
+        |         CASE WHEN sz.n_members > $cap THEN s.sig + 1 ELSE 0 END AS shard
+        |  FROM embeddings e
+        |  JOIN sz USING (label)
+        |  JOIN sig s ON s.vec_id = e.vec_id),
+        |un AS (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM mm a JOIN mm b
+        |    ON a.label = b.label AND a.shard = b.shard AND a.vec_id < b.vec_id),
+        |s2 AS (SELECT label, vec_a, vec_b,
+        |              SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |       FROM un GROUP BY 1, 2, 3),
+        |d AS (SELECT label, vec_b FROM s2 WHERE sim >= $t::DOUBLE),
+        |g AS (SELECT label, COUNT(*) AS n_dup_pairs,
+        |             COUNT(DISTINCT vec_b) AS n_dropped
+        |      FROM d GROUP BY label)
+        |SELECT sz.label, sz.n_members,
+        |       COALESCE(g.n_dup_pairs, 0) AS n_dup_pairs,
+        |       COALESCE(g.n_dropped, 0) AS n_dropped
+        |FROM sz LEFT JOIN g ON sz.label = g.label ORDER BY sz.label""".stripMargin
+    },
+
     // eq42: per-source shingle novelty — global first occurrence by min
     // doc_id, integer tallies per source, one division.
     "eq42_novelty_rate" -> (s"WITH $toksCte,\n" +

@@ -358,8 +358,14 @@ object Similarity {
     * path (eq13/x12), invoked only where the cluster size itself proves
     * the labels degenerate. Output schema matches [[semanticDedupDf]]
     * (rolled up to the ORIGINAL label), so the two compare row-for-row. */
+  /** The declared eq128 cap — fixture-scaled (labels hold 42–63 members
+    * at sf0.001 and 44–59 at sf0.01, so cap 50 exercises BOTH paths:
+    * some clusters sub-shard, some keep shard 0 and must stay bit-equal
+    * to eq41's pairing for those labels). */
+  private[graft] val SemanticShardCap = 50
+
   def semanticDedupSharded(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupShardedDf(Tables.load(spark, dir, "embeddings"))
+    semanticDedupShardedDf(Tables.load(spark, dir, "embeddings"), SemanticShardCap)
 
   def semanticDedupShardedDf(embeddings: DataFrame, cap: Int = 1000): DataFrame = {
     val sharded = shardedGroupsDf(embeddings, cap)
