@@ -251,7 +251,22 @@ object Oracles {
     * is the same literal `replace` of `␟l␟␟r␟` with `␟lr␟` and DuckDB's
     * scan-after-match `replace` reproduces BPE's left-to-right
     * non-overlapping merge exactly. */
-  private def bpeTrainSql(merges: Int): String = {
+  private def bpeTrainSql(merges: Int): String =
+    bpeCtes(merges, rewriteLast = false) +
+      (1 to merges)
+        .map(r => s"SELECT $r AS merge_rank, pair, cnt FROM b$r")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY merge_rank"
+
+  /** The unrolled merge-round CTE chain shared by eq126 (train) and eq129
+    * (encode). Each round is the trio `pN` (vocabulary-weighted pair
+    * counts) / `bN` (argmax pair, cnt DESC + pair ASC tie-break — the
+    * engine's determinism rule) / `vN` (the vocab with that pair merged).
+    * The vocab carries the original `tok` so the encoder can join the
+    * corpus stream back; the trainer ignores it (and skips the dead final
+    * rewrite). Merging stays the literal `replace` over the chr(31)
+    * enclosure, reproducing BPE's left-to-right non-overlapping merge. */
+  private def bpeCtes(merges: Int, rewriteLast: Boolean): String = {
     val sep = "chr(31)"
     val rounds = (1 to merges).map { r =>
       val prev = s"v${r - 1}"
@@ -263,27 +278,53 @@ object Oracles {
            |  GROUP BY 1),
            |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
       val rewrite =
-        if (r == merges) ""
+        if (r == merges && !rewriteLast) ""
         else
           s""",
              |v$r AS (
-             |  SELECT replace(v.s,
+             |  SELECT v.tok,
+             |         replace(v.s,
              |           $sep || split_part(b.pair, ' ', 1) || $sep || $sep || split_part(b.pair, ' ', 2) || $sep,
              |           $sep || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || $sep) AS s,
              |         v.wc
              |  FROM $prev v, b$r b)""".stripMargin
       head + rewrite
     }.mkString(",\n")
-    val out = (1 to merges)
-      .map(r => s"SELECT $r AS merge_rank, pair, cnt FROM b$r")
-      .mkString("\nUNION ALL ")
     s"WITH $toksCte,\n" +
       s"""v0 AS (
-         |  SELECT regexp_replace(tok, '(.)', $sep || '\\1' || $sep, 'g') AS s,
+         |  SELECT tok,
+         |         regexp_replace(tok, '(.)', $sep || '\\1' || $sep, 'g') AS s,
          |         COUNT(*) AS wc
          |  FROM (SELECT unnest(t) AS tok FROM toks)
          |  WHERE length(tok) >= 2 GROUP BY 1),
-         |""".stripMargin + rounds + "\n" + out + "\nORDER BY merge_rank"
+         |""".stripMargin + rounds + "\n"
+  }
+
+  /** eq129: BPE encode under the learned merges — the train chain through
+    * the FINAL rewrite, symbol counts taken once per distinct token, then
+    * joined back to the corpus token stream per source (the engine's
+    * vocabulary-bounded encode shape, mirrored exactly). */
+  private def bpeEncodeSql(merges: Int): String = {
+    val sep = "chr(31)"
+    bpeCtes(merges, rewriteLast = true) +
+      s""",
+         |enc AS (
+         |  SELECT tok, len(list_filter(str_split(s, $sep), x -> x <> '')) AS sy_after
+         |  FROM v$merges),
+         |stream AS (
+         |  SELECT source, unnest(t) AS tok FROM toks),
+         |j AS (
+         |  SELECT st.source, st.tok,
+         |         COALESCE(e.sy_after, length(st.tok)) AS sy
+         |  FROM stream st LEFT JOIN enc e ON st.tok = e.tok
+         |  WHERE length(st.tok) >= 1)
+         |SELECT source,
+         |       COUNT(*) AS n_tokens,
+         |       CAST(SUM(length(tok)) AS BIGINT) AS chars_total,
+         |       CAST(SUM(sy) AS BIGINT) AS symbols_total,
+         |       CAST(SUM(CASE WHEN sy < length(tok) THEN 1 ELSE 0 END) AS BIGINT) AS merged_tokens,
+         |       ROUND(CAST(SUM(length(tok)) AS DOUBLE) / CAST(SUM(sy) AS DOUBLE), 6) AS compression
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** eq4 / x3 / x5 reconstructions as standalone SELECTs — map entries AND
@@ -740,6 +781,21 @@ object Oracles {
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
         |       COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // eq130: the VARIANT-typed twin of eq15 — same `$.k` values (DuckDB
+    // pairs via json_extract), plus the path-hygiene probes: the missing
+    // path `$.m` must be null on every row, and the uncastable
+    // try_variant_get must null on every row, so both counters equal
+    // n_events.
+    "eq130_variant_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+        |       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |       CAST(SUM(CASE WHEN json_extract_string(props, '$.m') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path,
+        |       COUNT(*) AS n_bad_cast
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "eq16_revenue_by_nation" ->
@@ -1623,6 +1679,10 @@ object Oracles {
     // semantics agree; SUM is cast back to BIGINT (DuckDB sums to
     // HUGEINT, which pandas would render differently).
     "eq126_bpe_train" -> bpeTrainSql(graft.pipeline.TextAnalysis.BpeTrainMerges),
+
+    // eq129: BPE encode — the learned merge table applied corpus-wide,
+    // reported as the per-source encoded footprint.
+    "eq129_bpe_encode" -> bpeEncodeSql(graft.pipeline.TextAnalysis.BpeTrainMerges),
 
     // eq113: Spearman rank correlation (row_number ranks, doc_id
     // tie-break) between n_chars and punctuation count, per language.
@@ -3463,6 +3523,28 @@ object Oracles {
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, n_changes,
         |       event_type = 'error' AS tombstoned
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // x28: the transformWithState purchase ledger run in batch mode — the
+    // order-dependent record_count reproduced with a strict-preceding
+    // running-max window over the processor's exact (ts, event_id) fold
+    // order; cents are the engine's ROUND(value*100) exact-integer rule.
+    "x28_tws_ledger" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM p)
+        |SELECT user_id,
+        |       COUNT(*) AS n_purchases,
+        |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |       CAST(SUM(CASE WHEN prev_max IS NULL OR cents > prev_max THEN 1 ELSE 0 END) AS BIGINT) AS record_count,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS last_cents
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x18: stream-static enrichment parity frame — every event stamped
     // with its user's profile (count + exact integer cents, the x7

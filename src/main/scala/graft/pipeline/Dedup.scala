@@ -116,63 +116,16 @@ object Dedup {
     * hash-collision risk), so distinct corpora (e.g. eq104's union frame)
     * never share. Fixtures are immutable per session; a mutated-in-place
     * source dir would need an explicit [[clearDerivedCaches]]. */
-  private final class PlanMemo[T] {
-    // Entries are wrapped in a lazy Cell: TrieMap.getOrElseUpdate publishes
-    // exactly one Cell per key, and the Cell's lazy val forces the expensive
-    // mining+checkpoint under its own monitor — two concurrent first callers
-    // can race to create Cells (cheap, side-effect-free) but only the stored
-    // winner's body ever runs, so no checkpoint blocks are orphaned
-    // (ADVICE r8).
-    private final class Cell(f: () => T) { lazy val value: T = f() }
-    private val m = new scala.collection.concurrent.TrieMap[
-      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any), Cell]
-    def apply(docs: DataFrame, extra: Any = ())(f: => T): T = {
-      val session = docs.sparkSession
-      PlanMemo.hookEviction(session)
-      m.getOrElseUpdate(
-        (session, docs.queryExecution.analyzed.canonicalized, extra),
-        new Cell(() => f)).value
-    }
-    private[Dedup] def evictContext(sc: org.apache.spark.SparkContext): Unit =
-      // TrieMap iteration is snapshot-consistent; remove is safe mid-iteration
-      m.keysIterator.filter(_._1.sparkContext eq sc).foreach(m.remove)
-    def clear(): Unit = m.clear()
-  }
-
-  /** Eviction companion: when a SparkContext stops, every memoized frame
-    * keyed by one of its sessions is dropped so the entries (and the
-    * localCheckpoint blocks they pin) don't outlive the application in a
-    * long-lived JVM hosting many sequential sessions (ADVICE r8 — the caches
-    * are process-global, so without this a stopped session's frames stay
-    * pinned for the JVM lifetime). One listener per context, registered on
-    * first memo use. */
-  private object PlanMemo {
-    private val hooked =
-      new scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Unit]
-    def hookEviction(session: SparkSession): Unit = {
-      val sc = session.sparkContext
-      if (hooked.putIfAbsent(sc, ()).isEmpty)
-        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            allMemos.foreach(_.evictContext(sc))
-            hooked.remove(sc)
-          }
-        })
-    }
-  }
-
+  // The memo class itself lives in pipeline/PlanMemo.scala (shared with
+  // TextAnalysis's learned-vocabulary cache since r9); instances
+  // self-register for the context-stop eviction listener.
   private val pairTableCache = new PlanMemo[DataFrame]
   private val signaturePartsCache = new PlanMemo[(DataFrame, DataFrame, DataFrame)]
   private val minhashPartsCache = new PlanMemo[(DataFrame, DataFrame)]
   private val embPairsCache = new PlanMemo[DataFrame]
   private val shingleSetsCache = new PlanMemo[DataFrame]
 
-  private def allMemos: Seq[PlanMemo[_]] = Seq(
-    pairTableCache, signaturePartsCache, minhashPartsCache,
-    embPairsCache, shingleSetsCache)
-
-  def clearDerivedCaches(): Unit = allMemos.foreach(_.clear())
+  def clearDerivedCaches(): Unit = PlanMemo.clearAll()
 
   def jaccardPairsDf(docs: DataFrame): DataFrame =
     pairTableCache(docs)(jaccardPairsPrefixDf(docs))

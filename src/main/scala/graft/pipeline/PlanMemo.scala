@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo for expensive derived corpus artifacts (pair
+  * tables, signature frames, learned vocabularies), keyed by
+  * (session, canonicalized source plan, extra): structural plan equality,
+  * so distinct corpora never share and no hash-collision risk. This is the
+  * production shape at 100 TB — a pipeline materializes its derived
+  * artifacts once per corpus snapshot and every downstream audit reads
+  * those, not a fresh mining pass.
+  *
+  * Entries are wrapped in a lazy Cell: `TrieMap.getOrElseUpdate` publishes
+  * exactly one Cell per key, and the Cell's `lazy val` forces the
+  * expensive mining+checkpoint under its own monitor — two concurrent
+  * first callers can race to create Cells (cheap, side-effect-free) but
+  * only the stored winner's body ever runs, so no checkpoint blocks are
+  * orphaned (ADVICE r8).
+  *
+  * Lifecycle: every instance self-registers; when a SparkContext stops,
+  * each memo drops the entries keyed by that context's sessions so the
+  * frames (and the localCheckpoint blocks they pin) don't outlive the
+  * application in a long-lived JVM hosting many sequential sessions
+  * (ADVICE r8). Fixtures are immutable per session; a mutated-in-place
+  * source dir would need an explicit [[PlanMemo.clearAll]]. */
+private[pipeline] final class PlanMemo[T] {
+  private final class Cell(f: () => T) { lazy val value: T = f() }
+  private val m = new scala.collection.concurrent.TrieMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any), Cell]
+  PlanMemo.register(this)
+  def apply(docs: DataFrame, extra: Any = ())(f: => T): T = {
+    val session = docs.sparkSession
+    PlanMemo.hookEviction(session)
+    m.getOrElseUpdate(
+      (session, docs.queryExecution.analyzed.canonicalized, extra),
+      new Cell(() => f)).value
+  }
+  private[pipeline] def evictContext(sc: org.apache.spark.SparkContext): Unit =
+    // TrieMap iteration is snapshot-consistent; remove is safe mid-iteration
+    m.keysIterator.filter(_._1.sparkContext eq sc).foreach(m.remove)
+  def clear(): Unit = m.clear()
+}
+
+private[pipeline] object PlanMemo {
+  private val instances =
+    new scala.collection.concurrent.TrieMap[PlanMemo[_], Unit]
+  private val hooked =
+    new scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Unit]
+  private def register(memo: PlanMemo[_]): Unit = instances.put(memo, ())
+  def clearAll(): Unit = instances.keysIterator.foreach(_.clear())
+  def hookEviction(session: SparkSession): Unit = {
+    val sc = session.sparkContext
+    if (hooked.putIfAbsent(sc, ()).isEmpty)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          instances.keysIterator.foreach(_.evictContext(sc))
+          hooked.remove(sc)
+        }
+      })
+  }
+}

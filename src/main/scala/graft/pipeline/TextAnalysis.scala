@@ -825,12 +825,33 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  def bpeTrainDf(docs: DataFrame, merges: Int): DataFrame = {
+  def bpeTrainDf(docs: DataFrame, merges: Int): DataFrame =
+    bpeLearn(docs, merges)._1
+
+  /** bpeLearn results memoized per (session, docs plan, merge count) — the
+    * trainer (eq126) and the encoder (eq129) share one mining pass, the
+    * same materialize-once discipline as the Dedup pair table. */
+  private val bpeLearnCache = new PlanMemo[(DataFrame, DataFrame)]
+
+  private def bpeLearn(docs: DataFrame, merges: Int): (DataFrame, DataFrame) =
+    bpeLearnCache(docs, merges)(bpeLearnUncached(docs, merges))
+
+  /** The shared train loop behind eq126 (merge table) and eq129 (encode):
+    * returns the N chosen merge rows and the final vocabulary frame
+    * `(tok, s, wc)` — `s` is the enclosed symbol string after ALL N
+    * rewrites (the final-round rewrite is vocabulary-bounded, so running
+    * it unconditionally costs ~nothing and lets the two consumers share
+    * one memo entry). Carrying `tok` alongside `s` changes nothing about
+    * the merge sequence (the enclosure is injective, so grouping by `tok`
+    * and grouping by `s` are the same partition of the vocabulary). */
+  private def bpeLearnUncached(docs: DataFrame, merges: Int)
+      : (DataFrame, DataFrame) = {
     var vocab = docs
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("wc"))
-      .select(regexp_replace(col("tok"), "(.)", BpeSep + "$1" + BpeSep).as("s"),
+      .select(col("tok"),
+        regexp_replace(col("tok"), "(.)", BpeSep + "$1" + BpeSep).as("s"),
         col("wc"))
       .localCheckpoint()
     val chosen = Seq.newBuilder[DataFrame]
@@ -844,12 +865,12 @@ object TextAnalysis {
         .limit(1)
         .localCheckpoint()
       chosen += best.select(lit(r).as("merge_rank"), col("pair"), col("cnt"))
-      if (r < merges) {
+      locally {
         val sides = broadcast(best.select(
           split(col("pair"), " ").getItem(0).as("lsym"),
           split(col("pair"), " ").getItem(1).as("rsym")))
         vocab = vocab.crossJoin(sides)
-          .select(
+          .select(col("tok"),
             replace(col("s"),
               concat(lit(BpeSep), col("lsym"), lit(BpeSep),
                 lit(BpeSep), col("rsym"), lit(BpeSep)),
@@ -858,7 +879,48 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    chosen.result().reduce(_ union _).orderBy("merge_rank")
+    (chosen.result().reduce(_ union _).orderBy("merge_rank"), vocab)
+  }
+
+  /** eq129 — BPE ENCODE: the other half of the tokenizer lifecycle. eq126
+    * learns the merge table; this applies it to every token occurrence in
+    * the corpus and reports, per source, the encoded footprint — token
+    * count, character symbols before, symbols after all merges, tokens
+    * that got at least one merge, and the compression ratio the learned
+    * vocabulary buys. The 100 TB shape is the important part: encoding is
+    * computed once per DISTINCT token on the vocabulary frame (bounded by
+    * vocabulary size, not corpus size — the same frame the trainer already
+    * owns), then joined back to the corpus token stream on `tok`, so the
+    * corpus is touched exactly once and never carries symbol strings.
+    * Tokens shorter than 2 chars never enter the vocabulary (the trainer's
+    * own rule) and encode as their own length via the join fallback. The
+    * ratio divides two exact longs — one IEEE divide, hash-safe. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeDf(Tables.load(spark, dir, "documents"), BpeTrainMerges)
+
+  def bpeEncodeDf(docs: DataFrame, merges: Int): DataFrame = {
+    val enc = bpeLearn(docs, merges)._2
+      .select(col("tok"),
+        size(filter(split(col("s"), BpeSep), x => x =!= lit("")))
+          .cast("long").as("sy_after"))
+    val stream = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    stream
+      .join(enc, Seq("tok"), "left_outer")
+      .select(col("source"), col("tok"),
+        coalesce(col("sy_after"), length(col("tok")).cast("long")).as("sy"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("chars_total"),
+        sum(col("sy")).as("symbols_total"),
+        sum(when(col("sy") < length(col("tok")).cast("long"), 1L)
+          .otherwise(0L)).as("merged_tokens"))
+      .withColumn("compression",
+        round(col("chars_total").cast("double") /
+          col("symbols_total").cast("double"), 6))
+      .orderBy("source")
   }
 
   /** eq113 — Spearman rank correlation between two per-document quality

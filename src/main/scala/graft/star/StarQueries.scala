@@ -33,6 +33,36 @@ object StarQueries {
         countDistinct(col("k")).as("distinct_k"))
       .orderBy("event_type")
 
+  /** eq130 — the same property surface through Spark 4's native VARIANT
+    * type: `parse_json` decodes each payload ONCE into the binary variant
+    * encoding, then every access is a typed `variant_get` path — no
+    * re-parse per path, unlike eq15's per-call `get_json_object` string
+    * walk. At 100 TB this is the semi-structured posture that matters:
+    * variant parses once at ingest (and shreds to columns in Parquet),
+    * so N path accesses cost one decode instead of N string parses.
+    * Alongside eq15's numbers the query also audits path hygiene — a
+    * probe of a MISSING path (`$.m`) must come back null for every row,
+    * and `try_variant_get` with an uncastable type must null rather than
+    * throw. All outputs are exact integers; oracle pairs via DuckDB's
+    * JSON extraction on the same paths. */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        variant_get(col("v"), "$.m", "long").as("m"),
+        try_variant_get(col("v"), "$.k", "array<long>").as("bad_cast"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("total_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing_path"),
+        sum(when(col("bad_cast").isNull, 1L).otherwise(0L)).as("n_bad_cast"))
+      .orderBy("event_type")
+
   /** The five-way lineitem⋈orders⋈customer⋈nation⋈region join, shared by
     * the revenue and rollup queries. Left entirely to Catalyst/AQE: at test
     * scale the four dimension sides all broadcast; at 100 TB the customer

@@ -298,4 +298,83 @@ object StreamingOps extends Serializable {
         col("user_id"), col("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  case class PurchaseEvent(user_id: Long, event_id: Long,
+                           ts: java.sql.Timestamp, value: Double)
+  case class LedgerRow(user_id: Long, n_purchases: Long, total_cents: Long,
+                       record_count: Long, last_cents: Long)
+
+  /** Per-user purchase ledger on the Spark 4 `transformWithState`
+    * arbitrary-state API (SPARK-49564) — the successor to
+    * `mapGroupsWithState` that [[cdcState]] uses: named typed state slots
+    * from a `StatefulProcessorHandle` instead of one opaque state object,
+    * with TTL, timers, and (in streaming) the RocksDB-backed store behind
+    * them. State here is five `ValueState[Long]`-shaped facts per user —
+    * count, exact-cents total, running max, personal-record count, last
+    * value — so state size is O(live users) regardless of event volume.
+    * `record_count` (purchases that beat the user's previous max) is the
+    * genuinely ORDER-DEPENDENT statistic a plain aggregate can't express:
+    * rows are folded in (ts, event_id) order — the stream's arrival order,
+    * made explicit in the batch twin so both runs fold identically. One
+    * updated ledger row per key per invocation (Update-mode semantics). */
+  class PurchaseLedgerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PurchaseEvent, LedgerRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var ledger: ValueState[(Long, Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ledger = getHandle.getValueState[(Long, Long, Long, Long, Long)](
+        "ledger", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[PurchaseEvent],
+                                 tv: TimerValues): Iterator[LedgerRow] = {
+      var (cnt, total, best, records, last) =
+        if (ledger.exists()) ledger.get() else (0L, 0L, Long.MinValue, 0L, 0L)
+      rows.toList.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+        val cents = math.round(e.value * 100) // HALF_UP for positives — the engine's exact-cents rule
+        cnt += 1; total += cents; last = cents
+        if (cents > best) { best = cents; records += 1 }
+      }
+      ledger.update((cnt, total, best, records, last))
+      Iterator.single(LedgerRow(key, cnt, total, records, last))
+    }
+  }
+
+  /** The ledger stream: purchases keyed by user through
+    * [[PurchaseLedgerProcessor]]. TimeMode.None — no timers; Update mode —
+    * each micro-batch re-emits the keys it touched. */
+  def purchaseLedger(purchases: Dataset[PurchaseEvent]): Dataset[LedgerRow] = {
+    import purchases.sparkSession.implicits._
+    purchases
+      .groupByKey(_.user_id)
+      .transformWithState(new PurchaseLedgerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** x28 — [[purchaseLedger]] driven in BATCH mode under the DuckDB
+    * oracle (the x17 convention): `transformWithState` on a batch Dataset
+    * processes each key's full history in one `handleInputRows` call
+    * against empty state, running the EXACT streaming processor — same
+    * fold order, same cents arithmetic, same record-detection — and the
+    * oracle reproduces it with a running-max window over the same
+    * (ts, event_id) order. The driver-visible correctness signal for the
+    * new arbitrary-state API, alongside x17's mapGroupsWithState. */
+  def purchaseLedgerBatch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Batch TWS runs the RocksDB store without a streaming query, so the
+    // StateStoreCoordinator RPC endpoint a stream would have registered
+    // does not exist, and the store's snapshot-upload report fails the
+    // load. Register it the way StreamingQueryManager does — forDriver is
+    // idempotent (an already-registered endpoint resolves to a ref).
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+    val purchases = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[PurchaseEvent]
+    purchaseLedger(purchases).toDF()
+      .orderBy("user_id")
+  }
 }

@@ -135,6 +135,31 @@ class EngineSurfaceSpec extends SparkSpec {
     } finally Canonical.presentationSorts = true
   }
 
+  test("VARIANT column: parquet round-trip preserves typed paths; parse is once-per-row") {
+    import org.apache.spark.sql.functions.{parse_json, variant_get, to_json}
+    // the eq130 ingest shape: parse each JSON payload once into VARIANT,
+    // persist to parquet (Spark 4 stores variant natively), read back,
+    // and take typed paths off the stored column — no re-parse anywhere
+    val out = java.nio.file.Files.createTempDirectory("graft_variant").toString
+    Tables.load(spark, Sf, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("v").dataType.typeName == "variant",
+      s"parquet must round-trip the VARIANT type, got ${back.schema("v").dataType}")
+    val typed = back.select(col("event_id"),
+      variant_get(col("v"), "$.k", "long").as("k"))
+    // values agree with the string-path extraction over the original table
+    val viaString = Tables.load(spark, Sf, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    assert(typed.except(viaString).isEmpty && viaString.except(typed).isEmpty,
+      "typed variant_get over stored VARIANT must equal get_json_object over the source strings")
+    // the stored variant re-serializes to the same JSON it was parsed from
+    val rt = back.select(to_json(col("v")).as("j")).limit(1).head().getString(0)
+    assert(rt.contains("\"k\""), s"round-tripped variant JSON lost the key: $rt")
+  }
+
   test("q1 plan: predicate pushed into the part scan, read schemas pruned, top-k never full-sorts q5") {
     val q1Plan = retail.RetailQueries.q1(spark, Sf).queryExecution.executedPlan.toString
     assert(q1Plan.contains("PushedFilters") && q1Plan.contains("EqualTo(p_type,STANDARD)"),

@@ -74,6 +74,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a a", 4L), (2, "aa a", 2L)))
   }
 
+  test("bpe encode: learned merges applied corpus-wide, per-source footprint") {
+    // Same vocabulary as the trainer fixture plus a 1-char token: merges
+    // learned are (a,b) → (ab,ab) → (c,d), so "abab" (4 chars) and "cd"
+    // (2 chars) both encode to 1 symbol. "x" is below the trainer's
+    // 2-char vocabulary floor and encodes as itself via the join fallback.
+    val docs = docsDf(Seq(
+      (0L, "abab abab cd", "en", "s1", 12L),
+      (1L, "abab cd cd", "en", "s2", 10L),
+      (2L, "x abab", "en", "s3", 6L)))
+    val out = TextAnalysis.bpeEncodeDf(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getAs[Double]("compression")))
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 10L, 3L, 3L, 3.333333),
+      ("s2", 3L, 8L, 3L, 3L, 2.666667),
+      ("s3", 2L, 5L, 2L, 1L, 2.5)))
+  }
+
   test("bm25: a query doc retrieves itself first; irrelevant docs score below relevant") {
     // doc 0 is the query (doc_id < 5); doc 7 shares most of its terms,
     // doc 8 shares one common term, doc 9 shares nothing

@@ -395,4 +395,65 @@ class StreamingSpec extends SparkSpec {
     assert(batch.sameElements(Array(
       (1L, "purchase", "2024-01-01 10:00:00.000900", 2L))))
   }
+
+  test("transformWithState ledger: state accumulates across micro-batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    // TWS streaming requires the RocksDB provider; scope the conf to this
+    // query and restore after so the rest of the suite keeps the default.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+      val purchases = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+        .as[StreamingOps.PurchaseEvent](org.apache.spark.sql.Encoders.product)
+      val q = StreamingOps.purchaseLedger(purchases)
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      // batch 1: 1.00 then 3.00 — both personal records
+      mem.addData(
+        (7L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, 2L, ts("2024-01-01 10:05:00"), 3.0))
+      q.processAllAvailable()
+      // batch 2: 2.00 (no record) then 5.00 (record) — state must carry the
+      // batch-1 running max (3.00) across the micro-batch boundary
+      mem.addData(
+        (7L, 3L, ts("2024-01-01 10:10:00"), 2.0),
+        (7L, 4L, ts("2024-01-01 10:15:00"), 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.toSeq == Seq((2L, 400L, 2L, 300L), (4L, 1100L, 3L, 500L)),
+        s"ledger emissions per batch: ${rows.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState ledger batch twin: hand-computed record counts") {
+    val events = Seq(
+      // user 7: 1.00 R, 3.00 R, 2.00 -, 5.00 R  (ts order, not input order)
+      (4L, ts("2024-01-01 10:15:00"), 7L, "purchase", 5.0, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 7L, "purchase", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "purchase", 3.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 7L, "purchase", 2.0, "{}"),
+      // user 8: one purchase; views must be ignored
+      (5L, ts("2024-01-01 11:00:00"), 8L, "purchase", 2.5, "{}"),
+      (6L, ts("2024-01-01 11:01:00"), 8L, "view", 9.9, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[StreamingOps.PurchaseEvent](org.apache.spark.sql.Encoders.product)
+    val out = StreamingOps.purchaseLedger(purchases).collect()
+      .map(l => (l.user_id, l.n_purchases, l.total_cents, l.record_count, l.last_cents))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (7L, 4L, 1100L, 3L, 500L),
+      (8L, 1L, 250L, 1L, 250L)))
+  }
 }
