@@ -87,6 +87,74 @@ object StreamingOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** [[statefulSessions]] on the Spark 4 `transformWithState` API — the
+    * modern twin: the open session lives in a named `ValueState` slot and
+    * the close is driven by an EVENT-TIME TIMER (`registerTimer` at
+    * last-activity + gap; `handleExpiredTimer` emits the closed session
+    * and clears state) instead of `GroupStateTimeout`. Each batch of
+    * within-watermark events runs the same interval-merge as the
+    * flatMapGroupsWithState version — straggler chains merge with each
+    * other, a straggler inside the open session's gap window extends it
+    * backward — and sessions already closed by the merge emit
+    * immediately; only the one open session waits on its timer. The old
+    * timer is deleted before the new one is registered, so exactly one
+    * timer per key is live — state and timers are both O(active users).
+    * Parity with [[statefulSessions]] is pinned by test on the same
+    * MemoryStream input. */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val intervals =
+        ((if (open.exists()) List(open.get()) else Nil)
+          .map(s => (s.startMs, s.lastMs, s.n)) ++
+          rows.map(ev => (ev.ts.getTime, ev.ts.getTime, 1)).toList)
+          .sortBy(_._1)
+      val merged = intervals.foldLeft(List.empty[(Long, Long, Int)]) {
+        case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe < GapMs =>
+          (ps, math.max(pe, e), pn + n) :: tail
+        case (acc, iv) => iv :: acc
+      } // newest-first
+      val newOpen = merged.head
+      if (open.exists())
+        getHandle.deleteTimer(open.get().lastMs + GapMs)
+      open.update(OpenSession(newOpen._1, newOpen._2, newOpen._3))
+      getHandle.registerTimer(newOpen._2 + GapMs)
+      merged.tail.reverse.map { case (s, e, n) =>
+        ClosedSession(userId, new java.sql.Timestamp(s),
+          new java.sql.Timestamp(e), n)
+      }.iterator
+    }
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out =
+        if (open.exists()) {
+          val s = open.get()
+          Iterator.single(ClosedSession(userId,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n))
+        } else Iterator.empty
+      open.clear()
+      out
+    }
+  }
+
+  /** The timer-driven session stream: watermarked events keyed by user
+    * through [[SessionProcessor]] in event-time mode. */
+  def twsSessions(events: Dataset[UserEvent]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup — the training-pipeline dedup primitive in
     * streaming form: `dropDuplicatesWithinWatermark` keeps per-key state
     * only until the watermark passes, so duplicate events arriving within

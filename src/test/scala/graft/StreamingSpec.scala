@@ -396,6 +396,48 @@ class StreamingSpec extends SparkSpec {
       (1L, "purchase", "2024-01-01 10:00:00.000900", 2L))))
   }
 
+  test("transformWithState sessionizer: event-time timers close sessions; parity with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val events = mem.toDF().toDF("ts", "user_id")
+        .as[StreamingOps.UserEvent](org.apache.spark.sql.Encoders.product)
+      val q = StreamingOps.twsSessions(events)
+        .writeStream.format("memory").queryName("tws_sessions_out")
+        .outputMode("append").start()
+      // the statefulSessions test's exact drive: in-batch close for 7's
+      // first session, timer-driven close for 7's second and user 8's
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:10:00"), 7L),
+        (ts("2024-01-01 12:00:00"), 7L), (ts("2024-01-01 10:00:00"), 8L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-02 00:00:00"), 99L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-03 00:00:00"), 99L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_sessions_out").collect()
+        .map(r => (r.getLong(0),
+          r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == Seq(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2),
+        (7L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1),
+        (8L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1),
+        (99L, "2024-01-02 00:00:00.0", "2024-01-02 00:00:00.0", 1)),
+        s"timer-closed sessions: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState ledger: state accumulates across micro-batches (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     // TWS streaming requires the RocksDB provider; scope the conf to this
