@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, EventOps, Similarity}
+import graft.pipeline.{CorpusOps, Dedup, EventOps, Similarity}
 
 /** Adversarial-skew rehearsal bench (VERDICT r8 task 2) — the wall-clock
   * twin of SkewSpec. Three hostile fixtures, generated deterministically
@@ -27,6 +27,15 @@ import graft.pipeline.{Dedup, EventOps, Similarity}
   *      cluster label: SemDeDup's within-cluster pair mass is ~48.6M; the
   *      SRP sub-sharding guard collapses it ~18× (wall-clock ~3×) and
   *      keeps the planted true duplicates.
+  *   4. giant document — one 2M-token document among 20k normal docs
+  *      (~89% of corpus tokens): `explode` fans a row out inside the ONE
+  *      task that owns it — the skew unit Spark cannot split. The
+  *      mitigation is ingest-time re-shaping ([[graft.pipeline.CorpusOps
+  *      .chunkTexts]]): pay the O(doc) split once, store 512-token chunk
+  *      rows, and every downstream token pipeline is bounded per row.
+  *      Token profiles (counts, chars, distinct) are pinned equal across
+  *      the two layouts; max_row_fanout is the scale-relevant metric
+  *      (2M → 512), with local wall-clock reported for both.
   *
   * Methodology: one un-timed warm-up, then three timed passes per
   * measurement, median reported (the Bench discipline). Prints ONE JSON
@@ -135,6 +144,49 @@ object SkewBench {
     val twinsKept = (0L until 40L by 2)
       .count(i => shardAssign(i) == shardAssign(i + 1))
 
+    // ---- 4. one giant document owning ~89% of corpus tokens -----------
+    // 20k normal docs of 12 tokens + ONE 2M-token document. explode() fans
+    // a row out inside the single task that owns it — the one skew unit
+    // Spark cannot split — so every token-pipeline stage downstream of the
+    // giant row runs in one task. The mitigation is ingest-time re-shaping:
+    // CorpusOps.chunkTexts splits the monster into 512-token chunk ROWS
+    // once, after which the same analysis is bounded per row and spreads.
+    val giantText = spark.range(2000000)
+      .agg(concat_ws(" ", collect_list(concat(lit("w"), col("id")))))
+      .head().getString(0)
+    val gdocs = spark.range(20000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(t =>
+          concat(lit("g"), col("id"), lit(s"t$t"))): _*).as("text"),
+        lit("web").as("source"))
+      .union(spark.createDataFrame(Seq((20000L, giantText, "dump")))
+        .toDF("doc_id", "text", "source"))
+      .localCheckpoint()
+    // ingest-time chunked twin (one-time cost, measured separately), spread
+    // across the session's partitions like a real chunk table would be
+    val chunkT0 = System.nanoTime()
+    val gchunks = CorpusOps.chunkTexts(gdocs, 512)
+      .repartition(cpus.toInt).localCheckpoint()
+    val chunkIngestSec = (System.nanoTime() - chunkT0) / 1e9
+    def tokenProfile(df: DataFrame): Array[org.apache.spark.sql.Row] = df
+      .select(col("source"), explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum(length(col("tok"))).as("n_chars"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("source").collect()
+    val directProfile = tokenProfile(gdocs)
+    val chunkedProfile = tokenProfile(gchunks)
+    require(directProfile.map(_.toString).sameElements(chunkedProfile.map(_.toString)),
+      "chunked token profile must equal the direct profile")
+    val directSec = median3(tokenProfile(gdocs))
+    val chunkedSec = median3(tokenProfile(gchunks))
+    val maxFanoutDirect = gdocs
+      .select(size(graft.pipeline.TextAnalysis.tokens(col("text"))).as("n"))
+      .agg(max("n")).head().getInt(0)
+    val maxFanoutChunked = gchunks
+      .select(size(graft.pipeline.TextAnalysis.tokens(col("text"))).as("n"))
+      .agg(max("n")).head().getInt(0)
+
     val json =
       s"""{"metric":"skewbench","unit":"sec","cpus":$cpus,""" +
         s""""hot_shingle":{"docs":20000,"hot_df":10000,""" +
@@ -147,7 +199,11 @@ object SkewBench {
         s""""cluster_pair_mass":$clusterPairMass,"sharded_pair_mass":$shardedPairMass,""" +
         s""""plain_dup_pairs":$plainDups,"sharded_dup_pairs":$shardedDups,""" +
         s""""planted_twins":20,"planted_twins_kept":$twinsKept,""" +
-        s""""plain_sec":$plainSemSec,"sharded_sec":$shardedSemSec}}"""
+        s""""plain_sec":$plainSemSec,"sharded_sec":$shardedSemSec},""" +
+        s""""giant_doc":{"docs":20001,"giant_tokens":2000000,"normal_tokens":240000,""" +
+        s""""max_row_fanout_direct":$maxFanoutDirect,"max_row_fanout_chunked":$maxFanoutChunked,""" +
+        s""""chunk_ingest_sec":$chunkIngestSec,""" +
+        s""""direct_sec":$directSec,"chunked_sec":$chunkedSec}}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEWBENCH_OUT", "SKEWBENCH.json")),

@@ -72,6 +72,27 @@ object CorpusOps {
   private val ChunkLen = 32
   private val ChunkStride = 24
 
+  /** Ingest-time giant-document split (the SkewBench scenario-4
+    * mitigation): re-shape `(doc_id, text, source)` into non-overlapping
+    * `chunkTokens`-token chunk ROWS `(doc_id, chunk_id, source, text)`.
+    * An analysis query that explodes tokens fans one 2M-token document
+    * into 2M rows inside the single task that owns the row — the one skew
+    * unit Spark cannot split — so a 100 TB corpus stores bounded chunks
+    * and every downstream explode is bounded by the chunk length. The
+    * split itself is the one-time O(doc length) cost in the owning task,
+    * paid once at ingest instead of once per query. Token-boundary exact:
+    * chunk texts re-join the token slices, so token counts/contents are
+    * preserved exactly (pinned by SkewSpec). */
+  def chunkTexts(docs: DataFrame, chunkTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(0), expr(s"(n - 1) div $chunkTokens").cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("source"),
+        concat_ws(" ",
+          slice(col("t"), col("chunk_id") * chunkTokens + 1, lit(chunkTokens))).as("text"))
+
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     docChunksDf(Tables.load(spark, dir, "documents"))
 

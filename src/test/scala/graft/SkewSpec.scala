@@ -193,4 +193,32 @@ class SkewSpec extends SparkSpec {
     val shardSmall = Similarity.semanticDedupShardedDf(e, cap = 100).filter(col("label") > 0).collect().toSeq
     assert(plainSmall == shardSmall)
   }
+
+  // ---- fixture 4: one giant document ---------------------------------
+
+  test("giant document: chunkTexts bounds the explode fan-out and preserves the token profile exactly") {
+    // 5 normal 6-token docs + one 1000-token doc (fan-out unit Spark
+    // cannot split); chunking at 64 tokens must cap per-row fan-out at 64
+    // while the per-source token profile stays bit-identical
+    val docs = ((0 until 5).map(i =>
+      (i.toLong, (0 until 6).map(t => s"g${i}t$t").mkString(" "), "web")) :+
+      (9L, (0 until 1000).map(t => s"w$t").mkString(" "), "dump"))
+      .toDF("doc_id", "text", "source")
+    val chunks = graft.pipeline.CorpusOps.chunkTexts(docs, 64)
+    // ceil(1000/64)=16 chunks for the giant; 1 chunk per normal doc
+    val perDoc = chunks.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc(9L) == 16L && (0 until 5).forall(i => perDoc(i.toLong) == 1L))
+    val fanout = chunks
+      .select(size(split(col("text"), "\\s+")).as("n")).agg(max("n")).head().getInt(0)
+    assert(fanout == 64, s"chunk fan-out must be capped at 64, got $fanout")
+    def profile(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(length(col("tok"))).as("chars"),
+        countDistinct(col("tok")).as("d"))
+      .orderBy("source").collect().map(_.toString).toSeq
+    assert(profile(chunks) == profile(docs),
+      "chunked layout must preserve the token profile exactly")
+  }
 }
