@@ -367,6 +367,34 @@ object StreamingOps extends Serializable {
       .orderBy("user_id", "session_start")
   }
 
+  /** foreachBatch upsert sink for the [[cdcState]] profile stream — the
+    * production pattern for "materialize this keyed stream as a table"
+    * when the target is a plain file store with no transactional MERGE.
+    * Exactly-once EFFECT from an at-least-once engine via sink
+    * idempotence: each micro-batch writes its updated profile rows to the
+    * partition directory `batch_id=<id>` with overwrite mode, so a batch
+    * REPLAY (failure between sink write and offset commit) rewrites the
+    * same deterministic content into the same directory — a no-op. The
+    * read view resolves each key to its row from the highest batch
+    * (ts, event_id as ultimate tie-breaks are already folded into the
+    * profile by cdcState). Compaction of old batch partitions is the
+    * usual maintenance job; the read stays correct at any compaction
+    * cadence because every batch's rows are full row images, not deltas. */
+  def profileUpsertBatch(dir: String)(batch: Dataset[ProfileRow], batchId: Long): Unit =
+    batch.toDF()
+      .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
+  /** The merged read view of [[profileUpsertBatch]]'s directory: latest
+    * full row image per user (highest batch_id wins). */
+  def readUpsertedProfiles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("batch_id").desc)
+    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
+
   case class PurchaseEvent(user_id: Long, event_id: Long,
                            ts: java.sql.Timestamp, value: Double)
   case class LedgerRow(user_id: Long, n_purchases: Long, total_cents: Long,

@@ -396,6 +396,39 @@ class StreamingSpec extends SparkSpec {
       (1L, "purchase", "2024-01-01 10:00:00.000900", 2L))))
   }
 
+  test("foreachBatch upsert sink: latest row per key wins; batch replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val changes = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .as[StreamingOps.ChangeEvent](org.apache.spark.sql.Encoders.product)
+    val q = StreamingOps.cdcState(changes)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch(StreamingOps.profileUpsertBatch(dir) _)
+      .start()
+    mem.addData((7L, ts("2024-01-01 10:00:00"), 1L, "signup"))
+    q.processAllAvailable()
+    mem.addData(
+      (7L, ts("2024-01-01 11:00:00"), 2L, "purchase"),
+      (8L, ts("2024-01-01 11:30:00"), 3L, "signup"))
+    q.processAllAvailable()
+    q.stop()
+    def snapshot() = StreamingOps.readUpsertedProfiles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1).toSeq
+    val got = snapshot()
+    // user 7's batch-1 signup row was superseded by the batch-2 purchase
+    assert(got == Seq((7L, "purchase", 2L), (8L, "signup", 1L)), s"merged view: $got")
+    // REPLAY batch 1 (the at-least-once failure mode): same deterministic
+    // content overwrites the same batch directory — the view is unchanged
+    val batch1 = Seq((7L, "signup",
+      ts("2024-01-01 10:00:00"), 1L, false))
+      .toDF("user_id", "last_op", "last_ts", "n_changes", "tombstoned")
+      .as[StreamingOps.ProfileRow](org.apache.spark.sql.Encoders.product)
+    StreamingOps.profileUpsertBatch(dir)(batch1, 0L)
+    assert(snapshot() == got, "replaying a committed batch must not change the merged view")
+  }
+
   test("transformWithState sessionizer: event-time timers close sessions; parity with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
