@@ -277,17 +277,23 @@ object Oracles {
            |    FROM (SELECT wc, list_filter(str_split(s, $sep), x -> x <> '') AS sy FROM $prev))
            |  GROUP BY 1),
            |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      // LEFT JOIN ON TRUE, not a comma join: an exhausted round (empty
+      // argmax) must leave the vocabulary untouched — the engine's
+      // exhaustion guard, mirrored (a comma join against the empty b$r
+      // would erase v$r).
       val rewrite =
         if (r == merges && !rewriteLast) ""
         else
           s""",
              |v$r AS (
              |  SELECT v.tok,
-             |         replace(v.s,
-             |           $sep || split_part(b.pair, ' ', 1) || $sep || $sep || split_part(b.pair, ' ', 2) || $sep,
-             |           $sep || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || $sep) AS s,
+             |         CASE WHEN b.pair IS NULL THEN v.s ELSE
+             |           replace(v.s,
+             |             $sep || split_part(b.pair, ' ', 1) || $sep || $sep || split_part(b.pair, ' ', 2) || $sep,
+             |             $sep || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || $sep)
+             |         END AS s,
              |         v.wc
-             |  FROM $prev v, b$r b)""".stripMargin
+             |  FROM $prev v LEFT JOIN b$r b ON TRUE)""".stripMargin
       head + rewrite
     }.mkString(",\n")
     s"WITH $toksCte,\n" +

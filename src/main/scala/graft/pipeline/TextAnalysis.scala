@@ -865,7 +865,14 @@ object TextAnalysis {
         .limit(1)
         .localCheckpoint()
       chosen += best.select(lit(r).as("merge_rank"), col("pair"), col("cnt"))
-      locally {
+      // Exhaustion guard: when every word is fully merged before round N,
+      // `best` is EMPTY and the rewrite crossJoin would erase the
+      // vocabulary — the trainer wouldn't notice (its rows are already
+      // chosen) but the encoder would fall back to unmerged lengths for
+      // every token. Checking the checkpointed 1-row frame is one trivial
+      // job; an exhausted round leaves the vocabulary untouched (and every
+      // later round is exhausted too, so the loop degenerates to no-ops).
+      if (!best.isEmpty) {
         val sides = broadcast(best.select(
           split(col("pair"), " ").getItem(0).as("lsym"),
           split(col("pair"), " ").getItem(1).as("rsym")))

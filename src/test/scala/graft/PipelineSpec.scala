@@ -92,6 +92,17 @@ class PipelineSpec extends SparkSpec {
       ("s3", 2L, 5L, 2L, 1L, 2.5)))
   }
 
+  test("bpe encode: pair exhaustion before the merge budget keeps the learned vocabulary") {
+    // "aaa" exhausts after 2 merges ([a,a,a] -> [aa,a] -> [aaa]); with a
+    // 3-merge budget the empty round-3 argmax must NOT erase the
+    // vocabulary, so "aaa" still encodes to 1 symbol
+    val docs = docsDf(Seq((0L, "aaa aaa", "en", "s", 7L)))
+    val out = TextAnalysis.bpeEncodeDf(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getAs[Double]("compression")))
+    assert(out.toSeq == Seq(("s", 2L, 6L, 2L, 2L, 3.0)))
+  }
+
   test("bm25: a query doc retrieves itself first; irrelevant docs score below relevant") {
     // doc 0 is the query (doc_id < 5); doc 7 shares most of its terms,
     // doc 8 shares one common term, doc 9 shares nothing
