@@ -937,6 +937,56 @@ object Oracles {
         |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // eq131: cluster-atomic leakage-safe split — the eq26 closure labels
+    // every paired doc (singletons self-label), then the 80/10/10 buckets
+    // hash the CLUSTER label (vs eq27's per-doc content hash as the
+    // control). leaked_pairs counts near-dup pairs straddling splits,
+    // once per endpoint split — 0 by construction for method=cluster.
+    "eq131_cluster_split" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +
+      s"""pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS src, s AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id, d.n_chars, d.text,
+        |               COALESCE(l.cluster, d.doc_id) AS cluster
+        |        FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |hc AS (SELECT doc_id, cluster, n_chars, text,
+        |              substr(md5(cluster::VARCHAR), 1, 7) AS h7 FROM lab),
+        |bc AS (SELECT doc_id, cluster, n_chars, text,
+        |              ($hex7OfH7) % 100 AS cb FROM hc),
+        |hd AS (SELECT doc_id, cluster, n_chars, cb,
+        |              substr(md5(text), 1, 7) AS h7 FROM bc),
+        |bd AS (SELECT doc_id, cluster, n_chars, cb,
+        |              ($hex7OfH7) % 100 AS db FROM hd),
+        |asg AS (
+        |  SELECT doc_id, cluster, n_chars, 'cluster' AS method,
+        |         CASE WHEN cb < 80 THEN 'train'
+        |              WHEN cb < 90 THEN 'val' ELSE 'test' END AS split FROM bd
+        |  UNION ALL
+        |  SELECT doc_id, cluster, n_chars, 'dochash',
+        |         CASE WHEN db < 80 THEN 'train'
+        |              WHEN db < 90 THEN 'val' ELSE 'test' END FROM bd),
+        |agg AS (SELECT method, split, COUNT(*) AS n_docs,
+        |               COUNT(DISTINCT cluster) AS n_clusters,
+        |               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |        FROM asg GROUP BY 1, 2),
+        |ps AS (SELECT aa.method, aa.split AS sa, ab.split AS sb
+        |       FROM pairs p
+        |       JOIN asg aa ON aa.doc_id = p.doc_a
+        |       JOIN asg ab ON ab.doc_id = p.doc_b AND ab.method = aa.method),
+        |lk0 AS (SELECT method, sa AS split FROM ps WHERE sa <> sb
+        |        UNION ALL SELECT method, sb FROM ps WHERE sa <> sb),
+        |lk AS (SELECT method, split, COUNT(*) AS leaked_pairs
+        |       FROM lk0 GROUP BY 1, 2)
+        |SELECT agg.method, agg.split, n_docs, n_clusters, total_chars,
+        |       COALESCE(leaked_pairs, 0) AS leaked_pairs
+        |FROM agg LEFT JOIN lk USING (method, split)
+        |ORDER BY 1, 2""".stripMargin),
+
     // eq27: content-hash split — same 28-bit md5-prefix key as x1,
     // bucket = key % 100, 80/10/10.
     "eq27_hash_split" ->
@@ -1543,6 +1593,33 @@ object Oracles {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |       CAST(SUM(logp_micro) AS BIGINT) AS logprob_micro,
         |       ROUND(CAST(SUM(logp_micro) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS avg_logprob
+        |FROM tk JOIN s USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // eq132: DSIR importance weights — target (lang='en') vs raw corpus
+    // unigram distributions, add-one smoothed over the shared union
+    // vocabulary; the two lns quantized to ONE integer-micro log-ratio
+    // per vocab entry (the eq47 convention), exact per-doc sums;
+    // kept = logratio > 0 (deterministic selection threshold).
+    "eq132_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cnt_raw,
+        |             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_tgt
+        |      FROM tk GROUP BY token),
+        |t AS (SELECT SUM(cnt_raw) AS n_raw, SUM(cnt_tgt) AS n_tgt,
+        |             COUNT(*) AS v_size FROM v),
+        |s AS (SELECT token,
+        |             CAST(ROUND((ln((cnt_tgt + 1)::DOUBLE / (n_tgt + v_size))
+        |                       - ln((cnt_raw + 1)::DOUBLE / (n_raw + v_size)))
+        |                  * 1000000.0::DOUBLE) AS BIGINT) AS lr_micro
+        |      FROM v CROSS JOIN t)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(lr_micro) AS BIGINT) AS logratio_micro,
+        |       ROUND(CAST(SUM(lr_micro) AS DOUBLE)
+        |             / (COUNT(*) * 1000000.0::DOUBLE), 6) AS avg_logratio,
+        |       CAST(SUM(lr_micro) AS BIGINT) > 0 AS kept
         |FROM tk JOIN s USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // eq46: quality-gated per-lang embedding centroids — eq8's quality CTE

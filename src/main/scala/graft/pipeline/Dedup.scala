@@ -1060,6 +1060,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** eq131 — cluster-atomic leakage-safe corpus split (the step a dedup
+    * pipeline runs AFTER clustering: Lee et al.'s motivation for dedup is
+    * exactly that per-document hash splits leak near-duplicates across
+    * train/test). Every document gets its eq26 connected-component label
+    * (docs outside the pair graph are their own singleton cluster), and
+    * the 80/10/10 assignment hashes the CLUSTER label — so a near-dup
+    * cluster lands in one split atomically and cross-split near-dup pairs
+    * are zero BY CONSTRUCTION. The eq27-style per-document content-hash
+    * split is computed alongside as the control, so one frame quantifies
+    * the leakage the cluster-atomic split removes.
+    *
+    * Output: one row per (method ∈ {cluster, dochash}, split) with doc /
+    * distinct-cluster / char tallies and `leaked_pairs` = near-dup pairs
+    * with exactly one endpoint in this split (each straddling pair counts
+    * once in each of its two splits). For method=cluster the column is
+    * provably 0; for method=dochash it measures the contamination. For
+    * method=dochash, Σ n_clusters over splits exceeding the true cluster
+    * count is the same straddle signal at cluster granularity.
+    *
+    * Scale shape: the labeling and pair table are the memoized artifacts
+    * (shared with eq26/eq84); on top of those this is one broadcast-able
+    * left join (labels are pair-graph-sized, ≪ corpus), two md5 keys per
+    * doc, a 6-group aggregate, and a pair-keyed join onto the (doc,
+    * split) frame — shuffle-on-doc_id, never corpus². */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitDf(Tables.load(spark, dir, "documents"))
+
+  def clusterSplitDf(docs: DataFrame): DataFrame = {
+    import graft.functions.Md5Expressions.md5_key28
+    def splitOfBucket(b: org.apache.spark.sql.Column) =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val labels = neardupLabelsDf(docs).withColumnRenamed("label", "label_")
+    // every doc: component label where one exists, else singleton self-label
+    val assigned = docs
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("label_"), col("doc_id")))
+      .select(col("doc_id"), col("cluster"), col("n_chars"),
+        splitOfBucket(md5_key28(col("cluster").cast("string")) % 100).as("cluster_split"),
+        splitOfBucket(md5_key28(col("text")) % 100).as("doc_split"))
+      // both methods' tallies and the leak join re-read this frame; it is
+      // labels ⋈ corpus — materialize once, lineage cut
+      .localCheckpoint()
+    val byMethod = assigned.select(col("doc_id"), col("cluster"), col("n_chars"),
+      expr("stack(2, 'cluster', cluster_split, 'dochash', doc_split) AS (method, split)"))
+    val tallies = byMethod
+      .groupBy("method", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_chars")).as("total_chars"))
+    val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val leaked = pairs
+      .join(byMethod.select(col("doc_id"), col("method"), col("split").as("split_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(byMethod.select(col("doc_id"), col("method").as("method_b"), col("split").as("split_b")),
+        col("doc_b") === col("doc_id") && col("method") === col("method_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      // a straddling pair contributes one count to each endpoint's split
+      .select(col("method"), explode(array(col("split_a"), col("split_b"))).as("split"))
+      .groupBy("method", "split")
+      .agg(count(lit(1)).as("leaked_pairs"))
+    tallies
+      .join(leaked, Seq("method", "split"), "left")
+      .select(col("method"), col("split"), col("n_docs"), col("n_clusters"),
+        col("total_chars"), coalesce(col("leaked_pairs"), lit(0L)).as("leaked_pairs"))
+      .orderBy("method", "split")
+  }
+
   /** eq99 — near-dup MODALITY agreement audit: does the text layer
     * (eq12, 3-gram Jaccard ≥ 0.2) and the embedding layer (eq13, cosine
     * ≥ 0.5) nominate the same pairs? One row: both pair counts, the

@@ -468,6 +468,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** eq132 — DSIR-style importance weights for data selection (Xie et
+    * al. 2023, "Data Selection via Importance Resampling" — public
+    * method): score every document by how much more likely its tokens are
+    * under a TARGET unigram distribution than under the RAW corpus
+    * distribution, log w(x) = Σ_t [ln p_target(t) − ln p_raw(t)]. Target
+    * here = the `lang = 'en'` slice (the usual "select data that looks
+    * like my target domain" shape); both distributions are add-one
+    * smoothed over the SHARED union vocabulary, so unseen-in-target
+    * tokens get a finite negative ratio instead of −∞.
+    *
+    * Engine-parity discipline (the eq47/eq90 convention): the only libm
+    * calls — the two `ln`s — are quantized to one integer-micro log-ratio
+    * per vocabulary entry, so per-doc sums are exact integer arithmetic,
+    * order-free under any partitioning. `kept` = logratio_micro > 0 (the
+    * deterministic threshold form of DSIR's resampling step: keep what
+    * the target distribution prefers) — a pure per-row predicate, no
+    * global rank, so selection stays shuffle-free at 100 TB.
+    *
+    * Scale shape: one tokenize+explode pass (materialized once), a
+    * vocabulary-bounded aggregate carrying both counts in the same pass
+    * (conditional sum — not two scans), ≤|V| ln calls on a broadcast
+    * frame, one broadcast join back over the token stream, one per-doc
+    * aggregate. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsDf(Tables.load(spark, dir, "documents"))
+
+  def dsirWeightsDf(docs: DataFrame): DataFrame = {
+    // materialized once: vocabulary build + scoring join both consume it
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint()
+    // both distributions' counts in ONE vocabulary aggregate
+    val vocab = tok.groupBy("token").agg(
+      count(lit(1)).as("cnt_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_tgt"))
+    val totals = vocab.agg(
+      sum(col("cnt_raw")).as("n_raw"), sum(col("cnt_tgt")).as("n_tgt"),
+      count(lit(1)).as("v_size"))
+    val scored = vocab.crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        round((log((col("cnt_tgt") + 1).cast("double") / (col("n_tgt") + col("v_size")))
+          - log((col("cnt_raw") + 1).cast("double") / (col("n_raw") + col("v_size"))))
+          * 1000000.0).cast("long"))
+      .select("token", "lr_micro")
+    tok.join(broadcast(scored), Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("lr_micro")).as("logratio_micro"))
+      .withColumn("avg_logratio",
+        round(col("logratio_micro").cast("double") / (col("n_tokens") * 1000000.0), 6))
+      .withColumn("kept", col("logratio_micro") > 0)
+      .orderBy("doc_id")
+  }
+
   /** eq88 — BM25 top-10 retrieval over the inverted index: the query-based
     * corpus-filtering primitive (find the training docs most relevant to a
     * benchmark/query panel — the retrieval sibling of eq29's

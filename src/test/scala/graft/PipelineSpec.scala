@@ -1951,6 +1951,48 @@ class PipelineSpec extends SparkSpec {
       !byId(3L).getBoolean(7) && !byId(3L).getBoolean(8) && !byId(3L).getBoolean(9))
   }
 
+  test("eq131 cluster split: near-dup pair straddles the dochash split but never the cluster split") {
+    // docs 0/1 share shingle "w1 w2 w3" (J = 1/3 ≥ 0.2 → one cluster,
+    // label 0); doc 2 is a singleton (label 2). md5 buckets (computed
+    // offline): text of doc 0 → 5 (train), doc 1 → 95 (test), doc 2 → 46
+    // (train); cluster labels "0" → 32 (train), "2" → 12 (train). So the
+    // dochash control tears the pair across train/test while the
+    // cluster-atomic split holds it together by construction.
+    val docs = docsDf(Seq(
+      (0L, "w1 w2 w3 a0", "en", "s", 11L),
+      (1L, "w1 w2 w3 b18", "en", "s", 12L),
+      (2L, "q r s t", "en", "s", 7L)))
+    val out = Dedup.clusterSplitDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("cluster", "train")) == ((3L, 2L, 30L, 0L)),
+      "cluster method: all three docs in train, two clusters, zero leaks")
+    assert(!out.contains(("cluster", "test")) && !out.contains(("cluster", "val")))
+    assert(out(("dochash", "train")) == ((2L, 2L, 18L, 1L)),
+      "dochash control: docs 0+2 in train; the straddling pair leaks once here")
+    assert(out(("dochash", "test")) == ((1L, 1L, 12L, 1L)),
+      "dochash control: doc 1 alone in test; same pair leaks once here too")
+    // straddle at cluster granularity: dochash touches cluster 0 in two
+    // splits, so its Σ n_clusters (3) exceeds the true cluster count (2)
+    assert(out.collect { case (("dochash", _), (_, c, _, _)) => c }.sum == 3L)
+  }
+
+  test("eq132 dsir: hand-computed add-one log-ratio micros and keep flags") {
+    // target = en. tokens: doc 0 (en) a,a,b; doc 1 (fr) a,c.
+    // vocab: a raw 3 / tgt 2, b 1/1, c 1/0; n_raw 5, n_tgt 3, |V| 3.
+    // lr(a) = ln((3/6)/(4/8)) = 0; lr(b) = ln((2/6)/(2/8)) = ln(4/3) →
+    // 287682 micros; lr(c) = ln((1/6)/(2/8)) = ln(2/3) → −405465.
+    // doc 0: 0+0+287682 = 287682 (kept); doc 1: 0−405465 = −405465.
+    val docs = docsDf(Seq(
+      (0L, "a a b", "en", "s", 5L),
+      (1L, "a c", "fr", "s", 3L)))
+    val out = TextAnalysis.dsirWeightsDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getAs[Double]("avg_logratio"), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((3L, 287682L, 0.095894, true)))
+    assert(out(1L)._1 == 2L && out(1L)._2 == -405465L && !out(1L)._4,
+      "the fr doc scores target-unlike and is dropped")
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
