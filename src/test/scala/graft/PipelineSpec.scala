@@ -1977,6 +1977,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.collect { case (("dochash", _), (_, c, _, _)) => c }.sum == 3L)
   }
 
+  test("eq131 cluster split never leaks on randomized corpora (property)") {
+    // The no-leak claim is BY CONSTRUCTION — so it must hold for every
+    // corpus, not just the planted fixture. Seeded random corpora with a
+    // boilerplate prefix (guaranteeing a rich near-dup pair graph, the
+    // PPJoin property-test recipe); for each: method=cluster rows carry
+    // leaked_pairs = 0, both methods partition the corpus exactly, and
+    // the cluster method's Σ n_clusters equals the true cluster count
+    // (each cluster in exactly one split).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val boiler = "lorem ipsum dolor sit amet consectetur"
+    val docGen = for {
+      useBoiler <- Gen.frequency(1 -> true, 1 -> false)
+      n <- Gen.chooseNum(0, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield (if (useBoiler) boiler + " " else "") + toks.mkString(" ")
+    for (seed <- 1L to 3L) {
+      val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(seed))
+      val docs = docsDf(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s", t.length.toLong) })
+      val rows = Dedup.clusterSplitDf(docs).collect()
+      val clusterRows = rows.filter(_.getString(0) == "cluster")
+      assert(clusterRows.forall(_.getLong(5) == 0L),
+        s"seed $seed: cluster-atomic split leaked a near-dup pair")
+      Seq("cluster", "dochash").foreach { m =>
+        assert(rows.filter(_.getString(0) == m).map(_.getLong(2)).sum == 40L,
+          s"seed $seed: method $m does not partition the corpus")
+      }
+      val nClusters = Dedup.neardupClustersDf(docs).count() +
+        (40L - Dedup.neardupClustersDf(docs).agg(sum(col("n_docs"))).head.getLong(0))
+      assert(clusterRows.map(_.getLong(3)).sum == nClusters,
+        s"seed $seed: a cluster appears in more than one split")
+    }
+  }
+
   test("eq132 dsir: hand-computed add-one log-ratio micros and keep flags") {
     // target = en. tokens: doc 0 (en) a,a,b; doc 1 (fr) a,c.
     // vocab: a raw 3 / tgt 2, b 1/1, c 1/0; n_raw 5, n_tgt 3, |V| 3.
