@@ -1595,6 +1595,19 @@ object Oracles {
         |       ROUND(CAST(SUM(logp_micro) AS DOUBLE) / (COUNT(*) * 1000000.0::DOUBLE), 6) AS avg_logprob
         |FROM tk JOIN s USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // eq133: shingle novelty — per doc, the fraction of its distinct
+    // 3-gram shingles first seen at this doc_id (arrival order); the
+    // shared toks/shingled CTEs, min-doc_id per shingle, join back.
+    "eq133_shingle_novelty" -> (s"WITH $toksCte,\n" +
+      """s AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
+        |ex AS (SELECT doc_id, unnest(shd) AS sg FROM s WHERE len(shd) > 0),
+        |f AS (SELECT sg, MIN(doc_id) AS first_doc FROM ex GROUP BY sg)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |             / COUNT(*), 6) AS novelty
+        |FROM ex JOIN f USING (sg) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // eq132: DSIR importance weights — target (lang='en') vs raw corpus
     // unigram distributions, add-one smoothed over the shared union
     // vocabulary; the two lns quantized to ONE integer-micro log-ratio

@@ -468,6 +468,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** eq133 — shingle NOVELTY audit (corpus-freshness profile): treating
+    * doc_id as arrival order, what fraction of each document's distinct
+    * 3-gram shingles has never appeared in any earlier document? The
+    * incremental-crawl signal — a feed whose novelty ratio collapses is
+    * re-crawling what the corpus already holds (the cheap leading
+    * indicator for eq104's full incremental-dedup verdicts).
+    *
+    * Shape: the memoized distinct-shingle frame ([[Dedup.shingleSets]],
+    * shared with the whole Jaccard family), one explode, one
+    * shuffle-on-shingle aggregate (`min(doc_id)` = first sighting), one
+    * join back on the shingle key, one per-doc aggregate — all
+    * vocabulary/instance-bounded, never doc×doc. Docs with <3 tokens
+    * have no shingles and are absent, as in eq30. */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame =
+    shingleNoveltyDf(Tables.load(spark, dir, "documents"))
+
+  def shingleNoveltyDf(docs: DataFrame): DataFrame = {
+    val ex = Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+    val firstSeen = ex.groupBy("sg").agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firstSeen, Seq("sg"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   /** eq132 — DSIR-style importance weights for data selection (Xie et
     * al. 2023, "Data Selection via Importance Resampling" — public
     * method): score every document by how much more likely its tokens are

@@ -2030,6 +2030,24 @@ class PipelineSpec extends SparkSpec {
       "the fr doc scores target-unlike and is dropped")
   }
 
+  test("eq133 shingle novelty: hand-computed first-seen fractions, short docs absent") {
+    // doc 0: shingles {abc, bcd} — both first here → 2/2.
+    // doc 1: {abc, bcx} — abc seen at doc 0, bcx new → 1/2.
+    // doc 2: repeats doc 0's text — distinct shingles all old → 0/2.
+    // doc 3: two tokens, no shingles → absent.
+    val docs = docsDf(Seq(
+      (0L, "a b c d", "en", "s", 7L),
+      (1L, "a b c x", "en", "s", 7L),
+      (2L, "a b c d", "en", "s", 7L),
+      (3L, "a b", "en", "s", 3L)))
+    val out = TextAnalysis.shingleNoveltyDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      0L -> ((2L, 2L, 1.0)),
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 0L, 0.0))))
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
