@@ -1608,6 +1608,24 @@ object Oracles {
         |             / COUNT(*), 6) AS novelty
         |FROM ex JOIN f USING (sg) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // eq134: source overlap matrix — pairwise shingle-set Jaccard at
+    // feed granularity; per-shingle fan-out ≤ n_sources², never doc².
+    "eq134_source_overlap" -> (s"WITH $toksCte,\n" +
+      """sxe AS (SELECT source, unnest(list_distinct(sh)) AS sg FROM shingled),
+        |sx AS (SELECT DISTINCT source, sg FROM sxe),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sx GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             COUNT(*) AS common
+        |      FROM sx a JOIN sx b ON a.sg = b.sg AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, common,
+        |       za.n AS sz_a, zb.n AS sz_b,
+        |       ROUND(common::DOUBLE / (za.n + zb.n - common), 6) AS jaccard
+        |FROM p
+        |JOIN sz za ON za.source = p.source_a
+        |JOIN sz zb ON zb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin),
+
     // eq132: DSIR importance weights — target (lang='en') vs raw corpus
     // unigram distributions, add-one smoothed over the shared union
     // vocabulary; the two lns quantized to ONE integer-micro log-ratio

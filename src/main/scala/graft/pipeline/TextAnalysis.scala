@@ -498,6 +498,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** eq134 — SOURCE overlap matrix (mirror/syndication detection at feed
+    * granularity): pairwise shingle-set Jaccard between sources. Two
+    * feeds republishing each other show up as a high-overlap pair long
+    * before doc-level dedup runs — the signal a curation pipeline uses
+    * to drop or down-weight a redundant source wholesale.
+    *
+    * Scale shape: (source, shingle) distinct pairs from the memoized
+    * doc-level shingle frame (one join on doc_id, one distinct); the
+    * pair mining joins on the shingle key with per-shingle fan-out
+    * bounded by n_sources² (≤400 here) — NEVER doc², and the output is
+    * n_sources²-bounded. This is the same inverted-index shape as eq12
+    * but at feed cardinality, where the quadratic term is harmless by
+    * construction. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapDf(Tables.load(spark, dir, "documents"))
+
+  def sourceOverlapDf(docs: DataFrame): DataFrame = {
+    val sx = Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("source", "sg")
+      .distinct()
+      // feed both the size aggregate and the self-join from one
+      // materialization (feed-cardinality × vocabulary rows)
+      .localCheckpoint()
+    val sizes = sx.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = sx.select(col("source").as("source_a"), col("sg"))
+    val b = sx.select(col("source").as("source_b"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("sz_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("sz_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("common"), col("sz_a"), col("sz_b"),
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** eq132 — DSIR-style importance weights for data selection (Xie et
     * al. 2023, "Data Selection via Importance Resampling" — public
     * method): score every document by how much more likely its tokens are

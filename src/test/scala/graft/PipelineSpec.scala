@@ -2048,6 +2048,22 @@ class PipelineSpec extends SparkSpec {
       2L -> ((2L, 0L, 0.0))))
   }
 
+  test("eq134 source overlap: hand-computed feed-level jaccard, disjoint pair absent") {
+    // s1: docs {a b c d, p q r s} → shingles {abc,bcd, pqr,qrs} (4).
+    // s2: doc {a b c d e} → {abc,bcd,cde} (3); common with s1 = {abc,bcd}
+    //     → J = 2/(4+3-2) = 0.4.
+    // s3: doc {x y z w} → {xyz,yzw}; no overlap with anyone → no rows.
+    val docs = docsDf(Seq(
+      (0L, "a b c d", "en", "s1", 7L),
+      (1L, "p q r s", "en", "s1", 7L),
+      (2L, "a b c d e", "en", "s2", 9L),
+      (3L, "x y z w", "en", "s3", 7L)))
+    val out = TextAnalysis.sourceOverlapDf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(("s1", "s2") -> ((2L, 4L, 3L, 0.4))))
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
