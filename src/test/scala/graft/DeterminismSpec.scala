@@ -29,6 +29,10 @@ class DeterminismSpec extends SparkSpec {
   invariant("eq94 bootstrap CI")(dir => EventOps.bootstrapCi(spark, dir))
   invariant("eq100 ewma")(dir => EventOps.ewmaDaily(spark, dir))
   invariant("eq97 graph clustering")(dir => Dedup.graphClustering(spark, dir))
+  invariant("eq131 cluster split")(dir => Dedup.clusterSplit(spark, dir))
+  invariant("eq132 dsir weights")(dir => TextAnalysis.dsirWeights(spark, dir))
+  invariant("eq133 shingle novelty")(dir => TextAnalysis.shingleNovelty(spark, dir))
+  invariant("eq134 source overlap")(dir => TextAnalysis.sourceOverlap(spark, dir))
 
   test("partitioning-invariant: repartitioned input hashes equal (eq89, eq90, eq100)") {
     val docs = Tables.load(spark, Sf, "documents")
