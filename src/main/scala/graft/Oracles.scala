@@ -1608,6 +1608,51 @@ object Oracles {
         |             / COUNT(*), 6) AS novelty
         |FROM ex JOIN f USING (sg) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // eq135: snapshot drift — per-lang Jensen–Shannon divergence between
+    // arrival-order halves; add-one smoothing over the per-lang union
+    // vocabulary, per-token ln(p/m)/ln(q/m) quantized to integer micros,
+    // exact BIGINT Σ (cnt+1)·lr per KL side, one normalization each.
+    "eq135_snapshot_drift" ->
+      """WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+        |tk AS (
+        |  SELECT lang, doc_id <= mid.mid AS old_half,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents CROSS JOIN mid),
+        |v AS (SELECT lang, token,
+        |             SUM(CASE WHEN old_half THEN 1 ELSE 0 END) AS cnt_a,
+        |             SUM(CASE WHEN old_half THEN 0 ELSE 1 END) AS cnt_b
+        |      FROM tk GROUP BY 1, 2),
+        |t AS (SELECT lang, SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b,
+        |             COUNT(*) AS v_size FROM v GROUP BY 1),
+        |tm AS (
+        |  SELECT v.lang, cnt_a, cnt_b, n_a, n_b, v_size,
+        |         (cnt_a + 1)::DOUBLE / (n_a + v_size) AS p,
+        |         (cnt_b + 1)::DOUBLE / (n_b + v_size) AS q
+        |  FROM v JOIN t ON v.lang = t.lang),
+        |tr AS (
+        |  SELECT lang, cnt_a, cnt_b, n_a, n_b, v_size,
+        |         CAST(ROUND(ln(p / ((p + q) / 2)) * 1000000.0::DOUBLE) AS BIGINT) AS lra,
+        |         CAST(ROUND(ln(q / ((p + q) / 2)) * 1000000.0::DOUBLE) AS BIGINT) AS lrb
+        |  FROM tm),
+        |kl AS (SELECT lang, MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(v_size) AS v_size,
+        |              CAST(SUM((cnt_a + 1) * lra) AS BIGINT) AS sa,
+        |              CAST(SUM((cnt_b + 1) * lrb) AS BIGINT) AS sb
+        |       FROM tr GROUP BY lang),
+        |dc AS (SELECT lang,
+        |              SUM(CASE WHEN doc_id <= mid.mid THEN 1 ELSE 0 END) AS n_docs_a,
+        |              SUM(CASE WHEN doc_id <= mid.mid THEN 0 ELSE 1 END) AS n_docs_b
+        |       FROM documents CROSS JOIN mid GROUP BY lang)
+        |SELECT kl.lang,
+        |       CAST(n_docs_a AS BIGINT) AS n_docs_a,
+        |       CAST(n_docs_b AS BIGINT) AS n_docs_b,
+        |       CAST(n_a AS BIGINT) AS n_tokens_a,
+        |       CAST(n_b AS BIGINT) AS n_tokens_b,
+        |       ROUND((sa::DOUBLE / ((n_a + v_size) * 1000000.0::DOUBLE)
+        |            + sb::DOUBLE / ((n_b + v_size) * 1000000.0::DOUBLE)) / 2, 6)
+        |         AS js_divergence
+        |FROM kl JOIN dc ON kl.lang = dc.lang
+        |ORDER BY kl.lang""".stripMargin,
+
     // eq134: source overlap matrix — pairwise shingle-set Jaccard at
     // feed granularity; per-shingle fan-out ≤ n_sources², never doc².
     "eq134_source_overlap" -> (s"WITH $toksCte,\n" +

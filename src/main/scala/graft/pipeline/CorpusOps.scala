@@ -25,6 +25,61 @@ import graft.functions.TextCountExpressions.ws_token_count
   */
 object CorpusOps {
 
+  /** eq135 — snapshot DRIFT audit: per-language Jensen–Shannon
+    * divergence between the corpus's arrival-order halves (doc_id ≤
+    * midpoint = "old snapshot", above = "new"), over add-one-smoothed
+    * unigram distributions — the crawl-monitoring signal that a feed's
+    * token distribution moved between snapshots (vocabulary churn,
+    * template shifts, language drift) BEFORE retraining on it.
+    *
+    * Exactness discipline (the eq47/eq132 convention, extended to JS):
+    * the per-token log-ratios ln(p/m) and ln(q/m) (m = the midpoint
+    * mixture) are quantized to integer micros at the VOCABULARY level;
+    * each KL side is then the exact BIGINT sum Σ (cnt+1)·lnratio_micro
+    * over the per-lang vocabulary — order-free under any partitioning —
+    * normalized once by the smoothed token mass. Per-lang output is
+    * lang-cardinality-bounded; the one tokenize pass and one vocabulary
+    * aggregate carry both snapshots' counts (conditional sums, not two
+    * scans). */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame =
+    snapshotDriftDf(Tables.load(spark, dir, "documents"))
+
+  def snapshotDriftDf(docs: DataFrame): DataFrame = {
+    val mid = docs.agg(
+      expr("(min(doc_id) + max(doc_id)) div 2").as("mid"))
+    val tok = docs
+      .crossJoin(broadcast(mid))
+      .select(col("lang"), (col("doc_id") <= col("mid")).as("old_half"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("lang", "token").agg(
+      sum(when(col("old_half"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("old_half"), 0L).otherwise(1L)).as("cnt_b"))
+    val totals = vocab.groupBy("lang").agg(
+      sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+      count(lit(1)).as("v_size"))
+    // p, q, m as doubles from exact integers (IEEE-identical in DuckDB);
+    // the only libm calls quantized to micros on the vocabulary frame
+    val terms = vocab.join(broadcast(totals), Seq("lang"))
+      .withColumn("p", (col("cnt_a") + 1).cast("double") / (col("n_a") + col("v_size")))
+      .withColumn("q", (col("cnt_b") + 1).cast("double") / (col("n_b") + col("v_size")))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("lra_micro", round(log(col("p") / col("m")) * 1000000.0).cast("long"))
+      .withColumn("lrb_micro", round(log(col("q") / col("m")) * 1000000.0).cast("long"))
+    val kl = terms.groupBy("lang").agg(
+      sum((col("cnt_a") + 1) * col("lra_micro")).as("sa"),
+      sum((col("cnt_b") + 1) * col("lrb_micro")).as("sb"))
+    val docCounts = docs.crossJoin(broadcast(mid)).groupBy("lang").agg(
+      sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L)).as("n_docs_a"),
+      sum(when(col("doc_id") <= col("mid"), 0L).otherwise(1L)).as("n_docs_b"))
+    kl.join(totals, Seq("lang")).join(docCounts, Seq("lang"))
+      .select(col("lang"), col("n_docs_a"), col("n_docs_b"),
+        col("n_a").as("n_tokens_a"), col("n_b").as("n_tokens_b"),
+        round((col("sa").cast("double") / ((col("n_a") + col("v_size")) * 1000000.0)
+          + col("sb").cast("double") / ((col("n_b") + col("v_size")) * 1000000.0)) / 2, 6)
+          .as("js_divergence"))
+      .orderBy("lang")
+  }
+
   /** eq31 — stratified (per-language) content-keyed down-sampling, the
     * domain-mixing primitive: each language keeps a fixed per-mille of its
     * documents, selected by a 28-bit md5 key of the TEXT (not doc_id, not

@@ -485,4 +485,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(1) < 0.0, "token frequencies must decay with rank")
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
+
+  test("eq135 snapshot drift: hand-computed JS micros; identical halves give 0") {
+    // one lang, mid = (0+1) div 2 = 0: old = {doc 0 "a a"}, new = {doc 1
+    // "a b"}. vocab a: 2/1, b: 0/1; N_a = N_b = 2, V = 2.
+    // p(a)=3/4, q(a)=1/2, m=5/8: ln(1.2)->182322, ln(0.8)->-223144.
+    // p(b)=1/4, q(b)=1/2, m=3/8: ln(2/3)->-405465, ln(4/3)->287682.
+    // sa = 3*182322 + 1*(-405465) = 141501; sb = 2*(-223144) + 2*287682
+    // = 129076; js = (141501/4e6 + 129076/4e6)/2 = 0.033822 (6 dp).
+    val docs = docsDf(Seq(
+      (0L, "a a", "en", "s", 3L),
+      (1L, "a b", "en", "s", 3L)))
+    val r = CorpusOps.snapshotDriftDf(docs).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == (("en", 1L, 1L, 2L, 2L)))
+    assert(r.getDouble(5) == 0.033822, s"js ${r.getDouble(5)}")
+    // identical halves: every p = q = m, all log-ratios quantize to 0
+    val same = docsDf(Seq(
+      (0L, "x y z", "en", "s", 5L),
+      (1L, "x y z", "en", "s", 5L)))
+    assert(CorpusOps.snapshotDriftDf(same).head().getDouble(5) == 0.0)
+  }
 }
