@@ -506,4 +506,18 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, "x y z", "en", "s", 5L)))
     assert(CorpusOps.snapshotDriftDf(same).head().getDouble(5) == 0.0)
   }
+
+  test("eq135 snapshot drift: live-fixture invariants (doc conservation, JS bounds)") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    val out = CorpusOps.snapshotDriftDf(docs).collect()
+    // every document lands in exactly one (lang, half) cell
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == docs.count())
+    // JS divergence is non-negative and ≤ ln 2 ≈ 0.693147 (base-e bound);
+    // the 1e-6 micro quantization cannot push past either bound by more
+    // than a vocabulary of epsilons
+    out.foreach { r =>
+      val js = r.getDouble(5)
+      assert(js >= -1e-6 && js <= 0.693148, s"lang ${r.getString(0)} js $js")
+    }
+  }
 }

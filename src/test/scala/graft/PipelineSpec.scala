@@ -2064,6 +2064,35 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(("s1", "s2") -> ((2L, 4L, 3L, 0.4))))
   }
 
+  test("round-9 ops: conservation invariants on the live sf0.001 corpus") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    val nDocs = docs.count()
+
+    // eq132: every document scored exactly once; kept ⇔ positive ratio
+    val dsir = TextAnalysis.dsirWeightsDf(docs).collect()
+    assert(dsir.length == nDocs)
+    assert(dsir.forall(r => r.getBoolean(4) == (r.getLong(2) > 0L)))
+
+    // eq133: each distinct shingle is novel at exactly ONE doc — the sum
+    // of per-doc novel counts must equal the corpus distinct-shingle
+    // count; the first shingled doc is all-novel by definition
+    val nov = TextAnalysis.shingleNoveltyDf(docs).collect()
+    val distinctShingles = docs
+      .select(explode(graft.functions.ShingleExpressions.shingle_hashes(col("text"), 3)))
+      .distinct().count()
+    assert(nov.map(_.getLong(2)).sum == distinctShingles,
+      "sum of novel counts must conserve the distinct-shingle total")
+    assert(nov.minBy(_.getLong(0)).getDouble(3) == 1.0,
+      "the earliest shingled doc is 100% novel")
+    assert(nov.forall(r => r.getLong(2) <= r.getLong(1)))
+
+    // eq134: overlap counts bounded by the smaller side, jaccard in (0,1]
+    val ov = TextAnalysis.sourceOverlapDf(docs).collect()
+    assert(ov.nonEmpty)
+    assert(ov.forall(r => r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))))
+    assert(ov.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0))
+  }
+
   test("multimodal: stub decoder is deterministic; features preserve byte counts") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.extractFeatures(media).collect()
