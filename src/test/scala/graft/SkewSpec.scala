@@ -194,6 +194,46 @@ class SkewSpec extends SparkSpec {
     assert(plainSmall == shardSmall)
   }
 
+  // ---- fixture 5: giant near-dup cluster vs the cluster-atomic split --
+
+  test("giant cluster under eq131: still zero leaks, but mass concentrates — rep-selection is the documented mitigation") {
+    // 60 of 80 docs form ONE near-dup cluster (shared boilerplate run,
+    // pairwise J ≥ 0.2); 20 docs are unique singletons. The
+    // cluster-atomic split must still leak zero pairs — but the giant
+    // cluster lands in ONE split wholesale, so split masses skew: this
+    // is the inherent leakage-safety/balance tradeoff. The production
+    // mitigation is eq84: collapse each cluster to its representative
+    // BEFORE splitting, which turns the giant cluster into one doc.
+    val boiler = (0 until 12).map(t => s"b$t").mkString(" ")
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, s"$boiler x$i", "en", "s", 0L)
+    } ++ (100 until 120).map { i =>
+      val uniq = (0 until 10).map(t => s"u${i}t$t").mkString(" ")
+      (i.toLong, uniq, "en", "s", 0L)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.clusterSplitDf(docs).collect()
+    val cluster = rows.filter(_.getString(0) == "cluster")
+    assert(cluster.forall(_.getLong(5) == 0L), "leak-free even under the giant cluster")
+    // the giant cluster's 60 docs land in exactly one split atomically
+    assert(cluster.map(_.getLong(2)).max >= 60L,
+      "the giant cluster must not be torn across splits")
+    // after eq84 rep-selection the same corpus splits at DOCUMENT
+    // granularity again: 1 rep + 20 singletons assigned independently —
+    // multiple splits occupied (vs the giant cluster's all-or-nothing
+    // 60-doc block), masses near the designed 80/10/10
+    val reps = Dedup.clusterRepsDf(docs).select(col("rep_doc_id"))
+    val repCorpus = docs.join(reps, docs("doc_id") === reps("rep_doc_id"), "left_semi")
+      .union(docs.filter(col("doc_id") >= 100L)).distinct()
+    assert(repCorpus.count() == 21L)
+    val repRows = Dedup.clusterSplitDf(repCorpus).collect()
+      .filter(_.getString(0) == "cluster")
+    assert(repRows.forall(_.getLong(5) == 0L))
+    assert(repRows.length >= 2,
+      "rep-collapsed corpus must occupy more than one split")
+    assert(repRows.forall(_.getLong(2) <= 18L),
+      "no 60-doc atomic block remains after rep selection")
+  }
+
   // ---- fixture 4: one giant document ---------------------------------
 
   test("giant document: chunkTexts bounds the explode fan-out and preserves the token profile exactly") {
