@@ -2135,6 +2135,46 @@ object Oracles {
         |FROM j JOIN est e USING (doc_a, doc_b)
         |WHERE j.jac >= 0.2::DOUBLE ORDER BY j.doc_a, j.doc_b""".stripMargin),
 
+    // x29: the banding sweep — the x1 `mins` CTE regrouped under five
+    // (rows-per-band) shapes, each with the same ≤50 bucket guard, scored
+    // against the full exact-Jaccard ≥ 0.2 truth set (the eq12 pairs,
+    // recomputed here off the shared `s` sets CTE).
+    "x29_minhash_band_sweep" -> {
+      val cfg = Seq(1, 2, 4, 8, 16)
+      val blocks = cfg.map { r =>
+        s"""k$r AS (SELECT doc_id, i // $r AS band,
+           |        string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
+           |        FROM mins GROUP BY 1, 2),
+           |ok$r AS (SELECT band, band_key FROM k$r GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |kk$r AS (SELECT k.doc_id, k.band, k.band_key FROM k$r k JOIN ok$r USING (band, band_key)),
+           |cand$r AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM kk$r x JOIN kk$r y ON x.band = y.band AND x.band_key = y.band_key
+           |                          AND x.doc_id < y.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = cfg.map { r =>
+        s"""SELECT $r AS rows_per_band, ${64 / r} AS n_bands,
+           |       (SELECT COUNT(*) FROM cand$r) AS n_candidates,
+           |       nt.n_true AS n_true_pairs,
+           |       (SELECT COUNT(*) FROM cand$r JOIN tp USING (doc_a, doc_b)) AS n_found,
+           |       ROUND((SELECT COUNT(*) FROM cand$r JOIN tp USING (doc_a, doc_b))::DOUBLE
+           |             / nt.n_true, 6) AS recall
+           |FROM nt""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$minhashKeyCtes,\n" +
+        s"""ex2 AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg FROM s),
+          |tp AS (SELECT doc_a, doc_b FROM (
+          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+          |           MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+          |    FROM ex2 a JOIN ex2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          |    GROUP BY 1, 2)
+          |  WHERE common::DOUBLE / (sz_a + sz_b - common) >= 0.2::DOUBLE),
+          |nt AS (SELECT COUNT(*) AS n_true FROM tp),
+          |$blocks
+          |$rows
+          |ORDER BY rows_per_band""".stripMargin
+    },
+
     // x9: the bloom-prefiltered decontamination totals are EXACT (bloom
     // false positives are killed by the verify join, false negatives are
     // impossible), so the oracle recomputes them with a plain join —

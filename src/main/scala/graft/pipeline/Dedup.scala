@@ -451,6 +451,79 @@ object Dedup {
     (sig, pairs)
   }
 
+  /** x29 — MinHash BANDING sweep: the (bands × rows-per-band) tuning
+    * eval for the x1 pipeline, the MinHash sibling of x24's SRP
+    * probe-radius sweep. The 64 shared signature minhashes are regrouped
+    * under five band shapes r ∈ {1,2,4,8,16} (b = 64/r); for each, the
+    * x1 candidate generation runs unchanged (band-key self-join under
+    * the same ≤50 bucket guard) and is scored against the exact-Jaccard
+    * ≥ 0.2 truth set: candidate count (the cost axis) and recall (the
+    * quality axis). The sweep shows both failure modes honestly: r too
+    * small → band keys collide everywhere, buckets blow past the guard
+    * and get dropped (recall collapses from the GUARD, the production
+    * behavior); r too large → collision probability J^r starves
+    * candidates. r = 4 is x1's shipped operating point.
+    *
+    * Cost shape: the signature frame is the memoized checkpoint (mined
+    * once for x1/x23/eq104); all five configs ride ONE banded frame —
+    * one bucket-guard aggregate, one (config, band, key) self-join, one
+    * distinct. Runtime is dominated BY DESIGN by the r=1 cell's
+    * candidate mass (its ~200× cost-for-equal-recall is the sweep's
+    * finding); a production tuning sweep runs on a corpus sample. */
+  private val SweepRowsPerBand = Seq(1, 2, 4, 8, 16)
+
+  def minhashBandSweep(spark: SparkSession, dir: String): DataFrame =
+    minhashBandSweepDf(Tables.load(spark, dir, "documents"))
+
+  def minhashBandSweepDf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (_, sig, _) = signatureParts(docs)
+    val truth = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    // ALL five configs in ONE banded frame (124 struct rows per doc):
+    // one bucket-guard aggregate, one self-join, one distinct — instead
+    // of five chains of each (was 5.6 s at sf0.1, the then-most-expensive
+    // query; the join key is (config, band, key) so configs never mix)
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((for {
+        r <- SweepRowsPerBand
+        k <- 0 until NumHashes / r
+      } yield struct(
+        lit(r).as("rows_per_band"), lit(k).as("band"),
+        concat_ws(",", (0 until r).map(q => col(s"m${k * r + q}")): _*).as("band_key"))
+      ): _*)).as("e"))
+      .select(col("doc_id"), col("e.rows_per_band"), col("e.band"), col("e.band_key"))
+    val key = Seq("rows_per_band", "band", "band_key")
+    val ok = banded.groupBy(key.head, key.tail: _*)
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= MaxBucket)
+      .select(key.head, key.tail: _*)
+    val pruned = banded.join(ok, key)
+    val cands = pruned.as("x").join(pruned.as("y"), key)
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("rows_per_band"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      // the found-join re-reads it; pair sets are guard-bounded
+      .localCheckpoint()
+    val nc = cands.groupBy("rows_per_band").agg(count(lit(1)).as("n_candidates"))
+    val nf = cands.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy("rows_per_band").agg(count(lit(1)).as("n_found"))
+    SweepRowsPerBand.toDF("rows_per_band")
+      .join(broadcast(nc), Seq("rows_per_band"), "left")
+      .join(broadcast(nf), Seq("rows_per_band"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("rows_per_band"),
+        (lit(NumHashes) / col("rows_per_band")).cast("int").as("n_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_true_pairs"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast("double")
+          / col("n_true_pairs"), 6).as("recall"))
+      .orderBy("rows_per_band")
+  }
+
   /** Exact-Jaccard threshold for the eq104 'near' verdict: stricter than
     * x1's 0.2 pair floor — an incremental gate answers "is this new doc
     * a near-COPY of something already indexed", not "is it related". */

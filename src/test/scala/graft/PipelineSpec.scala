@@ -2064,6 +2064,26 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(("s1", "s2") -> ((2L, 4L, 3L, 0.4))))
   }
 
+  test("x29 banding sweep: candidate cost falls and recall decays monotonically with rows-per-band") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    val out = Dedup.minhashBandSweepDf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // one shared truth set across configs
+    assert(out.map(_._3).distinct.length == 1)
+    // cost axis: candidates non-increasing as bands get more selective
+    assert(out.map(_._2).sliding(2).forall(w => w(0) >= w(1)),
+      s"candidate counts must fall with r: ${out.map(_._2).mkString(",")}")
+    // quality axis: recall in [0,1], non-increasing, and found ≤ candidates
+    assert(out.map(_._5).sliding(2).forall(w => w(0) >= w(1)))
+    assert(out.forall(r => r._5 >= 0.0 && r._5 <= 1.0 && r._4 <= r._2))
+    // x1's shipped operating point (r=4) is candidate-EXACT on this
+    // corpus: every candidate is a true pair and none are missed
+    val r4 = out.find(_._1 == 4).get
+    assert(r4._2 == r4._3 && r4._4 == r4._3,
+      s"r=4 must be candidate-exact here, got $r4")
+  }
+
   test("round-9 ops: conservation invariants on the live sf0.001 corpus") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     val nDocs = docs.count()
