@@ -51,9 +51,12 @@ object CorpusOps {
       .crossJoin(broadcast(mid))
       .select(col("lang"), (col("doc_id") <= col("mid")).as("old_half"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
+    // vocabulary-bounded; materialized once so the totals aggregate and
+    // the term frame don't each re-run the corpus tokenize+explode
     val vocab = tok.groupBy("lang", "token").agg(
       sum(when(col("old_half"), 1L).otherwise(0L)).as("cnt_a"),
       sum(when(col("old_half"), 0L).otherwise(1L)).as("cnt_b"))
+      .localCheckpoint()
     val totals = vocab.groupBy("lang").agg(
       sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
       count(lit(1)).as("v_size"))
