@@ -96,10 +96,30 @@ object Bench {
     // Also persist the full per-query map to a file: the driver's stdout
     // capture has truncated the JSON line to a tail before (ADVICE r7),
     // losing two-thirds of the per-query figures from the round record.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
-      json.getBytes("UTF-8"))
+    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+        json.getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file sink failed: ${e.getMessage}") }
+    // Dual-write the per-ROUND artifact too (VERDICT r9 task 6): the
+    // driver's stdout capture has repeatedly truncated BENCH_rNN.json to a
+    // tail, losing most per-query figures from the round record. Writing
+    // the full map to the next BENCH_rNN slot (max existing N + 1, or
+    // SPARK_GRAFT_ROUND when the driver sets it) keeps every round's
+    // complete figures in history even if the capture stays lossy.
+    try if (only.isEmpty) { // a filtered run is iteration, not a round record
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = """BENCH_r(\d+)\.json""".r
+        val dir = new java.io.File(".").listFiles()
+        val seen = if (dir == null) Seq.empty[Int]
+          else dir.toSeq.flatMap(f => f.getName match {
+            case rx(n) => Some(n.toInt); case _ => None })
+        (seen :+ 0).max + 1
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_r$round%02d.json"), json.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] round file sink failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -42,13 +42,22 @@ object Canonical {
     * sorts (an extra rangepartitioning exchange + full sort of the output)
     * would be dropped or replaced by write-time bucketing. Queries whose
     * output is corpus-sized route their terminal sort through
-    * [[presentationOrder]]; flipping this flag off yields the production
-    * plan (no range exchange), and EngineSurfaceSpec pins exactly that.
-    * Default ON: the oracle/golden contract requires canonical order.
-    * Top-k queries do NOT use this — their `orderBy+limit` is semantics,
-    * not presentation. */
-  @volatile var presentationSorts: Boolean = true
+    * [[presentationOrder]]; setting this SQLConf key to false yields the
+    * production plan (no range exchange), and EngineSurfaceSpec pins
+    * exactly that. Default ON: the oracle/golden contract requires
+    * canonical order. Top-k queries do NOT use this — their
+    * `orderBy+limit` is semantics, not presentation.
+    *
+    * The toggle is a per-SESSION runtime conf, not a JVM global (VERDICT
+    * r9 task 7): a concurrent server hands each request its own
+    * `spark.newSession()` clone and flips the key there, so one request
+    * serving production plans cannot race another serving canonical ones
+    * — there is no shared mutable state in the canonicalization path. */
+  val PresentationSortsKey = "spark.graft.presentationSorts"
+
+  def presentationSorts(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(PresentationSortsKey, "true").toBoolean
 
   def presentationOrder(df: DataFrame, first: Column, rest: Column*): DataFrame =
-    if (presentationSorts) df.orderBy((first +: rest): _*) else df
+    if (presentationSorts(df.sparkSession)) df.orderBy((first +: rest): _*) else df
 }

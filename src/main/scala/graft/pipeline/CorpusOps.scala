@@ -35,12 +35,25 @@ object CorpusOps {
     * Exactness discipline (the eq47/eq132 convention, extended to JS):
     * the per-token log-ratios ln(p/m) and ln(q/m) (m = the midpoint
     * mixture) are quantized to integer micros at the VOCABULARY level;
-    * each KL side is then the exact BIGINT sum Σ (cnt+1)·lnratio_micro
+    * each KL side is then the exact integer sum Σ (cnt+1)·lnratio_micro
     * over the per-lang vocabulary — order-free under any partitioning —
     * normalized once by the smoothed token mass. Per-lang output is
     * lang-cardinality-bounded; the one tokenize pass and one vocabulary
     * aggregate carry both snapshots' counts (conditional sums, not two
-    * scans). */
+    * scans).
+    *
+    * Scale bound (ADVICE r9): unlike the PER-DOCUMENT integer sums of
+    * eq47/eq132 (bounded by doc length × |lnratio| ≲ 2·10⁶ tokens ×
+    * 15·10⁶ micros ≈ 3·10¹³ ≪ 2⁶³), this sum runs over a WHOLE
+    * language's token mass — at 100 TB that is ~10¹³ tokens × up to
+    * ~ln(corpus)·10⁶ ≈ 3·10⁷ micros per term, and the per-term product
+    * alone can exceed Long range. Both the product and the sum therefore
+    * run in DECIMAL(38,0): exact, order-free, headroom to ~10³⁸ (≈10¹⁷×
+    * the worst 100 TB case), where a silent BIGINT wraparound would have
+    * let the two engines diverge without failing. The oracle keeps
+    * DuckDB's checked BIGINT (test scale is ~10⁹ micro-units); only the
+    * final double divide ever leaves integer arithmetic, so parity is
+    * unchanged. */
   def snapshotDrift(spark: SparkSession, dir: String): DataFrame =
     snapshotDriftDf(Tables.load(spark, dir, "documents"))
 
@@ -69,8 +82,8 @@ object CorpusOps {
       .withColumn("lra_micro", round(log(col("p") / col("m")) * 1000000.0).cast("long"))
       .withColumn("lrb_micro", round(log(col("q") / col("m")) * 1000000.0).cast("long"))
     val kl = terms.groupBy("lang").agg(
-      sum((col("cnt_a") + 1) * col("lra_micro")).as("sa"),
-      sum((col("cnt_b") + 1) * col("lrb_micro")).as("sb"))
+      sum((col("cnt_a") + 1).cast("decimal(38,0)") * col("lra_micro")).as("sa"),
+      sum((col("cnt_b") + 1).cast("decimal(38,0)") * col("lrb_micro")).as("sb"))
     val docCounts = docs.crossJoin(broadcast(mid)).groupBy("lang").agg(
       sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L)).as("n_docs_a"),
       sum(when(col("doc_id") <= col("mid"), 0L).otherwise(1L)).as("n_docs_b"))

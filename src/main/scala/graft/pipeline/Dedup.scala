@@ -127,6 +127,11 @@ object Dedup {
 
   def clearDerivedCaches(): Unit = PlanMemo.clearAll()
 
+  /** Mining passes actually run for the Jaccard pair table — the eq136
+    * pipeline spec asserts this advances by exactly 1 across a full
+    * curation chain (the materialize-once contract, observed not argued). */
+  private[graft] def pairTableMisses: Long = pairTableCache.misses.get
+
   def jaccardPairsDf(docs: DataFrame): DataFrame =
     pairTableCache(docs)(jaccardPairsPrefixDf(docs))
 

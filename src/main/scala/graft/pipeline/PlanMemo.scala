@@ -24,9 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (ADVICE r8). Fixtures are immutable per session; a mutated-in-place
   * source dir would need an explicit [[PlanMemo.clearAll]]. */
 private[pipeline] final class PlanMemo[T] {
-  private final class Cell(f: () => T) { lazy val value: T = f() }
+  private final class Cell(f: () => T) {
+    lazy val value: T = { misses.incrementAndGet(); f() }
+  }
   private val m = new scala.collection.concurrent.TrieMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any), Cell]
+  /** Count of mining passes actually RUN (Cell bodies forced, not Cells
+    * created) — the observable the materialize-once contract is asserted
+    * on: PlanMemoSpec hammers first-use from N threads and the eq136
+    * pipeline test runs a full curation chain, both expecting exactly +1
+    * here per distinct (session, plan, extra) key. */
+  private[pipeline] val misses = new java.util.concurrent.atomic.AtomicLong
+  private[pipeline] def size: Int = m.size
   PlanMemo.register(this)
   def apply(docs: DataFrame, extra: Any = ())(f: => T): T = {
     val session = docs.sparkSession

@@ -551,7 +551,12 @@ object TextAnalysis {
     * Engine-parity discipline (the eq47/eq90 convention): the only libm
     * calls — the two `ln`s — are quantized to one integer-micro log-ratio
     * per vocabulary entry, so per-doc sums are exact integer arithmetic,
-    * order-free under any partitioning. `kept` = logratio_micro > 0 (the
+    * order-free under any partitioning. Scale bound (ADVICE r9): these
+    * sums are PER-DOCUMENT — worst case is doc length × max |logratio|
+    * ≈ 2·10⁶ tokens (the eq-giant-doc cap) × ~ln(10¹³)·10⁶ ≈ 3·10⁷
+    * micros ≈ 6·10¹³ ≪ 2⁶³, so BIGINT never wraps at any corpus scale;
+    * only corpus-level micro-sums (eq135) need the DECIMAL widening.
+    * `kept` = logratio_micro > 0 (the
     * deterministic threshold form of DSIR's resampling step: keep what
     * the target distribution prefers) — a pure per-row predicate, no
     * global rank, so selection stays shuffle-free at 100 TB.
@@ -957,6 +962,11 @@ object TextAnalysis {
     * trainer (eq126) and the encoder (eq129) share one mining pass, the
     * same materialize-once discipline as the Dedup pair table. */
   private val bpeLearnCache = new PlanMemo[(DataFrame, DataFrame)]
+
+  /** Mining passes actually run for the BPE vocabulary (see
+    * [[graft.pipeline.Dedup.pairTableMisses]] — same contract, asserted by
+    * the eq136 pipeline spec). */
+  private[graft] def bpeLearnMisses: Long = bpeLearnCache.misses.get
 
   private def bpeLearn(docs: DataFrame, merges: Int): (DataFrame, DataFrame) =
     bpeLearnCache(docs, merges)(bpeLearnUncached(docs, merges))

@@ -33,6 +33,11 @@ class DeterminismSpec extends SparkSpec {
   invariant("eq132 dsir weights")(dir => TextAnalysis.dsirWeights(spark, dir))
   invariant("eq133 shingle novelty")(dir => TextAnalysis.shingleNovelty(spark, dir))
   invariant("eq134 source overlap")(dir => TextAnalysis.sourceOverlap(spark, dir))
+  // ADVICE r9: eq135's integer-micro JS sums are exactly the aggregation
+  // shape this invariant exists to pin; x29's banding sweep shares the
+  // memoized signature frame, so the pin also covers cross-call reuse.
+  invariant("eq135 snapshot drift")(dir => graft.pipeline.CorpusOps.snapshotDrift(spark, dir))
+  invariant("x29 minhash band sweep")(dir => Dedup.minhashBandSweep(spark, dir))
 
   test("partitioning-invariant: repartitioned input hashes equal (eq89, eq90, eq100)") {
     val docs = Tables.load(spark, Sf, "documents")

@@ -116,15 +116,15 @@ class EngineSurfaceSpec extends SparkSpec {
 
   test("presentation-sort elision: the production plan drops the terminal global sort") {
     // the terminal orderBy on corpus-sized outputs exists only for the
-    // oracle/golden canonical row order (VERDICT r8 task 7); with
-    // Canonical.presentationSorts off the same query must plan WITHOUT
-    // the range-partitioning exchange + global sort
+    // oracle/golden canonical row order (VERDICT r8 task 7); with the
+    // per-session presentationSorts conf off, the same query must plan
+    // WITHOUT the range-partitioning exchange + global sort
     val docs = Tables.load(spark, Sf, "documents")
     val canonical = pipeline.TextAnalysis.qualityScoreDf(docs)
       .queryExecution.executedPlan.toString
     assert(canonical.contains("rangepartitioning"),
       s"canonical plan should carry the presentation sort:\n$canonical")
-    Canonical.presentationSorts = false
+    spark.conf.set(Canonical.PresentationSortsKey, "false")
     try {
       val production = pipeline.TextAnalysis.qualityScoreDf(docs)
         .queryExecution.executedPlan.toString
@@ -132,7 +132,25 @@ class EngineSurfaceSpec extends SparkSpec {
         s"production plan must drop the global sort:\n$production")
       assert(!production.contains("Sort "),
         s"production plan must contain no sort at all for this map-side query:\n$production")
-    } finally Canonical.presentationSorts = true
+    } finally spark.conf.unset(Canonical.PresentationSortsKey)
+  }
+
+  test("presentation-sort toggle is session-scoped: a cloned session cannot race the parent") {
+    // VERDICT r9 task 7: the toggle must not be JVM-global. Flipping it in
+    // a newSession() clone serves the production plan THERE while the
+    // parent session keeps planning the canonical sort concurrently.
+    val child = spark.newSession()
+    child.conf.set(Canonical.PresentationSortsKey, "false")
+    val childPlan = pipeline.TextAnalysis
+      .qualityScoreDf(Tables.load(child, Sf, "documents"))
+      .queryExecution.executedPlan.toString
+    val parentPlan = pipeline.TextAnalysis
+      .qualityScoreDf(Tables.load(spark, Sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!childPlan.contains("rangepartitioning"),
+      s"child session must plan production (no sort):\n$childPlan")
+    assert(parentPlan.contains("rangepartitioning"),
+      s"parent session must still plan the canonical sort:\n$parentPlan")
   }
 
   test("VARIANT column: parquet round-trip preserves typed paths; parse is once-per-row") {
