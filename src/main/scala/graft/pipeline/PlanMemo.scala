@@ -62,10 +62,20 @@ private[pipeline] object PlanMemo {
     if (hooked.putIfAbsent(sc, ()).isEmpty)
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          instances.keysIterator.foreach(_.evictContext(sc))
-          hooked.remove(sc)
-        }
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          onContextStop(sc)
       })
   }
+
+  /** The listener's whole effect, factored out so PlanMemoSpec can drive
+    * the stop path without killing the suite-shared SparkContext (Spark's
+    * listener delivery on stop is Spark's own contract): drop every memo
+    * entry keyed by the context's sessions and re-arm the hook. */
+  private[pipeline] def onContextStop(sc: org.apache.spark.SparkContext): Unit = {
+    instances.keysIterator.foreach(_.evictContext(sc))
+    hooked.remove(sc)
+  }
+
+  private[pipeline] def isHooked(sc: org.apache.spark.SparkContext): Boolean =
+    hooked.contains(sc)
 }
