@@ -266,7 +266,13 @@ object Oracles {
     * corpus stream back; the trainer ignores it (and skips the dead final
     * rewrite). Merging stays the literal `replace` over the chr(31)
     * enclosure, reproducing BPE's left-to-right non-overlapping merge. */
-  private def bpeCtes(merges: Int, rewriteLast: Boolean): String = {
+  private def bpeCtes(merges: Int, rewriteLast: Boolean): String =
+    s"WITH $toksCte,\n" + bpeRoundsCtes(merges, rewriteLast)
+
+  /** The merge-round chain WITHOUT the leading WITH/toks prefix, so the
+    * eq136 composed-pipeline oracle can splice it into its own (recursive)
+    * CTE chain alongside the jaccard/closure CTEs. */
+  private def bpeRoundsCtes(merges: Int, rewriteLast: Boolean): String = {
     val sep = "chr(31)"
     val rounds = (1 to merges).map { r =>
       val prev = s"v${r - 1}"
@@ -296,8 +302,7 @@ object Oracles {
              |  FROM $prev v LEFT JOIN b$r b ON TRUE)""".stripMargin
       head + rewrite
     }.mkString(",\n")
-    s"WITH $toksCte,\n" +
-      s"""v0 AS (
+    s"""v0 AS (
          |  SELECT tok,
          |         regexp_replace(tok, '(.)', $sep || '\\1' || $sep, 'g') AS s,
          |         COUNT(*) AS wc
@@ -986,6 +991,120 @@ object Oracles {
         |       COALESCE(leaked_pairs, 0) AS leaked_pairs
         |FROM agg LEFT JOIN lk USING (method, split)
         |ORDER BY 1, 2""".stripMargin),
+
+    // eq136: the composed end-to-end curation pipeline — every stage is
+    // the PROVEN oracle fragment of its standalone query (eq11 exact
+    // dedup, eq12/eq26 pairs+closure, eq131 cluster split, eq38 quality,
+    // eq29 overlap ratio, eq106 temperature rates, eq34 packing, eq129
+    // encode), chained in production order; the funnel row set carries
+    // conservation (n_dropped = lag(n_docs) − n_docs) so the hash compare
+    // checks the whole chain, not just the terminal counts.
+    "eq136_curation_pipeline" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +
+      s"""pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS src, s AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |""".stripMargin +
+      bpeRoundsCtes(graft.pipeline.TextAnalysis.BpeTrainMerges, rewriteLast = true) +
+      s""",
+        |zenc AS (
+        |  SELECT tok, len(list_filter(str_split(s, chr(31)), x -> x <> '')) AS sy_after
+        |  FROM v${graft.pipeline.TextAnalysis.BpeTrainMerges}),
+        |zq AS (
+        |  SELECT t.doc_id, t.lang, t.source, t.text, d.n_chars,
+        |         CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |         ROUND(0.4::DOUBLE * least(length(t.text) / 500.0::DOUBLE, 1.0::DOUBLE)
+        |             + 0.4::DOUBLE * (length(regexp_replace(lower(t.text), '[^a-z]', '', 'g'))::DOUBLE / length(t.text))
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - (len(list_filter(t.t, x -> x IN ('the', 'a', 'data', 'value')))::DOUBLE / len(t.t))), 6) AS quality
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |zsp AS (
+        |  SELECT zq.*, COALESCE(l.cluster, zq.doc_id) AS cluster
+        |  FROM zq LEFT JOIN labels l USING (doc_id)),
+        |zhc AS (SELECT *, substr(md5(cluster::VARCHAR), 1, 7) AS h7 FROM zsp),
+        |zcb AS (SELECT *, ($hex7OfH7) % 100 AS cb FROM zhc),
+        |zcs AS (SELECT doc_id, lang, source, text, n_chars, n_tokens, quality, cluster,
+        |               CASE WHEN cb < 80 THEN 'train'
+        |                    WHEN cb < 90 THEN 'val' ELSE 'test' END AS cluster_split
+        |        FROM zcb),
+        |zk2 AS (SELECT * FROM zcs
+        |        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+        |zk3 AS (SELECT * FROM zk2
+        |        QUALIFY row_number() OVER (PARTITION BY cluster
+        |                                   ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1),
+        |zk4 AS (SELECT * FROM zk3 WHERE cluster_split = 'train'),
+        |zk5 AS (SELECT * FROM zk4 WHERE quality >= 0.5::DOUBLE),
+        |ztv AS (SELECT DISTINCT unnest(g.sh) AS sg
+        |        FROM shingled g JOIN zcs USING (doc_id) WHERE zcs.cluster_split = 'test'),
+        |zk5s AS (SELECT z.doc_id, list_distinct(g.sh) AS shd
+        |         FROM zk5 z JOIN shingled g USING (doc_id)),
+        |zte AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg
+        |        FROM zk5s WHERE len(shd) > 0),
+        |zcon AS (SELECT doc_id FROM (
+        |           SELECT zte.doc_id, zte.sz, COUNT(ztv.sg) AS n_hit
+        |           FROM zte LEFT JOIN ztv ON zte.sg = ztv.sg
+        |           GROUP BY 1, 2)
+        |         WHERE n_hit::DOUBLE / sz > 0.2::DOUBLE),
+        |zk6 AS (SELECT * FROM zk5 WHERE doc_id NOT IN (SELECT doc_id FROM zcon)),
+        |zc7 AS (SELECT lang, COUNT(*) AS ln_docs FROM zk6 GROUP BY 1),
+        |zt7 AS (SELECT CAST(SUM(ln_docs) AS BIGINT) AS n_total FROM zc7),
+        |zw7 AS (SELECT lang, ln_docs, n_total,
+        |               CAST(ROUND(POWER(ln_docs::DOUBLE / n_total::DOUBLE, 0.3)
+        |                          * 1000000.0) AS BIGINT) AS w_micro
+        |        FROM zc7 CROSS JOIN zt7),
+        |zws7 AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM zw7),
+        |zr7 AS (SELECT lang,
+        |               LEAST(1000000::BIGINT,
+        |                     (w_micro * (n_total // 2) * 1000000) // (w_sum * ln_docs)) AS rate_ppm
+        |        FROM zw7 CROSS JOIN zws7),
+        |zh7 AS (SELECT z.doc_id, z.lang, z.n_chars, z.n_tokens,
+        |               substr(md5(z.text), 1, 7) AS h7, r.rate_ppm
+        |        FROM zk6 z JOIN zr7 r USING (lang)),
+        |zk7 AS (SELECT doc_id, lang, n_chars, n_tokens FROM zh7
+        |        WHERE ($hex7OfH7) % 1000000 < rate_ppm),
+        |zs8c AS (SELECT lang, doc_id, n_tokens,
+        |                COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |         FROM zk7),
+        |zs8 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM
+        |        (SELECT DISTINCT lang, cum // 2000 AS shard FROM zs8c)),
+        |zst9 AS (SELECT unnest(t.t) AS tok FROM toks t JOIN zk7 USING (doc_id)),
+        |zu9 AS (SELECT CAST(SUM(COALESCE(e.sy_after, length(s9.tok))) AS BIGINT) AS n_units
+        |        FROM zst9 s9 LEFT JOIN zenc e ON s9.tok = e.tok
+        |        WHERE length(s9.tok) >= 1),
+        |zg1 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zcs),
+        |zg2 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zk2),
+        |zg3 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zk3),
+        |zg4 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zk4),
+        |zg5 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zk5),
+        |zg6 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zk6),
+        |zg7 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM zk7),
+        |zf AS (
+        |  SELECT 1 AS stage_id, 'ingest' AS stage, n, tt, tc, n AS n_units FROM zg1
+        |  UNION ALL SELECT 2, 'exact_dedup', n, tt, tc, n FROM zg2
+        |  UNION ALL SELECT 3, 'neardup_dedup', n, tt, tc, n FROM zg3
+        |  UNION ALL SELECT 4, 'split_train', n, tt, tc, n FROM zg4
+        |  UNION ALL SELECT 5, 'quality_gate', n, tt, tc, n FROM zg5
+        |  UNION ALL SELECT 6, 'decontam', n, tt, tc, n FROM zg6
+        |  UNION ALL SELECT 7, 'temperature_mix', n, tt, tc, n FROM zg7
+        |  UNION ALL SELECT 8, 'shard_pack', zg7.n, zg7.tt, zg7.tc, zs8.n_units
+        |            FROM zg7 CROSS JOIN zs8
+        |  UNION ALL SELECT 9, 'bpe_encode', zg7.n, zg7.tt, zg7.tc, zu9.n_units
+        |            FROM zg7 CROSS JOIN zu9)
+        |SELECT stage_id, stage, n AS n_docs,
+        |       CAST(COALESCE(lag(n) OVER (ORDER BY stage_id) - n, 0) AS BIGINT) AS n_dropped,
+        |       tt AS total_tokens, tc AS total_chars, CAST(n_units AS BIGINT) AS n_units
+        |FROM zf ORDER BY stage_id""".stripMargin),
 
     // eq27: content-hash split — same 28-bit md5-prefix key as x1,
     // bucket = key % 100, 80/10/10.

@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Md5Expressions.md5_key28
+import graft.functions.ShingleExpressions
+
+/** eq136 — the composed END-TO-END curation pipeline (VERDICT r9 task 2):
+  * the engine's operators exist as ~176 independent audits; a real
+  * pretraining run chains them. This operator runs the chain in
+  * production ORDER over one corpus and publishes the per-stage funnel a
+  * release would publish — one row per stage with document/token/char
+  * conservation accounting (the eq54 shape, extended to the full
+  * lifecycle):
+  *
+  *   1 ingest           — the raw corpus
+  *   2 exact_dedup      — keep the min-doc_id copy per identical text
+  *                        (eq11's rule)
+  *   3 neardup_dedup    — keep the best-quality representative per
+  *                        near-dup cluster (eq26's components over the
+  *                        MEMOIZED eq12 pair table; eq84's quality-rep
+  *                        rule, eq8's score)
+  *   4 split_train      — keep the TRAIN side of the cluster-atomic
+  *                        80/10/10 split (eq131's leakage-safe rule: the
+  *                        split hashes the CLUSTER, so near-dup pairs
+  *                        never straddle)
+  *   5 quality_gate     — keep quality ≥ 0.5 (eq38's gate, same shared
+  *                        qualityCols as the standalone query)
+  *   6 decontam         — drop any survivor whose distinct-3-shingle
+  *                        overlap with the held-out TEST split exceeds
+  *                        [[DecontamMaxRatio]] (eq29's shuffle-on-shingle
+  *                        audit turned into the scrub it exists for)
+  *   7 temperature_mix  — α=0.3 language rebalancing against a
+  *                        half-corpus budget (eq106's exact integer
+  *                        rates, md5-ppm membership)
+  *   8 shard_pack       — pack survivors into 2000-token shards per
+  *                        language (eq34's prefix-sum layout);
+  *                        n_units = shard count
+  *   9 bpe_encode       — encode the surviving token stream under the
+  *                        corpus-wide MEMOIZED BPE vocabulary (eq126/
+  *                        eq129); n_units = total encoded symbols
+  *
+  * Output: (stage_id, stage, n_docs, n_dropped, total_tokens,
+  * total_chars, n_units) with n_dropped = the previous stage's n_docs
+  * minus this one's — conservation is IN the frame, so the oracle hash
+  * checks it. n_units is the stage's natural output unit (docs for the
+  * filters, shards for packing, symbols for encoding).
+  *
+  * Why this is the memo lifecycle's production proof: the chain consumes
+  * the Jaccard pair table (via the component labels) and the BPE
+  * vocabulary exactly ONCE each from their PlanMemo entries — shared with
+  * eq12/eq26/eq84/eq131 and eq126/eq129 — and PipelineSpec asserts the
+  * mining counters advance by exactly 1 across the whole run (and by 0 on
+  * a re-run). At 100 TB this is the difference between a pipeline that
+  * re-mines a corpus-squared pair join per stage and one that
+  * materializes its derived artifacts once per snapshot.
+  *
+  * Scale shape: one map-side qualityCols pass + a labels join (labels are
+  * pair-graph-sized, ≪ corpus) checkpointed once; exact dedup is a window
+  * on the 32-byte sha2 key (never the text); rep selection a window on
+  * the cluster key; stages 4-5 map-side filters; decontam one
+  * shuffle-on-shingle semi-join (never doc×doc); the mix two broadcast
+  * scalar frames + a map-side filter; packing a per-lang window; encode a
+  * vocabulary-bounded join over the token stream. The terminal 9-row
+  * funnel is metadata-sized (its lag window is unpartitioned over 9 rows
+  * by construction, the EventOps bucket-stats precedent). */
+object Curation {
+
+  private val QualityMin = 0.5
+  private[graft] val DecontamMaxRatio = 0.2
+  private val ShardBudget = 2000
+
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineDf(Tables.load(spark, dir, "documents"))
+
+  def curationPipelineDf(docs: DataFrame): DataFrame = {
+    // ---- spine: per-doc columns every stage reads, materialized once ----
+    // (quality from the SHARED eq8 builder; cluster labels from the
+    // MEMOIZED eq12 pair table via eq26's component labeling)
+    val labels = Dedup.neardupLabelsDf(docs).withColumnRenamed("label", "label_")
+    val spine = TextAnalysis.qualityCols(docs)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("label_"), col("doc_id")))
+      .withColumn("cluster_split",
+        Dedup.splitOfBucket(md5_key28(col("cluster").cast("string")) % 100))
+      .drop("label_")
+      .localCheckpoint()
+
+    // ---- stages 2-3: the two dedup windows, materialized once ----------
+    val s2 = spine
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val s3 = s2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint() // stages 4-9 and three stage stats all read this
+
+    // ---- stages 4-5: map-side gates ------------------------------------
+    val s4 = s3.filter(col("cluster_split") === "train")
+    val s5 = s4.filter(col("quality") >= QualityMin)
+
+    // ---- stage 6: decontamination against the held-out TEST split ------
+    // eq29's per-doc overlap ratio (shared shape: distinct-shingle probe,
+    // count over a left join) turned into the scrub it audits for: drop a
+    // survivor when MORE THAN [[DecontamMaxRatio]] of its distinct
+    // shingles occur in the test split (the fixture's train-doc overlap
+    // deciles run 0-0.35, so 0.2 is a discriminating production cut). Any-overlap would be the wrong
+    // production rule — boilerplate shingles occur everywhere — and the
+    // ratio keeps the gate scale-free.
+    val testVocab = spine.filter(col("cluster_split") === "test")
+      .select(explode(ShingleExpressions.shingles(col("text"), 3)).as("sg"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val contaminated = s5
+      .select(col("doc_id"),
+        array_distinct(ShingleExpressions.shingles(col("text"), 3)).as("shd"))
+      .withColumn("sz", size(col("shd")))
+      .filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"), explode(col("shd")).as("sg"))
+      .join(testVocab, Seq("sg"), "left_outer")
+      .groupBy("doc_id", "sz")
+      .agg(count(col("hit")).as("n_hit"))
+      .filter(col("n_hit").cast("double") / col("sz") > DecontamMaxRatio)
+      .select("doc_id")
+    val s6 = s5.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // the mix rates and stage 7 both read this
+
+    // ---- stage 7: temperature mix (eq106's exact arithmetic) -----------
+    val counts = s6.groupBy("lang").agg(count(lit(1)).as("ln_docs"))
+    val total = counts.agg(sum(col("ln_docs")).as("n_total"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("w_micro",
+        round(pow(col("ln_docs").cast("double") / col("n_total").cast("double"),
+          CorpusOps.TemperatureAlpha) * 1000000.0).cast("long"))
+    val wsum = w.agg(sum(col("w_micro")).as("w_sum"))
+    val rates = w.crossJoin(broadcast(wsum))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("(w_micro * (n_total div 2) * 1000000) div (w_sum * ln_docs)")))
+      .select(col("lang"), col("rate_ppm"))
+    val s7 = s6.join(broadcast(rates), Seq("lang"))
+      .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))
+      .drop("rate_ppm")
+      .localCheckpoint() // stage stats, packing, and encode all read this
+
+    // ---- stage 8: shard packing (eq34's layout); n_units = shards ------
+    val packW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nShards = s7
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+      .agg(countDistinct(col("lang"), expr(s"cum div $ShardBudget")).as("n_units"))
+
+    // ---- stage 9: BPE encode under the MEMOIZED corpus-wide vocabulary -
+    val enc = TextAnalysis.bpeEncTable(docs, TextAnalysis.BpeTrainMerges)
+    val nSymbols = s7
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .join(enc, Seq("tok"), "left_outer")
+      .agg(sum(coalesce(col("sy_after"), length(col("tok")).cast("long")))
+        .as("n_units"))
+
+    // ---- the funnel: 9 bounded rows with conservation accounting -------
+    def stat(id: Int, name: String, df: DataFrame, units: Option[DataFrame]): DataFrame = {
+      val base = df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
+      val withUnits = units match {
+        case Some(u) => base.crossJoin(broadcast(u))
+        case None => base.withColumn("n_units", col("n_docs"))
+      }
+      withUnits.select(lit(id).as("stage_id"), lit(name).as("stage"),
+        col("n_docs"), col("total_tokens"), col("total_chars"), col("n_units"))
+    }
+    val funnel = Seq(
+      stat(1, "ingest", spine, None),
+      stat(2, "exact_dedup", s2, None),
+      stat(3, "neardup_dedup", s3, None),
+      stat(4, "split_train", s4, None),
+      stat(5, "quality_gate", s5, None),
+      stat(6, "decontam", s6, None),
+      stat(7, "temperature_mix", s7, None),
+      stat(8, "shard_pack", s7, Some(nShards)),
+      stat(9, "bpe_encode", s7, Some(nSymbols))).reduce(_ union _)
+    funnel
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_docs"), 1).over(Window.orderBy("stage_id"))
+          - col("n_docs"), lit(0L)))
+      .select(col("stage_id"), col("stage"), col("n_docs"), col("n_dropped"),
+        col("total_tokens"), col("total_chars"), col("n_units"))
+      .orderBy("stage_id")
+  }
+}

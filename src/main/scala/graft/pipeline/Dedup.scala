@@ -776,7 +776,7 @@ object Dedup {
   /** (doc_id, label) connected-component labeling of the eq12 pair graph
     * — the shared core of eq26's clustering and eq84's representative
     * selection. */
-  private[pipeline] def neardupLabelsDf(docs: DataFrame): DataFrame = {
+  private[graft] def neardupLabelsDf(docs: DataFrame): DataFrame = {
     val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -1165,10 +1165,13 @@ object Dedup {
   def clusterSplit(spark: SparkSession, dir: String): DataFrame =
     clusterSplitDf(Tables.load(spark, dir, "documents"))
 
+  /** The 80/10/10 bucket→split rule shared by eq131 and the eq136 composed
+    * pipeline (so the two can never disagree on a cluster's split). */
+  private[graft] def splitOfBucket(b: org.apache.spark.sql.Column) =
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
   def clusterSplitDf(docs: DataFrame): DataFrame = {
     import graft.functions.Md5Expressions.md5_key28
-    def splitOfBucket(b: org.apache.spark.sql.Column) =
-      when(b < 80, "train").when(b < 90, "val").otherwise("test")
     val labels = neardupLabelsDf(docs).withColumnRenamed("label", "label_")
     // every doc: component label where one exists, else singleton self-label
     val assigned = docs

@@ -1040,11 +1040,17 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeDf(Tables.load(spark, dir, "documents"), BpeTrainMerges)
 
-  def bpeEncodeDf(docs: DataFrame, merges: Int): DataFrame = {
-    val enc = bpeLearn(docs, merges)._2
+  /** `(tok, sy_after)` — encoded symbol count per DISTINCT vocabulary
+    * token under the memoized corpus-wide merge table; the shared encode
+    * substrate of eq129 and the eq136 composed pipeline. */
+  private[pipeline] def bpeEncTable(docs: DataFrame, merges: Int): DataFrame =
+    bpeLearn(docs, merges)._2
       .select(col("tok"),
         size(filter(split(col("s"), BpeSep), x => x =!= lit("")))
           .cast("long").as("sy_after"))
+
+  def bpeEncodeDf(docs: DataFrame, merges: Int): DataFrame = {
+    val enc = bpeEncTable(docs, merges)
     val stream = docs
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 1)

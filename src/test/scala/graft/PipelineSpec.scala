@@ -2124,4 +2124,76 @@ class PipelineSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media).collect()
     assert(feats.map(_.byte_sum).sorted.sameElements(again.map(_.byte_sum).sorted))
   }
+
+  test("eq136: the composed chain mines the pair table and BPE vocabulary EXACTLY once") {
+    // VERDICT r9 task 2's point: the memoized-artifact lifecycle must hold
+    // in production ORDER — one mining pass feeds the whole chain, a
+    // re-run re-mines nothing, and the standalone queries read the same
+    // artifacts. Counted via the PlanMemo miss counters, not argued.
+    Dedup.clearDerivedCaches()
+    val p0 = Dedup.pairTableMisses
+    val b0 = TextAnalysis.bpeLearnMisses
+    val funnel = Curation.curationPipeline(spark, Sf).collect()
+    assert(Dedup.pairTableMisses == p0 + 1,
+      s"pair table mined ${Dedup.pairTableMisses - p0} times across the chain")
+    assert(TextAnalysis.bpeLearnMisses == b0 + 1,
+      s"BPE vocabulary mined ${TextAnalysis.bpeLearnMisses - b0} times across the chain")
+    Curation.curationPipeline(spark, Sf).collect() // full re-run: zero re-mining
+    Dedup.jaccardPairs(spark, Sf).count() // standalone eq12 reads the same artifact
+    TextAnalysis.bpeEncode(spark, Sf).count() // standalone eq129 likewise
+    assert(Dedup.pairTableMisses == p0 + 1 && TextAnalysis.bpeLearnMisses == b0 + 1,
+      "re-runs and standalone queries must reuse the chain's artifacts")
+
+    // funnel conservation: each filter stage's n_dropped closes the books
+    val rows = funnel.sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("ingest", "exact_dedup",
+      "neardup_dedup", "split_train", "quality_gate", "decontam",
+      "temperature_mix", "shard_pack", "bpe_encode"))
+    for (i <- 1 to 6)
+      assert(rows(i).getLong(2) + rows(i).getLong(3) == rows(i - 1).getLong(2),
+        s"stage ${rows(i).getString(1)}: n_docs + n_dropped != previous n_docs")
+    assert(rows(0).getLong(3) == 0)
+    // packing and encoding transform, never drop
+    assert(rows(7).getLong(2) == rows(6).getLong(2) && rows(7).getLong(3) == 0)
+    assert(rows(8).getLong(2) == rows(6).getLong(2) && rows(8).getLong(3) == 0)
+    // docs monotone non-increasing; tokens/chars likewise
+    for (i <- 1 to 6) {
+      assert(rows(i).getLong(2) <= rows(i - 1).getLong(2))
+      assert(rows(i).getLong(4) <= rows(i - 1).getLong(4))
+      assert(rows(i).getLong(5) <= rows(i - 1).getLong(5))
+    }
+    // encode compresses: symbols strictly below raw chars of the survivors
+    assert(rows(8).getLong(6) > 0 && rows(8).getLong(6) <= rows(8).getLong(5))
+  }
+
+  test("eq136: no train survivor exceeds the decontamination overlap cap") {
+    // independent re-derivation of stage 6's guarantee: every surviving
+    // stage-7 doc's distinct-shingle overlap with the held-out test split
+    // must be <= DecontamMaxRatio (the scrub's contract, checked from the
+    // OUTPUT side rather than trusting the filter)
+    import graft.functions.Md5Expressions.md5_key28
+    import graft.functions.ShingleExpressions
+    val docs = Tables.load(spark, Sf, "documents")
+    val labels = Dedup.neardupLabelsDf(docs).withColumnRenamed("label", "label_")
+    val withSplit = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("label_"), col("doc_id")))
+      .withColumn("cs", Dedup.splitOfBucket(md5_key28(col("cluster").cast("string")) % 100))
+    val testVocab = withSplit.filter(col("cs") === "test")
+      .select(explode(ShingleExpressions.shingles(col("text"), 3)).as("sg")).distinct()
+      .withColumn("hit", lit(1))
+    // reconstruct the stage-6 survivor set cheaply: train docs that pass
+    // quality and are NOT over the cap must all satisfy the bound
+    val ratios = withSplit.filter(col("cs") === "train")
+      .select(col("doc_id"),
+        array_distinct(ShingleExpressions.shingles(col("text"), 3)).as("shd"))
+      .withColumn("sz", size(col("shd"))).filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"), explode(col("shd")).as("sg"))
+      .join(testVocab, Seq("sg"), "left_outer")
+      .groupBy("doc_id", "sz").agg(count(col("hit")).as("n_hit"))
+      .withColumn("ratio", col("n_hit").cast("double") / col("sz"))
+    val overCap = ratios.filter(col("ratio") > Curation.DecontamMaxRatio).count()
+    val total = ratios.count()
+    assert(overCap > 0 && overCap < total,
+      s"fixture must exercise BOTH sides of the cap (over=$overCap of $total)")
+  }
 }
