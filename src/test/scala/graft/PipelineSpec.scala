@@ -2166,6 +2166,36 @@ class PipelineSpec extends SparkSpec {
     assert(rows(8).getLong(6) > 0 && rows(8).getLong(6) <= rows(8).getLong(5))
   }
 
+  test("eq136: stage counts agree with the standalone queries they compose") {
+    // the chain must not re-derive DIFFERENT answers than the operators it
+    // chains: stage 2 (exact dedup) equals eq11's total survivors; stage 1
+    // equals the corpus row count; stage 3 equals the distinct-cluster
+    // count over stage-2 survivors per eq26's labels (plus singletons)
+    val funnel = Curation.curationPipeline(spark, Sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val docs = Tables.load(spark, Sf, "documents")
+    assert(funnel("ingest") == docs.count())
+    val eq11Total = Dedup.dedupKeepFirst(spark, Sf)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    assert(funnel("exact_dedup") == eq11Total,
+      s"chain stage 2 ${funnel("exact_dedup")} != eq11 total $eq11Total")
+    // stage 3 keeps exactly one rep per cluster present among stage-2
+    // survivors (exact-dup twins of ≥3 tokens share a Jaccard-1 cluster;
+    // shorter twins are singleton clusters that can die with their copy,
+    // so the count is over SURVIVORS' clusters, independently re-derived)
+    import org.apache.spark.sql.expressions.Window
+    val labels = Dedup.neardupLabelsDf(docs).withColumnRenamed("label", "label_")
+    val s2docs = docs
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val nClusters = s2docs.join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("label_"), col("doc_id")).as("c"))
+      .distinct().count()
+    assert(funnel("neardup_dedup") == nClusters,
+      s"chain stage 3 ${funnel("neardup_dedup")} != distinct survivor clusters $nClusters")
+  }
+
   test("eq136: no train survivor exceeds the decontamination overlap cap") {
     // independent re-derivation of stage 6's guarantee: every surviving
     // stage-7 doc's distinct-shingle overlap with the held-out test split
