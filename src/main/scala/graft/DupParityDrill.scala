@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-corpus parity drill (round 10): the driver fixtures contain
+  * ZERO exact duplicates and no document under 3 tokens (verified against
+  * sf0.001/sf0.01), so the correctness gate has never exercised the
+  * exact-dedup drop path, shingle-free short documents, or the
+  * singleton-cluster subtlety (identical sub-3-token twins are SEPARATE
+  * singleton clusters — no Jaccard-1 pair exists to merge them) against
+  * the DuckDB oracle. This main manufactures a hostile `documents` table
+  * that hits all of those, dumps the documents-only query family over it
+  * exactly like `graft.Verify`, and emits the matching oracle subset —
+  * `tools/parity.py <fixtureDir> <outDir>` then closes the loop in
+  * DuckDB. Run per round; results recorded in TESTRUN_r{N}.md.
+  *
+  * Fixture blocks (deterministic, id-derived):
+  *   - 400 unique 12-alpha-token docs (the benign mass);
+  *   - 20 exact-dup TRIPLES (≥3 tokens → the twins share a Jaccard-1
+  *     cluster; stage-2 keeps the min doc_id, stage-3 sees one cluster);
+  *   - 10 exact-dup SHORT pairs (2 tokens → shingle-free → each twin is
+  *     its OWN singleton cluster; only exact dedup can collapse them);
+  *   - 10 single-token docs (shingle-free, low quality, exercise the
+  *     n_shingles=0 guards in eq29/eq127/eq135 and the quality gate);
+  *   - 15 near-dup triples (11/12 shared tokens, Jaccard 2/3);
+  *   - 10 span pairs (9-token shared run inside unique filler);
+  *   - case/whitespace probes (mixed case + double spaces — lower/trim
+  *     + regex '\s+' must agree across engines).
+  */
+object DupParityDrill {
+
+  /** documents-only queries (their oracle SQL references no other table). */
+  val DrillQueries: Seq[String] = Seq(
+    "eq11_dedup_keep_first", "eq12_jaccard_pairs", "eq26_neardup_clusters",
+    "eq27_hash_split", "eq29_contamination", "eq34_pack_shards",
+    "eq38_quality_filter", "eq84_cluster_reps", "eq92_dup_spans",
+    "eq106_temperature_mix", "eq127_max_dup_spans", "eq129_bpe_encode",
+    "eq131_cluster_split", "eq133_shingle_novelty", "eq134_source_overlap",
+    "eq135_snapshot_drift", "eq136_curation_pipeline")
+
+  def fixture(spark: SparkSession): DataFrame = {
+    def alpha(c: org.apache.spark.sql.Column) =
+      translate(c.cast("string"), "0123456789", "abcdefghij")
+    val langs = array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh"))
+    // ids 0..399 unique; 400..459 exact triples (20 groups of 3);
+    // 460..479 short exact pairs (10 pairs of 2); 480..489 single-token;
+    // 490..534 near-dup triples (15 groups of 3); 535..554 span pairs
+    // (10 pairs); 555..559 case/whitespace probes
+    val base = spark.range(560).select(col("id").as("doc_id"))
+    val uniqueText = concat_ws(" ",
+      (0 until 12).map(j => concat(lit("base"), alpha(col("doc_id")), lit(s"t$j"))): _*)
+    val tripleG = ((col("doc_id") - 400) / 3).cast("long")
+    val tripleText = concat_ws(" ",
+      (0 until 12).map(j => concat(lit("trip"), alpha(tripleG), lit(s"t$j"))): _*)
+    val shortG = ((col("doc_id") - 460) / 2).cast("long")
+    val shortText = concat(lit("tiny"), alpha(shortG), lit(" twin"))
+    val oneText = concat(lit("solo"), alpha(col("doc_id")))
+    val ndG = ((col("doc_id") - 490) / 3).cast("long")
+    val ndM = pmod(col("doc_id") - 490, lit(3))
+    val ndText = concat_ws(" ",
+      ((0 until 11).map(j => concat(lit("near"), alpha(ndG), lit(s"t$j")))
+        :+ concat(lit("memb"), alpha(col("doc_id")))): _*)
+    val spanG = ((col("doc_id") - 535) / 2).cast("long")
+    val spanText = concat_ws(" ",
+      (0 until 3).map(j => concat(lit("fill"), alpha(col("doc_id")), lit(s"a$j"))) ++
+        (0 until 9).map(j => concat(lit("runn"), alpha(spanG), lit(s"w$j"))) ++
+        (0 until 3).map(j => concat(lit("fill"), alpha(col("doc_id")), lit(s"b$j"))): _*)
+    // case/whitespace probes: same LOGICAL tokens as doc 0's text but with
+    // mixed case and doubled separators — lower+trim+'\s+' must normalize
+    // them identically in both engines (they become exact dups of nothing,
+    // near-dups of doc 0 via full shingle overlap after normalization)
+    val probeText = when(col("doc_id") === 555,
+        lit("BASEa  Tt0 basea t1  basea T2 basea t3 basea t4 basea t5"))
+      .when(col("doc_id") === 556,
+        lit("basea  tt0 BASEA T1 basea t2 BASEA t3 basea T4 basea t5"))
+      .when(col("doc_id") === 557, lit("  padded doc with  leading  spaces"))
+      .when(col("doc_id") === 558, lit("Padded  Doc With  LEADING spaces"))
+      .otherwise(lit("lone probe document tail case"))
+    base.select(
+      col("doc_id"),
+      when(col("doc_id") < 400, uniqueText)
+        .when(col("doc_id") < 460, tripleText)
+        .when(col("doc_id") < 480, shortText)
+        .when(col("doc_id") < 490, oneText)
+        .when(col("doc_id") < 535, ndText)
+        .when(col("doc_id") < 555, spanText)
+        .otherwise(probeText).as("text"),
+      element_at(langs, pmod(col("doc_id"), lit(5)).cast("int") + 1).as("lang"),
+      concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val fixtureDir = if (args.length > 0) args(0) else "/tmp/paritydrill_sf"
+    val outDir = if (args.length > 1) args(1) else "/tmp/paritydrill_out"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the harness reads single-FILE tables (testdata layout): stage the
+    // Spark part-file, then move it to <fixtureDir>/documents.parquet
+    fixture(spark).coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$fixtureDir/_stage")
+    locally {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stage = new java.io.File(s"$fixtureDir/_stage")
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("no part file written"))
+      Files.move(part.toPath, Paths.get(s"$fixtureDir/documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    new java.io.File(outDir).mkdirs()
+    graft.pipeline.Dedup.clearDerivedCaches() // fresh memo keys for this corpus
+    DrillQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, fixtureDir).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[drill] $name failed: ${e.getMessage}")
+      }
+    }
+    // the oracle subset, escaped exactly as Verify does
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val json = DrillQueries
+      .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
+    println(s"[drill] dumped ${DrillQueries.size} queries over $fixtureDir")
+    spark.stop()
+  }
+}

@@ -2196,6 +2196,34 @@ class PipelineSpec extends SparkSpec {
       s"chain stage 3 ${funnel("neardup_dedup")} != distinct survivor clusters $nClusters")
   }
 
+  test("eq136 on the hostile drill fixture: planted drop accounting, to the row") {
+    // the DupParityDrill corpus plants exactly-countable degenerate
+    // structure the driver fixtures lack (verified: sf fixtures have ZERO
+    // exact dups and no sub-3-token doc). Funnel drops must match the
+    // plant: stage 2 = 20 exact triples × 2 + 10 short twin pairs × 1;
+    // stage 3 = 15 near-dup triples × 2 + 10 span pairs × 1 + the two
+    // case/whitespace normalization twins (identical AFTER lower/trim/
+    // split — Jaccard-1 clusters, NOT sha2 dups, so they survive stage 2
+    // and collapse at stage 3: the normalization-vs-content distinction).
+    val funnel = Curation.curationPipelineDf(DupParityDrill.fixture(spark))
+      .collect().sortBy(_.getInt(0))
+    assert(funnel(0).getLong(2) == 560)
+    assert(funnel(1).getLong(3) == 50, s"exact-dedup dropped ${funnel(1).getLong(3)}")
+    assert(funnel(2).getLong(3) == 42, s"neardup-dedup dropped ${funnel(2).getLong(3)}")
+    // short twins are SEPARATE singleton clusters (no shingles → no pair):
+    // only content identity collapses them, which stage 2 already did —
+    // re-derive: distinct clusters among short twins == 20 (both twins),
+    // distinct contents == 10
+    val docs = DupParityDrill.fixture(spark)
+    val shorts = docs.filter(col("doc_id") >= 460 && col("doc_id") < 480)
+    assert(shorts.select(sha2(col("text"), 256)).distinct().count() == 10)
+    val labels = Dedup.neardupLabelsDf(docs).withColumnRenamed("label", "label_")
+    val shortClusters = shorts.join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("label_"), col("doc_id"))).distinct().count()
+    assert(shortClusters == 20,
+      s"shingle-free twins must be singleton clusters, got $shortClusters")
+  }
+
   test("eq136: no train survivor exceeds the decontamination overlap cap") {
     // independent re-derivation of stage 6's guarantee: every surviving
     // stage-7 doc's distinct-shingle overlap with the held-out test split
