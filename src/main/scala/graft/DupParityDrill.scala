@@ -39,6 +39,36 @@ object DupParityDrill {
     "eq131_cluster_split", "eq133_shingle_novelty", "eq134_source_overlap",
     "eq135_snapshot_drift", "eq136_curation_pipeline")
 
+  /** embeddings-only queries, driven over [[embFixture]] — the corpus that
+    * found the round-10 zero-norm ANSI crash. */
+  val EmbDrillQueries: Seq[String] = Seq(
+    "eq4_cosine_topk", "eq13_embedding_neardups", "x3_ivf_topk",
+    "x5_lsh_topk", "x11_quantize_embeddings", "x12_ann_recall",
+    "x15_matryoshka_recall", "x21_pq_recall", "x24_lsh_probe_sweep",
+    "eq89_kmeans", "eq95_density_cores", "eq97_graph_clustering",
+    "eq105_centroid_confusion", "eq128_semantic_dedup_sharded")
+
+  /** Degenerate embeddings: a zero vector (norm 0 — crashed the whole
+    * cosine family under ANSI before the safeDiv guard), an exact
+    * duplicate pair (sim exactly 1), an antipodal pair (sim exactly −1),
+    * and a float-underflow near-zero vector, inside 200 otherwise-normal
+    * seeded vectors. */
+  def embFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      (0 until 64).map(d =>
+        ((scala.util.hashing.MurmurHash3.productHash((seed, d)) % 1000) / 1000.0f)).toArray
+    (0L until 200L).map { id =>
+      val v =
+        if (id == 50) Array.fill(64)(0.0f) // zero vector
+        else if (id == 60) vec(59) // exact duplicate of 59
+        else if (id == 61) vec(59).map(x => -x) // antipodal of 59
+        else if (id == 62) Array.fill(64)(1e-30f) // underflow near-zero
+        else vec(id.toInt)
+      (id, v, (id % 8).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   def fixture(spark: SparkSession): DataFrame = {
     def alpha(c: org.apache.spark.sql.Column) =
       translate(c.cast("string"), "0123456789", "abcdefghij")
@@ -102,22 +132,24 @@ object DupParityDrill {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the harness reads single-FILE tables (testdata layout): stage the
-    // Spark part-file, then move it to <fixtureDir>/documents.parquet
-    fixture(spark).coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$fixtureDir/_stage")
-    locally {
+    // the harness reads single-FILE tables (testdata layout): stage each
+    // Spark part-file, then move it to <fixtureDir>/<table>.parquet
+    def writeTable(df: DataFrame, table: String): Unit = {
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$fixtureDir/_stage")
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val stage = new java.io.File(s"$fixtureDir/_stage")
       val part = stage.listFiles().find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error("no part file written"))
-      Files.move(part.toPath, Paths.get(s"$fixtureDir/documents.parquet"),
+      Files.move(part.toPath, Paths.get(s"$fixtureDir/$table.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       stage.listFiles().foreach(_.delete()); stage.delete()
     }
+    writeTable(fixture(spark), "documents")
+    writeTable(embFixture(spark), "embeddings")
     new java.io.File(outDir).mkdirs()
     graft.pipeline.Dedup.clearDerivedCaches() // fresh memo keys for this corpus
-    DrillQueries.foreach { name =>
+    (DrillQueries ++ EmbDrillQueries).foreach { name =>
       try SparkEntry.queries(name)(spark, fixtureDir).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -131,12 +163,12 @@ object DupParityDrill {
       case c if c < ' ' => "\\u%04x".format(c.toInt)
       case c => c.toString
     } + "\""
-    val json = DrillQueries
+    val json = (DrillQueries ++ EmbDrillQueries)
       .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
       .mkString("{", ", ", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
-    println(s"[drill] dumped ${DrillQueries.size} queries over $fixtureDir")
+    println(s"[drill] dumped ${DrillQueries.size + EmbDrillQueries.size} queries over $fixtureDir")
     spark.stop()
   }
 }

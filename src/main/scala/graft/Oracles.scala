@@ -347,7 +347,7 @@ object Oracles {
       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
       |sims AS (
-      |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+      |  SELECT vec_id, SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0) AS sim
       |  FROM un GROUP BY vec_id)
       |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
@@ -358,21 +358,21 @@ object Oracles {
       |  SELECT e.vec_id, c.cell_id, unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
       |  FROM embeddings e CROSS JOIN c),
       |d AS (
-      |  SELECT vec_id, cell_id, -(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y)))) AS d
+      |  SELECT vec_id, cell_id, -(SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0)) AS d
       |  FROM pr GROUP BY 1, 2),
       |assigned AS (
       |  SELECT vec_id, cell_id FROM (
       |    SELECT vec_id, cell_id,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell_id ASC) AS rn
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC NULLS LAST, cell_id ASC) AS rn
       |    FROM d) WHERE rn = 1),
-      |probe AS (SELECT cell_id FROM d WHERE vec_id = 0 ORDER BY d ASC, cell_id ASC LIMIT 8),
+      |probe AS (SELECT cell_id FROM d WHERE vec_id = 0 ORDER BY d ASC NULLS LAST, cell_id ASC LIMIT 8),
       |cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
       |         WHERE a.vec_id <> 0),
       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       |un AS (
       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
       |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
-      |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+      |sims AS (SELECT vec_id, SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0) AS sim
       |         FROM un GROUP BY 1)
       |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
@@ -406,7 +406,7 @@ object Oracles {
       |un AS (
       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
       |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q),
-      |sims AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+      |sims AS (SELECT vec_id, SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0) AS sim
       |         FROM un GROUP BY 1)
       |SELECT vec_id, ROUND(sim, 6) AS sim FROM sims
       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
@@ -555,7 +555,7 @@ object Oracles {
         |  JOIN embeddings a ON a.vec_id = c.vec_a
         |  JOIN embeddings b ON b.vec_id = c.vec_b),
         |sims AS (
-        |  SELECT vec_a, vec_b, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |  SELECT vec_a, vec_b, SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0) AS sim
         |  FROM un GROUP BY 1, 2)
         |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims
         |WHERE sim >= $threshold::DOUBLE ORDER BY vec_a, vec_b""".stripMargin
@@ -581,7 +581,7 @@ object Oracles {
       |  FROM u JOIN c USING (pos) GROUP BY 1, 2, 3),
       |sc AS (
       |  SELECT vec_id, label, cl,
-      |         ROUND(dot::DOUBLE / (SQRT(nv::DOUBLE) * SQRT(ns::DOUBLE)), 6) AS cos
+      |         ROUND(dot::DOUBLE / NULLIF(SQRT(nv::DOUBLE) * SQRT(ns::DOUBLE), 0), 6) AS cos
       |  FROM dots JOIN cn USING (cl) WHERE nv > 0),
       |best AS (
       |  SELECT vec_id, label, cl, cos,
@@ -1334,7 +1334,7 @@ object Oracles {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |s AS (SELECT label, vec_a, vec_b,
-        |             SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |             SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0) AS sim
         |      FROM un GROUP BY 1, 2, 3),
         |d AS (SELECT label, vec_b FROM s WHERE sim >= $t::DOUBLE),
         |g AS (SELECT label, COUNT(*) AS n_dup_pairs,
@@ -1386,7 +1386,7 @@ object Oracles {
         |  FROM mm a JOIN mm b
         |    ON a.label = b.label AND a.shard = b.shard AND a.vec_id < b.vec_id),
         |s2 AS (SELECT label, vec_a, vec_b,
-        |              SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        |              SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0) AS sim
         |       FROM un GROUP BY 1, 2, 3),
         |d AS (SELECT label, vec_b FROM s2 WHERE sim >= $t::DOUBLE),
         |g AS (SELECT label, COUNT(*) AS n_dup_pairs,
@@ -1516,7 +1516,7 @@ object Oracles {
         |      GROUP BY 1, 2)
         |SELECT d.label_a, d.label_b,
         |       ROUND(CAST(dot AS DOUBLE)
-        |             / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 6) AS cos_sim
+        |             / NULLIF(SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)), 0), 6) AS cos_sim
         |FROM d JOIN nrm na ON d.label_a = na.label
         |       JOIN nrm nb ON d.label_b = nb.label
         |ORDER BY label_a, label_b""".stripMargin,
@@ -2433,7 +2433,7 @@ object Oracles {
           |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN q),
           |sims AS (
           |  SELECT radius, vec_id,
-          |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS sim
+          |         ROUND(SUM(x*y) / NULLIF(SQRT(SUM(x*x)) * SQRT(SUM(y*y)), 0), 6) AS sim
           |  FROM un GROUP BY 1, 2),
           |rk AS (
           |  SELECT *, row_number() OVER (PARTITION BY radius
@@ -2946,7 +2946,7 @@ object Oracles {
           |       FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
           |                   JOIN embeddings b ON b.vec_id = c.tgt_id),
           |cs AS (SELECT src_id, src_lang, tgt_id,
-          |              ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cos
+          |              ROUND(SUM(x * y) / NULLIF(SQRT(SUM(x * x)) * SQRT(SUM(y * y)), 0), 6) AS cos
           |       FROM un GROUP BY 1, 2, 3),
           |rk AS (SELECT *,
           |              row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS r,
@@ -3052,10 +3052,10 @@ object Oracles {
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
         |p AS (
         |  SELECT qid, vid,
-        |         ROUND(SUM(ex*qx) / (SQRT(SUM(ex*ex)) * SQRT(SUM(qx*qx))), 6) AS sim_full,
+        |         ROUND(SUM(ex*qx) / NULLIF(SQRT(SUM(ex*ex)) * SQRT(SUM(qx*qx)), 0), 6) AS sim_full,
         |         ROUND(SUM(CASE WHEN i <= 16 THEN ex*qx ELSE 0 END)
-        |               / (SQRT(SUM(CASE WHEN i <= 16 THEN ex*ex ELSE 0 END))
-        |                  * SQRT(SUM(CASE WHEN i <= 16 THEN qx*qx ELSE 0 END))), 6) AS sim_pre
+        |               / NULLIF(SQRT(SUM(CASE WHEN i <= 16 THEN ex*ex ELSE 0 END))
+        |                  * SQRT(SUM(CASE WHEN i <= 16 THEN qx*qx ELSE 0 END)), 0), 6) AS sim_pre
         |  FROM un GROUP BY 1, 2),
         |r AS (
         |  SELECT qid, vid,

@@ -739,7 +739,8 @@ object Dedup {
     val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("sim",
+        Similarity.safeDiv(Similarity.dot(col("ea"), col("eb")), col("na") * col("nb")))
       .filter(col("sim") >= 0.5)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
@@ -924,7 +925,8 @@ object Dedup {
     cands
       .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
       .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
-      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("sim",
+        Similarity.safeDiv(Similarity.dot(col("ea"), col("eb")), col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")

@@ -28,9 +28,22 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
-  /** Cosine similarity of two float-array columns. */
+  /** Norm-guarded division for similarity ratios: NULL when the
+    * denominator is zero, instead of Spark 4's ANSI `DIVIDE_BY_ZERO`
+    * crash. A single zero-norm embedding — one failed embedding job row
+    * in 100 TB — would otherwise kill the whole cosine family's jobs
+    * (observed on the round-10 degenerate-corpus drill). NULL is the
+    * right value, not 0: "similarity undefined", filtered by every
+    * ≥-threshold gate and sorted last by every DESC top-k in BOTH
+    * engines (the oracles carry the same guard via `NULLIF`). For
+    * den > 0 the division is bit-identical to the unguarded form, so
+    * all recorded hashes are unchanged. */
+  private[graft] def safeDiv(num: Column, den: Column): Column =
+    when(den > 0, num / den)
+
+  /** Cosine similarity of two float-array columns (zero-norm → NULL). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    safeDiv(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** E-Q4 — brute-force cosine top-k (k=5) against the query vector
     * vec_id=0: broadcast the 1-row query side, scan-and-score, then
@@ -202,8 +215,8 @@ object Similarity {
       .join(broadcast(norms.select(col("label").as("label_a"), col("nrm").as("na"))), Seq("label_a"))
       .join(broadcast(norms.select(col("label").as("label_b"), col("nrm").as("nb"))), Seq("label_b"))
       .select(col("label_a"), col("label_b"),
-        round(col("dot").cast("double")
-          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos_sim"))
+        round(safeDiv(col("dot").cast("double"),
+          sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos_sim"))
       .orderBy("label_a", "label_b")
   }
 
@@ -253,8 +266,8 @@ object Similarity {
         sum(col("v") * col("v")).as("nv"))
       .join(broadcast(centNorms), Seq("cl"))
       .filter(col("nv") > 0)
-      .withColumn("cos", round(col("dot").cast("double")
-        / (sqrt(col("nv").cast("double")) * sqrt(col("ns").cast("double"))), 6))
+      .withColumn("cos", round(safeDiv(col("dot").cast("double"),
+        sqrt(col("nv").cast("double")) * sqrt(col("ns").cast("double"))), 6))
       .withColumn("rn",
         row_number().over(Window.partitionBy("vec_id")
           .orderBy(col("cos").desc, col("cl").asc)))
@@ -488,7 +501,10 @@ object Similarity {
     val centroids = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("ce"))
     // nearest-centroid assignment: broadcast centroids, argmin by window
-    val byVec = Window.partitionBy("vec_id").orderBy(col("d").asc, col("cell_id").asc)
+    // NULLS LAST explicitly: zero-norm rows now carry NULL distances and
+    // Spark's ASC default (nulls first) differs from DuckDB's (nulls last)
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("d").asc_nulls_last, col("cell_id").asc)
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("d", -cosine(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(byVec))
@@ -497,7 +513,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     val probeCells = centroids.crossJoin(broadcast(q))
       .select(col("cell_id"), (-cosine(col("ce"), col("qe"))).as("d"))
-      .orderBy(col("d").asc, col("cell_id").asc)
+      .orderBy(col("d").asc_nulls_last, col("cell_id").asc)
       .limit(nprobe)
       .select("cell_id")
     assigned
@@ -549,7 +565,7 @@ object Similarity {
     val queries = e.filter(col("vec_id") < panel)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     def cos(x: Column, y: Column): Column =
-      round(dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y))), 6)
+      round(cosine(x, y), 6)
     val pairs = e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),

@@ -2196,6 +2196,32 @@ class PipelineSpec extends SparkSpec {
       s"chain stage 3 ${funnel("neardup_dedup")} != distinct survivor clusters $nClusters")
   }
 
+  test("zero-norm embeddings: cosine is NULL (never ANSI DIVIDE_BY_ZERO); planted pairs exact") {
+    // the round-10 drill finding: under Spark 4 ANSI mode an unguarded
+    // cosine CRASHES the job on the first zero-norm embedding (one failed
+    // embedding-job row at 100 TB). The safeDiv guard must (a) return NULL
+    // for the zero vector, (b) leave every positive-norm similarity
+    // bit-identical (golden hashes unchanged), (c) keep the planted
+    // exact-duplicate pair at sim 1.0 and reject the antipodal pair
+    val emb = DupParityDrill.embFixture(spark).localCheckpoint()
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val sims = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qe")).as("sim"))
+    assert(sims.filter(col("vec_id") === 50).head().isNullAt(1),
+      "zero-norm similarity must be NULL")
+    assert(sims.filter(col("vec_id") === 62 && col("sim").isNotNull).count() == 1,
+      "the underflow near-zero vector still has a positive double norm")
+    assert(sims.filter(col("sim").isNull).count() == 1,
+      "exactly the zero vector is undefined")
+    Dedup.clearDerivedCaches()
+    val pairs = Dedup.embeddingNearDupsDf(emb)
+      .select("vec_a", "vec_b", "sim").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((59L, 60L, 1.0)),
+      "exactly the planted duplicate pair at sim exactly 1.0; the zero " +
+        "vector pairs with nothing and the antipodal pair fails the 0.5 gate")
+  }
+
   test("eq136 on the hostile drill fixture: planted drop accounting, to the row") {
     // the DupParityDrill corpus plants exactly-countable degenerate
     // structure the driver fixtures lack (verified: sf fixtures have ZERO
