@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * singleton-cluster subtlety (identical sub-3-token twins are SEPARATE
   * singleton clusters — no Jaccard-1 pair exists to merge them) against
   * the DuckDB oracle. This main manufactures a hostile `documents` table
-  * that hits all of those, dumps the documents-only query family over it
-  * exactly like `graft.Verify`, and emits the matching oracle subset —
-  * `tools/parity.py <fixtureDir> <outDir>` then closes the loop in
-  * DuckDB. Run per round; results recorded in TESTRUN_r{N}.md.
+  * that hits all of those, a hostile `embeddings` table ([[embFixture]]),
+  * and copies the remaining sf0.001 base tables verbatim — so ALL
+  * declared queries run against the dir, exactly like `graft.Verify` —
+  * then emits the full oracle map; `tools/parity.py <fixtureDir> <outDir>`
+  * closes the loop in DuckDB. Run per round; results in TESTRUN_r{N}.md.
+  * Round-10 findings fixed: the zero-norm ANSI cosine crash
+  * ([[graft.pipeline.Similarity.safeDiv]]) and the eq113 Spearman crash
+  * on a single-document language slice (zero rank variance).
   *
   * Fixture blocks (deterministic, id-derived):
   *   - 400 unique 12-alpha-token docs (the benign mass);
@@ -30,7 +34,9 @@ import org.apache.spark.sql.functions._
   */
 object DupParityDrill {
 
-  /** documents-only queries (their oracle SQL references no other table). */
+  /** The planted-structure documents queries (PipelineSpec pins their drop
+    * accounting); the main() sweep runs ALL declared queries, not just
+    * these. */
   val DrillQueries: Seq[String] = Seq(
     "eq11_dedup_keep_first", "eq12_jaccard_pairs", "eq26_neardup_clusters",
     "eq27_hash_split", "eq29_contamination", "eq34_pack_shards",
@@ -76,8 +82,10 @@ object DupParityDrill {
     // ids 0..399 unique; 400..459 exact triples (20 groups of 3);
     // 460..479 short exact pairs (10 pairs of 2); 480..489 single-token;
     // 490..534 near-dup triples (15 groups of 3); 535..554 span pairs
-    // (10 pairs); 555..559 case/whitespace probes
-    val base = spark.range(560).select(col("id").as("doc_id"))
+    // (10 pairs); 555..559 case/whitespace probes; 560 a SINGLE doc in a
+    // language of its own (1-row per-lang partitions: the slice shape
+    // that zeroes rank variances and per-group moments)
+    val base = spark.range(561).select(col("id").as("doc_id"))
     val uniqueText = concat_ws(" ",
       (0 until 12).map(j => concat(lit("base"), alpha(col("doc_id")), lit(s"t$j"))): _*)
     val tripleG = ((col("doc_id") - 400) / 3).cast("long")
@@ -115,8 +123,10 @@ object DupParityDrill {
         .when(col("doc_id") < 490, oneText)
         .when(col("doc_id") < 535, ndText)
         .when(col("doc_id") < 555, spanText)
+        .when(col("doc_id") === 560, lit("lone romanian document of its very own language slice"))
         .otherwise(probeText).as("text"),
-      element_at(langs, pmod(col("doc_id"), lit(5)).cast("int") + 1).as("lang"),
+      when(col("doc_id") === 560, lit("ro"))
+        .otherwise(element_at(langs, pmod(col("doc_id"), lit(5)).cast("int") + 1)).as("lang"),
       concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
@@ -147,9 +157,23 @@ object DupParityDrill {
     }
     writeTable(fixture(spark), "documents")
     writeTable(embFixture(spark), "embeddings")
+    // the OTHER base tables come from sf0.001 verbatim, so EVERY declared
+    // query (retail/events/star included) runs against this dir — the
+    // drill is a full-surface degenerate sweep, not just the text family
+    locally {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val donor = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      Tables.base.filterNot(t => t == "documents" || t == "embeddings")
+        .foreach { t =>
+          Files.copy(Paths.get(s"$donor/$t.parquet"),
+            Paths.get(s"$fixtureDir/$t.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
     new java.io.File(outDir).mkdirs()
     graft.pipeline.Dedup.clearDerivedCaches() // fresh memo keys for this corpus
-    (DrillQueries ++ EmbDrillQueries).foreach { name =>
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    all.foreach { name =>
       try SparkEntry.queries(name)(spark, fixtureDir).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -163,12 +187,12 @@ object DupParityDrill {
       case c if c < ' ' => "\\u%04x".format(c.toInt)
       case c => c.toString
     } + "\""
-    val json = (DrillQueries ++ EmbDrillQueries)
+    val json = SparkEntry.oracleSql.keys.toSeq.sorted
       .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
       .mkString("{", ", ", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
-    println(s"[drill] dumped ${DrillQueries.size + EmbDrillQueries.size} queries over $fixtureDir")
+    println(s"[drill] dumped ${SparkEntry.queries.size} queries over $fixtureDir")
     spark.stop()
   }
 }

@@ -1980,8 +1980,8 @@ object Oracles {
         |  FROM sig)
         |SELECT lang, COUNT(*) AS n,
         |       ROUND((COUNT(*)*SUM(rx*ry) - SUM(rx)*SUM(ry))::DOUBLE /
-        |             (SQRT((COUNT(*)*SUM(rx*rx) - SUM(rx)*SUM(rx))::DOUBLE) *
-        |              SQRT((COUNT(*)*SUM(ry*ry) - SUM(ry)*SUM(ry))::DOUBLE)), 6) AS spearman
+        |             NULLIF(SQRT((COUNT(*)*SUM(rx*rx) - SUM(rx)*SUM(rx))::DOUBLE) *
+        |              SQRT((COUNT(*)*SUM(ry*ry) - SUM(ry)*SUM(ry))::DOUBLE), 0), 6) AS spearman
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     // eq114: Z-order layout audit — the full deterministic pipeline

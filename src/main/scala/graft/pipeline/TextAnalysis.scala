@@ -1106,10 +1106,16 @@ object TextAnalysis {
         sum(col("ry") * col("ry")).as("syy"))
       .select(
         col("lang"), col("n"),
+        // rank variance is zero ONLY for a 1-row language slice
+        // (row_number ranks are distinct otherwise) — Spearman is
+        // undefined there, and the unguarded divide is an ANSI crash on
+        // the first single-doc slice (found by the r10 degenerate drill);
+        // NULL in both engines (oracle: NULLIF on the same denominator)
         round(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          graft.pipeline.Similarity.safeDiv(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
           6).as("spearman"))
       .orderBy("lang")
   }
