@@ -75,6 +75,72 @@ object DupParityDrill {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** Degenerate events: timestamp TIES (a 50-event pile-up on one μs and
+    * exact same-(user,type,ts) pairs — exposes any window ordered by ts
+    * without an event_id tie-break), a single-event user, a single-type
+    * burst inside one minute (zero-variance Fano slice), an exact
+    * 30-minute-gap session chain (the >= split boundary), malformed /
+    * missing / mistyped `props` JSON (the try-cast tolerance paths), and
+    * zero values. ts written TIMESTAMP(MICROS)-annotated like the driver
+    * fixtures (the engine's loader sniffs the annotation; DuckDB reads
+    * the column as TIMESTAMP directly, as the oracles assume). */
+  def eventsFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val types = Vector("click", "view", "purchase", "signup", "error")
+    val rows: Seq[(Long, Long, Long, String, Double, String)] =
+      (0L until 800L).map { id => // benign mass: distinct ts, 20 users
+        (id, base + id * 97000000L + (id % 13) * 1000L, id % 20,
+          types((id % 5).toInt), (id % 1000) / 100.0, s"""{"k": ${id % 97}}""")
+      } ++
+      (800L until 850L).map { id => // one shared microsecond, 50 events
+        (id, base + 86400000000L, id % 5, types((id % 5).toInt),
+          (id % 7) / 10.0, s"""{"k": ${id % 11}}""")
+      } ++
+      (850L until 870L).map { id => // 10 exact (user,type,ts) tied pairs
+        val pair = (id - 850) / 2
+        (id, base + 90000000000L + pair * 60000000L, 3L, "click",
+          1.5, s"""{"k": ${pair}}""")
+      } ++
+      Seq((870L, base + 95000000000L, 777L, "purchase", 42.0, """{"k": 7}""")) ++
+      (871L until 880L).map { id => // user 778: one type, 1-min spacing
+        (id, base + 100000000000L + (id - 871) * 60000000L, 778L, "view",
+          0.5, s"""{"k": ${id % 5}}""")
+      } ++
+      (880L until 910L).map { id => // 30-event single-minute burst
+        (id, base + 110000000000L + (id - 880) * 1000000L, 779L, "view",
+          0.25, s"""{"k": 3}""")
+      } ++
+      (910L until 914L).map { id => // exact 30-min session boundaries
+        (id, base + 120000000000L + (id - 910) * 1800000000L, 780L, "click",
+          1.0, s"""{"k": 1}""")
+      } ++
+      Seq( // 30-min-minus-1μs pair: must merge where the exact gap splits
+        (914L, base + 130000000000L, 781L, "click", 1.0, """{"k": 1}"""),
+        (915L, base + 130000000000L + 1799999999L, 781L, "click", 1.0, """{"k": 1}""")) ++
+      (916L until 940L).map { id => // hostile props cycle
+        val p = (id % 8) match {
+          case 0 => null
+          case 1 => "{}"
+          case 2 => "not json at all"
+          case 3 => """{"k": "xyz"}"""
+          case 4 => """{"k": null}"""
+          case 5 => "[1,2,3]"
+          case 6 => """{"k": 87, "extra": true}"""
+          case _ => """{"m": 5}"""
+        }
+        (id, base + 140000000000L + (id - 916) * 3600000000L, id % 10,
+          types((id % 5).toInt), (id % 100) / 10.0, p)
+      } ++
+      (940L until 950L).map { id => // zero-value purchases
+        (id, base + 150000000000L + (id - 940) * 7200000000L, id % 6,
+          "purchase", 0.0, s"""{"k": ${id % 97}}""")
+      } ++
+      Seq((950L, base + 160000000000L, 2L, "purchase", 100000.0, """{"k": 96}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+  }
+
   def fixture(spark: SparkSession): DataFrame = {
     def alpha(c: org.apache.spark.sql.Column) =
       translate(c.cast("string"), "0123456789", "abcdefghij")
@@ -139,6 +205,9 @@ object DupParityDrill {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64 micros, not Spark's legacy INT96 default — the loader and
+      // the DuckDB oracle both read the driver fixtures' encoding
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -157,13 +226,15 @@ object DupParityDrill {
     }
     writeTable(fixture(spark), "documents")
     writeTable(embFixture(spark), "embeddings")
+    writeTable(eventsFixture(spark), "events")
     // the OTHER base tables come from sf0.001 verbatim, so EVERY declared
     // query (retail/events/star included) runs against this dir — the
     // drill is a full-surface degenerate sweep, not just the text family
     locally {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val donor = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
-      Tables.base.filterNot(t => t == "documents" || t == "embeddings")
+      Tables.base.filterNot(t =>
+          t == "documents" || t == "embeddings" || t == "events")
         .foreach { t =>
           Files.copy(Paths.get(s"$donor/$t.parquet"),
             Paths.get(s"$fixtureDir/$t.parquet"),

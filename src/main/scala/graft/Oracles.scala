@@ -650,7 +650,7 @@ object Oracles {
       """WITH flags AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) >= 1800000000
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (
@@ -790,8 +790,8 @@ object Oracles {
 
     "eq15_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-        |       COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+        |       CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       COUNT(DISTINCT TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // eq130: the VARIANT-typed twin of eq15 — same `$.k` values (DuckDB
@@ -801,11 +801,11 @@ object Oracles {
     // n_events.
     "eq130_variant_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-        |       COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
-        |       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-        |       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-        |       CAST(SUM(CASE WHEN json_extract_string(props, '$.m') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path,
+        |       CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       COUNT(DISTINCT TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS distinct_k,
+        |       MIN(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_min,
+        |       MAX(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_max,
+        |       CAST(SUM(CASE WHEN json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.m') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path,
         |       COUNT(*) AS n_bad_cast
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -2990,11 +2990,11 @@ object Oracles {
     "eq102_pair_lift" ->
       """WITH ui0 AS (
         |  SELECT user_id,
-        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |         TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) AS item,
         |         MAX(ts) AS last_ts
         |  FROM events
         |  WHERE event_type = 'purchase'
-        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |    AND TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) IS NOT NULL
         |  GROUP BY 1, 2),
         |ui AS (
         |  SELECT user_id, item FROM (
@@ -3022,11 +3022,11 @@ object Oracles {
     "eq82_co_purchases" ->
       """WITH ui0 AS (
         |  SELECT user_id,
-        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |         TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) AS item,
         |         MAX(ts) AS last_ts
         |  FROM events
         |  WHERE event_type = 'purchase'
-        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |    AND TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) IS NOT NULL
         |  GROUP BY 1, 2),
         |ui AS (
         |  SELECT user_id, item FROM (
@@ -3727,13 +3727,14 @@ object Oracles {
         |FROM a ORDER BY n_name""".stripMargin,
 
     // x22: the streaming session_window operator driven in batch — eq5's
-    // gaps-and-islands boundary (≥ 30 min), session end = last event +
-    // gap, matching Spark's half-open session windows.
+    // gaps-and-islands boundary (STRICTLY > 30 min: session_window merges
+    // at exactly last+gap, r10 boundary drill), session end = last event
+    // + gap, matching Spark's session windows.
     "x22_session_window_batch" ->
       """WITH flags AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) >= 1800000000
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us((lag(ts) OVER w)::TIMESTAMP) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (

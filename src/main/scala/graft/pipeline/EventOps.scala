@@ -98,13 +98,16 @@ object EventOps {
     val gapUs = 30L * 60 * 1000000
     val sessions = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      // >= gap splits: matches session_window's [start, last+gap) windows,
-      // where an event exactly at last+gap does NOT merge — keeps the
-      // batch, session_window, and flatMapGroupsWithState variants in
-      // agreement on the boundary
+      // STRICTLY > gap splits: Spark's session_window MERGES an event at
+      // exactly last+gap (measured on the r10 boundary drill — four
+      // events spaced exactly 30 min formed ONE 4-event session), so the
+      // batch analogue, both streaming sessionizers, and the oracles all
+      // use the same inclusive-merge rule; the pre-r10 `>=` split
+      // disagreed with session_window on exact-boundary events (which no
+      // driver fixture contained)
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(byUser))
       .groupBy("user_id", "session_id")
@@ -567,7 +570,8 @@ object EventOps {
     events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        // try_cast, not cast: malformed props must not kill the job (r10)
+        expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("item"),
         col("ts"))
       .filter(col("item").isNotNull)
       .groupBy("user_id", "item")

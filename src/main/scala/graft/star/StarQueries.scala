@@ -25,7 +25,9 @@ object StarQueries {
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // try_cast: a non-numeric $.k (one malformed log line in 100 TB)
+        // must null out, not ANSI-crash the job (r10 degenerate drill)
+        expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -47,9 +49,13 @@ object StarQueries {
     * JSON extraction on the same paths. */
   def variantProps(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .select(col("event_type"), parse_json(col("props")).as("v"))
+      // try_parse_json / try_variant_get on the data paths: a malformed
+      // payload or an uncastable value nulls out instead of ANSI-crashing
+      // (r10 degenerate drill); the missing-path probe semantics are
+      // unchanged (NULL variant -> NULL path -> counted missing)
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
-        variant_get(col("v"), "$.k", "long").as("k"),
+        try_variant_get(col("v"), "$.k", "long").as("k"),
         variant_get(col("v"), "$.m", "long").as("m"),
         try_variant_get(col("v"), "$.k", "array<long>").as("bad_cast"))
       .groupBy("event_type")

@@ -70,7 +70,7 @@ object StreamingOps extends Serializable {
             it.map(ev => (ev.ts.getTime, ev.ts.getTime, 1)).toList)
             .sortBy(_._1)
         val merged = intervals.foldLeft(List.empty[(Long, Long, Int)]) {
-          case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe < GapMs =>
+          case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe <= GapMs => // inclusive: session_window merges at exactly last+gap
             (ps, math.max(pe, e), pn + n) :: tail
           case (acc, iv) => iv :: acc
         } // newest-first
@@ -117,7 +117,7 @@ object StreamingOps extends Serializable {
           rows.map(ev => (ev.ts.getTime, ev.ts.getTime, 1)).toList)
           .sortBy(_._1)
       val merged = intervals.foldLeft(List.empty[(Long, Long, Int)]) {
-        case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe < GapMs =>
+        case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe <= GapMs => // inclusive: session_window merges at exactly last+gap
           (ps, math.max(pe, e), pn + n) :: tail
         case (acc, iv) => iv :: acc
       } // newest-first
