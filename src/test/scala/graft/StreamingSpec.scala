@@ -76,6 +76,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 8L) == 1 && got.filter(_._1 == 8L).head._4 == 1)
   }
 
+  test("custom state sessionizers merge at EXACTLY last+gap (native session_window rule)") {
+    // the r10 boundary finding, pinned on both arbitrary-state APIs: two
+    // events exactly 30 minutes apart are ONE session, as session_window
+    // computes — the pre-r10 >=-split rule would emit two
+    implicit val sqlCtx = spark.sqlContext
+    for ((name, build) <- Seq[(String,
+        org.apache.spark.sql.Dataset[StreamingOps.UserEvent] =>
+          org.apache.spark.sql.Dataset[StreamingOps.ClosedSession])](
+      "fmgws" -> StreamingOps.statefulSessions,
+      "tws" -> StreamingOps.twsSessions)) {
+      // TWS requires the RocksDB provider; scope the conf to the stream
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      if (name == "tws") spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      // twsSessions applies its own watermark; fmgws expects the caller's
+      val base = mem.toDF().toDF("ts", "user_id")
+      val events = (if (name == "tws") base
+        else base.withWatermark("ts", "10 minutes"))
+        .as[StreamingOps.UserEvent](org.apache.spark.sql.Encoders.product)
+      val q = build(events)
+        .writeStream.format("memory").queryName(s"boundary_$name")
+        .outputMode("append").start()
+      mem.addData((ts("2024-01-01 10:00:00"), 9L), (ts("2024-01-01 10:30:00"), 9L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-02 00:00:00"), 99L)) // watermark pusher
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-03 00:00:00"), 99L))
+      q.processAllAvailable()
+      q.stop()
+      val s9 = spark.table(s"boundary_$name").collect()
+        .filter(_.getLong(0) == 9L).map(r => (r.getTimestamp(1).toString, r.getInt(3)))
+      assert(s9.toSeq == Seq(("2024-01-01 10:00:00.0", 2)),
+        s"$name: expected ONE 2-event boundary session, got ${s9.toSeq}")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: late within-watermark straggler extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
@@ -133,7 +176,10 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     mem.addData(
       (ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:10:00"), 7L),
-      (ts("2024-01-01 12:00:00"), 7L), (ts("2024-01-01 10:00:00"), 8L))
+      (ts("2024-01-01 12:00:00"), 7L), (ts("2024-01-01 10:00:00"), 8L),
+      // user 9: EXACTLY 30 minutes apart — session_window merges at the
+      // boundary (r10 drill finding), so one 2-event session everywhere
+      (ts("2024-01-01 10:00:00"), 9L), (ts("2024-01-01 10:30:00"), 9L))
     q.processAllAvailable()
     mem.addData((ts("2024-01-02 00:00:00"), 99L)) // watermark pusher
     q.processAllAvailable()
@@ -149,11 +195,17 @@ class StreamingSpec extends SparkSpec {
       (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
       (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0, "{}"),
       (3L, ts("2024-01-01 12:00:00"), 7L, "view", 1.0, "{}"),
-      (4L, ts("2024-01-01 10:00:00"), 8L, "view", 1.0, "{}"))
+      (4L, ts("2024-01-01 10:00:00"), 8L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 9L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:30:00"), 9L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(sessions(7L) == batch(7L))
     assert(sessions(8L) == batch(8L))
+    assert(sessions(9L) == ((1L, 2L, 2L)),
+      "the exact-boundary pair must be ONE 2-event session (native semantics)")
+    assert(sessions(9L) == batch(9L),
+      "batch sessionizer must agree with session_window at the exact boundary")
   }
 
   test("x22 batch session_window frame agrees with the lag-based sessionizer per user (sf0.001)") {
