@@ -1187,17 +1187,22 @@ class PipelineSpec extends SparkSpec {
     assert(r(8L) == ((1L, 1L, 1L)))
   }
 
-  test("sessionize boundary: 29:59.999999 gap merges, exactly 30:00 splits (session_window semantics)") {
+  test("sessionize boundary: exactly 30:00 MERGES, 30:00.000001 splits (session_window semantics)") {
+    // r10 correction: Spark's native session_window merges an event at
+    // exactly last+gap (measured on the boundary drill), so the batch
+    // sessionizer's split rule is STRICTLY > gap — the pre-r10 version of
+    // this test pinned the >= rule, which disagreed with session_window
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
-      (2L, ts("2024-01-01 10:29:59.999999"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"),
       (3L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0, "{}"),
-      (4L, ts("2024-01-02 10:30:00"), 2L, "view", 1.0, "{}"))
+      (4L, ts("2024-01-02 10:30:00.000001"), 2L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val r = EventOps.sessionizeDf(events).collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
-    assert(r(1L) == 1L && r(2L) == 2L)
+    assert(r(1L) == 1L, "exact-boundary pair must be ONE session")
+    assert(r(2L) == 2L, "one microsecond past the gap must split")
   }
 
   test("quality score: hand-computed on a literal doc") {
@@ -2233,7 +2238,7 @@ class PipelineSpec extends SparkSpec {
     // and collapse at stage 3: the normalization-vs-content distinction).
     val funnel = Curation.curationPipelineDf(DupParityDrill.fixture(spark))
       .collect().sortBy(_.getInt(0))
-    assert(funnel(0).getLong(2) == 560)
+    assert(funnel(0).getLong(2) == 561) // 560 planted + the 1-doc language
     assert(funnel(1).getLong(3) == 50, s"exact-dedup dropped ${funnel(1).getLong(3)}")
     assert(funnel(2).getLong(3) == 42, s"neardup-dedup dropped ${funnel(2).getLong(3)}")
     // short twins are SEPARATE singleton clusters (no shingles → no pair):
