@@ -150,8 +150,10 @@ object DupParityDrill {
     // 490..534 near-dup triples (15 groups of 3); 535..554 span pairs
     // (10 pairs); 555..559 case/whitespace probes; 560 a SINGLE doc in a
     // language of its own (1-row per-lang partitions: the slice shape
-    // that zeroes rank variances and per-group moments)
-    val base = spark.range(561).select(col("id").as("doc_id"))
+    // that zeroes rank variances and per-group moments); 561..565 docs
+    // whose source has NO digit suffix (the eq65 naming-contract breaker
+    // that ANSI-crashed the plain regexp_extract cast)
+    val base = spark.range(566).select(col("id").as("doc_id"))
     val uniqueText = concat_ws(" ",
       (0 until 12).map(j => concat(lit("base"), alpha(col("doc_id")), lit(s"t$j"))): _*)
     val tripleG = ((col("doc_id") - 400) / 3).cast("long")
@@ -183,7 +185,7 @@ object DupParityDrill {
       .otherwise(lit("lone probe document tail case"))
     base.select(
       col("doc_id"),
-      when(col("doc_id") < 400, uniqueText)
+      when(col("doc_id") < 400 || col("doc_id") > 560, uniqueText)
         .when(col("doc_id") < 460, tripleText)
         .when(col("doc_id") < 480, shortText)
         .when(col("doc_id") < 490, oneText)
@@ -193,7 +195,8 @@ object DupParityDrill {
         .otherwise(probeText).as("text"),
       when(col("doc_id") === 560, lit("ro"))
         .otherwise(element_at(langs, pmod(col("doc_id"), lit(5)).cast("int") + 1)).as("lang"),
-      concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"))
+      when(col("doc_id") > 560, lit("webdump"))
+        .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(4)))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 

@@ -649,8 +649,12 @@ object CorpusOps {
       .partitionBy("source").orderBy("mix_key", "doc_id")
     docs
       .withColumn("mix_key", md5(col("doc_id").cast("string").cast("binary")))
+      // try_cast: a source OUTSIDE the digit-suffix naming contract gets a
+      // NULL weight and contributes no rows — the oracle's TRY_CAST
+      // semantics; the plain cast ANSI-crashed on the first such source
+      // (r10 degenerate sweep, same class as the zero-norm cosine)
       .withColumn("weight",
-        lit(1) + regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 3)
+        lit(1) + expr("try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS int)") % 3)
       .withColumn("mix_rank", row_number().over(w))
       .filter(col("mix_rank") <= col("weight") * 8)
       .select(col("source"), col("doc_id"), col("weight"), col("mix_rank"))

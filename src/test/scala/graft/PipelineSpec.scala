@@ -2238,7 +2238,7 @@ class PipelineSpec extends SparkSpec {
     // and collapse at stage 3: the normalization-vs-content distinction).
     val funnel = Curation.curationPipelineDf(DupParityDrill.fixture(spark))
       .collect().sortBy(_.getInt(0))
-    assert(funnel(0).getLong(2) == 561) // 560 planted + the 1-doc language
+    assert(funnel(0).getLong(2) == 566) // 560 planted + 1-doc lang + 5 digitless-source docs
     assert(funnel(1).getLong(3) == 50, s"exact-dedup dropped ${funnel(1).getLong(3)}")
     assert(funnel(2).getLong(3) == 42, s"neardup-dedup dropped ${funnel(2).getLong(3)}")
     // short twins are SEPARATE singleton clusters (no shingles → no pair):
