@@ -2087,7 +2087,7 @@ object Oracles {
         |  ROUND(CAST(SUM(mi_micro) AS BIGINT)::DOUBLE / (n * 1000000), 6) AS mi_nats,
         |  ROUND((n * CAST(SUM(chi_micro) AS BIGINT))::DOUBLE / 1000000 - n, 6) AS chi2,
         |  ROUND(SQRT(((n * CAST(SUM(chi_micro) AS BIGINT))::DOUBLE / 1000000 - n)
-        |        / (n * LEAST(kx - 1, ky - 1))), 6) AS cramers_v
+        |        / NULLIF((n * LEAST(kx - 1, ky - 1))::DOUBLE, 0)), 6) AS cramers_v
         |FROM cells GROUP BY n, kx, ky""".stripMargin,
 
     // eq117: CUPED readout — variant = the shared 28-bit md5 key of the
@@ -2211,10 +2211,12 @@ object Oracles {
         |           AS top_cents
         |  FROM j GROUP BY 1)
         |SELECT n_name, n_customers, total_cents,
-        |       CAST((2*ix - (n_customers+1)*CAST(total_cents AS HUGEINT))
-        |         * 1000000 // (n_customers*CAST(total_cents AS HUGEINT))
+        |       CAST(CASE WHEN total_cents > 0 THEN
+        |         (2*ix - (n_customers+1)*CAST(total_cents AS HUGEINT))
+        |         * 1000000 // (n_customers*CAST(total_cents AS HUGEINT)) END
         |         AS BIGINT) AS gini_ppm,
-        |       CAST(CAST(top_cents AS HUGEINT) * 1000000 // total_cents
+        |       CAST(CASE WHEN total_cents > 0 THEN
+        |         CAST(top_cents AS HUGEINT) * 1000000 // total_cents END
         |         AS BIGINT) AS top_decile_ppm
         |FROM g ORDER BY n_name""".stripMargin,
 
@@ -2637,9 +2639,9 @@ object Oracles {
         |             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy FROM xy)
         |SELECT n_ranks,
         |  ROUND(CAST(n_ranks*sxy - sx*sy AS DOUBLE)
-        |        / CAST(n_ranks*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |        / NULLIF(CAST(n_ranks*sxx - sx*sx AS DOUBLE), 0), 6) AS slope,
         |  ROUND(CAST(n_ranks*sxy - sx*sy AS DOUBLE) * CAST(n_ranks*sxy - sx*sy AS DOUBLE)
-        |        / (CAST(n_ranks*sxx - sx*sx AS DOUBLE) * CAST(n_ranks*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |        / NULLIF(CAST(n_ranks*sxx - sx*sx AS DOUBLE) * CAST(n_ranks*syy - sy*sy AS DOUBLE), 0), 6) AS r2
         |FROM m""".stripMargin,
 
     // eq71: Gramian top pairs — per-(row, cell) terms are floor(vi·vj·1e6)
@@ -3721,9 +3723,9 @@ object Oracles {
         |  FROM m GROUP BY 1)
         |SELECT n_name, n_months,
         |       ROUND(CAST(n_months * sxy - sx * sy AS DOUBLE)
-        |             / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_month,
+        |             / NULLIF(CAST(n_months * sxx - sx * sx AS DOUBLE), 0), 6) AS slope_cents_per_month,
         |       ROUND(CAST(sxx * sy - sx * sxy AS DOUBLE)
-        |             / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS intercept_cents
+        |             / NULLIF(CAST(n_months * sxx - sx * sx AS DOUBLE), 0), 6) AS intercept_cents
         |FROM a ORDER BY n_name""".stripMargin,
 
     // x22: the streaming session_window operator driven in batch — eq5's

@@ -464,9 +464,13 @@ object CorpusOps {
     val denY = d("n_ranks") * d("syy") - d("sy") * d("sy")
     moments.select(
       col("n_ranks"),
-      round(num.cast("double") / denX.cast("double"), 6).as("slope"),
-      round(num.cast("double") * num.cast("double")
-        / (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+      // denX = 0 iff one rank; denY = 0 additionally when every top-N
+      // count is identical (uniform corpus) — slope/r² undefined, NULL in
+      // both engines (r10 degenerate audit)
+      round(Similarity.safeDiv(num.cast("double"), denX.cast("double")), 6)
+        .as("slope"),
+      round(Similarity.safeDiv(num.cast("double") * num.cast("double"),
+        denX.cast("double") * denY.cast("double")), 6).as("r2"))
   }
 
   /** eq33 — corpus heavy hitters: the 20 most frequent 3-token shingles

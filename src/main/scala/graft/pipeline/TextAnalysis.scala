@@ -1160,8 +1160,11 @@ object TextAnalysis {
           .as("mi_nats"),
         round((col("n") * col("chi_sum")).cast("double") / lit(1000000) - col("n"), 6)
           .as("chi2"),
-        round(sqrt(((col("n") * col("chi_sum")).cast("double") / lit(1000000)
-            - col("n")) / (col("n") * least(col("kx") - 1, col("ky") - 1))), 6)
+        // a 1×1 contingency (one lang or one source) has min(r−1,c−1)=0:
+        // Cramér's V undefined, NULL in both engines (r10 degenerate audit)
+        round(sqrt(Similarity.safeDiv(
+          (col("n") * col("chi_sum")).cast("double") / lit(1000000) - col("n"),
+          (col("n") * least(col("kx") - 1, col("ky") - 1)).cast("double"))), 6)
           .as("cramers_v"))
   }
 

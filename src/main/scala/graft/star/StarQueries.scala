@@ -154,11 +154,16 @@ object StarQueries {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
       .select(col("n_name"), col("n_months"),
-        round((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        // OLS denominator n·Σx²−(Σx)² is 0 iff a nation has ONE distinct
+        // month — slope undefined, NULL in both engines (r10 degenerate
+        // audit; the unguarded divide is an ANSI crash)
+        round(graft.pipeline.Similarity.safeDiv(
+          (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double"),
+          (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
           .as("slope_cents_per_month"),
-        round((col("sxx") * col("sy") - col("sx") * col("sxy")).cast("double")
-          / (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        round(graft.pipeline.Similarity.safeDiv(
+          (col("sxx") * col("sy") - col("sx") * col("sxy")).cast("double"),
+          (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
           .as("intercept_cents"))
       .orderBy("n_name")
   }
@@ -206,10 +211,14 @@ object StarQueries {
         sum(when(expr("i > n - ((n + 9) div 10)"), col("cents")))
           .as("top_cents"))
       .select(col("n_name"), col("n_customers"), col("total_cents"),
-        expr("(2*ix - (n_customers+1) * cast(total_cents as decimal(38,0)))" +
-          " * 1000000 div (n_customers * cast(total_cents as decimal(38,0)))")
+        // a zero-revenue nation has no defined concentration: NULL, not a
+        // division-by-zero crash (r10 degenerate audit)
+        expr("CASE WHEN total_cents > 0 THEN " +
+          "(2*ix - (n_customers+1) * cast(total_cents as decimal(38,0)))" +
+          " * 1000000 div (n_customers * cast(total_cents as decimal(38,0))) END")
           .as("gini_ppm"),
-        expr("cast(top_cents as decimal(38,0)) * 1000000 div total_cents")
+        expr("CASE WHEN total_cents > 0 THEN " +
+          "cast(top_cents as decimal(38,0)) * 1000000 div total_cents END")
           .as("top_decile_ppm"))
       .orderBy("n_name")
   }
