@@ -34,26 +34,6 @@ import org.apache.spark.sql.functions._
   */
 object DupParityDrill {
 
-  /** The planted-structure documents queries (PipelineSpec pins their drop
-    * accounting); the main() sweep runs ALL declared queries, not just
-    * these. */
-  val DrillQueries: Seq[String] = Seq(
-    "eq11_dedup_keep_first", "eq12_jaccard_pairs", "eq26_neardup_clusters",
-    "eq27_hash_split", "eq29_contamination", "eq34_pack_shards",
-    "eq38_quality_filter", "eq84_cluster_reps", "eq92_dup_spans",
-    "eq106_temperature_mix", "eq127_max_dup_spans", "eq129_bpe_encode",
-    "eq131_cluster_split", "eq133_shingle_novelty", "eq134_source_overlap",
-    "eq135_snapshot_drift", "eq136_curation_pipeline")
-
-  /** embeddings-only queries, driven over [[embFixture]] — the corpus that
-    * found the round-10 zero-norm ANSI crash. */
-  val EmbDrillQueries: Seq[String] = Seq(
-    "eq4_cosine_topk", "eq13_embedding_neardups", "x3_ivf_topk",
-    "x5_lsh_topk", "x11_quantize_embeddings", "x12_ann_recall",
-    "x15_matryoshka_recall", "x21_pq_recall", "x24_lsh_probe_sweep",
-    "eq89_kmeans", "eq95_density_cores", "eq97_graph_clustering",
-    "eq105_centroid_confusion", "eq128_semantic_dedup_sharded")
-
   /** Degenerate embeddings: a zero vector (norm 0 — crashed the whole
     * cosine family under ANSI before the safeDiv guard), an exact
     * duplicate pair (sim exactly 1), an antipodal pair (sim exactly −1),
