@@ -76,7 +76,32 @@ object Curation {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     curationPipelineDf(Tables.load(spark, dir, "documents"))
 
-  def curationPipelineDf(docs: DataFrame): DataFrame = {
+  /** The chain's PRODUCT, not just its accounting: the stage-7 survivor
+    * corpus with each document's eq34 shard assignment attached —
+    * (doc_id, lang, source, text, n_chars, n_tokens, quality, cluster,
+    * cluster_split, shard_id) — i.e. what a trainer actually consumes.
+    * Built by the SAME stage builder as the funnel, so the two can never
+    * disagree on membership (pinned by test against the funnel's stage-7
+    * and stage-8 rows). */
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame =
+    curatedDocsDf(Tables.load(spark, dir, "documents"))
+
+  def curatedDocsDf(docs: DataFrame): DataFrame = {
+    val s7 = buildChain(docs).s7
+    val packW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s7.withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+      .withColumn("shard_id", expr(s"cum div $ShardBudget"))
+      .drop("cum")
+  }
+
+  /** The seven survivor frames, one per filter stage (packing/encoding
+    * transform s7 without dropping). */
+  private final case class Chain(
+      spine: DataFrame, s2: DataFrame, s3: DataFrame, s4: DataFrame,
+      s5: DataFrame, s6: DataFrame, s7: DataFrame)
+
+  private def buildChain(docs: DataFrame): Chain = {
     // ---- spine: per-doc columns every stage reads, materialized once ----
     // (quality from the SHARED eq8 builder; cluster labels from the
     // MEMOIZED eq12 pair table via eq26's component labeling)
@@ -150,6 +175,12 @@ object Curation {
       .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))
       .drop("rate_ppm")
       .localCheckpoint() // stage stats, packing, and encode all read this
+    Chain(spine, s2, s3, s4, s5, s6, s7)
+  }
+
+  def curationPipelineDf(docs: DataFrame): DataFrame = {
+    val ch = buildChain(docs)
+    import ch._
 
     // ---- stage 8: shard packing (eq34's layout); n_units = shards ------
     val packW = Window.partitionBy("lang").orderBy("doc_id")

@@ -2255,6 +2255,32 @@ class PipelineSpec extends SparkSpec {
       s"shingle-free twins must be singleton clusters, got $shortClusters")
   }
 
+  test("curatedDocs: the chain's product frame agrees with the funnel's accounting") {
+    // curatedDocs is the stage-7 survivor corpus with shard assignments —
+    // built by the SAME stage builder as the funnel, asserted equal here:
+    // row count == funnel stage-7 n_docs, distinct (lang, shard) count ==
+    // funnel stage-8 n_units, token sum == stage-7 total_tokens, and
+    // every survivor is a real corpus document
+    val docs = Tables.load(spark, Sf, "documents")
+    val funnel = Curation.curationPipelineDf(docs).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val curated = Curation.curatedDocsDf(docs).localCheckpoint()
+    assert(curated.count() == funnel("temperature_mix").getLong(2))
+    assert(curated.select("lang", "shard_id").distinct().count() ==
+      funnel("shard_pack").getLong(6))
+    assert(curated.agg(sum(col("n_tokens"))).head().getLong(0) ==
+      funnel("temperature_mix").getLong(4))
+    assert(curated.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty,
+      "every curated doc must exist in the source corpus")
+    // shard budget: every shard except a language's last fits the 2000
+    // budget in the prefix-sum sense (a shard closes once cum crosses it)
+    val overBudget = curated.groupBy("lang", "shard_id")
+      .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("mx"))
+      .filter(col("t") - col("mx") >= 2000) // even without its last doc it exceeds
+      .count()
+    assert(overBudget == 0, "prefix-sum packing must close shards at the budget")
+  }
+
   test("eq136: no train survivor exceeds the decontamination overlap cap") {
     // independent re-derivation of stage 6's guarantee: every surviving
     // stage-7 doc's distinct-shingle overlap with the held-out test split
