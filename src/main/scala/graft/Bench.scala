@@ -64,15 +64,25 @@ object Bench {
     graft.pipeline.TextAnalysis.bpeTrain(spark, sfDir).count()
     val setupSec = (System.nanoTime() - setupT0) / 1e9
 
-    def run(name: String): Double = {
+    // Work-mass meter (VERDICT r10 task 2): wall-clock at local[32] is
+    // contention-noise-bound; shuffle/spill/peak-memory bytes are
+    // deterministic per plan, so recording them per query makes every
+    // future "contention or regression?" a one-line diff.
+    val meter = WorkMass.meter(spark.sparkContext)
+
+    def run(name: String): (Double, WorkMass) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+      var sec = -1.0
+      val work = meter {
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          sec = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }
-      (System.nanoTime() - t0) / 1e9
+      (sec, work)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -85,13 +95,19 @@ object Bench {
     val passes = Seq.fill(3)(names.map(n => n -> run(n)))
     val results = names.map { n =>
       val samples = passes.map(_.toMap.apply(n))
-      val ok = samples.filter(_ >= 0).sorted
-      n -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+      val ok = samples.map(_._1).filter(_ >= 0).sorted
+      // work mass: max over the three passes — bytes are deterministic for
+      // a deterministic plan, so max is just robustness against a pass
+      // that failed (its window reads 0)
+      val work = samples.map(_._2).foldLeft(WorkMass.zero)(_ max _)
+      (n, if (ok.isEmpty) -1.0 else ok(ok.length / 2), work)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val wm = results.map { case (k, _, w) => "\"" + k + "\":" + w.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"work":$wm,"sf":"$sfDir"}"""
     println(json)
     // Also persist the full per-query map to a file: the driver's stdout
     // capture has truncated the JSON line to a tail before (ADVICE r7),
@@ -101,23 +117,29 @@ object Bench {
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
         json.getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file sink failed: ${e.getMessage}") }
-    // Dual-write the per-ROUND artifact too (VERDICT r9 task 6): the
-    // driver's stdout capture has repeatedly truncated BENCH_rNN.json to a
-    // tail, losing most per-query figures from the round record. Writing
-    // the full map to the next BENCH_rNN slot (max existing N + 1, or
-    // SPARK_GRAFT_ROUND when the driver sets it) keeps every round's
-    // complete figures in history even if the capture stays lossy.
+    // Dual-write the per-ROUND artifact too (VERDICT r9 task 6, naming
+    // fixed per ADVICE r10 + VERDICT r10 task 1): the driver's stdout
+    // capture has repeatedly truncated BENCH_rNN.json to a tail, and in
+    // r10 the old max+1 auto-increment minted a phantom BENCH_r11.json
+    // from a round-10 re-measurement while the driver's capture clobbered
+    // the committed full map. New rules: (a) only write the canonical
+    // BENCH_rNN.json slot when the driver sets SPARK_GRAFT_ROUND; (b)
+    // otherwise write BENCH_rNN_full.json for the CURRENT max round — a
+    // distinct name the driver's capture never touches, and re-runs
+    // overwrite it instead of allocating new rounds.
     try if (only.isEmpty) { // a filtered run is iteration, not a round record
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-        val rx = """BENCH_r(\d+)\.json""".r
-        val dir = new java.io.File(".").listFiles()
-        val seen = if (dir == null) Seq.empty[Int]
-          else dir.toSeq.flatMap(f => f.getName match {
-            case rx(n) => Some(n.toInt); case _ => None })
-        (seen :+ 0).max + 1
+      val target = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt) match {
+        case Some(r) => Some(f"BENCH_r$r%02d.json")
+        case None =>
+          val rx = """BENCH_r(\d+)\.json""".r
+          val dir = new java.io.File(".").listFiles()
+          val seen = if (dir == null) Seq.empty[Int]
+            else dir.toSeq.flatMap(f => f.getName match {
+              case rx(n) => Some(n.toInt); case _ => None })
+          if (seen.isEmpty) None else Some(f"BENCH_r${seen.max}%02d_full.json")
       }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_r$round%02d.json"), json.getBytes("UTF-8"))
+      target.foreach(t => java.nio.file.Files.write(
+        java.nio.file.Paths.get(t), json.getBytes("UTF-8")))
     } catch { case e: Exception =>
       System.err.println(s"[bench] round file sink failed: ${e.getMessage}") }
     spark.stop()

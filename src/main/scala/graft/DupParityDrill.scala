@@ -99,7 +99,7 @@ object DupParityDrill {
         (914L, base + 130000000000L, 781L, "click", 1.0, """{"k": 1}"""),
         (915L, base + 130000000000L + 1799999999L, 781L, "click", 1.0, """{"k": 1}""")) ++
       (916L until 940L).map { id => // hostile props cycle
-        val p = (id % 8) match {
+        val p = (id % 9) match {
           case 0 => null
           case 1 => "{}"
           case 2 => "not json at all"
@@ -107,7 +107,11 @@ object DupParityDrill {
           case 4 => """{"k": null}"""
           case 5 => "[1,2,3]"
           case 6 => """{"k": 87, "extra": true}"""
-          case _ => """{"m": 5}"""
+          case 7 => """{"m": 5}"""
+          // PRESENT-but-non-numeric $.m (ADVICE r10): valid JSON whose m
+          // cannot cast to long — plain variant_get would ANSI-crash eq130
+          // while the DuckDB twin answers; must count as missing/null
+          case _ => """{"m": "xyz"}"""
         }
         (id, base + 140000000000L + (id - 916) * 3600000000L, id % 10,
           types((id % 5).toInt), (id % 100) / 10.0, p)

@@ -805,7 +805,7 @@ object Oracles {
         |       COUNT(DISTINCT TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS distinct_k,
         |       MIN(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_min,
         |       MAX(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_max,
-        |       CAST(SUM(CASE WHEN json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.m') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path,
+        |       CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.m') AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path,
         |       COUNT(*) AS n_bad_cast
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1057,8 +1057,8 @@ object Oracles {
         |        FROM zc7 CROSS JOIN zt7),
         |zws7 AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM zw7),
         |zr7 AS (SELECT lang,
-        |               LEAST(1000000::BIGINT,
-        |                     (w_micro * (n_total // 2) * 1000000) // (w_sum * ln_docs)) AS rate_ppm
+        |               CAST(LEAST(1000000::HUGEINT,
+        |                     (CAST(w_micro AS HUGEINT) * (n_total // 2) * 1000000) // (CAST(w_sum AS HUGEINT) * ln_docs)) AS BIGINT) AS rate_ppm
         |        FROM zw7 CROSS JOIN zws7),
         |zh7 AS (SELECT z.doc_id, z.lang, z.n_chars, z.n_tokens,
         |               substr(md5(z.text), 1, 7) AS h7, r.rate_ppm
@@ -2973,8 +2973,8 @@ object Oracles {
         |      FROM c CROSS JOIN t),
         |ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM w),
         |r AS (SELECT lang, n_docs,
-        |             LEAST(1000000::BIGINT,
-        |                   (w_micro * (n_total // 2) * 1000000) // (w_sum * n_docs)) AS rate_ppm
+        |             CAST(LEAST(1000000::HUGEINT,
+        |                   (CAST(w_micro AS HUGEINT) * (n_total // 2) * 1000000) // (CAST(w_sum AS HUGEINT) * n_docs)) AS BIGINT) AS rate_ppm
         |      FROM w CROSS JOIN ws),
         |h AS (SELECT d.lang, d.n_chars, substr(md5(d.text), 1, 7) AS h7, r.rate_ppm
         |      FROM documents d JOIN r USING (lang)),

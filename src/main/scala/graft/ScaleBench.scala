@@ -93,6 +93,11 @@ object ScaleBench {
       ts.sorted.apply(1)
     }
 
+    // Work-mass meter (VERDICT r10 task 2): shuffle/spill bytes are the
+    // deterministic scale observable; seconds at these sizes are
+    // scheduling-overhead-dominated (see object Scaladoc).
+    val meter = WorkMass.meter(spark.sparkContext)
+
     val scales = Seq(1, 3, 10)
     val baseN = 5000L // the sf0.1 documents count
     val results = scales.map { s =>
@@ -105,10 +110,15 @@ object ScaleBench {
         Dedup.clearDerivedCaches()
         Dedup.jaccardPairsDf(docs).count()
       }
-      // work proxies — the pinned scale claim
+      // work proxies — the pinned scale claim; the mining pass's shuffle
+      // mass is captured alongside (ScaleSpec pins its 1x→10x linearity)
       Dedup.clearDerivedCaches()
-      val candidates = Dedup.prefixCandidatesDf(docs).count()
-      val pairs = Dedup.jaccardPairsDf(docs).count() // warms the memo too
+      var candidates = 0L
+      var pairs = 0L
+      val mineWork = meter {
+        candidates = Dedup.prefixCandidatesDf(docs).count()
+        pairs = Dedup.jaccardPairsDf(docs).count() // warms the memo too
+      }
       // eq131 with the pair memo warm: its production posture
       val splitSec = median3(Dedup.clusterSplitDf(docs).count())
       // eq127: self-contained chunked-suffix pass
@@ -120,23 +130,28 @@ object ScaleBench {
       // steady state: artifacts mined once per snapshot, audits re-run)
       graft.pipeline.Dedup.clearDerivedCaches()
       val chainT0 = System.nanoTime()
-      val funnel = graft.pipeline.Curation.curationPipelineDf(docs).collect()
+      var funnel: Array[org.apache.spark.sql.Row] = null
+      val chainWork = meter {
+        funnel = graft.pipeline.Curation.curationPipelineDf(docs).collect()
+      }
       val chainColdSec = (System.nanoTime() - chainT0) / 1e9
       val chainWarmSec =
         median3(graft.pipeline.Curation.curationPipelineDf(docs).collect())
       val kept = funnel.sortBy(_.getInt(0)).map(_.getLong(2)).last
       println(s"[scalebench] ${s}x: n=$n mine=$mineSec split=$splitSec " +
         s"eq127=$eq127Sec chainCold=$chainColdSec chainWarm=$chainWarmSec " +
-        s"cand=$candidates pairs=$pairs spanDocs=$spanDocs chainKept=$kept")
+        s"cand=$candidates pairs=$pairs spanDocs=$spanDocs chainKept=$kept " +
+        s"mineShufRead=${mineWork.shuffleRead} chainShufRead=${chainWork.shuffleRead}")
       (s, n, mineSec, splitSec, eq127Sec, candidates, pairs, spanDocs,
-        chainColdSec, chainWarmSec, kept)
+        chainColdSec, chainWarmSec, kept, mineWork, chainWork)
     }
     val json = "{\"metric\":\"scalebench\",\"unit\":\"sec\",\"cpus\":" + cpus +
       ",\"base_docs\":" + baseN + ",\"scales\":[" +
-      results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k) =>
+      results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw) =>
         s"""{"scale":$s,"docs":$n,"mine_sec":$m,"split_sec":$sp,""" +
           s""""eq127_sec":$e,"prefix_candidates":$c,"pairs":$p,"span_docs":$d,""" +
-          s""""chain_cold_sec":$cc,"chain_warm_sec":$cw,"chain_kept_docs":$k}"""
+          s""""chain_cold_sec":$cc,"chain_warm_sec":$cw,"chain_kept_docs":$k,""" +
+          s""""mine_work":${mw.json},"chain_work":${chw.json}}"""
       }.mkString(",") + "]}"
     println(json)
     try java.nio.file.Files.write(

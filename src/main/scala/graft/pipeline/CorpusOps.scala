@@ -780,8 +780,13 @@ object CorpusOps {
           TemperatureAlpha) * 1000000.0).cast("long"))
     val wsum = w.agg(sum(col("w_micro")).as("w_sum"))
     val rates = w.crossJoin(broadcast(wsum))
+      // DECIMAL(38,0) widening (ADVICE r10): pure-LONG products here
+      // overflow past ~1.8e7 docs (numerator) / ~1e11 (denominator);
+      // IntegralDivide over decimal still returns BIGINT so rate_ppm's
+      // type and the recorded hashes are unchanged (eq120/eq135 pattern).
       .withColumn("rate_ppm", least(lit(1000000L),
-        expr("(w_micro * (n_total div 2) * 1000000) div (w_sum * n_docs)")))
+        expr("(cast(w_micro as decimal(38,0)) * (n_total div 2) * 1000000)" +
+          " div (cast(w_sum as decimal(38,0)) * n_docs)")))
       .select(col("lang"), col("n_docs"), col("rate_ppm"))
     val kept = docs.join(broadcast(rates), Seq("lang"))
       .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))

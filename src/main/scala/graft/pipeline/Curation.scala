@@ -87,7 +87,7 @@ object Curation {
     curatedDocsDf(Tables.load(spark, dir, "documents"))
 
   def curatedDocsDf(docs: DataFrame): DataFrame = {
-    val s7 = buildChain(docs).s7
+    val s7 = chainOf(docs).s7
     val packW = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     s7.withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
@@ -100,6 +100,17 @@ object Curation {
   private final case class Chain(
       spine: DataFrame, s2: DataFrame, s3: DataFrame, s4: DataFrame,
       s5: DataFrame, s6: DataFrame, s7: DataFrame)
+
+  /** Chain memo (ADVICE r10): a consumer that wants both the funnel
+    * (curationPipelineDf) and the product corpus (curatedDocsDf) must not
+    * execute the 7-stage chain — three localCheckpoint materializations
+    * and the memoized-artifact reads — twice. Memoized per (session,
+    * canonicalized docs plan) exactly like the pair table, so the
+    * shared-builder guarantee (funnel and product can never disagree on
+    * membership) now also means shared EXECUTION. */
+  private val chainMemo = new PlanMemo[Chain]
+  private def chainOf(docs: DataFrame): Chain =
+    chainMemo(docs)(buildChain(docs))
 
   private def buildChain(docs: DataFrame): Chain = {
     // ---- spine: per-doc columns every stage reads, materialized once ----
@@ -168,8 +179,15 @@ object Curation {
           CorpusOps.TemperatureAlpha) * 1000000.0).cast("long"))
     val wsum = w.agg(sum(col("w_micro")).as("w_sum"))
     val rates = w.crossJoin(broadcast(wsum))
+      // DECIMAL(38,0) widening (ADVICE r10, the eq120/eq135 pattern): in
+      // pure LONG the numerator w_micro·(n_total/2)·10⁶ overflows past
+      // ~1.8e7 docs and the denominator w_sum·ln_docs past ~1e11 — ANSI
+      // ARITHMETIC_OVERFLOW at exactly the corpus sizes the pipeline
+      // targets. IntegralDivide over decimal returns BIGINT, so rate_ppm's
+      // type (and every recorded hash) is unchanged.
       .withColumn("rate_ppm", least(lit(1000000L),
-        expr("(w_micro * (n_total div 2) * 1000000) div (w_sum * ln_docs)")))
+        expr("(cast(w_micro as decimal(38,0)) * (n_total div 2) * 1000000)" +
+          " div (cast(w_sum as decimal(38,0)) * ln_docs)")))
       .select(col("lang"), col("rate_ppm"))
     val s7 = s6.join(broadcast(rates), Seq("lang"))
       .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))
@@ -179,7 +197,7 @@ object Curation {
   }
 
   def curationPipelineDf(docs: DataFrame): DataFrame = {
-    val ch = buildChain(docs)
+    val ch = chainOf(docs)
     import ch._
 
     // ---- stage 8: shard packing (eq34's layout); n_units = shards ------

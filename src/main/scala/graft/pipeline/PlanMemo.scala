@@ -25,7 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * source dir would need an explicit [[PlanMemo.clearAll]]. */
 private[pipeline] final class PlanMemo[T] {
   private final class Cell(f: () => T) {
-    lazy val value: T = { misses.incrementAndGet(); f() }
+    // Count the miss AFTER f() completes (ADVICE r10): if the mining body
+    // throws on first use (e.g. a transient Spark failure), Scala's
+    // lazy-val semantics re-run the body on the next access — counting
+    // before f() would then record 2+ misses for one successfully
+    // materialized key and spuriously trip the 'exactly +1' pins
+    // (PlanMemoSpec / PipelineSpec eq136) after a recovered failure.
+    lazy val value: T = { val r = f(); misses.incrementAndGet(); r }
   }
   private val m = new scala.collection.concurrent.TrieMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any), Cell]

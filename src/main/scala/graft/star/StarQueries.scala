@@ -56,7 +56,12 @@ object StarQueries {
       .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
         try_variant_get(col("v"), "$.k", "long").as("k"),
-        variant_get(col("v"), "$.m", "long").as("m"),
+        // try_ on the $.m probe too (ADVICE r10): a PRESENT but
+        // non-numeric $.m (valid JSON like {"m":"xyz"}) would make plain
+        // variant_get ANSI-throw on the long cast; try_variant_get nulls
+        // it, which the counter then classifies as missing — the same
+        // bucket the oracle's TRY_CAST puts it in
+        try_variant_get(col("v"), "$.m", "long").as("m"),
         try_variant_get(col("v"), "$.k", "array<long>").as("bad_cast"))
       .groupBy("event_type")
       .agg(

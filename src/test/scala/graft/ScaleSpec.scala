@@ -34,4 +34,29 @@ class ScaleSpec extends SparkSpec {
     assert(s10 == 10 * s1, s"span docs must grow 10x, got $s1 -> $s10")
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
+
+  test("1x→10x: the mining pass's SHUFFLE MASS grows linearly, not " +
+    "quadratically (VERDICT r10 task 2)") {
+    // Candidate COUNTS being linear (above) does not by itself prove the
+    // plan ships linear bytes — a Σdf²-style self-join would explode the
+    // shuffle before the filter prunes the count back down. Pin the bytes:
+    // at 10× the corpus, the cold mining pass's total shuffle read must be
+    // ≤ ~1.5× linear (constant per-run framing overhead makes small runs
+    // read slightly super-linear-proportionally LOW, never high), and far
+    // below the ~100× a quadratic candidate blowup would ship.
+    val meter = WorkMass.meter(spark.sparkContext)
+    val d1 = ScaleBench.corpus(spark, 2000).localCheckpoint()
+    val d10 = ScaleBench.corpus(spark, 20000).localCheckpoint()
+    Dedup.clearDerivedCaches()
+    val w1 = meter(Dedup.jaccardPairsDf(d1).count())
+    val w10 = meter(Dedup.jaccardPairsDf(d10).count())
+    assert(w1.shuffleRead > 0, "meter must observe the 1x mining shuffle")
+    assert(w10.shuffleRead > 3L * w1.shuffleRead,
+      s"10x corpus must shuffle materially more than 1x " +
+        s"(meter sanity): ${w1.shuffleRead} -> ${w10.shuffleRead}")
+    assert(w10.shuffleRead < 15L * w1.shuffleRead,
+      s"10x corpus must shuffle ~10x the bytes, not quadratically more: " +
+        s"${w1.shuffleRead} -> ${w10.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }
