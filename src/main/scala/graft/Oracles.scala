@@ -272,7 +272,11 @@ object Oracles {
   /** The merge-round chain WITHOUT the leading WITH/toks prefix, so the
     * eq136 composed-pipeline oracle can splice it into its own (recursive)
     * CTE chain alongside the jaccard/closure CTEs. */
-  private def bpeRoundsCtes(merges: Int, rewriteLast: Boolean): String = {
+  /** `src` (default `toks`) — the token-list CTE the round-0 vocabulary is
+    * counted from, so eq137 can train the OLD snapshot's vocabulary from a
+    * filtered `toks` view while every existing caller is untouched. */
+  private def bpeRoundsCtes(merges: Int, rewriteLast: Boolean,
+      src: String = "toks"): String = {
     val sep = "chr(31)"
     val rounds = (1 to merges).map { r =>
       val prev = s"v${r - 1}"
@@ -306,7 +310,7 @@ object Oracles {
          |  SELECT tok,
          |         regexp_replace(tok, '(.)', $sep || '\\1' || $sep, 'g') AS s,
          |         COUNT(*) AS wc
-         |  FROM (SELECT unnest(t) AS tok FROM toks)
+         |  FROM (SELECT unnest(t) AS tok FROM $src)
          |  WHERE length(tok) >= 2 GROUP BY 1),
          |""".stripMargin + rounds + "\n"
   }
@@ -1103,6 +1107,202 @@ object Oracles {
         |            FROM zg7 CROSS JOIN zu9)
         |SELECT stage_id, stage, n AS n_docs,
         |       CAST(COALESCE(lag(n) OVER (ORDER BY stage_id) - n, 0) AS BIGINT) AS n_dropped,
+        |       tt AS total_tokens, tc AS total_chars, CAST(n_units AS BIGINT) AS n_units
+        |FROM zf ORDER BY stage_id""".stripMargin),
+
+    // eq137: incremental snapshot curation — the eq104 probe layers
+    // (minhash band keys over the union, bucket-guarded old index, exact
+    // Jaccard 0.5 verify, md5 hash set) composed with the eq136 chain
+    // fragments (quality, CC labels, cluster-hash split, decontam ratio,
+    // temperature rates, BPE encode), each restricted to its snapshot:
+    // the OLD chain (doc_id % 10 < 8) reconstructed in o_* CTEs, the
+    // delta batch (% 10 ∈ {8,9}) in d_* CTEs probing the o_* artifacts.
+    // The old snapshot's vocabulary trains from the filtered o_toks view
+    // (bpeRoundsCtes src param); merged packing appends delta after old
+    // per lang (ORDER BY is_delta, doc_id) so old shard ids are the
+    // eq136 ones. NOT-IN subqueries guard NULL (engine anti-joins keep
+    // NULL-text docs; an unguarded NOT IN would drop them).
+    "eq137_incremental_curation" -> (
+      minhashKeyCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      "o_toks AS (SELECT * FROM toks WHERE doc_id % 10 < 8),\n" +
+      bpeRoundsCtes(graft.pipeline.TextAnalysis.BpeTrainMerges,
+        rewriteLast = true, src = "o_toks") +
+      s""",
+        |zenc AS (
+        |  SELECT tok, len(list_filter(str_split(s, chr(31)), x -> x <> '')) AS sy_after
+        |  FROM v${graft.pipeline.TextAnalysis.BpeTrainMerges}),
+        |zq AS (
+        |  SELECT t.doc_id, t.lang, t.source, t.text, d.n_chars,
+        |         CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |         ROUND(0.4::DOUBLE * least(length(t.text) / 500.0::DOUBLE, 1.0::DOUBLE)
+        |             + 0.4::DOUBLE * (length(regexp_replace(lower(t.text), '[^a-z]', '', 'g'))::DOUBLE / length(t.text))
+        |             + 0.2::DOUBLE * (1.0::DOUBLE - (len(list_filter(t.t, x -> x IN ('the', 'a', 'data', 'value')))::DOUBLE / len(t.t))), 6) AS quality
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |o_ex AS (SELECT doc_id, sz, unnest(shd) AS sg FROM s WHERE doc_id % 10 < 8),
+        |o_p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+        |               MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+        |        FROM o_ex a JOIN o_ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |o_pairs AS (SELECT doc_a, doc_b FROM o_p
+        |            WHERE common::DOUBLE / (sz_a + sz_b - common) >= 0.2::DOUBLE),
+        |o_edges AS (SELECT doc_a AS es, doc_b AS et FROM o_pairs
+        |            UNION ALL SELECT doc_b, doc_a FROM o_pairs),
+        |o_reach AS (
+        |  SELECT es AS src, es AS dst FROM o_edges
+        |  UNION
+        |  SELECT r.src, e.et FROM o_reach r JOIN o_edges e ON r.dst = e.es),
+        |o_labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM o_reach GROUP BY src),
+        |o_sp AS (SELECT zq.*, COALESCE(l.cluster, zq.doc_id) AS cluster
+        |         FROM zq LEFT JOIN o_labels l USING (doc_id) WHERE zq.doc_id % 10 < 8),
+        |o_cs AS (SELECT doc_id, lang, source, text, n_chars, n_tokens, quality, cluster,
+        |                CASE WHEN cb < 80 THEN 'train'
+        |                     WHEN cb < 90 THEN 'val' ELSE 'test' END AS cluster_split
+        |         FROM (SELECT *, ($hex7OfH7) % 100 AS cb
+        |               FROM (SELECT *, substr(md5(cluster::VARCHAR), 1, 7) AS h7 FROM o_sp))),
+        |o_k2 AS (SELECT * FROM o_cs
+        |         QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+        |o_k3 AS (SELECT * FROM o_k2
+        |         QUALIFY row_number() OVER (PARTITION BY cluster
+        |                                    ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1),
+        |o_k4 AS (SELECT * FROM o_k3 WHERE cluster_split = 'train'),
+        |o_k5 AS (SELECT * FROM o_k4 WHERE quality >= 0.5::DOUBLE),
+        |o_tv AS (SELECT DISTINCT unnest(g.sh) AS sg
+        |         FROM shingled g JOIN o_cs USING (doc_id) WHERE o_cs.cluster_split = 'test'),
+        |o_k5s AS (SELECT z.doc_id, list_distinct(g.sh) AS shd
+        |          FROM o_k5 z JOIN shingled g USING (doc_id)),
+        |o_te AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg
+        |         FROM o_k5s WHERE len(shd) > 0),
+        |o_con AS (SELECT doc_id FROM (
+        |            SELECT o_te.doc_id, o_te.sz, COUNT(o_tv.sg) AS n_hit
+        |            FROM o_te LEFT JOIN o_tv ON o_te.sg = o_tv.sg
+        |            GROUP BY 1, 2)
+        |          WHERE n_hit::DOUBLE / sz > 0.2::DOUBLE),
+        |o_k6 AS (SELECT * FROM o_k5 WHERE doc_id NOT IN (SELECT doc_id FROM o_con)),
+        |o_c7 AS (SELECT lang, COUNT(*) AS ln_docs FROM o_k6 GROUP BY 1),
+        |o_t7 AS (SELECT CAST(SUM(ln_docs) AS BIGINT) AS n_total FROM o_c7),
+        |o_w7 AS (SELECT lang, ln_docs, n_total,
+        |                CAST(ROUND(POWER(ln_docs::DOUBLE / n_total::DOUBLE, 0.3)
+        |                           * 1000000.0) AS BIGINT) AS w_micro
+        |         FROM o_c7 CROSS JOIN o_t7),
+        |o_ws7 AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM o_w7),
+        |o_r7 AS (SELECT lang,
+        |                CAST(LEAST(1000000::HUGEINT,
+        |                      (CAST(w_micro AS HUGEINT) * (n_total // 2) * 1000000) // (CAST(w_sum AS HUGEINT) * ln_docs)) AS BIGINT) AS rate_ppm
+        |         FROM o_w7 CROSS JOIN o_ws7),
+        |o_h7 AS (SELECT z.doc_id, z.lang, z.n_chars, z.n_tokens,
+        |                substr(md5(z.text), 1, 7) AS h7, r.rate_ppm
+        |         FROM o_k6 z JOIN o_r7 r USING (lang)),
+        |o_k7 AS (SELECT doc_id, lang, n_chars, n_tokens FROM o_h7
+        |         WHERE ($hex7OfH7) % 1000000 < rate_ppm),
+        |d_ex AS (SELECT doc_id, sz, unnest(shd) AS sg FROM s WHERE doc_id % 10 >= 8),
+        |d_p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common,
+        |               MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+        |        FROM d_ex a JOIN d_ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |d_pairs AS (SELECT doc_a, doc_b FROM d_p
+        |            WHERE common::DOUBLE / (sz_a + sz_b - common) >= 0.2::DOUBLE),
+        |d_edges AS (SELECT doc_a AS es, doc_b AS et FROM d_pairs
+        |            UNION ALL SELECT doc_b, doc_a FROM d_pairs),
+        |d_reach AS (
+        |  SELECT es AS src, es AS dst FROM d_edges
+        |  UNION
+        |  SELECT r.src, e.et FROM d_reach r JOIN d_edges e ON r.dst = e.es),
+        |d_labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM d_reach GROUP BY src),
+        |d_sp AS (SELECT zq.*, COALESCE(l.cluster, zq.doc_id) AS cluster
+        |         FROM zq LEFT JOIN d_labels l USING (doc_id) WHERE zq.doc_id % 10 >= 8),
+        |d_cs AS (SELECT doc_id, lang, source, text, n_chars, n_tokens, quality, cluster,
+        |                CASE WHEN cb < 80 THEN 'train'
+        |                     WHEN cb < 90 THEN 'val' ELSE 'test' END AS cluster_split
+        |         FROM (SELECT *, ($hex7OfH7) % 100 AS cb
+        |               FROM (SELECT *, substr(md5(cluster::VARCHAR), 1, 7) AS h7 FROM d_sp))),
+        |oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+        |d_k2 AS (SELECT * FROM d_cs
+        |         QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+        |d_k2b AS (SELECT * FROM d_k2
+        |          WHERE md5(text) IS NULL
+        |             OR md5(text) NOT IN (SELECT h FROM oldh WHERE h IS NOT NULL)),
+        |old_keys AS (SELECT * FROM keys WHERE doc_id % 10 < 8),
+        |new_keys AS (SELECT * FROM keys WHERE doc_id % 10 >= 8),
+        |okb AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+        |po AS (SELECT k.doc_id, k.band, k.band_key
+        |       FROM old_keys k JOIN okb USING (band, band_key)),
+        |ncand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM new_keys n JOIN po o ON n.band = o.band AND n.band_key = o.band_key),
+        |nver AS (
+        |  SELECT new_id, len(list_intersect(a.shd, b.shd)) AS common,
+        |         a.sz AS sz_n, b.sz AS sz_o
+        |  FROM ncand JOIN s a ON a.doc_id = ncand.new_id
+        |             JOIN s b ON b.doc_id = ncand.old_id),
+        |nnear AS (SELECT DISTINCT new_id FROM nver
+        |          WHERE common::DOUBLE / (sz_n + sz_o - common) >= 0.5::DOUBLE),
+        |d_k3 AS (SELECT * FROM d_k2b WHERE doc_id NOT IN (SELECT new_id FROM nnear)),
+        |d_k4 AS (SELECT * FROM d_k3
+        |         QUALIFY row_number() OVER (PARTITION BY cluster
+        |                                    ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1),
+        |d_k5 AS (SELECT * FROM d_k4 WHERE cluster_split = 'train'),
+        |d_k6 AS (SELECT * FROM d_k5 WHERE quality >= 0.5::DOUBLE),
+        |d_k6s AS (SELECT z.doc_id, list_distinct(g.sh) AS shd
+        |          FROM d_k6 z JOIN shingled g USING (doc_id)),
+        |d_te AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg
+        |         FROM d_k6s WHERE len(shd) > 0),
+        |d_con AS (SELECT doc_id FROM (
+        |            SELECT d_te.doc_id, d_te.sz, COUNT(o_tv.sg) AS n_hit
+        |            FROM d_te LEFT JOIN o_tv ON d_te.sg = o_tv.sg
+        |            GROUP BY 1, 2)
+        |          WHERE n_hit::DOUBLE / sz > 0.2::DOUBLE),
+        |d_k7 AS (SELECT * FROM d_k6 WHERE doc_id NOT IN (SELECT doc_id FROM d_con)),
+        |d_h8 AS (SELECT z.doc_id, z.lang, z.n_chars, z.n_tokens,
+        |                substr(md5(z.text), 1, 7) AS h7, r.rate_ppm
+        |         FROM d_k7 z LEFT JOIN o_r7 r USING (lang)),
+        |d_k8 AS (SELECT doc_id, lang, n_chars, n_tokens FROM d_h8
+        |         WHERE ($hex7OfH7) % 1000000 < COALESCE(rate_ppm, 1000000)),
+        |d_st AS (SELECT unnest(t.t) AS tok FROM toks t JOIN d_k8 USING (doc_id)),
+        |d_u9 AS (SELECT CAST(SUM(COALESCE(e.sy_after, length(s9.tok))) AS BIGINT) AS n_units
+        |         FROM d_st s9 LEFT JOIN zenc e ON s9.tok = e.tok
+        |         WHERE length(s9.tok) >= 1),
+        |mm AS (SELECT lang, doc_id, n_tokens, n_chars, 0 AS is_delta FROM o_k7
+        |       UNION ALL SELECT lang, doc_id, n_tokens, n_chars, 1 FROM d_k8),
+        |mmc AS (SELECT lang, doc_id, n_tokens,
+        |               COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY is_delta, doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |        FROM mm),
+        |mms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM
+        |        (SELECT DISTINCT lang, cum // 2000 AS shard FROM mmc)),
+        |mmg AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM mm),
+        |g1 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_cs),
+        |g2 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k2b),
+        |g3 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k3),
+        |g4 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k4),
+        |g5 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k5),
+        |g6 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k6),
+        |g7 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k7),
+        |g8 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
+        |              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM d_k8),
+        |zf AS (
+        |  SELECT 1 AS stage_id, 'delta_ingest' AS stage, n, tt, tc, n AS n_units FROM g1
+        |  UNION ALL SELECT 2, 'delta_exact', n, tt, tc, n FROM g2
+        |  UNION ALL SELECT 3, 'delta_near_corpus', n, tt, tc, n FROM g3
+        |  UNION ALL SELECT 4, 'delta_near_self', n, tt, tc, n FROM g4
+        |  UNION ALL SELECT 5, 'delta_split_train', n, tt, tc, n FROM g5
+        |  UNION ALL SELECT 6, 'delta_quality_gate', n, tt, tc, n FROM g6
+        |  UNION ALL SELECT 7, 'delta_decontam', n, tt, tc, n FROM g7
+        |  UNION ALL SELECT 8, 'delta_mix_frozen', n, tt, tc, n FROM g8
+        |  UNION ALL SELECT 9, 'delta_encode', g8.n, g8.tt, g8.tc, d_u9.n_units
+        |            FROM g8 CROSS JOIN d_u9
+        |  UNION ALL SELECT 10, 'merged_corpus', mmg.n, mmg.tt, mmg.tc, mms.n_units
+        |            FROM mmg CROSS JOIN mms)
+        |SELECT stage_id, stage, n AS n_docs,
+        |       CAST(CASE WHEN stage_id = 10 THEN 0
+        |            ELSE COALESCE(lag(n) OVER (ORDER BY stage_id) - n, 0) END AS BIGINT) AS n_dropped,
         |       tt AS total_tokens, tc AS total_chars, CAST(n_units AS BIGINT) AS n_units
         |FROM zf ORDER BY stage_id""".stripMargin),
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -556,16 +556,14 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupDf(Tables.load(spark, dir, "documents"))
 
-  def incrementalDedupDf(docs: DataFrame): DataFrame = {
-    val isNew = col("doc_id") % 10 >= 8
-    // one shingle/signature pass over the union stands in for "read the
-    // stored index + sign the batch" — the split happens on band keys
+  /** eq104's NEAR layer, factored so eq137's incremental curation scrubs
+    * with the identical probe: the distinct batch-side doc_ids whose
+    * band-key probe of the bucket-guarded corpus index verifies at exact
+    * Jaccard ≥ [[IncrementalNearThreshold]]. One signatureParts pass over
+    * the union (memoized, shared with x1/x23/eq104) stands in for "read
+    * the stored index + sign the batch"; no old×old pairing ever forms. */
+  private[pipeline] def incrementalNearIds(docs: DataFrame, isNew: Column): DataFrame = {
     val (sets, _, banded) = signatureParts(docs)
-    val newDocs = docs.filter(isNew).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-    // exact layer: batch content hash probed against the corpus hash set
-    val oldHashes = docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
-    val exactIds = newDocs.join(oldHashes, Seq("h"), "left_semi").select("doc_id")
-    // near layer: batch band keys probe the bucket-guarded corpus index
     val bandedOld = banded.filter(!isNew)
     val bandedNew = banded.filter(isNew)
     val okBuckets = bandedOld.groupBy("band", "band_key")
@@ -576,7 +574,7 @@ object Dedup {
       .join(bandedOld.join(okBuckets, Seq("band", "band_key")).as("o"), Seq("band", "band_key"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
-    val nearIds = cands
+    cands
       .join(sets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
       .join(sets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
       .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
@@ -584,6 +582,21 @@ object Dedup {
         >= IncrementalNearThreshold)
       .select(col("new_id").as("doc_id"))
       .distinct()
+  }
+
+  /** The exact layer's corpus-side content-hash set (md5 — the x1/eq104
+    * hash convention), shared by eq104 and eq137. */
+  private[pipeline] def corpusHashes(docs: DataFrame, isNew: Column): DataFrame =
+    docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
+
+  def incrementalDedupDf(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 10 >= 8
+    val newDocs = docs.filter(isNew).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    // exact layer: batch content hash probed against the corpus hash set
+    val oldHashes = corpusHashes(docs, isNew)
+    val exactIds = newDocs.join(oldHashes, Seq("h"), "left_semi").select("doc_id")
+    // near layer: batch band keys probe the bucket-guarded corpus index
+    val nearIds = incrementalNearIds(docs, isNew)
     newDocs
       .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
       .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")

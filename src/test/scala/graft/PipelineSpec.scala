@@ -2171,6 +2171,55 @@ class PipelineSpec extends SparkSpec {
     assert(rows(8).getLong(6) > 0 && rows(8).getLong(6) <= rows(8).getLong(5))
   }
 
+  test("eq137: the delta is mined once; the old corpus's artifacts are " +
+    "NEVER re-mined (VERDICT r10 task 3)") {
+    // The incremental contract, counted not argued: a COLD run mines
+    // exactly two pair tables (the old chain's + the delta batch's — the
+    // old corpus is probed via the signature index, never re-paired) and
+    // exactly one vocabulary (the old snapshot's, which encodes the
+    // delta). A full re-run mines NOTHING — every artifact comes from its
+    // PlanMemo entry.
+    Dedup.clearDerivedCaches()
+    val p0 = Dedup.pairTableMisses
+    val b0 = TextAnalysis.bpeLearnMisses
+    val funnel = Curation.incrementalCuration(spark, Sf).collect()
+    assert(Dedup.pairTableMisses == p0 + 2,
+      s"expected old-chain + delta mining passes, got ${Dedup.pairTableMisses - p0}")
+    assert(TextAnalysis.bpeLearnMisses == b0 + 1,
+      s"expected one old-snapshot vocabulary, got ${TextAnalysis.bpeLearnMisses - b0}")
+    Curation.incrementalCuration(spark, Sf).collect() // re-run: zero re-mining
+    assert(Dedup.pairTableMisses == p0 + 2 && TextAnalysis.bpeLearnMisses == b0 + 1,
+      "a re-run of the incremental pipeline must re-mine nothing")
+
+    // funnel shape + conservation: stages 2-8 close the books against the
+    // previous stage; encode transforms (same docs as the mix); the merge
+    // ADDS the old curated corpus on top of the delta survivors
+    val rows = funnel.sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("delta_ingest",
+      "delta_exact", "delta_near_corpus", "delta_near_self",
+      "delta_split_train", "delta_quality_gate", "delta_decontam",
+      "delta_mix_frozen", "delta_encode", "merged_corpus"))
+    assert(rows(0).getLong(3) == 0)
+    for (i <- 1 to 7)
+      assert(rows(i).getLong(2) + rows(i).getLong(3) == rows(i - 1).getLong(2),
+        s"stage ${rows(i).getString(1)}: n_docs + n_dropped != previous n_docs")
+    assert(rows(8).getLong(2) == rows(7).getLong(2) && rows(8).getLong(3) == 0)
+    assert(rows(9).getLong(3) == 0)
+    // the merged corpus is exactly old-curated + delta survivors — checked
+    // against the FULL eq136 chain run over the old snapshot (same
+    // builder, memoized, so this also pins that the two entry points
+    // cannot disagree on the old corpus)
+    val docs = Tables.load(spark, Sf, "documents")
+    val oldFunnel = Curation.curationPipelineDf(
+      docs.filter(col("doc_id") % 10 < 8)).collect().sortBy(_.getInt(0))
+    val oldCurated = oldFunnel(6).getLong(2) // eq136 stage 7 = mix survivors
+    assert(rows(9).getLong(2) == oldCurated + rows(7).getLong(2),
+      s"merged ${rows(9).getLong(2)} != old $oldCurated + delta ${rows(7).getLong(2)}")
+    // ... and the old chain run above hit the chain memo: still no re-mining
+    assert(Dedup.pairTableMisses == p0 + 2,
+      "the old snapshot's eq136 run must reuse the memoized chain")
+  }
+
   test("eq136: stage counts agree with the standalone queries they compose") {
     // the chain must not re-derive DIFFERENT answers than the operators it
     // chains: stage 2 (exact dedup) equals eq11's total survivors; stage 1
