@@ -437,6 +437,79 @@ object Oracles {
     * round: exact BIGINT squared-L2 argmin with cid tie-break, exact-sum
     * floor-div update (`(s - ((s%n + n) % n)) // n` ≡ Spark
     * `(s - pmod(s, n)) div n`), emptied clusters keep their centroid. */
+  /** The eq136 curation chain reconstructed through per-lang shard
+    * packing: CC labels over the Jaccard pairs, the quality spine, the
+    * cluster-hash split, exact + near dedup windows, train/quality gates,
+    * decontamination, temperature mix, and the packing prefix sums
+    * (`zs8c`: lang, doc_id, n_tokens, n_chars, cum — `cum // 2000` is the
+    * shard id). Shared VERBATIM by the eq136 composed-pipeline oracle and
+    * the eq138 write-path audit so the two cannot drift. Splices after
+    * `$toksCte,\n$jaccardCtes` inside a WITH RECURSIVE. */
+  private def curationChainCtes: String =
+    s"""pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
+      |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS src, s AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s),
+      |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+      |zq AS (
+      |  SELECT t.doc_id, t.lang, t.source, t.text, d.n_chars,
+      |         CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |         ROUND(0.4::DOUBLE * least(length(t.text) / 500.0::DOUBLE, 1.0::DOUBLE)
+      |             + 0.4::DOUBLE * (length(regexp_replace(lower(t.text), '[^a-z]', '', 'g'))::DOUBLE / length(t.text))
+      |             + 0.2::DOUBLE * (1.0::DOUBLE - (len(list_filter(t.t, x -> x IN ('the', 'a', 'data', 'value')))::DOUBLE / len(t.t))), 6) AS quality
+      |  FROM toks t JOIN documents d USING (doc_id)),
+      |zsp AS (
+      |  SELECT zq.*, COALESCE(l.cluster, zq.doc_id) AS cluster
+      |  FROM zq LEFT JOIN labels l USING (doc_id)),
+      |zhc AS (SELECT *, substr(md5(cluster::VARCHAR), 1, 7) AS h7 FROM zsp),
+      |zcb AS (SELECT *, ($hex7OfH7) % 100 AS cb FROM zhc),
+      |zcs AS (SELECT doc_id, lang, source, text, n_chars, n_tokens, quality, cluster,
+      |               CASE WHEN cb < 80 THEN 'train'
+      |                    WHEN cb < 90 THEN 'val' ELSE 'test' END AS cluster_split
+      |        FROM zcb),
+      |zk2 AS (SELECT * FROM zcs
+      |        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+      |zk3 AS (SELECT * FROM zk2
+      |        QUALIFY row_number() OVER (PARTITION BY cluster
+      |                                   ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1),
+      |zk4 AS (SELECT * FROM zk3 WHERE cluster_split = 'train'),
+      |zk5 AS (SELECT * FROM zk4 WHERE quality >= 0.5::DOUBLE),
+      |ztv AS (SELECT DISTINCT unnest(g.sh) AS sg
+      |        FROM shingled g JOIN zcs USING (doc_id) WHERE zcs.cluster_split = 'test'),
+      |zk5s AS (SELECT z.doc_id, list_distinct(g.sh) AS shd
+      |         FROM zk5 z JOIN shingled g USING (doc_id)),
+      |zte AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg
+      |        FROM zk5s WHERE len(shd) > 0),
+      |zcon AS (SELECT doc_id FROM (
+      |           SELECT zte.doc_id, zte.sz, COUNT(ztv.sg) AS n_hit
+      |           FROM zte LEFT JOIN ztv ON zte.sg = ztv.sg
+      |           GROUP BY 1, 2)
+      |         WHERE n_hit::DOUBLE / sz > 0.2::DOUBLE),
+      |zk6 AS (SELECT * FROM zk5 WHERE doc_id NOT IN (SELECT doc_id FROM zcon)),
+      |zc7 AS (SELECT lang, COUNT(*) AS ln_docs FROM zk6 GROUP BY 1),
+      |zt7 AS (SELECT CAST(SUM(ln_docs) AS BIGINT) AS n_total FROM zc7),
+      |zw7 AS (SELECT lang, ln_docs, n_total,
+      |               CAST(ROUND(POWER(ln_docs::DOUBLE / n_total::DOUBLE, 0.3)
+      |                          * 1000000.0) AS BIGINT) AS w_micro
+      |        FROM zc7 CROSS JOIN zt7),
+      |zws7 AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM zw7),
+      |zr7 AS (SELECT lang,
+      |               CAST(LEAST(1000000::HUGEINT,
+      |                     (CAST(w_micro AS HUGEINT) * (n_total // 2) * 1000000) // (CAST(w_sum AS HUGEINT) * ln_docs)) AS BIGINT) AS rate_ppm
+      |        FROM zw7 CROSS JOIN zws7),
+      |zh7 AS (SELECT z.doc_id, z.lang, z.n_chars, z.n_tokens,
+      |               substr(md5(z.text), 1, 7) AS h7, r.rate_ppm
+      |        FROM zk6 z JOIN zr7 r USING (lang)),
+      |zk7 AS (SELECT doc_id, lang, n_chars, n_tokens FROM zh7
+      |        WHERE ($hex7OfH7) % 1000000 < rate_ppm),
+      |zs8c AS (SELECT lang, doc_id, n_tokens, n_chars,
+      |                COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |         FROM zk7)""".stripMargin
+
   private def lloydCtes(src: String, sfx: String, k: Int, iters: Int): String = {
     val seed =
       s"""c0$sfx AS (
@@ -1004,75 +1077,12 @@ object Oracles {
     // conservation (n_dropped = lag(n_docs) − n_docs) so the hash compare
     // checks the whole chain, not just the terminal counts.
     "eq136_curation_pipeline" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +
-      s"""pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.2::DOUBLE),
-        |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT s AS src, s AS dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.dst = e.s),
-        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
-        |""".stripMargin +
+      s"$curationChainCtes,\n" +
       bpeRoundsCtes(graft.pipeline.TextAnalysis.BpeTrainMerges, rewriteLast = true) +
       s""",
         |zenc AS (
         |  SELECT tok, len(list_filter(str_split(s, chr(31)), x -> x <> '')) AS sy_after
         |  FROM v${graft.pipeline.TextAnalysis.BpeTrainMerges}),
-        |zq AS (
-        |  SELECT t.doc_id, t.lang, t.source, t.text, d.n_chars,
-        |         CAST(len(t.t) AS BIGINT) AS n_tokens,
-        |         ROUND(0.4::DOUBLE * least(length(t.text) / 500.0::DOUBLE, 1.0::DOUBLE)
-        |             + 0.4::DOUBLE * (length(regexp_replace(lower(t.text), '[^a-z]', '', 'g'))::DOUBLE / length(t.text))
-        |             + 0.2::DOUBLE * (1.0::DOUBLE - (len(list_filter(t.t, x -> x IN ('the', 'a', 'data', 'value')))::DOUBLE / len(t.t))), 6) AS quality
-        |  FROM toks t JOIN documents d USING (doc_id)),
-        |zsp AS (
-        |  SELECT zq.*, COALESCE(l.cluster, zq.doc_id) AS cluster
-        |  FROM zq LEFT JOIN labels l USING (doc_id)),
-        |zhc AS (SELECT *, substr(md5(cluster::VARCHAR), 1, 7) AS h7 FROM zsp),
-        |zcb AS (SELECT *, ($hex7OfH7) % 100 AS cb FROM zhc),
-        |zcs AS (SELECT doc_id, lang, source, text, n_chars, n_tokens, quality, cluster,
-        |               CASE WHEN cb < 80 THEN 'train'
-        |                    WHEN cb < 90 THEN 'val' ELSE 'test' END AS cluster_split
-        |        FROM zcb),
-        |zk2 AS (SELECT * FROM zcs
-        |        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
-        |zk3 AS (SELECT * FROM zk2
-        |        QUALIFY row_number() OVER (PARTITION BY cluster
-        |                                   ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1),
-        |zk4 AS (SELECT * FROM zk3 WHERE cluster_split = 'train'),
-        |zk5 AS (SELECT * FROM zk4 WHERE quality >= 0.5::DOUBLE),
-        |ztv AS (SELECT DISTINCT unnest(g.sh) AS sg
-        |        FROM shingled g JOIN zcs USING (doc_id) WHERE zcs.cluster_split = 'test'),
-        |zk5s AS (SELECT z.doc_id, list_distinct(g.sh) AS shd
-        |         FROM zk5 z JOIN shingled g USING (doc_id)),
-        |zte AS (SELECT doc_id, len(shd) AS sz, unnest(shd) AS sg
-        |        FROM zk5s WHERE len(shd) > 0),
-        |zcon AS (SELECT doc_id FROM (
-        |           SELECT zte.doc_id, zte.sz, COUNT(ztv.sg) AS n_hit
-        |           FROM zte LEFT JOIN ztv ON zte.sg = ztv.sg
-        |           GROUP BY 1, 2)
-        |         WHERE n_hit::DOUBLE / sz > 0.2::DOUBLE),
-        |zk6 AS (SELECT * FROM zk5 WHERE doc_id NOT IN (SELECT doc_id FROM zcon)),
-        |zc7 AS (SELECT lang, COUNT(*) AS ln_docs FROM zk6 GROUP BY 1),
-        |zt7 AS (SELECT CAST(SUM(ln_docs) AS BIGINT) AS n_total FROM zc7),
-        |zw7 AS (SELECT lang, ln_docs, n_total,
-        |               CAST(ROUND(POWER(ln_docs::DOUBLE / n_total::DOUBLE, 0.3)
-        |                          * 1000000.0) AS BIGINT) AS w_micro
-        |        FROM zc7 CROSS JOIN zt7),
-        |zws7 AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM zw7),
-        |zr7 AS (SELECT lang,
-        |               CAST(LEAST(1000000::HUGEINT,
-        |                     (CAST(w_micro AS HUGEINT) * (n_total // 2) * 1000000) // (CAST(w_sum AS HUGEINT) * ln_docs)) AS BIGINT) AS rate_ppm
-        |        FROM zw7 CROSS JOIN zws7),
-        |zh7 AS (SELECT z.doc_id, z.lang, z.n_chars, z.n_tokens,
-        |               substr(md5(z.text), 1, 7) AS h7, r.rate_ppm
-        |        FROM zk6 z JOIN zr7 r USING (lang)),
-        |zk7 AS (SELECT doc_id, lang, n_chars, n_tokens FROM zh7
-        |        WHERE ($hex7OfH7) % 1000000 < rate_ppm),
-        |zs8c AS (SELECT lang, doc_id, n_tokens,
-        |                COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-        |         FROM zk7),
         |zs8 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM
         |        (SELECT DISTINCT lang, cum // 2000 AS shard FROM zs8c)),
         |zst9 AS (SELECT unnest(t.t) AS tok FROM toks t JOIN zk7 USING (doc_id)),
@@ -1305,6 +1315,25 @@ object Oracles {
         |            ELSE COALESCE(lag(n) OVER (ORDER BY stage_id) - n, 0) END AS BIGINT) AS n_dropped,
         |       tt AS total_tokens, tc AS total_chars, CAST(n_units AS BIGINT) AS n_units
         |FROM zf ORDER BY stage_id""".stripMargin),
+
+    // eq138: write-path read-back audit for the curated product — the
+    // engine writes curatedDocs lang-partitioned + doc_id-bucketed to an
+    // at-rest table and summarizes the READ-BACK; the oracle recomputes
+    // the same per-lang audit from the raw documents through the SHARED
+    // eq136 chain CTEs (zs8c carries the packing prefix sums — cum // 2000
+    // is the shard id). Any row lost, duplicated, or mangled across
+    // write → partition/bucket layout → catalog read breaks the id
+    // checksum or a count.
+    "eq138_curated_layout" -> (s"WITH RECURSIVE $toksCte,\n$jaccardCtes,\n" +
+      s"$curationChainCtes\n" +
+      s"""SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT cum // 2000) AS BIGINT) AS n_shards,
+        |       CAST(MAX(cum // 2000) AS BIGINT) AS max_shard,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM zs8c GROUP BY lang ORDER BY lang""".stripMargin),
 
     // eq27: content-hash split — same 28-bit md5-prefix key as x1,
     // bucket = key % 100, 80/10/10.

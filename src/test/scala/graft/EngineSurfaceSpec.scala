@@ -59,6 +59,38 @@ class EngineSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("eq138 curated layout: lang partition pruning + shuffle-free doc_id bucket join") {
+    import graft.sources.CuratedSink
+    // disable broadcast: the join-strategy question bucketing answers at
+    // 100 TB is SMJ-vs-shuffle (a 100 TB curated corpus never broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val curated = CuratedSink.writeAndRead(spark, Sf)
+      // (a) a language predicate reaches the file index as a PARTITION
+      // filter — a per-lang training read touches one directory
+      val pplan = curated.filter(col("lang") === "en")
+        .queryExecution.executedPlan.toString
+      assert(pplan.contains("PartitionFilters") && pplan.contains("en"),
+        s"expected lang partition filter in plan:\n$pplan")
+      // (b) a doc-keyed join back to the curated corpus (enrichment /
+      // provenance, the downstream consumer shape) plans with NO shuffle
+      // exchange: both sides read bucket-aligned files
+      val jplan = curated.as("a").join(curated.as("b"), "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"),
+        s"expected shuffle-free bucketed self-join:\n$jplan")
+      // round-trip fidelity: the read-back audit equals the in-memory
+      // product's audit (same summarize, so they can only differ if the
+      // write or the catalog read lost/mangled rows)
+      val back = CuratedSink.summarize(curated).collect().map(_.toString)
+      val mem = CuratedSink.summarize(
+        pipeline.Curation.curatedDocs(spark, Sf)).collect().map(_.toString)
+      assert(back.sameElements(mem), "write→read-back audit drifted from the in-memory product")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+  }
+
   test("dynamic partition pruning: a join-driven month predicate prunes the partitioned fact") {
     import graft.sources.PartitionedLayout
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
