@@ -184,6 +184,40 @@ object DupParityDrill {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Hostile star slices (VERDICT r10 task 7): the r10 drill hardened
+    * documents/embeddings/events while the star tables ran verbatim.
+    * Three degenerate shapes the driver fixtures never produce, derived
+    * from the donor tables so schemas and the remaining mass stay real:
+    *
+    *  - the retail surface's queried category (`RetailQueries.Cat` =
+    *    STANDARD) is ABSENT from part — every retail mirror runs over an
+    *    empty pdv slice (scalar counts 0, AVG/weighted-score/ratio over
+    *    zero rows, empty top-k, an all-0-fill store spine);
+    *  - an EMPTY month (1995-06) inside every queried BETWEEN/year window
+    *    — month groupings skip it and the q11 month×store spine must
+    *    densify it back with zero rows;
+    *  - a single-LINEITEM nation: exactly one lineitem row survives for
+    *    orders placed by nation-3 customers, so per-nation trends (eq91)
+    *    see ONE month (OLS slope undefined → NULL) and every per-nation
+    *    statistic crosses a 1-row slice. */
+  def starFixtures(spark: SparkSession, donor: String): (DataFrame, DataFrame) = {
+    val li = spark.read.parquet(s"$donor/lineitem.parquet")
+    val part = spark.read.parquet(s"$donor/part.parquet")
+    val orders = spark.read.parquet(s"$donor/orders.parquet")
+    val cust = spark.read.parquet(s"$donor/customer.parquet")
+    val n3Orders = orders.join(
+        cust.filter(col("c_nationkey") === 3).select("c_custkey"),
+        orders("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("n3_ok"))
+    val noJune = li.filter(date_format(col("l_shipdate"), "yyyy-MM") =!= "1995-06")
+    val n3One = noJune.join(broadcast(n3Orders), col("l_orderkey") === col("n3_ok"))
+      .drop("n3_ok").orderBy("l_orderkey", "l_linenumber").limit(1)
+    val hostileLi = noJune
+      .join(broadcast(n3Orders), col("l_orderkey") === col("n3_ok"), "left_anti")
+      .unionByName(n3One)
+    (hostileLi, part.filter(col("p_type") =!= retail.RetailQueries.Cat))
+  }
+
   def main(args: Array[String]): Unit = {
     val fixtureDir = if (args.length > 0) args(0) else "/tmp/paritydrill_sf"
     val outDir = if (args.length > 1) args(1) else "/tmp/paritydrill_out"
@@ -214,14 +248,20 @@ object DupParityDrill {
     writeTable(fixture(spark), "documents")
     writeTable(embFixture(spark), "embeddings")
     writeTable(eventsFixture(spark), "events")
-    // the OTHER base tables come from sf0.001 verbatim, so EVERY declared
+    // star surface (r11): lineitem/part carry the hostile slices; the
+    // remaining base tables come from sf0.001 verbatim, so EVERY declared
     // query (retail/events/star included) runs against this dir — the
     // drill is a full-surface degenerate sweep, not just the text family
+    val donor = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+    locally {
+      val (hostileLi, hostilePart) = starFixtures(spark, donor)
+      writeTable(hostileLi, "lineitem")
+      writeTable(hostilePart, "part")
+    }
     locally {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val donor = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
-      Tables.base.filterNot(t =>
-          t == "documents" || t == "embeddings" || t == "events")
+      Tables.base.filterNot(t => t == "documents" || t == "embeddings" ||
+          t == "events" || t == "lineitem" || t == "part")
         .foreach { t =>
           Files.copy(Paths.get(s"$donor/$t.parquet"),
             Paths.get(s"$fixtureDir/$t.parquet"),
