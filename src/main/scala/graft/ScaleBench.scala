@@ -75,6 +75,47 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** FIXED-size delta batch for the incremental-probe phase: ids
+    * n..n+m-1, text INDEPENDENT of n (probe targets live in blocks 0..49,
+    * which exist at every scale), so the batch and its true-duplicate
+    * relation to the corpus are IDENTICAL across scales. Per 20 ids — one
+    * EXACT duplicate of an old unique doc (the uniqueText formula
+    * re-evaluated at an old id), two near-dup PROBES of old template
+    * groups (the 11 shared template tokens of an old (block, subgroup) +
+    * a fresh member token → high Jaccard vs each old member), and 17
+    * fresh unique docs. Probe work is constant in m by construction — the
+    * invariant the incremental path must hold as the corpus grows.
+    * `targetBlocks` bounds the probed block range (must be ≤ n/100 at the
+    * SMALLEST scale compared, so the same batch is valid everywhere). */
+  def deltaCorpus(spark: SparkSession, n: Long, m: Long,
+      targetBlocks: Long = 50L): DataFrame = {
+    def alpha(c: org.apache.spark.sql.Column) =
+      translate(c.cast("string"), "0123456789", "abcdefghij")
+    val langs = array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh"))
+    val base = spark.range(n, n + m).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(20L)).as("k2"),
+      (pmod(col("id"), lit(targetBlocks)) * 100 + pmod(col("id"), lit(90L))).as("old_id"),
+      pmod(col("id"), lit(targetBlocks)).as("old_blk"),
+      pmod(col("id"), lit(2L)).as("old_sub"))
+    val exactText = concat_ws(" ",
+      (0 until 12).map(j => concat(lit("u"), alpha(col("old_id")), lit(s"t$j"))): _*)
+    val probeText = concat_ws(" ",
+      ((0 until 11).map(j =>
+        concat(lit("n"), alpha(col("old_blk")), lit("s"), alpha(col("old_sub")), lit(s"t$j")))
+        :+ concat(lit("m"), alpha(col("doc_id")))): _*)
+    val freshText = concat_ws(" ",
+      (0 until 12).map(j => concat(lit("u"), alpha(col("doc_id")), lit(s"t$j"))): _*)
+    base.select(
+      col("doc_id"),
+      when(col("k2") === 0, exactText)
+        .when(col("k2") <= 2, probeText)
+        .otherwise(freshText).as("text"),
+      element_at(langs, pmod(col("doc_id"), lit(5)).cast("int") + 1).as("lang"),
+      concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -138,20 +179,55 @@ object ScaleBench {
       val chainWarmSec =
         median3(graft.pipeline.Curation.curationPipelineDf(docs).collect())
       val kept = funnel.sortBy(_.getInt(0)).map(_.getLong(2)).last
+
+      // ---- incremental probe (r11): a FIXED 1000-doc delta (identical
+      // batch at every scale — deltaCorpus is n-independent) probed
+      // against the GROWING corpus with the signature index memo WARM,
+      // the eq104/eq137 "new crawl arrives" posture. The flagged counts
+      // are scale-invariant by construction; the probe's WORK-MASS
+      // trajectory vs corpus size is the measured claim ("touch the new
+      // terabyte, not the 100 TB index").
+      val deltaM = 1000L
+      val union = docs.unionByName(deltaCorpus(spark, n, deltaM))
+        .repartition(cpus.toInt).localCheckpoint()
+      val isNew = col("doc_id") >= n
+      def probeFlags(): (Long, Long) = {
+        val newDocs = union.filter(isNew)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val ex = newDocs
+          .join(broadcast(Dedup.matchedOldHashes(union, isNew)), Seq("h"), "left_semi")
+          .count()
+        val nr = Dedup.incrementalNearIds(union, isNew).count()
+        (ex, nr)
+      }
+      Dedup.clearDerivedCaches()
+      val incT0 = System.nanoTime()
+      val incIndexWork = meter(probeFlags()) // cold: pays the index build
+      val incIndexSec = (System.nanoTime() - incT0) / 1e9
+      val incProbeSec = median3(probeFlags()) // warm: the per-batch cost
+      var incFlags = (0L, 0L)
+      val incProbeWork = meter { incFlags = probeFlags() }
       println(s"[scalebench] ${s}x: n=$n mine=$mineSec split=$splitSec " +
         s"eq127=$eq127Sec chainCold=$chainColdSec chainWarm=$chainWarmSec " +
         s"cand=$candidates pairs=$pairs spanDocs=$spanDocs chainKept=$kept " +
-        s"mineShufRead=${mineWork.shuffleRead} chainShufRead=${chainWork.shuffleRead}")
+        s"mineShufRead=${mineWork.shuffleRead} chainShufRead=${chainWork.shuffleRead} " +
+        s"incIndex=$incIndexSec incProbe=$incProbeSec " +
+        s"incFlags=$incFlags incProbeShufRead=${incProbeWork.shuffleRead}")
       (s, n, mineSec, splitSec, eq127Sec, candidates, pairs, spanDocs,
-        chainColdSec, chainWarmSec, kept, mineWork, chainWork)
+        chainColdSec, chainWarmSec, kept, mineWork, chainWork,
+        (incIndexSec, incProbeSec, incFlags, incIndexWork, incProbeWork))
     }
     val json = "{\"metric\":\"scalebench\",\"unit\":\"sec\",\"cpus\":" + cpus +
       ",\"base_docs\":" + baseN + ",\"scales\":[" +
-      results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw) =>
+      results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw, inc) =>
+        val (ii, ip, (fe, fn), iw, pw) = inc
         s"""{"scale":$s,"docs":$n,"mine_sec":$m,"split_sec":$sp,""" +
           s""""eq127_sec":$e,"prefix_candidates":$c,"pairs":$p,"span_docs":$d,""" +
           s""""chain_cold_sec":$cc,"chain_warm_sec":$cw,"chain_kept_docs":$k,""" +
-          s""""mine_work":${mw.json},"chain_work":${chw.json}}"""
+          s""""mine_work":${mw.json},"chain_work":${chw.json},""" +
+          s""""inc_index_sec":$ii,"inc_probe_sec":$ip,""" +
+          s""""inc_exact_flagged":$fe,"inc_near_flagged":$fn,""" +
+          s""""inc_index_work":${iw.json},"inc_probe_work":${pw.json}}"""
       }.mkString(",") + "]}"
     println(json)
     try java.nio.file.Files.write(

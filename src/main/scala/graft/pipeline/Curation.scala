@@ -354,7 +354,7 @@ object Curation {
       .withColumn("rn", row_number().over(
         Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
-      .join(Dedup.corpusHashes(docs, isNew),
+      .join(broadcast(Dedup.matchedOldHashes(docs, isNew)),
         md5(col("text")) === col("h"), "left_anti")
 
     // ---- stage 3: near-vs-corpus — eq104's probe, no old×old pairing ---

@@ -556,27 +556,76 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupDf(Tables.load(spark, dir, "documents"))
 
-  /** eq104's NEAR layer, factored so eq137's incremental curation scrubs
-    * with the identical probe: the distinct batch-side doc_ids whose
-    * band-key probe of the bucket-guarded corpus index verifies at exact
-    * Jaccard ≥ [[IncrementalNearThreshold]]. One signatureParts pass over
-    * the union (memoized, shared with x1/x23/eq104) stands in for "read
-    * the stored index + sign the batch"; no old×old pairing ever forms. */
-  private[pipeline] def incrementalNearIds(docs: DataFrame, isNew: Column): DataFrame = {
-    val (sets, _, banded) = signatureParts(docs)
+  /** The bucket-guarded CORPUS-side band index, memoized per (corpus,
+    * split) as a checkpointed artifact. In production this IS the stored
+    * index: band keys of every indexed doc with the stop-buckets (>
+    * [[MaxBucket]]) already dropped at index-BUILD time — so probes read
+    * it, they never recompute the guard aggregate. Before r11 every probe
+    * re-shuffled the corpus for the guard + the band join; the ScaleBench
+    * incremental phase measured the per-batch probe shuffle growing
+    * 3.6 → 73 MB over a 1×→10× corpus with a FIXED batch. With the index
+    * memoized and the batch side broadcast, the probe's shuffle mass is
+    * batch-bounded. */
+  private val guardedIndexCache = new PlanMemo[DataFrame]
+  private def guardedOldIndex(docs: DataFrame, isNew: Column): DataFrame = {
+    val (_, _, banded) = signatureParts(docs)
     val bandedOld = banded.filter(!isNew)
-    val bandedNew = banded.filter(isNew)
     val okBuckets = bandedOld.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= MaxBucket)
       .select("band", "band_key")
-    val cands = bandedNew.as("n")
-      .join(bandedOld.join(okBuckets, Seq("band", "band_key")).as("o"), Seq("band", "band_key"))
+    val guarded = bandedOld.join(okBuckets, Seq("band", "band_key"))
+    guardedIndexCache(guarded)(guarded.localCheckpoint())
+  }
+
+  /** The corpus-side content-hash index (distinct md5 — the x1/eq104 hash
+    * convention), memoized per (corpus, split) as a checkpointed
+    * artifact: the exact layer's stored index. */
+  private val hashIndexCache = new PlanMemo[DataFrame]
+  private def oldHashIndex(docs: DataFrame, isNew: Column): DataFrame = {
+    val hashes = docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
+    hashIndexCache(hashes)(hashes.localCheckpoint())
+  }
+
+  /** The old-content hashes that actually occur in the batch — the tiny,
+    * batch-bounded frame BOTH exact-layer consumers join via broadcast
+    * (eq104's semi, eq137's anti). Probing the stored hash index with
+    * `broadcast(batch hashes)` and re-probing the batch with
+    * `broadcast(matched)` leaves the corpus side SCAN-only: no corpus
+    * shuffle per batch. Results are identical to joining the full index —
+    * for batch rows, semi/anti against `old` ≡ semi/anti against
+    * `old ∩ batch-hashes`. */
+  private[graft] def matchedOldHashes(docs: DataFrame, isNew: Column): DataFrame = {
+    val batchHashes = docs.filter(isNew).select(md5(col("text")).as("h")).distinct()
+    oldHashIndex(docs, isNew).join(broadcast(batchHashes), Seq("h"), "left_semi")
+  }
+
+  /** eq104's NEAR layer, factored so eq137's incremental curation scrubs
+    * with the identical probe: the distinct batch-side doc_ids whose
+    * band-key probe of the bucket-guarded corpus index verifies at exact
+    * Jaccard ≥ [[IncrementalNearThreshold]]. The memoized signatureParts
+    * pass + [[guardedOldIndex]] stand in for "read the stored index";
+    * signing the batch and every probe join is batch-driven: the batch's
+    * band keys BROADCAST against the index scan, the candidate ids
+    * BROADCAST-semi-prune the shingle-set frame before the verify join,
+    * so the per-probe shuffle mass is bounded by the batch and its
+    * candidates (≤ batch × [[MaxBucket]]), not the corpus. No old×old
+    * pairing ever forms. (Assumes batch ≪ corpus — the incremental
+    * posture; a corpus-sized "batch" should run the full x1 mining pass
+    * instead.) */
+  private[graft] def incrementalNearIds(docs: DataFrame, isNew: Column): DataFrame = {
+    val (sets, _, banded) = signatureParts(docs)
+    val bandedNew = banded.filter(isNew)
+    val cands = guardedOldIndex(docs, isNew).as("o")
+      .join(broadcast(bandedNew.as("n")), Seq("band", "band_key"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
+    val candIds = cands.select(col("new_id").as("doc_id"))
+      .union(cands.select(col("old_id").as("doc_id"))).distinct()
+    val candSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     cands
-      .join(sets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
-      .join(sets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
+      .join(candSets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
+      .join(candSets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
       .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
       .filter(col("common").cast("double") / (col("sz_n") + col("sz_o") - col("common"))
         >= IncrementalNearThreshold)
@@ -584,17 +633,13 @@ object Dedup {
       .distinct()
   }
 
-  /** The exact layer's corpus-side content-hash set (md5 — the x1/eq104
-    * hash convention), shared by eq104 and eq137. */
-  private[pipeline] def corpusHashes(docs: DataFrame, isNew: Column): DataFrame =
-    docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
-
   def incrementalDedupDf(docs: DataFrame): DataFrame = {
     val isNew = col("doc_id") % 10 >= 8
     val newDocs = docs.filter(isNew).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-    // exact layer: batch content hash probed against the corpus hash set
-    val oldHashes = corpusHashes(docs, isNew)
-    val exactIds = newDocs.join(oldHashes, Seq("h"), "left_semi").select("doc_id")
+    // exact layer: batch content hash probed against the stored hash
+    // index, matched set broadcast back (scan-only on the corpus side)
+    val exactIds = newDocs.join(broadcast(matchedOldHashes(docs, isNew)),
+        Seq("h"), "left_semi").select("doc_id")
     // near layer: batch band keys probe the bucket-guarded corpus index
     val nearIds = incrementalNearIds(docs, isNew)
     newDocs

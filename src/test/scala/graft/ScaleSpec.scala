@@ -59,4 +59,52 @@ class ScaleSpec extends SparkSpec {
         s"${w1.shuffleRead} -> ${w10.shuffleRead}")
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
+
+  test("incremental probe: a FIXED batch against a 10x corpus — flags " +
+    "identical, probe shuffle mass batch-bounded (r11)") {
+    // eq104/eq137's scale claim, measured: with the stored index memoized
+    // (guarded band index + hash index), probing the SAME 400-doc batch
+    // against a 10x bigger corpus must find the SAME duplicates (the
+    // batch's true-dup relation is scale-invariant by construction) and
+    // ship ~the same shuffle bytes — the probe is batch-bounded, while
+    // the index BUILD is corpus-sized (the once-per-snapshot cost).
+    // Before the r11 broadcast-probe restructure, the probe's shuffle
+    // read grew ~20x for the 10x corpus (ScaleBench measured 3.6->73 MB);
+    // this pin keeps it from regressing to corpus-proportional.
+    import org.apache.spark.sql.functions._
+    val meter = WorkMass.meter(spark.sparkContext)
+    def probe(n: Long): (Long, Long, WorkMass, WorkMass) = {
+      val union = ScaleBench.corpus(spark, n)
+        .unionByName(ScaleBench.deltaCorpus(spark, n, 400, targetBlocks = 20))
+        .localCheckpoint()
+      val isNew = col("doc_id") >= n
+      Dedup.clearDerivedCaches()
+      def flags(): (Long, Long) = {
+        val newDocs = union.filter(isNew)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val ex = newDocs.join(broadcast(Dedup.matchedOldHashes(union, isNew)),
+          Seq("h"), "left_semi").count()
+        val nr = Dedup.incrementalNearIds(union, isNew).count()
+        (ex, nr)
+      }
+      val indexWork = meter(flags()) // cold: pays the index build
+      var f = (0L, 0L)
+      val probeWork = meter { f = flags() } // warm: the per-batch cost
+      (f._1, f._2, indexWork, probeWork)
+    }
+    val (e1, n1, i1, p1) = probe(2000)
+    val (e10, n10, i10, p10) = probe(20000)
+    // per 20 batch ids: 1 exact dup, 2 near probes -> 20 exact; the near
+    // layer also flags the exact dups (Jaccard 1), so near >= 40
+    assert(e1 == 20 && e10 == 20, s"exact flags: $e1 / $e10")
+    assert(n1 == n10 && n1 >= 40,
+      s"near flags must be identical across scales: $n1 / $n10")
+    assert(p1.shuffleRead > 0, "meter must observe the probe")
+    assert(i10.shuffleRead > 3L * i1.shuffleRead,
+      s"index build is corpus-sized (sanity): ${i1.shuffleRead} -> ${i10.shuffleRead}")
+    assert(p10.shuffleRead < 3L * p1.shuffleRead,
+      s"probe must be batch-bounded, not corpus-bounded: " +
+        s"${p1.shuffleRead} -> ${p10.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }
