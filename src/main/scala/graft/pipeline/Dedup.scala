@@ -833,9 +833,18 @@ object Dedup {
       .orderBy("cluster_id")
 
   /** (doc_id, label) connected-component labeling of the eq12 pair graph
-    * — the shared core of eq26's clustering and eq84's representative
-    * selection. */
-  private[graft] def neardupLabelsDf(docs: DataFrame): DataFrame = {
+    * — the shared core of eq26's clustering, eq84's representative
+    * selection, eq131's leakage-safe split, and eq137's within-batch
+    * clustering. Memoized per (session, canonicalized plan) like the pair
+    * table it is built from: cluster labels are a materialized derived
+    * artifact in a production corpus pipeline (labeled once per snapshot,
+    * read by every downstream consumer), not something each audit re-runs
+    * an iterative graph algorithm for. */
+  private val labelsCache = new PlanMemo[DataFrame]
+  private[graft] def neardupLabelsDf(docs: DataFrame): DataFrame =
+    labelsCache(docs)(computeNeardupLabels(docs))
+
+  private def computeNeardupLabels(docs: DataFrame): DataFrame = {
     val pairs = jaccardPairsDf(docs).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -850,17 +859,23 @@ object Dedup {
     // near-dup graph, and non-convergence FAILS LOUDLY below rather than
     // silently emitting split clusters
     while (!converged && rounds < 50) {
+      // Carry each vertex's OLD label through the propagation aggregate
+      // (the self-union branch is the only one with a non-null `old`, so
+      // max() recovers it) — the convergence test then reads the already-
+      // materialized checkpoint blocks instead of paying a second
+      // shuffle-join per round. Min-propagation is monotone, so
+      // changed ⟺ label < old.
       val propagated = labels
         .join(edges, labels("doc_id") === edges("s"))
-        .select(col("t").as("doc_id"), col("label"))
-        .union(labels)
+        .select(col("t").as("doc_id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+        .union(labels.select(col("doc_id"), col("label"),
+          col("label").as("old")))
         .groupBy("doc_id")
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .localCheckpoint()
-      converged = propagated.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = propagated
+      converged = propagated.filter(col("label") < col("old")).isEmpty
+      labels = propagated.drop("old")
       rounds += 1
     }
     require(converged,
