@@ -42,6 +42,19 @@ object Clustering {
       .select(col("vec_id"), col("pos"),
         round(col("x").cast("double") * Scale).cast("long").as("v"))
 
+  // Learned artifacts are memoized per (session, source plan) like the
+  // pair table / near-dup labels / BPE vocabulary: a production pipeline
+  // trains its centroids and codebooks once per corpus snapshot and every
+  // downstream readout (sizes, recall evals, confusion audits) consumes
+  // the materialized result. Keyed by the SOURCE embeddings plan — the
+  // intermediate localCheckpoint frames are unique per invocation and
+  // would never hit.
+  private val microCache = new PlanMemo[DataFrame]
+  private val lloydCache = new PlanMemo[(DataFrame, DataFrame)]
+
+  private def microOf(e: DataFrame): DataFrame =
+    microCache(e)(microVectors(e).localCheckpoint())
+
   /** eq89 — Lloyd's k-means (k=8, 5 iterations) over the embedding corpus,
     * exact in integer micro-units so the run is oracle-reproducible:
     *
@@ -63,12 +76,17 @@ object Clustering {
     kmeansDf(Tables.load(spark, dir, "embeddings"))
 
   def kmeansDf(e: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
-    // materialized once: seeding, every assign pass and every update pass
-    // re-consume the exploded frame (iters·2 + 1 scans otherwise)
-    val v = microVectors(e).localCheckpoint()
-    val (cents, assign) = lloyd(v, k, iters)
+    val (cents, assign) = lloydCache(e, ("kmeans", k, iters)) {
+      // materialized once: seeding, every assign pass and every update
+      // pass re-consume the exploded frame (iters·2 + 1 scans otherwise)
+      val (c, a) = lloyd(microOf(e), k, iters)
+      (c, a.localCheckpoint())
+    }
     val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
-    cents.join(sizes, Seq("cid"), "left")
+    // ≤k rows; must be explicit — the memoized inputs scan as ExistingRDD
+    // with no stats, so the auto-broadcast threshold can't see how small
+    // this side is
+    cents.join(broadcast(sizes), Seq("cid"), "left")
       .select(col("cid"), col("pos"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         round(col("cv").cast("double") / Scale, 6).as("centroid"))
@@ -151,14 +169,17 @@ object Clustering {
   def pqRecallDf(e: DataFrame): DataFrame = {
     // materialized once: the codebook build, the encoder, the query
     // lookup tables and the exact ground truth all consume this frame
-    val v = microVectors(e).localCheckpoint()
+    val v = microOf(e)
 
     // all 8 subspace codebooks in ONE grouped Lloyd loop: sub = pos/8,
     // local pos = pos mod 8 (8× fewer jobs than 8 separate chains)
     val vs = v.select(col("vec_id"),
       (col("pos") / PqSubDim).cast("int").as("sub"),
       pmod(col("pos"), lit(PqSubDim)).cast("int").as("pos"), col("v"))
-    val (cents, codes) = lloydBy(vs, PqCodes, PqIters)
+    val (cents, codes) = lloydCache(e, ("pq", PqCodes, PqIters)) {
+      val (c, a) = lloydBy(vs, PqCodes, PqIters)
+      (c, a.localCheckpoint())
+    }
 
     // the query's per-(sub, code) distance lookup table — 8×32 rows
     val lut = cents.join(vs.filter(col("vec_id") === 0), Seq("sub", "pos"))
