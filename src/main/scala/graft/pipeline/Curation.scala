@@ -96,10 +96,13 @@ object Curation {
   }
 
   /** The seven survivor frames, one per filter stage (packing/encoding
-    * transform s7 without dropping). */
+    * transform s7 without dropping), plus the per-lang PACK SUMMARY —
+    * (lang, n_docs, t_tokens, t_chars, n_shards, last_shard), the state an
+    * append-only packer needs to place the next batch without rescanning
+    * the corpus. */
   private final case class Chain(
       spine: DataFrame, s2: DataFrame, s3: DataFrame, s4: DataFrame,
-      s5: DataFrame, s6: DataFrame, s7: DataFrame)
+      s5: DataFrame, s6: DataFrame, s7: DataFrame, pack: DataFrame)
 
   /** Chain memo (ADVICE r10): a consumer that wants both the funnel
     * (curationPipelineDf) and the product corpus (curatedDocsDf) must not
@@ -160,7 +163,27 @@ object Curation {
       .filter(md5_key28(col("text")) % 1000000 < col("rate_ppm"))
       .drop("rate_ppm")
       .localCheckpoint() // stage stats, packing, and encode all read this
-    Chain(spine, s2, s3, s4, s5, s6, s7)
+
+    // ---- per-lang pack summary: the snapshot's shard-layout state ------
+    // Derived from the SAME eq34 prefix-sum window as curatedDocs' shard
+    // ids, so the summary can never disagree with the written layout.
+    // eq136's stage-8 count is its n_shards sum; eq137's append packing
+    // starts each lang at (t_tokens, last_shard) — O(batch) per delta
+    // ingest instead of re-windowing the merged corpus.
+    val packW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pack = s7
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+      .withColumn("shard", expr(s"cum div $ShardBudget"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("t_chars"),
+        countDistinct(col("shard")).as("n_shards"),
+        max(col("shard")).as("last_shard"))
+      .localCheckpoint() // |langs| rows
+    Chain(spine, s2, s3, s4, s5, s6, s7, pack)
   }
 
   /** The held-out TEST split's distinct-3-shingle vocabulary — the frame
@@ -221,12 +244,10 @@ object Curation {
     import ch._
 
     // ---- stage 8: shard packing (eq34's layout); n_units = shards ------
-    val packW = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val nShards = s7
-      .select(col("lang"), col("doc_id"), col("n_tokens"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
-      .agg(countDistinct(col("lang"), expr(s"cum div $ShardBudget")).as("n_units"))
+    // shard ids partition by lang, so Σ per-lang distinct counts from the
+    // memoized pack summary ≡ countDistinct(lang, shard) over the corpus
+    val nShards = pack.agg(
+      coalesce(sum(col("n_shards")), lit(0L)).as("n_units"))
 
     // ---- stage 9: BPE encode under the MEMOIZED corpus-wide vocabulary -
     val enc = TextAnalysis.bpeEncTable(docs, TextAnalysis.BpeTrainMerges)
@@ -392,15 +413,38 @@ object Curation {
       .agg(sum(coalesce(col("sy_after"), length(col("tok")).cast("long")))
         .as("n_units"))
 
-    // ---- stage 10: merge + append packing ------------------------------
-    val keep = Seq("lang", "doc_id", "n_tokens", "n_chars")
-    val merged = oldCh.s7.select(keep.map(col): _*).withColumn("is_delta", lit(0))
-      .unionByName(d8.select(keep.map(col): _*).withColumn("is_delta", lit(1)))
-    val packW = Window.partitionBy("lang").orderBy("is_delta", "doc_id")
+    // ---- stage 10: merge + append packing — O(batch), never a rescan ---
+    // The old snapshot's per-lang pack state (token total, shard count,
+    // last shard id) comes from the memoized summary; the delta packs
+    // after the old corpus per lang (merged order (is_delta, doc_id)), so
+    // each delta lang starts its prefix sum at t_tokens. Old docs keep
+    // their eq136 shard ids by construction; the only shard the two sides
+    // can share is the old LAST one (delta ids are ≥ it, monotone), so
+    // the union count subtracts exactly that collision.
+    val ps = oldCh.pack
+    val deltaPackW = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val nShards = merged
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
-      .agg(countDistinct(col("lang"), expr(s"cum div $ShardBudget")).as("n_units"))
+    val deltaPack = d8
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+      .join(broadcast(ps.select(col("lang"), col("t_tokens"), col("last_shard"))),
+        Seq("lang"), "left_outer")
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(deltaPackW), lit(0L))
+        + coalesce(col("t_tokens"), lit(0L)))
+      .withColumn("shard", expr(s"cum div $ShardBudget"))
+      .groupBy("lang")
+      .agg(countDistinct(col("shard")).as("d_shards"),
+        min(col("shard")).as("d_first"),
+        max(col("last_shard")).as("last_shard"))
+    val nShards = ps.select(col("lang"), col("n_shards"))
+      .join(deltaPack, Seq("lang"), "full_outer")
+      .agg(coalesce(sum(
+        coalesce(col("n_shards"), lit(0L)) + coalesce(col("d_shards"), lit(0L))
+          - when(col("d_first") === col("last_shard"), lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_units"))
+    val oldTotals = ps.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("o_docs"),
+      coalesce(sum(col("t_tokens")), lit(0L)).as("o_tokens"),
+      coalesce(sum(col("t_chars")), lit(0L)).as("o_chars"))
 
     // ---- the funnel: 10 bounded rows -----------------------------------
     def stat(id: Int, name: String, df: DataFrame, units: Option[DataFrame]): DataFrame = {
@@ -425,7 +469,15 @@ object Curation {
       stat(7, "delta_decontam", d7, None),
       stat(8, "delta_mix_frozen", d8, None),
       stat(9, "delta_encode", d8, Some(nSymbols)),
-      stat(10, "merged_corpus", merged, Some(nShards))).reduce(_ union _)
+      // stage 10 sums the memoized old totals with the delta's own — the
+      // merged corpus is never re-scanned for its stats either
+      stat(10, "merged_corpus", d8, Some(nShards))
+        .crossJoin(broadcast(oldTotals))
+        .select(col("stage_id"), col("stage"),
+          (col("n_docs") + col("o_docs")).as("n_docs"),
+          (col("total_tokens") + col("o_tokens")).as("total_tokens"),
+          (col("total_chars") + col("o_chars")).as("total_chars"),
+          col("n_units"))).reduce(_ union _)
     funnel
       .withColumn("n_dropped",
         when(col("stage_id") === 10, lit(0L)).otherwise(
