@@ -51,6 +51,9 @@ object Clustering {
   // would never hit.
   private val microCache = new PlanMemo[DataFrame]
   private val lloydCache = new PlanMemo[(DataFrame, DataFrame)]
+  /** Lloyd training passes actually RUN (the mining-once observable,
+    * like Dedup.pairTableMisses) — pinned by ClusteringSpec. */
+  private[graft] def lloydMisses: Long = lloydCache.misses.get
 
   private def microOf(e: DataFrame): DataFrame =
     microCache(e)(microVectors(e).localCheckpoint())

@@ -71,7 +71,7 @@ object Curation {
 
   private val QualityMin = 0.5
   private[graft] val DecontamMaxRatio = 0.2
-  private val ShardBudget = 2000
+  private[graft] val ShardBudget = 2000
 
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     curationPipelineDf(Tables.load(spark, dir, "documents"))
@@ -165,14 +165,21 @@ object Curation {
       .localCheckpoint() // stage stats, packing, and encode all read this
 
     // ---- per-lang pack summary: the snapshot's shard-layout state ------
-    // Derived from the SAME eq34 prefix-sum window as curatedDocs' shard
-    // ids, so the summary can never disagree with the written layout.
     // eq136's stage-8 count is its n_shards sum; eq137's append packing
     // starts each lang at (t_tokens, last_shard) — O(batch) per delta
     // ingest instead of re-windowing the merged corpus.
+    Chain(spine, s2, s3, s4, s5, s6, s7,
+      packSummaryOf(s7).localCheckpoint() /* |langs| rows */)
+  }
+
+  /** The per-lang pack summary of a corpus frame — (lang, n_docs,
+    * t_tokens, t_chars, n_shards, last_shard). Derived from the SAME eq34
+    * prefix-sum window as curatedDocs' shard ids, so the summary can
+    * never disagree with the written layout. */
+  private[graft] def packSummaryOf(corpus: DataFrame): DataFrame = {
     val packW = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pack = s7
+    corpus
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars"))
       .withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
       .withColumn("shard", expr(s"cum div $ShardBudget"))
@@ -182,8 +189,35 @@ object Curation {
         coalesce(sum(col("n_chars")), lit(0L)).as("t_chars"),
         countDistinct(col("shard")).as("n_shards"),
         max(col("shard")).as("last_shard"))
-      .localCheckpoint() // |langs| rows
-    Chain(spine, s2, s3, s4, s5, s6, s7, pack)
+  }
+
+  /** The O(batch) append-pack union count: total distinct (lang, shard)
+    * after `delta` (lang, doc_id, n_tokens) packs after the old corpus
+    * summarized by `ps` ([[packSummaryOf]] schema). Each delta lang
+    * starts its prefix sum at the old t_tokens; delta shard ids are
+    * monotone ≥ the old last shard, so the only possible collision is
+    * exactly that shard. Pinned against the full-merge reference
+    * computation on hostile synthetic layouts in PipelineSpec. */
+  private[graft] def appendPackCount(ps: DataFrame, delta: DataFrame): DataFrame = {
+    val deltaPackW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val deltaPack = delta
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+      .join(broadcast(ps.select(col("lang"), col("t_tokens"), col("last_shard"))),
+        Seq("lang"), "left_outer")
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(deltaPackW), lit(0L))
+        + coalesce(col("t_tokens"), lit(0L)))
+      .withColumn("shard", expr(s"cum div $ShardBudget"))
+      .groupBy("lang")
+      .agg(countDistinct(col("shard")).as("d_shards"),
+        min(col("shard")).as("d_first"),
+        max(col("last_shard")).as("last_shard"))
+    ps.select(col("lang"), col("n_shards"))
+      .join(deltaPack, Seq("lang"), "full_outer")
+      .agg(coalesce(sum(
+        coalesce(col("n_shards"), lit(0L)) + coalesce(col("d_shards"), lit(0L))
+          - when(col("d_first") === col("last_shard"), lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_units"))
   }
 
   /** The held-out TEST split's distinct-3-shingle vocabulary — the frame
@@ -422,25 +456,7 @@ object Curation {
     // can share is the old LAST one (delta ids are ≥ it, monotone), so
     // the union count subtracts exactly that collision.
     val ps = oldCh.pack
-    val deltaPackW = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val deltaPack = d8
-      .select(col("lang"), col("doc_id"), col("n_tokens"))
-      .join(broadcast(ps.select(col("lang"), col("t_tokens"), col("last_shard"))),
-        Seq("lang"), "left_outer")
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(deltaPackW), lit(0L))
-        + coalesce(col("t_tokens"), lit(0L)))
-      .withColumn("shard", expr(s"cum div $ShardBudget"))
-      .groupBy("lang")
-      .agg(countDistinct(col("shard")).as("d_shards"),
-        min(col("shard")).as("d_first"),
-        max(col("last_shard")).as("last_shard"))
-    val nShards = ps.select(col("lang"), col("n_shards"))
-      .join(deltaPack, Seq("lang"), "full_outer")
-      .agg(coalesce(sum(
-        coalesce(col("n_shards"), lit(0L)) + coalesce(col("d_shards"), lit(0L))
-          - when(col("d_first") === col("last_shard"), lit(1L)).otherwise(lit(0L))),
-        lit(0L)).as("n_units"))
+    val nShards = appendPackCount(ps, d8)
     val oldTotals = ps.agg(
       coalesce(sum(col("n_docs")), lit(0L)).as("o_docs"),
       coalesce(sum(col("t_tokens")), lit(0L)).as("o_tokens"),

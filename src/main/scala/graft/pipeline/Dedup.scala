@@ -841,6 +841,9 @@ object Dedup {
     * read by every downstream consumer), not something each audit re-runs
     * an iterative graph algorithm for. */
   private val labelsCache = new PlanMemo[DataFrame]
+  /** Labeling passes actually RUN (the mining-once observable, like
+    * [[pairTableMisses]]) — pinned by PipelineSpec. */
+  private[graft] def labelsMisses: Long = labelsCache.misses.get
   private[graft] def neardupLabelsDf(docs: DataFrame): DataFrame =
     labelsCache(docs)(computeNeardupLabels(docs))
 

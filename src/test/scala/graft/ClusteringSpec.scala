@@ -79,4 +79,21 @@ class ClusteringSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast assignment join:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("lloyd artifacts train exactly once per (corpus, config); re-runs read the memo") {
+    // The pair-table/labels/vocabulary contract extended to learned
+    // clustering artifacts: eq89's centroids and x21's PQ codebooks are
+    // each trained ONCE per (session, embeddings plan, config) and every
+    // re-run reads the materialized result — counted, not argued.
+    graft.pipeline.Dedup.clearDerivedCaches()
+    val l0 = Clustering.lloydMisses
+    Clustering.kmeans(spark, Sf).collect()
+    Clustering.pqRecall(spark, Sf).collect()
+    assert(Clustering.lloydMisses == l0 + 2,
+      s"expected one kmeans + one PQ training pass, got ${Clustering.lloydMisses - l0}")
+    Clustering.kmeans(spark, Sf).collect()
+    Clustering.pqRecall(spark, Sf).collect()
+    assert(Clustering.lloydMisses == l0 + 2,
+      "re-runs must read the memoized Lloyd artifacts, not re-train")
+  }
 }

@@ -2360,4 +2360,65 @@ class PipelineSpec extends SparkSpec {
     assert(overCap > 0 && overCap < total,
       s"fixture must exercise BOTH sides of the cap (over=$overCap of $total)")
   }
+
+  test("near-dup labels are mined exactly once across clusters/reps/split/chain") {
+    // Same contract as the pair table: the iterative CC labeling runs
+    // ONCE per (session, docs plan) and eq26/eq84/eq131/eq136 all read
+    // the materialized labels.
+    Dedup.clearDerivedCaches()
+    val l0 = Dedup.labelsMisses
+    Dedup.neardupClusters(spark, Sf).collect()
+    Dedup.clusterReps(spark, Sf).collect()
+    Dedup.clusterSplit(spark, Sf).collect()
+    Curation.curationPipeline(spark, Sf).collect()
+    assert(Dedup.labelsMisses == l0 + 1,
+      s"labels mined ${Dedup.labelsMisses - l0} times across four consumers")
+  }
+
+  test("append-pack count matches the full-merge reference on hostile layouts") {
+    // eq137's stage-10 O(batch) union math vs the O(corpus) reference it
+    // replaced, on layouts the parquet fixtures don't guarantee:
+    // boundary-shard collision, shard-id gaps from oversized docs,
+    // old-only and delta-only languages, and both empty sides.
+    import spark.implicits._
+    val B = Curation.ShardBudget
+    def reference(old: org.apache.spark.sql.DataFrame,
+        delta: org.apache.spark.sql.DataFrame): Long = {
+      val merged = old.select(col("lang"), col("doc_id"), col("n_tokens"))
+        .withColumn("is_delta", lit(0))
+        .unionByName(delta.withColumn("is_delta", lit(1)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("is_delta", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      merged.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .agg(countDistinct(col("lang"), expr(s"cum div $B")))
+        .first.getLong(0)
+    }
+    def got(old: org.apache.spark.sql.DataFrame,
+        delta: org.apache.spark.sql.DataFrame): Long =
+      Curation.appendPackCount(Curation.packSummaryOf(old), delta)
+        .first.getLong(0)
+    val old = Seq(
+      ("en", 1L, B - 1L, 10L), ("en", 2L, 1L, 10L), // en: old ends exactly full
+      ("es", 3L, 100L, 10L),                        // es: old last shard nearly empty
+      ("fr", 4L, 2L * B + B / 2, 10L),              // fr: one oversized old doc
+      ("it", 5L, 10L, 10L),                         // it: tiny old, oversized delta
+      ("de", 6L, 100L, 10L)                         // de: old-only lang
+    ).toDF("lang", "doc_id", "n_tokens", "n_chars")
+    val delta = Seq(
+      ("en", 10L, 1L),          // starts the shard AFTER en's full last one
+      ("es", 11L, 1L),          // collides with es's old last shard
+      ("fr", 12L, 10L),         // lands past fr's skipped shard ids
+      ("it", 20L, 3L * B),      // collision AND a gap inside the delta
+      ("it", 21L, 10L),
+      ("pt", 30L, 2L * B + 1),  // delta-only lang with its own gap
+      ("pt", 31L, 10L)
+    ).toDF("lang", "doc_id", "n_tokens")
+    assert(got(old, delta) == reference(old, delta))
+    assert(got(old, delta.limit(0)) == reference(old, delta.limit(0)),
+      "empty delta must return the old corpus's shard count")
+    assert(got(old.limit(0), delta) == reference(old.limit(0), delta),
+      "empty old corpus must pack the delta from offset zero")
+    assert(got(old.limit(0), delta.limit(0)) == 0L)
+  }
 }
