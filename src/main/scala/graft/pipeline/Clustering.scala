@@ -50,6 +50,14 @@ object Clustering {
   // intermediate localCheckpoint frames are unique per invocation and
   // would never hit.
   private val microCache = new PlanMemo[DataFrame]
+  // Lifecycle caveat: entries key on (source plan, k, iters), so a
+  // config SWEEP (e.g. an elbow plot over k = 2..16) pins one
+  // corpus-sized assignment checkpoint per config until the context
+  // stops — unlike the single-key-per-corpus pair/labels memos, this one
+  // is multiplicative in configs. The engine's own queries use two fixed
+  // configs (eq89's k=8×5, x21's PQ 32×3); a sweeping consumer should
+  // interleave Dedup.clearDerivedCaches() or accept the pin as its
+  // materialized model store.
   private val lloydCache = new PlanMemo[(DataFrame, DataFrame)]
   /** Lloyd training passes actually RUN (the mining-once observable,
     * like Dedup.pairTableMisses) — pinned by ClusteringSpec. */
@@ -221,7 +229,7 @@ object Clustering {
     * vector) by exact integer squared-L2, ties to the smallest cid. One
     * broadcast of the groups×k×d centroid frame, one partial-agg
     * shuffle. */
-  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
     v.join(broadcast(cents), Seq("sub", "pos"))
       .groupBy("sub", "vec_id", "cid")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))

@@ -96,13 +96,10 @@ object Curation {
   }
 
   /** The seven survivor frames, one per filter stage (packing/encoding
-    * transform s7 without dropping), plus the per-lang PACK SUMMARY —
-    * (lang, n_docs, t_tokens, t_chars, n_shards, last_shard), the state an
-    * append-only packer needs to place the next batch without rescanning
-    * the corpus. */
+    * transform s7 without dropping). */
   private final case class Chain(
       spine: DataFrame, s2: DataFrame, s3: DataFrame, s4: DataFrame,
-      s5: DataFrame, s6: DataFrame, s7: DataFrame, pack: DataFrame)
+      s5: DataFrame, s6: DataFrame, s7: DataFrame)
 
   /** Chain memo (ADVICE r10): a consumer that wants both the funnel
     * (curationPipelineDf) and the product corpus (curatedDocsDf) must not
@@ -164,13 +161,18 @@ object Curation {
       .drop("rate_ppm")
       .localCheckpoint() // stage stats, packing, and encode all read this
 
-    // ---- per-lang pack summary: the snapshot's shard-layout state ------
-    // eq136's stage-8 count is its n_shards sum; eq137's append packing
-    // starts each lang at (t_tokens, last_shard) — O(batch) per delta
-    // ingest instead of re-windowing the merged corpus.
-    Chain(spine, s2, s3, s4, s5, s6, s7,
-      packSummaryOf(s7).localCheckpoint() /* |langs| rows */)
+    Chain(spine, s2, s3, s4, s5, s6, s7)
   }
+
+  /** The snapshot's per-lang pack summary, memoized ON DEMAND (its own
+    * PlanMemo, not a Chain field — chain consumers that never pack, like
+    * curatedDocs' write path, must not pay the summary's window pass;
+    * r11-late review finding). eq136's stage-8 count is its n_shards sum;
+    * eq137's append packing starts each lang at (t_tokens, last_shard) —
+    * O(batch) per delta ingest instead of re-windowing the merged corpus. */
+  private val packMemo = new PlanMemo[DataFrame]
+  private def packOf(docs: DataFrame, s7: DataFrame): DataFrame =
+    packMemo(docs)(packSummaryOf(s7).localCheckpoint() /* |langs| rows */)
 
   /** The per-lang pack summary of a corpus frame — (lang, n_docs,
     * t_tokens, t_chars, n_shards, last_shard). Derived from the SAME eq34
@@ -280,7 +282,7 @@ object Curation {
     // ---- stage 8: shard packing (eq34's layout); n_units = shards ------
     // shard ids partition by lang, so Σ per-lang distinct counts from the
     // memoized pack summary ≡ countDistinct(lang, shard) over the corpus
-    val nShards = pack.agg(
+    val nShards = packOf(docs, s7).agg(
       coalesce(sum(col("n_shards")), lit(0L)).as("n_units"))
 
     // ---- stage 9: BPE encode under the MEMOIZED corpus-wide vocabulary -
@@ -455,7 +457,7 @@ object Curation {
     // their eq136 shard ids by construction; the only shard the two sides
     // can share is the old LAST one (delta ids are ≥ it, monotone), so
     // the union count subtracts exactly that collision.
-    val ps = oldCh.pack
+    val ps = packOf(oldDocs, oldCh.s7)
     val nShards = appendPackCount(ps, d8)
     val oldTotals = ps.agg(
       coalesce(sum(col("n_docs")), lit(0L)).as("o_docs"),

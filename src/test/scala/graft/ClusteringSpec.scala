@@ -74,10 +74,23 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("kmeans: assignment is broadcast-join shaped, no cartesian (sf0.001)") {
+    // The returned frame is a memoized-artifact readout (ExistingRDD
+    // scans + the broadcast sizes join) — asserting on it alone would
+    // let a training-join regression ship (r11-late review finding). So
+    // pin BOTH plans: the readout, and the TRAINING-TIME assignment join
+    // inspected directly at the assignTo seam the Lloyd loop calls.
     val df = Clustering.kmeans(spark, Sf)
     val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast assignment join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast readout join:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+
+    import spark.implicits._
+    val v = Seq((0, 0L, 0, 5L), (0, 1L, 0, 7L)).toDF("sub", "vec_id", "pos", "v")
+    val cents = Seq((0, 0, 0, 4L), (0, 1, 0, 8L)).toDF("sub", "cid", "pos", "cv")
+    val tp = plan(Clustering.assignTo(v, cents))
+    assert(tp.contains("BroadcastHashJoin"), s"expected broadcast assignment join:\n$tp")
+    assert(!tp.contains("CartesianProduct") && !tp.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian in the assignment pass:\n$tp")
   }
 
   test("lloyd artifacts train exactly once per (corpus, config); re-runs read the memo") {

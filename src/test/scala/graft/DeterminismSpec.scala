@@ -18,8 +18,12 @@ class DeterminismSpec extends SparkSpec {
   private def invariant(name: String)(build: String => DataFrame): Unit =
     test(s"partitioning-invariant: $name") {
       val base = hashOf(build(Sf))
-      // second evaluation of the same program — fresh plan, fresh
-      // shuffles, fresh localCheckpoints — must hash identically
+      // second evaluation of the same program must RE-MINE — the derived
+      // artifact memos (pair table, labels, Lloyd artifacts, chain) would
+      // otherwise hand back the first run's checkpointed blocks and the
+      // comparison would be a frame against itself (r11-late review
+      // finding). Clearing forces fresh shuffles and checkpoints.
+      Dedup.clearDerivedCaches()
       assert(hashOf(build(Sf)) == base, s"$name is run-order sensitive")
     }
 
