@@ -3148,6 +3148,45 @@ object Oracles {
           |SELECT lang, verdict, COUNT(*) AS n_docs
           |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // eq139: at-rest dedup index audit + probe — the same eq104 CTE
+    // structure (the engine's stored tables are exactly `oldh` and `po`;
+    // its read-back probe is bit-identical to the in-session layers), with
+    // entry counts of the index layers, the build-time stop-bucket stat,
+    // and the batch verdict TOTALS on a fixed 3-verdict spine (a hostile
+    // batch may have no 'near' rows; the frame shape must not change).
+    "eq139_atrest_dedup_index" ->
+      (s"$minhashKeyCtes,\n" +
+        """old_keys AS (SELECT * FROM keys WHERE doc_id % 10 < 8),
+          |new_keys AS (SELECT * FROM keys WHERE doc_id % 10 >= 8),
+          |ok AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+          |stopb AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) > 50),
+          |po AS (SELECT k.doc_id, k.band, k.band_key
+          |       FROM old_keys k JOIN ok USING (band, band_key)),
+          |cand AS (
+          |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          |  FROM new_keys n JOIN po o ON n.band = o.band AND n.band_key = o.band_key),
+          |ver AS (
+          |  SELECT new_id, len(list_intersect(a.shd, b.shd)) AS common,
+          |         a.sz AS sz_n, b.sz AS sz_o
+          |  FROM cand JOIN s a ON a.doc_id = cand.new_id
+          |            JOIN s b ON b.doc_id = cand.old_id),
+          |near AS (SELECT DISTINCT new_id FROM ver
+          |         WHERE common::DOUBLE / (sz_n + sz_o - common) >= 0.5::DOUBLE),
+          |oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+          |v AS (
+          |  SELECT CASE WHEN md5(d.text) IN (SELECT h FROM oldh) THEN 'exact'
+          |              WHEN d.doc_id IN (SELECT new_id FROM near) THEN 'near'
+          |              ELSE 'novel' END AS verdict
+          |  FROM documents d WHERE d.doc_id % 10 >= 8),
+          |vc AS (SELECT verdict, COUNT(*)::BIGINT AS n FROM v GROUP BY 1),
+          |sp AS (SELECT unnest(['exact', 'near', 'novel']) AS verdict)
+          |SELECT 'idx_band_entries' AS item, (SELECT COUNT(*) FROM po)::BIGINT AS n
+          |UNION ALL SELECT 'idx_hash_entries', (SELECT COUNT(*) FROM oldh)::BIGINT
+          |UNION ALL SELECT 'idx_stop_buckets', (SELECT COUNT(*) FROM stopb)::BIGINT
+          |UNION ALL SELECT 'probe_' || sp.verdict, COALESCE(vc.n, 0)::BIGINT
+          |          FROM sp LEFT JOIN vc USING (verdict)
+          |ORDER BY item""".stripMargin),
+
     // eq105: nearest-centroid confusion matrix — micro-unit quantization
     // (the eq36 convention), centroid = raw integer SUM vector (cosine is
     // scale-invariant so no mean/rounding on the prototype), dot and norms

@@ -654,6 +654,101 @@ object Dedup {
       .orderBy("lang", "verdict")
   }
 
+  /** Mining passes actually RUN for the signature/band frames and the two
+    * eq104 index layers — the observables behind eq139's stored-index
+    * contract: probing the AT-REST index from a fresh session advances
+    * [[signatureMisses]] by exactly 1 (the batch signing) and the index
+    * memos by 0, because the stored tables replace re-mining. */
+  private[graft] def signatureMisses: Long = signaturePartsCache.misses.get
+  private[graft] def guardedIndexMisses: Long = guardedIndexCache.misses.get
+  private[graft] def hashIndexMisses: Long = hashIndexCache.misses.get
+
+  /** eq139 build side — the three frames a production deployment writes
+    * AT REST as the dedup index of a corpus snapshot: the exact layer
+    * (distinct content md5), the near layer (the bucket-guarded band
+    * index, stop-buckets already dropped at build time), and the index
+    * metadata (how many stop-buckets the guard dropped — the stat the
+    * index ships with, like a stop-word list). Build cost is one
+    * signature pass over the corpus (memoized — shared with eq104/x1 in
+    * the same session); at 100 TB this runs once per snapshot and every
+    * later ingest probes the stored tables instead. */
+  private[graft] def indexBuildFrames(
+      docs: DataFrame, isNew: Column): (DataFrame, DataFrame, DataFrame) = {
+    val (_, _, banded) = signatureParts(docs)
+    val stop = banded.filter(!isNew)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > MaxBucket)
+      .agg(count(lit(1)).as("n_stop_buckets"))
+    (oldHashIndex(docs, isNew), guardedOldIndex(docs, isNew), stop)
+  }
+
+  /** The batch's band-key frame (the probe's driving side), exposed so
+    * EngineSurfaceSpec can pin the probe join's physical shape at the
+    * [[probeCandidates]] seam. */
+  private[graft] def batchBandKeys(batch: DataFrame): DataFrame =
+    signatureParts(batch)._3
+
+  /** The near-layer candidate join of the stored-index probe, pre-distinct
+    * — split out so EngineSurfaceSpec can pin its shape: the (small,
+    * signed-in-this-session) batch band keys BROADCAST against the at-rest
+    * index scan, so the index side is scan-only — no shuffle Exchange, no
+    * re-signing, exactly the per-ingest cost a 100 TB deployment pays. */
+  private[graft] def probeCandidates(batchBanded: DataFrame, bandIdx: DataFrame): DataFrame =
+    bandIdx.as("o").join(broadcast(batchBanded.as("n")), Seq("band", "band_key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+
+  /** eq139 probe side — classify the incoming batch against the AT-REST
+    * index tables (read back through the catalog), bit-identical to
+    * eq104's in-session verdicts: `exact` on a stored-hash match, `near`
+    * on a band collision with an indexed doc verified at exact Jaccard ≥
+    * [[IncrementalNearThreshold]], else `novel`. The session signs ONLY
+    * the batch ([[signatureParts]] on the batch frame — the corpus is
+    * never re-signed, pinned by PipelineSpec's fresh-session test); the
+    * verify layer fetches just the candidate old docs' shingle sets from
+    * the corpus store, pruned by a broadcast of the candidate ids (≤
+    * batch × [[MaxBucket]] rows). Returns (doc_id, verdict) per batch
+    * doc. */
+  private[graft] def probeStoredIndex(docs: DataFrame, isNew: Column,
+      hashIdx: DataFrame, bandIdx: DataFrame): DataFrame = {
+    val batch = docs.filter(isNew)
+    val (batchSets, _, batchBanded) = signatureParts(batch)
+    // exact layer: the eq104 shape against the stored table — batch hashes
+    // broadcast into the index scan, the matched set broadcast back, so
+    // the index side stays scan-only in both hops
+    val batchHashes = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val matched = hashIdx.join(
+      broadcast(batchHashes.select("h").distinct()), Seq("h"), "left_semi")
+    val exactIds = batchHashes
+      .join(broadcast(matched), Seq("h"), "left_semi").select("doc_id")
+    // near layer: band probe + exact-Jaccard verify on candidates only
+    val cands = probeCandidates(batchBanded, bandIdx).distinct()
+    val oldCandIds = cands.select(col("old_id").as("doc_id")).distinct()
+    // the candidate old docs' shingle sets, rebuilt by the SAME pipeline
+    // the index build signed them with (array_distinct ∘ shingles, empty
+    // sets dropped) — a point read of the corpus store, batch-bounded
+    val oldSets = docs.filter(!isNew)
+      .join(broadcast(oldCandIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
+      .withColumn("sz", size(col("shd")))
+      .filter(col("sz") > 0)
+    val nearIds = cands
+      .join(batchSets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
+      .join(oldSets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
+      .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .filter(col("common").cast("double") / (col("sz_n") + col("sz_o") - col("common"))
+        >= IncrementalNearThreshold)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    batch.select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact"))
+          .when(col("is_near"), lit("near"))
+          .otherwise(lit("novel")).as("verdict"))
+  }
+
   /** 64-bit SimHash per document: per-token md5, each of the first 16 hex
     * digits contributes 4 fingerprint bits, each bit votes ±1 per token
     * occurrence, sign of the vote is the fingerprint bit. Near-dup pairs =

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.Dedup
+
+/** eq139 — the AT-REST dedup index: eq104/eq137 probe a *memoized*
+  * old-corpus index, but a PlanMemo lives exactly one session — at 100 TB
+  * the index must survive the session that mined it, or every restart
+  * re-signs the corpus. This writes the index's three frames as tables
+  * (the production posture the `Dedup.guardedOldIndex` scaladoc promises:
+  * "in production this IS the stored index") and probes the incoming
+  * batch against the READ-BACK tables:
+  *
+  *  - `..._hash` — the exact layer (distinct content md5), bucketed by
+  *    `h`: the batch-hash probe reads bucket-aligned files;
+  *  - `..._band` — the near layer (bucket-guarded band keys, stop-buckets
+  *    dropped at BUILD time so probes never pay the guard aggregate),
+  *    bucketed+sorted by `band_key`: index-keyed joins need no shuffle on
+  *    the index side (EngineSurfaceSpec pins the zero-Exchange self-join
+  *    and the scan-only broadcast probe);
+  *  - `..._meta` — index metadata (stop-bucket count), the stats a
+  *    shipped index carries beside its data.
+  *
+  * The query is the stored-index audit + probe: entry counts of the three
+  * read-back layers plus the batch verdict totals from
+  * [[Dedup.probeStoredIndex]] — bit-identical to eq104's in-session
+  * verdicts (the DuckDB oracle recomputes everything from raw documents
+  * through the shared x1 CTEs, so a row lost or duplicated across the
+  * write→read round-trip breaks the hash compare). PipelineSpec pins the
+  * restart story the memo can't give: a FRESH session probing these
+  * tables signs only the batch (+1 signature mining) and re-mines
+  * nothing.
+  *
+  * Reference basis: the reference persists ETL output to a second store
+  * and queries the stored copy (`etl_project/data.py:41-42`); this is
+  * that round-trip for the dedup index, the derived artifact whose
+  * at-rest life actually gates incremental ingest cost.
+  */
+object DedupIndexSink {
+
+  /** 8 at test scale; a 100 TB deployment sizes buckets to the probe
+    * parallelism it wants per ingest. */
+  val Buckets = 8
+
+  private val sinkSeq = new AtomicLong()
+
+  /** The stored index's table names — returned by [[write]] so a later
+    * (or different) session can [[readBack]] without any handle to the
+    * frames that built them. */
+  final case class IndexTables(hash: String, band: String, meta: String)
+
+  /** eq104's snapshot convention: doc_id % 10 ∈ {8,9} is the incoming
+    * batch, the rest is the indexed corpus. */
+  private[graft] def isNewCol = col("doc_id") % 10 >= 8
+
+  def eq139(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = write(spark, docs, isNewCol)
+    val (hashIdx, bandIdx, meta) = readBack(spark, t)
+    audit(docs, isNewCol, hashIdx, bandIdx, meta)
+  }
+
+  /** Builds the index frames from the OLD side of the corpus and writes
+    * them as external tables (per-invocation names + tmp paths, the
+    * eq138/eq55 convention: concurrent plans never race on a directory). */
+  def write(spark: SparkSession, docs: DataFrame, isNew: org.apache.spark.sql.Column): IndexTables = {
+    val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
+    val t = IndexTables(
+      s"graft_dedup_idx_hash_$id", s"graft_dedup_idx_band_$id", s"graft_dedup_idx_meta_$id")
+    val (hash, band, meta) = Dedup.indexBuildFrames(docs, isNew)
+    val tmp = sys.props("java.io.tmpdir")
+    hash.write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_hash")
+      .bucketBy(Buckets, "h").sortBy("h")
+      .saveAsTable(t.hash)
+    band.write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_band")
+      .bucketBy(Buckets, "band_key").sortBy("band_key")
+      .saveAsTable(t.band)
+    meta.write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_meta")
+      .saveAsTable(t.meta)
+    t
+  }
+
+  /** Reads the stored index THROUGH THE CATALOG, so the returned frames
+    * carry the bucketed-scan output partitioning. Callable from any
+    * session of the context — the restart path PipelineSpec drives. */
+  def readBack(spark: SparkSession, t: IndexTables): (DataFrame, DataFrame, DataFrame) =
+    (spark.table(t.hash), spark.table(t.band), spark.table(t.meta))
+
+  /** The stored-index audit + probe result: one (item, n) row per index
+    * layer's entry count, the metadata's stop-bucket count, and the batch
+    * verdict totals — all read from the AT-REST tables (counts come from
+    * the read-back frames, so a lossy round-trip shifts them). Every
+    * verdict is present with a 0-fill: a hostile batch may produce no
+    * `near` rows and the frame shape must not change (the r10 drill
+    * lesson). */
+  private[graft] def audit(docs: DataFrame, isNew: org.apache.spark.sql.Column,
+      hashIdx: DataFrame, bandIdx: DataFrame, meta: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val vc = Dedup.probeStoredIndex(docs, isNew, hashIdx, bandIdx)
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+    val probe = Seq("exact", "near", "novel").toDF("verdict")
+      .join(broadcast(vc), Seq("verdict"), "left")
+      .select(concat(lit("probe_"), col("verdict")).as("item"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    hashIdx.agg(count(lit(1)).as("n")).select(lit("idx_hash_entries").as("item"), col("n"))
+      .unionAll(bandIdx.agg(count(lit(1)).as("n")).select(lit("idx_band_entries").as("item"), col("n")))
+      .unionAll(meta.select(lit("idx_stop_buckets").as("item"), col("n_stop_buckets").as("n")))
+      .unionAll(probe)
+      .orderBy("item")
+  }
+}

@@ -91,6 +91,36 @@ class EngineSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("eq139 at-rest dedup index: shuffle-free band_key bucket join + scan-only broadcast probe") {
+    import graft.sources.DedupIndexSink
+    import graft.pipeline.Dedup
+    val docs = Tables.load(spark, Sf, "documents")
+    val t = DedupIndexSink.write(spark, docs, DedupIndexSink.isNewCol)
+    val (_, bandIdx, _) = DedupIndexSink.readBack(spark, t)
+    // (a) bucket layout: an index-keyed self-join of the read-back band
+    // index plans with NO shuffle exchange (broadcast off — the
+    // SMJ-vs-shuffle question bucketing answers at 100 TB)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val jplan = bandIdx.as("a").join(bandIdx.as("b"), "band_key")
+        .queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"),
+        s"expected shuffle-free bucketed self-join:\n$jplan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+    // (b) the per-ingest probe: batch band keys BROADCAST into the
+    // stored-index scan — the index side must stay scan-only (no shuffle
+    // exchange anywhere in the candidate join)
+    val batchBanded = Dedup.batchBandKeys(docs.filter(DedupIndexSink.isNewCol))
+    val pplan = Dedup.probeCandidates(batchBanded, bandIdx)
+      .queryExecution.executedPlan.toString
+    assert(pplan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe join:\n$pplan")
+    assert(!pplan.contains("Exchange hashpartitioning"),
+      s"expected scan-only index side (no shuffle):\n$pplan")
+  }
+
   test("dynamic partition pruning: a join-driven month predicate prunes the partitioned fact") {
     import graft.sources.PartitionedLayout
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString

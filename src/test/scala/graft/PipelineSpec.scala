@@ -1016,6 +1016,42 @@ class PipelineSpec extends SparkSpec {
       ("en", "novel") -> 1L, ("fr", "exact") -> 1L))
   }
 
+  test("eq139: at-rest probe matches eq104 verdicts; a fresh session signs only the batch") {
+    import graft.sources.DedupIndexSink
+    val docs = Tables.load(spark, Sf, "documents")
+    val isNew = DedupIndexSink.isNewCol
+    // the in-session (memoized) path's verdict totals — the truth the
+    // at-rest probe must reproduce through the write→read round-trip
+    val mem = Dedup.incrementalDedupDf(docs).collect()
+      .groupMapReduce(_.getString(1))(_.getLong(2))(_ + _)
+    val t = DedupIndexSink.write(spark, docs, isNew)
+    // restart rehearsal: a DIFFERENT session (all PlanMemo keys include
+    // the session, so every memo lookup misses — the closest a test gets
+    // to a fresh JVM) probes the stored tables
+    val s2 = spark.newSession()
+    val docs2 = Tables.load(s2, Sf, "documents")
+    val (h2, b2, m2) = DedupIndexSink.readBack(s2, t)
+    val sig0 = Dedup.signatureMisses
+    val g0 = Dedup.guardedIndexMisses
+    val hi0 = Dedup.hashIndexMisses
+    val pt0 = Dedup.pairTableMisses
+    val out = DedupIndexSink.audit(docs2, isNew, h2, b2, m2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the probe signed exactly the batch — the corpus was NOT re-signed
+    // and no index layer was re-mined: the stored tables did their job
+    assert(Dedup.signatureMisses == sig0 + 1,
+      s"fresh-session probe must sign only the batch (got +${Dedup.signatureMisses - sig0})")
+    assert(Dedup.guardedIndexMisses == g0 && Dedup.hashIndexMisses == hi0
+      && Dedup.pairTableMisses == pt0, "the stored index must replace re-mining")
+    // verdict totals agree with the in-session path
+    for (v <- Seq("exact", "near", "novel"))
+      assert(out(s"probe_$v") == mem.getOrElse(v, 0L),
+        s"$v: at-rest ${out(s"probe_$v")} vs in-session ${mem.getOrElse(v, 0L)}")
+    // the read-back layers are populated and the metadata row survived
+    assert(out("idx_hash_entries") > 0 && out("idx_band_entries") > 0
+      && out("idx_stop_buckets") >= 0)
+  }
+
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
     import spark.implicits._
     // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
