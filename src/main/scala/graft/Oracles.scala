@@ -706,7 +706,7 @@ object Oracles {
       |  FROM cand JOIN s a ON a.doc_id = cand.doc_a JOIN s b ON b.doc_id = cand.doc_b),
       |j AS (SELECT doc_a, doc_b, common::DOUBLE / (sz_a + sz_b - common) AS jac FROM ver)""".stripMargin
 
-  val pipeline: Map[String, String] = Map(
+  private val pipelineBase: Map[String, String] = Map(
     "eq1_exact_dup_count" ->
       "SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_count FROM documents",
 
@@ -4185,4 +4185,13 @@ object Oracles {
         |       CAST(((padded_tokens - real_tokens) * 1000000) // padded_tokens AS BIGINT) AS waste_ppm
         |FROM agg ORDER BY strategy, lang""".stripMargin,
   )
+
+  /** eq140 runs the eq137 delta path against the AT-REST snapshot state
+    * (every frozen artifact round-tripped through storage); its funnel
+    * must be BIT-IDENTICAL to eq137's, so it shares that oracle verbatim
+    * — any divergence introduced by the write→read round-trip breaks the
+    * hash compare against the same truth. */
+  val pipeline: Map[String, String] = pipelineBase +
+    ("eq140_atrest_incremental_curation" ->
+      pipelineBase("eq137_incremental_curation"))
 }

@@ -390,9 +390,61 @@ object Curation {
   def incrementalCurationDf(docs: DataFrame): DataFrame = {
     val isNew = col("doc_id") % 10 >= 8
     val oldDocs = docs.filter(col("doc_id") % 10 < 8)
-    val deltaDocs = docs.filter(isNew)
     val oldCh = chainOf(oldDocs) // the last full curation, memoized
+    deltaFunnel(docs.filter(isNew), FrozenState(
+      Dedup.matchedOldHashes(docs, isNew),
+      Dedup.incrementalNearIds(docs, isNew),
+      testVocabOf(oldCh.spine),
+      mixRatesOf(oldCh.s6),
+      TextAnalysis.bpeEncTable(oldDocs, TextAnalysis.BpeTrainMerges),
+      packOf(oldDocs, oldCh.s7)))
+  }
 
+  /** The OLD snapshot's frozen artifacts, as the delta path consumes
+    * them — one field per production handoff. eq137 reads them from the
+    * session memos; eq140 reads every one from AT-REST tables (the
+    * restart posture), through [[incrementalCurationFromState]]. */
+  private final case class FrozenState(
+      matchedHashes: DataFrame, // stored hashes ∩ batch — d2's anti side
+      nearIds: DataFrame,       // batch ids verifying near-vs-corpus (d3)
+      testVocab: DataFrame,     // (sg, hit) — the decontam reference (d7)
+      mixRates: DataFrame,      // (lang, rate_ppm) — frozen release rates (d8)
+      bpeEnc: DataFrame,        // (tok, sy_after) — the shipped tokenizer (d9)
+      packSummary: DataFrame)   // per-lang pack state — append packing (d10)
+
+  /** eq140 — the eq137 delta path with every frozen artifact supplied
+    * from storage: the dedup index layers ([[Dedup.storedMatchedHashes]]
+    * / [[Dedup.storedNearIds]] over the eq139 tables), the test-split
+    * vocabulary, the release mix rates, the shipped BPE encoder, and the
+    * per-lang pack summary — i.e. a delta ingest in a session that holds
+    * NOTHING in memory from the last full curation. The funnel is
+    * bit-identical to eq137's (same oracle); PipelineSpec pins that a
+    * fresh session running this mines only the delta (+1 pair table, +1
+    * labels, +1 batch signing) and re-learns nothing (BPE +0, index
+    * memos +0). */
+  private[graft] def incrementalCurationFromState(docs: DataFrame, isNew: Column,
+      hashIdx: DataFrame, bandIdx: DataFrame, testVocab: DataFrame,
+      mixRates: DataFrame, bpeEnc: DataFrame, packSummary: DataFrame): DataFrame =
+    deltaFunnel(docs.filter(isNew), FrozenState(
+      Dedup.storedMatchedHashes(docs.filter(isNew), hashIdx),
+      Dedup.storedNearIds(docs, isNew, bandIdx),
+      testVocab.withColumn("hit", lit(1)),
+      mixRates, bpeEnc, packSummary))
+
+  /** The OLD snapshot's artifact frames in storable form, derived from
+    * the memoized chain exactly as eq137 consumes them — what
+    * [[graft.sources.SnapshotStateSink]] writes at the end of a full
+    * curation. */
+  private[graft] def snapshotArtifactFrames(
+      oldDocs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val oldCh = chainOf(oldDocs)
+    (testVocabOf(oldCh.spine).select("sg"),
+      mixRatesOf(oldCh.s6),
+      TextAnalysis.bpeEncTable(oldDocs, TextAnalysis.BpeTrainMerges),
+      packOf(oldDocs, oldCh.s7))
+  }
+
+  private def deltaFunnel(deltaDocs: DataFrame, st: FrozenState): DataFrame = {
     // ---- delta spine: quality + within-batch clusters + split ----------
     val labels = Dedup.neardupLabelsDf(deltaDocs).withColumnRenamed("label", "label_")
     val d1 = TextAnalysis.qualityCols(deltaDocs)
@@ -411,11 +463,10 @@ object Curation {
       .withColumn("rn", row_number().over(
         Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
-      .join(broadcast(Dedup.matchedOldHashes(docs, isNew)),
-        md5(col("text")) === col("h"), "left_anti")
+      .join(broadcast(st.matchedHashes), md5(col("text")) === col("h"), "left_anti")
 
     // ---- stage 3: near-vs-corpus — eq104's probe, no old×old pairing ---
-    val d3 = d2.join(Dedup.incrementalNearIds(docs, isNew), Seq("doc_id"), "left_anti")
+    val d3 = d2.join(st.nearIds, Seq("doc_id"), "left_anti")
 
     // ---- stage 4: within-batch cluster representative ------------------
     val d4 = d3
@@ -430,18 +481,17 @@ object Curation {
     val d6 = d5.filter(col("quality") >= QualityMin)
 
     // ---- stage 7: decontam vs the OLD snapshot's test vocabulary -------
-    val d7 = d6.join(contaminatedIds(d6, testVocabOf(oldCh.spine)),
-        Seq("doc_id"), "left_anti")
+    val d7 = d6.join(contaminatedIds(d6, st.testVocab), Seq("doc_id"), "left_anti")
 
     // ---- stage 8: the old snapshot's rates, frozen ---------------------
-    val d8 = d7.join(broadcast(mixRatesOf(oldCh.s6)), Seq("lang"), "left_outer")
+    val d8 = d7.join(broadcast(st.mixRates), Seq("lang"), "left_outer")
       .filter(md5_key28(col("text")) % 1000000
         < coalesce(col("rate_ppm"), lit(1000000L)))
       .drop("rate_ppm")
       .localCheckpoint() // stage stats, encode, and the merge read this
 
     // ---- stage 9: encode under the OLD snapshot's vocabulary -----------
-    val enc = TextAnalysis.bpeEncTable(oldDocs, TextAnalysis.BpeTrainMerges)
+    val enc = st.bpeEnc
     val nSymbols = d8
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 1)
@@ -457,7 +507,7 @@ object Curation {
     // their eq136 shard ids by construction; the only shard the two sides
     // can share is the old LAST one (delta ids are ≥ it, monotone), so
     // the union count subtracts exactly that collision.
-    val ps = packOf(oldDocs, oldCh.s7)
+    val ps = st.packSummary
     val nShards = appendPackCount(ps, d8)
     val oldTotals = ps.agg(
       coalesce(sum(col("n_docs")), lit(0L)).as("o_docs"),

@@ -708,31 +708,35 @@ object Dedup {
     * the corpus store, pruned by a broadcast of the candidate ids (≤
     * batch × [[MaxBucket]] rows). Returns (doc_id, verdict) per batch
     * doc. */
-  private[graft] def probeStoredIndex(docs: DataFrame, isNew: Column,
-      hashIdx: DataFrame, bandIdx: DataFrame): DataFrame = {
-    val batch = docs.filter(isNew)
-    val (batchSets, _, batchBanded) = signatureParts(batch)
-    // exact layer: the eq104 shape against the stored table — batch hashes
-    // broadcast into the index scan, the matched set broadcast back, so
-    // the index side stays scan-only in both hops
-    val batchHashes = batch.select(col("doc_id"), md5(col("text")).as("h"))
-    val matched = hashIdx.join(
-      broadcast(batchHashes.select("h").distinct()), Seq("h"), "left_semi")
-    val exactIds = batchHashes
-      .join(broadcast(matched), Seq("h"), "left_semi").select("doc_id")
-    // near layer: band probe + exact-Jaccard verify on candidates only
+  /** The exact layer against the stored hash table — the eq104 shape:
+    * batch hashes broadcast into the index scan, the matched set
+    * broadcast back, so the index side stays scan-only in both hops.
+    * Returns the stored hashes that occur in the batch (the eq137-shape
+    * consumers anti-join it; eq139's probe semi-joins it). */
+  private[graft] def storedMatchedHashes(batch: DataFrame, hashIdx: DataFrame): DataFrame = {
+    val batchHashes = batch.select(md5(col("text")).as("h")).distinct()
+    hashIdx.join(broadcast(batchHashes), Seq("h"), "left_semi")
+  }
+
+  /** The near layer against the stored band table: the batch's band keys
+    * (signed in THIS session — the only signing the probe pays) broadcast
+    * into the scan-only index, candidates verified at exact Jaccard ≥
+    * [[IncrementalNearThreshold]] against the candidate old docs' shingle
+    * sets — rebuilt by the SAME pipeline the index build signed them with
+    * (array_distinct ∘ shingles, empty sets dropped), fetched as a
+    * broadcast-pruned point read of the corpus store (≤ batch ×
+    * [[MaxBucket]] ids). Returns the distinct batch doc_ids that verify. */
+  private[graft] def storedNearIds(docs: DataFrame, isNew: Column, bandIdx: DataFrame): DataFrame = {
+    val (batchSets, _, batchBanded) = signatureParts(docs.filter(isNew))
     val cands = probeCandidates(batchBanded, bandIdx).distinct()
     val oldCandIds = cands.select(col("old_id").as("doc_id")).distinct()
-    // the candidate old docs' shingle sets, rebuilt by the SAME pipeline
-    // the index build signed them with (array_distinct ∘ shingles, empty
-    // sets dropped) — a point read of the corpus store, batch-bounded
     val oldSets = docs.filter(!isNew)
       .join(broadcast(oldCandIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
       .withColumn("sz", size(col("shd")))
       .filter(col("sz") > 0)
-    val nearIds = cands
+    cands
       .join(batchSets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
       .join(oldSets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
       .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
@@ -740,6 +744,16 @@ object Dedup {
         >= IncrementalNearThreshold)
       .select(col("new_id").as("doc_id"))
       .distinct()
+  }
+
+  private[graft] def probeStoredIndex(docs: DataFrame, isNew: Column,
+      hashIdx: DataFrame, bandIdx: DataFrame): DataFrame = {
+    val batch = docs.filter(isNew)
+    val batchHashes = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactIds = batchHashes
+      .join(broadcast(storedMatchedHashes(batch, hashIdx)), Seq("h"), "left_semi")
+      .select("doc_id")
+    val nearIds = storedNearIds(docs, isNew, bandIdx)
     batch.select(col("doc_id"))
       .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
       .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")

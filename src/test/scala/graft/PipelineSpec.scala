@@ -1052,6 +1052,35 @@ class PipelineSpec extends SparkSpec {
       && out("idx_stop_buckets") >= 0)
   }
 
+  test("eq140: a fresh session curates the delta from at-rest state — mines only the batch, funnel ≡ eq137") {
+    import graft.sources.SnapshotStateSink
+    val docs = Tables.load(spark, Sf, "documents")
+    // the in-session eq137 funnel — the truth the restart must reproduce
+    val mem = Curation.incrementalCurationDf(docs).collect().map(_.toString)
+    // a full curation ends by writing its snapshot state...
+    val t = SnapshotStateSink.write(spark, docs)
+    // ...and the next delta ingest runs in a DIFFERENT session (every
+    // memo keys on the session → all lookups miss: the restart rehearsal)
+    val s2 = spark.newSession()
+    val docs2 = Tables.load(s2, Sf, "documents")
+    val pt0 = Dedup.pairTableMisses
+    val lb0 = Dedup.labelsMisses
+    val sg0 = Dedup.signatureMisses
+    val bp0 = TextAnalysis.bpeLearnMisses
+    val g0 = Dedup.guardedIndexMisses
+    val hi0 = Dedup.hashIndexMisses
+    val out = SnapshotStateSink.readAndCurate(s2, docs2, t).collect().map(_.toString)
+    assert(out.sameElements(mem), "at-rest restart funnel drifted from the in-session eq137 funnel")
+    // only the DELTA was mined: its pair table, its labels, its signing —
+    // and nothing was re-learned from the old corpus
+    assert(Dedup.pairTableMisses == pt0 + 1, "expected exactly the delta pair-table mining")
+    assert(Dedup.labelsMisses == lb0 + 1, "expected exactly the delta label mining")
+    assert(Dedup.signatureMisses == sg0 + 1, "expected exactly the batch signing")
+    assert(TextAnalysis.bpeLearnMisses == bp0, "the stored encoder must replace BPE retraining")
+    assert(Dedup.guardedIndexMisses == g0 && Dedup.hashIndexMisses == hi0,
+      "the stored index must replace index re-mining")
+  }
+
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
     import spark.implicits._
     // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
