@@ -1279,6 +1279,7 @@ object Oracles {
         |        FROM mm),
         |mms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM
         |        (SELECT DISTINCT lang, cum // 2000 AS shard FROM mmc)),
+        |-- ::finals::
         |mmg AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
         |               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tc FROM mm),
         |g1 AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tt,
@@ -4190,8 +4191,42 @@ object Oracles {
     * (every frozen artifact round-tripped through storage); its funnel
     * must be BIT-IDENTICAL to eq137's, so it shares that oracle verbatim
     * — any divergence introduced by the write→read round-trip breaks the
-    * hash compare against the same truth. */
-  val pipeline: Map[String, String] = pipelineBase +
-    ("eq140_atrest_incremental_curation" ->
-      pipelineBase("eq137_incremental_curation"))
+    * hash compare against the same truth.
+    *
+    * eq141 audits the state AFTER the engine's O(batch) advance; its
+    * oracle rebuilds the advanced state FROM SCRATCH over the merged
+    * population — the eq137 delta reconstruction (shared up to the
+    * `-- ::finals::` marker) extended with a global re-guard: retained
+    * old band rows + the survivors' band rows recounted against the cap,
+    * the old stop list restored, the hash set unioned. Matching it
+    * proves advance(state, delta) ≡ state(merged) — the induction step
+    * that makes any number of successive delta ingests correct. */
+  val pipeline: Map[String, String] = {
+    val eq137 = pipelineBase("eq137_incremental_curation")
+    val deltaCtes = eq137.substring(0, eq137.indexOf("-- ::finals::"))
+    require(deltaCtes.nonEmpty && deltaCtes != eq137, "finals marker missing from eq137 oracle")
+    pipelineBase +
+      ("eq140_atrest_incremental_curation" -> eq137) +
+      ("eq141_state_advance" -> (deltaCtes +
+        """stop_old AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) > 50),
+          |d_sk AS (SELECT k.band, k.band_key, k.doc_id FROM keys k JOIN d_k8 USING (doc_id)),
+          |m_rows AS (SELECT band, band_key, doc_id FROM po
+          |           UNION ALL SELECT band, band_key, doc_id FROM d_sk),
+          |m_cnt AS (SELECT band, band_key, COUNT(*) AS c FROM m_rows GROUP BY 1, 2),
+          |newly AS (SELECT band, band_key FROM m_cnt WHERE c > 50),
+          |stop2 AS (SELECT band, band_key FROM stop_old
+          |          UNION SELECT band, band_key FROM newly),
+          |band2 AS (SELECT m.* FROM m_rows m ANTI JOIN stop2 USING (band, band_key)),
+          |d8h AS (SELECT DISTINCT md5(d.text) AS h FROM documents d JOIN d_k8 USING (doc_id)
+          |        WHERE md5(d.text) IS NOT NULL),
+          |hash2 AS (SELECT h FROM oldh UNION SELECT h FROM d8h)
+          |SELECT 'idx_band_entries' AS item, (SELECT COUNT(*) FROM band2)::BIGINT AS n
+          |UNION ALL SELECT 'idx_hash_entries', (SELECT COUNT(*) FROM hash2)::BIGINT
+          |UNION ALL SELECT 'idx_stop_buckets', (SELECT COUNT(*) FROM stop2)::BIGINT
+          |UNION ALL SELECT 'pack_chars', (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mm)
+          |UNION ALL SELECT 'pack_docs', (SELECT COUNT(*) FROM mm)::BIGINT
+          |UNION ALL SELECT 'pack_shards', (SELECT n_units FROM mms)
+          |UNION ALL SELECT 'pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mm)
+          |ORDER BY item""".stripMargin))
+  }
 }

@@ -222,6 +222,43 @@ object Curation {
         lit(0L)).as("n_units"))
   }
 
+  /** The O(batch) ADVANCED pack summary: [[packSummaryOf]](old ∪ delta)
+    * computed from the stored summary and the delta alone — the pack half
+    * of eq141's state advance. Same append math as [[appendPackCount]]
+    * (delta langs start their prefix sums at the stored t_tokens; the
+    * only shard the sides can share is the old LAST one, subtracted when
+    * the delta's first shard collides), extended to every summary column;
+    * the advanced last_shard is the delta's when a delta exists (its
+    * shard ids are ≥ the old last by monotonicity). Pinned against the
+    * full-merge [[packSummaryOf]] on hostile layouts in PipelineSpec. */
+  private[graft] def appendPackSummary(ps: DataFrame, delta: DataFrame): DataFrame = {
+    val deltaPackW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dsum = delta
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars"))
+      .join(broadcast(ps.select(col("lang"), col("t_tokens").as("o_t"),
+        col("last_shard").as("o_last"))), Seq("lang"), "left_outer")
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(deltaPackW), lit(0L))
+        + coalesce(col("o_t"), lit(0L)))
+      .withColumn("shard", expr(s"cum div $ShardBudget"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("d_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("d_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("d_chars"),
+        countDistinct(col("shard")).as("d_shards"),
+        min(col("shard")).as("d_first"),
+        max(col("shard")).as("d_last"),
+        max(col("o_last")).as("o_last"))
+    ps.join(dsum, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("t_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L))).as("t_tokens"),
+        (coalesce(col("t_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("t_chars"),
+        (coalesce(col("n_shards"), lit(0L)) + coalesce(col("d_shards"), lit(0L))
+          - when(col("d_first") === col("o_last"), lit(1L)).otherwise(lit(0L))).as("n_shards"),
+        coalesce(col("d_last"), col("last_shard")).as("last_shard"))
+  }
+
   /** The held-out TEST split's distinct-3-shingle vocabulary — the frame
     * every decontamination scrub probes (eq136 stage 6; eq137 scrubs its
     * delta against the OLD snapshot's test vocab, the production shape:
@@ -444,7 +481,28 @@ object Curation {
       packOf(oldDocs, oldCh.s7))
   }
 
-  private def deltaFunnel(deltaDocs: DataFrame, st: FrozenState): DataFrame = {
+  /** The delta filter stages (the funnel's d1–d8 frames), split from the
+    * stat assembly so eq141's state advance can reach the survivor frame
+    * (d8) without computing funnel statistics. */
+  private final case class DeltaStages(
+      d1: DataFrame, d2: DataFrame, d3: DataFrame, d4: DataFrame,
+      d5: DataFrame, d6: DataFrame, d7: DataFrame, d8: DataFrame)
+
+  /** eq141's handle on the delta's SURVIVORS under at-rest state — the
+    * frame the advance appends into the stored index and pack summary. */
+  private[graft] def deltaSurvivorsFromState(docs: DataFrame, isNew: Column,
+      hashIdx: DataFrame, bandIdx: DataFrame, testVocab: DataFrame,
+      mixRates: DataFrame): DataFrame =
+    deltaStages(docs.filter(isNew), FrozenState(
+      Dedup.storedMatchedHashes(docs.filter(isNew), hashIdx),
+      Dedup.storedNearIds(docs, isNew, bandIdx),
+      testVocab.withColumn("hit", lit(1)),
+      mixRates,
+      // bpeEnc/packSummary are funnel-stat inputs (stages 9-10) the
+      // d1-d8 stages never read
+      null, null)).d8
+
+  private def deltaStages(deltaDocs: DataFrame, st: FrozenState): DeltaStages = {
     // ---- delta spine: quality + within-batch clusters + split ----------
     val labels = Dedup.neardupLabelsDf(deltaDocs).withColumnRenamed("label", "label_")
     val d1 = TextAnalysis.qualityCols(deltaDocs)
@@ -489,6 +547,13 @@ object Curation {
         < coalesce(col("rate_ppm"), lit(1000000L)))
       .drop("rate_ppm")
       .localCheckpoint() // stage stats, encode, and the merge read this
+
+    DeltaStages(d1, d2, d3, d4, d5, d6, d7, d8)
+  }
+
+  private def deltaFunnel(deltaDocs: DataFrame, st: FrozenState): DataFrame = {
+    val ds = deltaStages(deltaDocs, st)
+    import ds._
 
     // ---- stage 9: encode under the OLD snapshot's vocabulary -----------
     val enc = st.bpeEnc

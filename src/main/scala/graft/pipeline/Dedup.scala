@@ -368,6 +368,10 @@ object Dedup {
     * buckets, so recall for high-sim pairs survives (pinned by test). */
   private val MaxBucket = 50
 
+  /** The guard cap, exposed for eq141's incremental guard update (the
+    * state advance recounts only the TOUCHED buckets against it). */
+  private[graft] def maxBucket: Int = MaxBucket
+
   def minhashLshPairsDf(docs: DataFrame): DataFrame =
     minhashParts(docs)._2
 
@@ -675,11 +679,11 @@ object Dedup {
   private[graft] def indexBuildFrames(
       docs: DataFrame, isNew: Column): (DataFrame, DataFrame, DataFrame) = {
     val (_, _, banded) = signatureParts(docs)
-    val stop = banded.filter(!isNew)
+    val stopKeys = banded.filter(!isNew)
       .groupBy("band", "band_key").agg(count(lit(1)).as("bc"))
       .filter(col("bc") > MaxBucket)
-      .agg(count(lit(1)).as("n_stop_buckets"))
-    (oldHashIndex(docs, isNew), guardedOldIndex(docs, isNew), stop)
+      .select("band", "band_key")
+    (oldHashIndex(docs, isNew), guardedOldIndex(docs, isNew), stopKeys)
   }
 
   /** The batch's band-key frame (the probe's driving side), exposed so

@@ -51,8 +51,12 @@ object DedupIndexSink {
 
   /** The stored index's table names — returned by [[write]] so a later
     * (or different) session can [[readBack]] without any handle to the
-    * frames that built them. */
-  final case class IndexTables(hash: String, band: String, meta: String)
+    * frames that built them. `stop` is the stop-bucket KEY list (the
+    * guard's drop set, part of the shipped index since eq141: advancing
+    * the state needs the keys, not just their count, and post-advance
+    * probes filter the band table by it); `meta` carries the build
+    * stats. */
+  final case class IndexTables(hash: String, band: String, stop: String, meta: String)
 
   /** eq104's snapshot convention: doc_id % 10 ∈ {8,9} is the incoming
     * batch, the rest is the indexed corpus. */
@@ -61,7 +65,7 @@ object DedupIndexSink {
   def eq139(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val t = write(spark, docs, isNewCol)
-    val (hashIdx, bandIdx, meta) = readBack(spark, t)
+    val (hashIdx, bandIdx, _, meta) = readBack(spark, t)
     audit(docs, isNewCol, hashIdx, bandIdx, meta)
   }
 
@@ -71,8 +75,9 @@ object DedupIndexSink {
   def write(spark: SparkSession, docs: DataFrame, isNew: org.apache.spark.sql.Column): IndexTables = {
     val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
     val t = IndexTables(
-      s"graft_dedup_idx_hash_$id", s"graft_dedup_idx_band_$id", s"graft_dedup_idx_meta_$id")
-    val (hash, band, meta) = Dedup.indexBuildFrames(docs, isNew)
+      s"graft_dedup_idx_hash_$id", s"graft_dedup_idx_band_$id",
+      s"graft_dedup_idx_stop_$id", s"graft_dedup_idx_meta_$id")
+    val (hash, band, stopKeys) = Dedup.indexBuildFrames(docs, isNew)
     val tmp = sys.props("java.io.tmpdir")
     hash.write.mode("overwrite")
       .option("path", s"$tmp/graft_dedup_idx_sink_${id}_hash")
@@ -82,7 +87,13 @@ object DedupIndexSink {
       .option("path", s"$tmp/graft_dedup_idx_sink_${id}_band")
       .bucketBy(Buckets, "band_key").sortBy("band_key")
       .saveAsTable(t.band)
-    meta.write.mode("overwrite")
+    // the stop-key list is computed ONCE here; the meta count derives
+    // from the stored keys so the two can never disagree
+    val stopCk = stopKeys.localCheckpoint()
+    stopCk.write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_stop")
+      .saveAsTable(t.stop)
+    stopCk.agg(count(lit(1)).as("n_stop_buckets")).write.mode("overwrite")
       .option("path", s"$tmp/graft_dedup_idx_sink_${id}_meta")
       .saveAsTable(t.meta)
     t
@@ -91,8 +102,8 @@ object DedupIndexSink {
   /** Reads the stored index THROUGH THE CATALOG, so the returned frames
     * carry the bucketed-scan output partitioning. Callable from any
     * session of the context — the restart path PipelineSpec drives. */
-  def readBack(spark: SparkSession, t: IndexTables): (DataFrame, DataFrame, DataFrame) =
-    (spark.table(t.hash), spark.table(t.band), spark.table(t.meta))
+  def readBack(spark: SparkSession, t: IndexTables): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (spark.table(t.hash), spark.table(t.band), spark.table(t.stop), spark.table(t.meta))
 
   /** The stored-index audit + probe result: one (item, n) row per index
     * layer's entry count, the metadata's stop-bucket count, and the batch

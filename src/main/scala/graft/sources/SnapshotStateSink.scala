@@ -3,7 +3,7 @@ package graft.sources
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.pipeline.Curation
@@ -79,9 +79,114 @@ object SnapshotStateSink {
     * from any session of the context — the restart path PipelineSpec
     * drives. */
   def readAndCurate(spark: SparkSession, docs: DataFrame, t: StateTables): DataFrame = {
-    val (hashIdx, bandIdx, _) = DedupIndexSink.readBack(spark, t.index)
+    val (hashIdx, bandIdx, _, _) = DedupIndexSink.readBack(spark, t.index)
     Curation.incrementalCurationFromState(docs, DedupIndexSink.isNewCol,
       hashIdx, bandIdx, spark.table(t.testVocab), spark.table(t.mixRates),
       spark.table(t.bpeEnc), spark.table(t.packSummary))
+  }
+
+  def eq141(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t0 = write(spark, docs)
+    auditAdvanced(spark, advance(spark, docs, t0))
+  }
+
+  /** eq141 — ADVANCE the snapshot state by one curated delta, in
+    * O(batch): after the delta ingest, the NEXT delta must probe the
+    * merged corpus, so the state the last full curation wrote has to be
+    * maintainable — not just readable. The advance appends exactly the
+    * batch-bounded facts the delta's survivors add:
+    *
+    *  - hash layer: survivor content hashes not yet stored (append into
+    *    the bucketed table; NULL-text docs carry no hash);
+    *  - band layer: the survivors' band keys (append), plus the GUARD
+    *    update they imply — only the TOUCHED buckets are recounted
+    *    (stored rows semi-pruned by a broadcast of the touched keys +
+    *    the delta's own counts), and buckets pushed past the cap join
+    *    the stop-key list. Rows of newly-hot buckets stay physically
+    *    present; probes filter by the stop list (the production append-
+    *    only posture — deletion is a compaction concern, not an ingest
+    *    one);
+    *  - pack layer: the per-lang summary advanced by
+    *    [[Curation.appendPackSummary]]'s O(batch) append math, written
+    *    as a NEW versioned table (a |langs|-row frame — never an
+    *    in-place overwrite of a table being read);
+    *  - meta: re-derived from the post-advance stop list, new version.
+    *
+    * The DuckDB oracle rebuilds the advanced state FROM SCRATCH over the
+    * merged population (retained old rows + survivor rows, the old stop
+    * list restored, the guard recounted globally) — hash-matching it
+    * proves advance(state, delta) ≡ state(merged), which by induction
+    * makes any number of successive delta ingests correct. Every
+    * localCheckpoint below also cuts the append frames' lineage from
+    * their target tables before the append jobs run. */
+  def advance(spark: SparkSession, docs: DataFrame, t: StateTables): StateTables = {
+    val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
+    val survivors = Curation.deltaSurvivorsFromState(docs, DedupIndexSink.isNewCol,
+      hashIdx, bandIdx, spark.table(t.testVocab), spark.table(t.mixRates))
+
+    // hash layer: new distinct survivor hashes only
+    val newHashes = survivors.select(md5(col("text")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .join(hashIdx, Seq("h"), "left_anti")
+      .localCheckpoint()
+
+    // band layer: survivor band rows + the incremental guard update
+    val survBanded = graft.pipeline.Dedup.batchBandKeys(docs.filter(DedupIndexSink.isNewCol))
+      .join(broadcast(survivors.select("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val touched = survBanded.groupBy("band", "band_key").agg(count(lit(1)).as("dc"))
+    val storedCnt = bandIdx
+      .join(broadcast(touched.select("band", "band_key")), Seq("band", "band_key"), "left_semi")
+      .groupBy("band", "band_key").agg(count(lit(1)).as("oc"))
+    val newlyHot = touched
+      .join(storedCnt, Seq("band", "band_key"), "left_outer")
+      .filter(coalesce(col("oc"), lit(0L)) + col("dc") > graft.pipeline.Dedup.maxBucket)
+      .select("band", "band_key")
+      .join(stopIdx, Seq("band", "band_key"), "left_anti")
+      .localCheckpoint()
+
+    // pack layer: the advanced summary, versioned
+    val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
+    val tmp = sys.props("java.io.tmpdir")
+    val ps2 = s"${t.packSummary}_adv_$id"
+    Curation.appendPackSummary(spark.table(t.packSummary), survivors)
+      .write.mode("overwrite")
+      .option("path", s"$tmp/graft_snapshot_state_${id}_pack_adv")
+      .saveAsTable(ps2)
+
+    // appends (lineage already cut above)
+    newHashes.write.mode("append")
+      .bucketBy(DedupIndexSink.Buckets, "h").sortBy("h").saveAsTable(t.index.hash)
+    survBanded.select("band", "band_key", "doc_id").write.mode("append")
+      .bucketBy(DedupIndexSink.Buckets, "band_key").sortBy("band_key")
+      .saveAsTable(t.index.band)
+    newlyHot.write.mode("append").saveAsTable(t.index.stop)
+    val meta2 = s"${t.index.meta}_adv_$id"
+    spark.table(t.index.stop).agg(count(lit(1)).as("n_stop_buckets"))
+      .write.mode("overwrite")
+      .option("path", s"$tmp/graft_snapshot_state_${id}_meta_adv")
+      .saveAsTable(meta2)
+    t.copy(index = t.index.copy(meta = meta2), packSummary = ps2)
+  }
+
+  /** The advanced state's audit, read ONLY from the post-advance tables:
+    * effective band-index size (stop-filtered), hash entries, stop-key
+    * count, and the merged corpus's pack totals from the advanced
+    * summary — the (item, n) shape of eq139's audit. */
+  private[graft] def auditAdvanced(spark: SparkSession, t: StateTables): DataFrame = {
+    val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
+    val eff = bandIdx.join(broadcast(stopIdx), Seq("band", "band_key"), "left_anti")
+    val ps = spark.table(t.packSummary)
+    def one(item: String, df: DataFrame): DataFrame =
+      df.select(lit(item).as("item"), col("n"))
+    one("idx_hash_entries", hashIdx.agg(count(lit(1)).as("n")))
+      .unionAll(one("idx_band_entries", eff.agg(count(lit(1)).as("n"))))
+      .unionAll(one("idx_stop_buckets", stopIdx.agg(count(lit(1)).as("n"))))
+      .unionAll(one("pack_docs", ps.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"))))
+      .unionAll(one("pack_tokens", ps.agg(coalesce(sum(col("t_tokens")), lit(0L)).as("n"))))
+      .unionAll(one("pack_chars", ps.agg(coalesce(sum(col("t_chars")), lit(0L)).as("n"))))
+      .unionAll(one("pack_shards", ps.agg(coalesce(sum(col("n_shards")), lit(0L)).as("n"))))
+      .orderBy("item")
   }
 }

@@ -1030,7 +1030,7 @@ class PipelineSpec extends SparkSpec {
     // to a fresh JVM) probes the stored tables
     val s2 = spark.newSession()
     val docs2 = Tables.load(s2, Sf, "documents")
-    val (h2, b2, m2) = DedupIndexSink.readBack(s2, t)
+    val (h2, b2, _, m2) = DedupIndexSink.readBack(s2, t)
     val sig0 = Dedup.signatureMisses
     val g0 = Dedup.guardedIndexMisses
     val hi0 = Dedup.hashIndexMisses
@@ -1079,6 +1079,48 @@ class PipelineSpec extends SparkSpec {
     assert(TextAnalysis.bpeLearnMisses == bp0, "the stored encoder must replace BPE retraining")
     assert(Dedup.guardedIndexMisses == g0 && Dedup.hashIndexMisses == hi0,
       "the stored index must replace index re-mining")
+  }
+
+  test("eq141: the advanced state equals a scratch rebuild over the merged corpus") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    val docs = Tables.load(spark, Sf, "documents")
+    val t0 = SnapshotStateSink.write(spark, docs)
+    // survivors computed against the PRE-advance state (advance appends
+    // into the shared tables in place; d8 is eagerly checkpointed, so
+    // this frame is materialized before any append below runs)
+    val (h0, b0, _, _) = DedupIndexSink.readBack(spark, t0.index)
+    val survivors = Curation.deltaSurvivorsFromState(docs, DedupIndexSink.isNewCol,
+      h0, b0, spark.table(t0.testVocab), spark.table(t0.mixRates))
+    val t1 = SnapshotStateSink.advance(spark, docs, t0)
+    val (h1, b1, st1, _) = DedupIndexSink.readBack(spark, t1.index)
+    val eff1 = b1.join(st1, Seq("band", "band_key"), "left_anti")
+
+    // the scratch truth: a full snapshot whose population IS the merged
+    // corpus (retained + dropped old rows and the survivors, reguarded
+    // globally) — advance(state, delta) must equal state(merged), the
+    // induction step that makes N successive delta ingests correct
+    val merged = docs.filter(col("doc_id") % 10 < 8)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(survivors.select("doc_id", "text", "lang", "source", "n_chars"))
+    val (sh, sb, sstop) = Dedup.indexBuildFrames(merged, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    }
+    sameSet(eff1.select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"), "effective band index")
+    sameSet(st1.select("band", "band_key"), sstop.select("band", "band_key"), "stop list")
+    sameSet(h1.filter(col("h").isNotNull), sh.filter(col("h").isNotNull), "hash layer")
+
+    // pack layer: the advanced summary vs a scratch summary of the merged
+    // curated corpus under the merge ordering (old before delta per lang,
+    // encoded into the ordering key)
+    val oldCur = Curation.curatedDocsDf(docs.filter(col("doc_id") % 10 < 8))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars"), lit(0L).as("d"))
+    val mergedCur = oldCur.unionByName(survivors
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars"), lit(1L).as("d")))
+      .select(col("lang"), (col("d") * lit(1L << 40) + col("doc_id")).as("doc_id"),
+        col("n_tokens"), col("n_chars"))
+    sameSet(spark.table(t1.packSummary), Curation.packSummaryOf(mergedCur), "pack summary")
   }
 
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
