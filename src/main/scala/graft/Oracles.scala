@@ -4203,8 +4203,9 @@ object Oracles {
     * that makes any number of successive delta ingests correct. */
   val pipeline: Map[String, String] = {
     val eq137 = pipelineBase("eq137_incremental_curation")
-    val deltaCtes = eq137.substring(0, eq137.indexOf("-- ::finals::"))
-    require(deltaCtes.nonEmpty && deltaCtes != eq137, "finals marker missing from eq137 oracle")
+    val markerAt = eq137.indexOf("-- ::finals::")
+    require(markerAt >= 0, "finals marker missing from eq137 oracle")
+    val deltaCtes = eq137.substring(0, markerAt)
     pipelineBase +
       ("eq140_atrest_incremental_curation" -> eq137) +
       ("eq141_state_advance" -> (deltaCtes +

@@ -432,9 +432,9 @@ object Curation {
       Dedup.matchedOldHashes(docs, isNew),
       Dedup.incrementalNearIds(docs, isNew),
       testVocabOf(oldCh.spine),
-      mixRatesOf(oldCh.s6),
+      mixRatesOf(oldCh.s6)),
       TextAnalysis.bpeEncTable(oldDocs, TextAnalysis.BpeTrainMerges),
-      packOf(oldDocs, oldCh.s7)))
+      packOf(oldDocs, oldCh.s7))
   }
 
   /** The OLD snapshot's frozen artifacts, as the delta path consumes
@@ -445,9 +445,7 @@ object Curation {
       matchedHashes: DataFrame, // stored hashes ∩ batch — d2's anti side
       nearIds: DataFrame,       // batch ids verifying near-vs-corpus (d3)
       testVocab: DataFrame,     // (sg, hit) — the decontam reference (d7)
-      mixRates: DataFrame,      // (lang, rate_ppm) — frozen release rates (d8)
-      bpeEnc: DataFrame,        // (tok, sy_after) — the shipped tokenizer (d9)
-      packSummary: DataFrame)   // per-lang pack state — append packing (d10)
+      mixRates: DataFrame)      // (lang, rate_ppm) — frozen release rates (d8)
 
   /** eq140 — the eq137 delta path with every frozen artifact supplied
     * from storage: the dedup index layers ([[Dedup.storedMatchedHashes]]
@@ -466,7 +464,7 @@ object Curation {
       Dedup.storedMatchedHashes(docs.filter(isNew), hashIdx),
       Dedup.storedNearIds(docs, isNew, bandIdx),
       testVocab.withColumn("hit", lit(1)),
-      mixRates, bpeEnc, packSummary))
+      mixRates), bpeEnc, packSummary)
 
   /** The OLD snapshot's artifact frames in storable form, derived from
     * the memoized chain exactly as eq137 consumes them — what
@@ -497,10 +495,7 @@ object Curation {
       Dedup.storedMatchedHashes(docs.filter(isNew), hashIdx),
       Dedup.storedNearIds(docs, isNew, bandIdx),
       testVocab.withColumn("hit", lit(1)),
-      mixRates,
-      // bpeEnc/packSummary are funnel-stat inputs (stages 9-10) the
-      // d1-d8 stages never read
-      null, null)).d8
+      mixRates)).d8
 
   private def deltaStages(deltaDocs: DataFrame, st: FrozenState): DeltaStages = {
     // ---- delta spine: quality + within-batch clusters + split ----------
@@ -551,12 +546,13 @@ object Curation {
     DeltaStages(d1, d2, d3, d4, d5, d6, d7, d8)
   }
 
-  private def deltaFunnel(deltaDocs: DataFrame, st: FrozenState): DataFrame = {
+  private def deltaFunnel(deltaDocs: DataFrame, st: FrozenState,
+      bpeEnc: DataFrame, packSummary: DataFrame): DataFrame = {
     val ds = deltaStages(deltaDocs, st)
     import ds._
 
     // ---- stage 9: encode under the OLD snapshot's vocabulary -----------
-    val enc = st.bpeEnc
+    val enc = bpeEnc
     val nSymbols = d8
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 1)
@@ -572,7 +568,7 @@ object Curation {
     // their eq136 shard ids by construction; the only shard the two sides
     // can share is the old LAST one (delta ids are ≥ it, monotone), so
     // the union count subtracts exactly that collision.
-    val ps = st.packSummary
+    val ps = packSummary
     val nShards = appendPackCount(ps, d8)
     val oldTotals = ps.agg(
       coalesce(sum(col("n_docs")), lit(0L)).as("o_docs"),

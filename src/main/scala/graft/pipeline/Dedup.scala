@@ -627,15 +627,36 @@ object Dedup {
     val candIds = cands.select(col("new_id").as("doc_id"))
       .union(cands.select(col("old_id").as("doc_id"))).distinct()
     val candSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    verifiedNearIds(cands, candSets, candSets)
+  }
+
+  /** The ONE near-verify implementation behind the in-session (eq104)
+    * and at-rest (eq139/eq140/eq141) probes: candidate (new_id, old_id)
+    * pairs joined to their shingle sets, kept at exact Jaccard ≥
+    * [[IncrementalNearThreshold]], distinct batch ids out. Shared so the
+    * two verdict paths cannot drift by a one-sided edit. */
+  private def verifiedNearIds(cands: DataFrame, newSets: DataFrame, oldSets: DataFrame): DataFrame =
     cands
-      .join(candSets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
-      .join(candSets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
+      .join(newSets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
+      .join(oldSets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
       .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
       .filter(col("common").cast("double") / (col("sz_n") + col("sz_o") - col("common"))
         >= IncrementalNearThreshold)
       .select(col("new_id").as("doc_id"))
       .distinct()
-  }
+
+  /** The ONE exact-beats-near verdict assembly behind eq104 and the
+    * stored-index probes: flag-join the exact and near id frames onto
+    * `base` (which must carry `doc_id`) and emit the `verdict` column. */
+  private def verdictJoin(base: DataFrame, exactIds: DataFrame, nearIds: DataFrame): DataFrame =
+    base
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("is_exact"), lit("exact"))
+          .when(col("is_near"), lit("near"))
+          .otherwise(lit("novel")))
+      .drop("is_exact", "is_near")
 
   def incrementalDedupDf(docs: DataFrame): DataFrame = {
     val isNew = col("doc_id") % 10 >= 8
@@ -646,13 +667,7 @@ object Dedup {
         Seq("h"), "left_semi").select("doc_id")
     // near layer: batch band keys probe the bucket-guarded corpus index
     val nearIds = incrementalNearIds(docs, isNew)
-    newDocs
-      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
-      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
-      .withColumn("verdict",
-        when(col("is_exact"), lit("exact"))
-          .when(col("is_near"), lit("near"))
-          .otherwise(lit("novel")))
+    verdictJoin(newDocs, exactIds, nearIds)
       .groupBy("lang", "verdict")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "verdict")
@@ -740,14 +755,7 @@ object Dedup {
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
       .withColumn("sz", size(col("shd")))
       .filter(col("sz") > 0)
-    cands
-      .join(batchSets.select(col("doc_id").as("new_id"), col("shd").as("sh_n"), col("sz").as("sz_n")), Seq("new_id"))
-      .join(oldSets.select(col("doc_id").as("old_id"), col("shd").as("sh_o"), col("sz").as("sz_o")), Seq("old_id"))
-      .withColumn("common", size(array_intersect(col("sh_n"), col("sh_o"))))
-      .filter(col("common").cast("double") / (col("sz_n") + col("sz_o") - col("common"))
-        >= IncrementalNearThreshold)
-      .select(col("new_id").as("doc_id"))
-      .distinct()
+    verifiedNearIds(cands, batchSets, oldSets)
   }
 
   private[graft] def probeStoredIndex(docs: DataFrame, isNew: Column,
@@ -758,13 +766,8 @@ object Dedup {
       .join(broadcast(storedMatchedHashes(batch, hashIdx)), Seq("h"), "left_semi")
       .select("doc_id")
     val nearIds = storedNearIds(docs, isNew, bandIdx)
-    batch.select(col("doc_id"))
-      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
-      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("is_exact"), lit("exact"))
-          .when(col("is_near"), lit("near"))
-          .otherwise(lit("novel")).as("verdict"))
+    verdictJoin(batch.select(col("doc_id")), exactIds, nearIds)
+      .select("doc_id", "verdict")
   }
 
   /** 64-bit SimHash per document: per-token md5, each of the first 16 hex

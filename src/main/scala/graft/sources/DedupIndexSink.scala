@@ -65,8 +65,8 @@ object DedupIndexSink {
   def eq139(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val t = write(spark, docs, isNewCol)
-    val (hashIdx, bandIdx, _, meta) = readBack(spark, t)
-    audit(docs, isNewCol, hashIdx, bandIdx, meta)
+    val (hashIdx, _, _, meta) = readBack(spark, t)
+    audit(docs, isNewCol, hashIdx, effectiveBandIndex(spark, t), meta)
   }
 
   /** Builds the index frames from the OLD side of the corpus and writes
@@ -104,6 +104,21 @@ object DedupIndexSink {
     * session of the context — the restart path PipelineSpec drives. */
   def readBack(spark: SparkSession, t: IndexTables): (DataFrame, DataFrame, DataFrame, DataFrame) =
     (spark.table(t.hash), spark.table(t.band), spark.table(t.stop), spark.table(t.meta))
+
+  /** The index's EFFECTIVE near layer: the stored band rows with the
+    * stop-listed buckets filtered out (one broadcast anti-join against
+    * the small stop-key table). For a freshly-WRITTEN snapshot this
+    * equals the raw table — the build drops stop-bucket rows before
+    * writing — but after a state ADVANCE (eq141), survivor rows appended
+    * into stopped or newly-hot buckets are physically present, and THIS
+    * view is what every probe must read; probing the raw table would
+    * resurrect the guarded buckets and diverge from the scratch-rebuilt
+    * state(merged) at the second delta (r11 review finding, pinned by
+    * PipelineSpec's two-advance test). */
+  def effectiveBandIndex(spark: SparkSession, t: IndexTables): DataFrame = {
+    val (_, band, stop, _) = readBack(spark, t)
+    band.join(broadcast(stop), Seq("band", "band_key"), "left_anti")
+  }
 
   /** The stored-index audit + probe result: one (item, n) row per index
     * layer's entry count, the metadata's stop-bucket count, and the batch

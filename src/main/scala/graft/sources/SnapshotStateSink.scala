@@ -56,10 +56,18 @@ object SnapshotStateSink {
   /** Ends a full curation of the OLD snapshot (eq104's split rule) by
     * writing its state tables — per-invocation names + tmp paths, the
     * eq138/eq139 convention. */
-  def write(spark: SparkSession, docs: DataFrame): StateTables = {
-    val idx = DedupIndexSink.write(spark, docs, DedupIndexSink.isNewCol)
+  def write(spark: SparkSession, docs: DataFrame): StateTables =
+    write(spark, docs, DedupIndexSink.isNewCol, col("doc_id") % 10 < 8)
+
+  /** Generalized split form ((isNew, isOld) as separate predicates so the
+    * standard entry keeps the exact `% 10 < 8` filter plan the eq136/
+    * eq137 chain memos key on) — the two-advance PipelineSpec test drives
+    * a 3-way snapshot through it. */
+  def write(spark: SparkSession, docs: DataFrame,
+      isNew: org.apache.spark.sql.Column, isOld: org.apache.spark.sql.Column): StateTables = {
+    val idx = DedupIndexSink.write(spark, docs, isNew)
     val (testVocab, mixRates, bpeEnc, packSummary) =
-      Curation.snapshotArtifactFrames(docs.filter(col("doc_id") % 10 < 8))
+      Curation.snapshotArtifactFrames(docs.filter(isOld))
     val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
     val tmp = sys.props("java.io.tmpdir")
     def save(df: DataFrame, name: String): String = {
@@ -79,9 +87,10 @@ object SnapshotStateSink {
     * from any session of the context — the restart path PipelineSpec
     * drives. */
   def readAndCurate(spark: SparkSession, docs: DataFrame, t: StateTables): DataFrame = {
-    val (hashIdx, bandIdx, _, _) = DedupIndexSink.readBack(spark, t.index)
+    val (hashIdx, _, _, _) = DedupIndexSink.readBack(spark, t.index)
     Curation.incrementalCurationFromState(docs, DedupIndexSink.isNewCol,
-      hashIdx, bandIdx, spark.table(t.testVocab), spark.table(t.mixRates),
+      hashIdx, DedupIndexSink.effectiveBandIndex(spark, t.index),
+      spark.table(t.testVocab), spark.table(t.mixRates),
       spark.table(t.bpeEnc), spark.table(t.packSummary))
   }
 
@@ -120,10 +129,18 @@ object SnapshotStateSink {
     * makes any number of successive delta ingests correct. Every
     * localCheckpoint below also cuts the append frames' lineage from
     * their target tables before the append jobs run. */
-  def advance(spark: SparkSession, docs: DataFrame, t: StateTables): StateTables = {
+  def advance(spark: SparkSession, docs: DataFrame, t: StateTables): StateTables =
+    advance(spark, docs, t, DedupIndexSink.isNewCol)
+
+  def advance(spark: SparkSession, docs: DataFrame, t: StateTables,
+      isNew: org.apache.spark.sql.Column): StateTables = {
     val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
-    val survivors = Curation.deltaSurvivorsFromState(docs, DedupIndexSink.isNewCol,
-      hashIdx, bandIdx, spark.table(t.testVocab), spark.table(t.mixRates))
+    // the survivors are decided against the EFFECTIVE index view — after
+    // a prior advance the raw band table carries rows in stop-listed
+    // buckets that the guard semantics exclude (r11 review finding)
+    val survivors = Curation.deltaSurvivorsFromState(docs, isNew,
+      hashIdx, DedupIndexSink.effectiveBandIndex(spark, t.index),
+      spark.table(t.testVocab), spark.table(t.mixRates))
 
     // hash layer: new distinct survivor hashes only
     val newHashes = survivors.select(md5(col("text")).as("h"))
@@ -132,7 +149,7 @@ object SnapshotStateSink {
       .localCheckpoint()
 
     // band layer: survivor band rows + the incremental guard update
-    val survBanded = graft.pipeline.Dedup.batchBandKeys(docs.filter(DedupIndexSink.isNewCol))
+    val survBanded = graft.pipeline.Dedup.batchBandKeys(docs.filter(isNew))
       .join(broadcast(survivors.select("doc_id")), Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val touched = survBanded.groupBy("band", "band_key").agg(count(lit(1)).as("dc"))

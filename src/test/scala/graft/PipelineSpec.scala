@@ -1123,6 +1123,97 @@ class PipelineSpec extends SparkSpec {
     sameSet(spark.table(t1.packSummary), Curation.packSummaryOf(mergedCur), "pack summary")
   }
 
+  test("eq141 induction: two successive advances equal scratch, with probes filtered by the stop list") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    // Three boilerplate families, 60 exact copies each — every family
+    // band bucket blows past the guard cap at build, so the whole family
+    // lives ONLY on the stop list. Delta variants (family text + a short
+    // distinct tail) band-collide with those stopped buckets and with
+    // each other, which is exactly the append-into-stopped-buckets
+    // scenario the r11 review flagged: without the stop-list filter on
+    // probes, a SECOND delta would resurrect the guarded buckets through
+    // the first delta's appended survivor rows.
+    val fam = Seq(
+      "spark catalyst optimizer prunes columns across distributed shuffles while tungsten emits compact kernels",
+      "parquet row groups carry min max statistics so selective scans skip entire chunks during query execution",
+      "broadcast joins ship small dimension tables to every executor avoiding wide exchanges over cluster fabric")
+    val normals = Seq(
+      "gardeners rotate tomato beds yearly", "violin makers season maple wood patiently",
+      "glaciers carve deep valleys over millennia", "saffron harvest requires dawn picking",
+      "lighthouse keepers log passing ships nightly")
+    val aDocs = fam.zipWithIndex.flatMap { case (s, f) =>
+      (0 until 60).map(i => ((f * 60 + i).toLong, s, "en", "src", s.length.toLong)) } ++
+      normals.zipWithIndex.map { case (s, i) => ((180 + i).toLong, s, "en", "src", s.length.toLong) }
+    val bTails = Seq("beside modern vectorized readers", "under adaptive execution planning",
+      "near compact dictionary encodings", "with lazy predicate evaluation",
+      "through tiered shuffle services", "atop resilient storage layers")
+    val cTails = Seq("inside speculative task retries", "across columnar cache hierarchies",
+      "behind incremental snapshot scans", "before asynchronous spill drains",
+      "beyond coalesced partition maps", "along deterministic replay paths")
+    def variants(base: Long, tails: Seq[String], novel: String) =
+      tails.zipWithIndex.map { case (t, i) =>
+        val s = s"${fam(i / 2)} $t"; ((base + i), s, "de", "src", s.length.toLong) } :+
+        ((base + 6), novel, "de", "src", novel.length.toLong)
+    val bDocs = variants(1000L, bTails, "entirely novel text about alpine meadow ecology surveys")
+    val cDocs = variants(2000L, cTails, "separate novel text about tidal estuary sediment transport")
+
+    val docs1 = docsDf(aDocs ++ bDocs)
+    val isNew1 = col("doc_id") >= 1000L
+    val t0 = SnapshotStateSink.write(spark, docs1, isNew1, col("doc_id") < 1000L)
+    val (h0, _, stop0, _) = DedupIndexSink.readBack(spark, t0.index)
+    assert(stop0.count() > 0, "fixture must produce stop-listed buckets at build")
+    val s1 = Curation.deltaSurvivorsFromState(docs1, isNew1, h0,
+      DedupIndexSink.effectiveBandIndex(spark, t0.index),
+      spark.table(t0.testVocab), spark.table(t0.mixRates))
+    assert(s1.filter(col("doc_id") < 1006L).count() > 0,
+      "fixture must carry at least one boilerplate survivor through the gates")
+    val t1 = SnapshotStateSink.advance(spark, docs1, t0, isNew1)
+    val (h1, b1raw, stop1, _) = DedupIndexSink.readBack(spark, t1.index)
+    assert(b1raw.join(stop1, Seq("band", "band_key"), "left_semi").count() > 0,
+      "advance must have appended survivor rows into stop-listed buckets")
+
+    // second delta: its raw-view candidates must exceed the effective
+    // view's — i.e. the stop filter is load-bearing for this probe
+    val docs2 = docsDf(aDocs ++ bDocs ++ cDocs)
+    val isNew2 = col("doc_id") >= 2000L
+    val cBanded = Dedup.batchBandKeys(docs2.filter(isNew2))
+    val rawCands = Dedup.probeCandidates(cBanded, b1raw).distinct().count()
+    val effCands = Dedup.probeCandidates(cBanded,
+      DedupIndexSink.effectiveBandIndex(spark, t1.index)).distinct().count()
+    assert(rawCands > effCands,
+      s"stop filter must prune probe candidates (raw $rawCands vs effective $effCands)")
+
+    val s2 = Curation.deltaSurvivorsFromState(docs2, isNew2, h1,
+      DedupIndexSink.effectiveBandIndex(spark, t1.index),
+      spark.table(t1.testVocab), spark.table(t1.mixRates))
+    val t2 = SnapshotStateSink.advance(spark, docs2, t1, isNew2)
+
+    // induction: the twice-advanced state equals a scratch rebuild over
+    // (old ∪ s1 ∪ s2)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = docs1.filter(col("doc_id") < 1000L).select(cols.head, cols.tail: _*)
+      .unionByName(s1.select(cols.head, cols.tail: _*))
+      .unionByName(s2.select(cols.head, cols.tail: _*))
+    val (sh, sb, sstop) = Dedup.indexBuildFrames(pop, lit(false))
+    val (h2, b2raw, stop2, _) = DedupIndexSink.readBack(spark, t2.index)
+    val eff2 = b2raw.join(stop2, Seq("band", "band_key"), "left_anti")
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(eff2.select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"), "effective band index after two advances")
+    sameSet(stop2.select("band", "band_key"), sstop.select("band", "band_key"), "stop list after two advances")
+    sameSet(h2.filter(col("h").isNotNull), sh.filter(col("h").isNotNull), "hash layer after two advances")
+    // pack: ids are epoch-ordered (A < s1 < s2), so the scratch summary
+    // uses the plain doc_id ordering
+    val packCols = Seq("lang", "doc_id", "n_tokens", "n_chars")
+    val mergedCur = Curation.curatedDocsDf(docs1.filter(col("doc_id") < 1000L))
+      .select(packCols.head, packCols.tail: _*)
+      .unionByName(s1.select(packCols.head, packCols.tail: _*))
+      .unionByName(s2.select(packCols.head, packCols.tail: _*))
+    sameSet(spark.table(t2.packSummary), Curation.packSummaryOf(mergedCur),
+      "pack summary after two advances")
+  }
+
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
     import spark.implicits._
     // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
