@@ -4206,28 +4206,42 @@ object Oracles {
     val markerAt = eq137.indexOf("-- ::finals::")
     require(markerAt >= 0, "finals marker missing from eq137 oracle")
     val deltaCtes = eq137.substring(0, markerAt)
+    val advanceCtes = deltaCtes +
+      """stop_old AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) > 50),
+        |d_sk AS (SELECT k.band, k.band_key, k.doc_id FROM keys k JOIN d_k8 USING (doc_id)),
+        |m_rows AS (SELECT band, band_key, doc_id FROM po
+        |           UNION ALL SELECT band, band_key, doc_id FROM d_sk),
+        |m_cnt AS (SELECT band, band_key, COUNT(*) AS c FROM m_rows GROUP BY 1, 2),
+        |newly AS (SELECT band, band_key FROM m_cnt WHERE c > 50),
+        |stop2 AS (SELECT band, band_key FROM stop_old
+        |          UNION SELECT band, band_key FROM newly),
+        |band2 AS (SELECT m.* FROM m_rows m ANTI JOIN stop2 USING (band, band_key)),
+        |d8h AS (SELECT DISTINCT md5(d.text) AS h FROM documents d JOIN d_k8 USING (doc_id)
+        |        WHERE md5(d.text) IS NOT NULL),
+        |hash2 AS (SELECT h FROM oldh UNION SELECT h FROM d8h)
+        |""".stripMargin
+    val advanceItems =
+      """SELECT 'idx_band_entries' AS item, (SELECT COUNT(*) FROM band2)::BIGINT AS n
+        |UNION ALL SELECT 'idx_hash_entries', (SELECT COUNT(*) FROM hash2)::BIGINT
+        |UNION ALL SELECT 'idx_stop_buckets', (SELECT COUNT(*) FROM stop2)::BIGINT
+        |UNION ALL SELECT 'pack_chars', (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mm)
+        |UNION ALL SELECT 'pack_docs', (SELECT COUNT(*) FROM mm)::BIGINT
+        |UNION ALL SELECT 'pack_shards', (SELECT n_units FROM mms)
+        |UNION ALL SELECT 'pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mm)
+        |""".stripMargin
     pipelineBase +
       ("eq140_atrest_incremental_curation" -> eq137) +
-      ("eq141_state_advance" -> (deltaCtes +
-        """stop_old AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) > 50),
-          |d_sk AS (SELECT k.band, k.band_key, k.doc_id FROM keys k JOIN d_k8 USING (doc_id)),
-          |m_rows AS (SELECT band, band_key, doc_id FROM po
-          |           UNION ALL SELECT band, band_key, doc_id FROM d_sk),
-          |m_cnt AS (SELECT band, band_key, COUNT(*) AS c FROM m_rows GROUP BY 1, 2),
-          |newly AS (SELECT band, band_key FROM m_cnt WHERE c > 50),
-          |stop2 AS (SELECT band, band_key FROM stop_old
-          |          UNION SELECT band, band_key FROM newly),
-          |band2 AS (SELECT m.* FROM m_rows m ANTI JOIN stop2 USING (band, band_key)),
-          |d8h AS (SELECT DISTINCT md5(d.text) AS h FROM documents d JOIN d_k8 USING (doc_id)
-          |        WHERE md5(d.text) IS NOT NULL),
-          |hash2 AS (SELECT h FROM oldh UNION SELECT h FROM d8h)
-          |SELECT 'idx_band_entries' AS item, (SELECT COUNT(*) FROM band2)::BIGINT AS n
-          |UNION ALL SELECT 'idx_hash_entries', (SELECT COUNT(*) FROM hash2)::BIGINT
-          |UNION ALL SELECT 'idx_stop_buckets', (SELECT COUNT(*) FROM stop2)::BIGINT
-          |UNION ALL SELECT 'pack_chars', (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mm)
-          |UNION ALL SELECT 'pack_docs', (SELECT COUNT(*) FROM mm)::BIGINT
-          |UNION ALL SELECT 'pack_shards', (SELECT n_units FROM mms)
-          |UNION ALL SELECT 'pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mm)
+      ("eq141_state_advance" -> (advanceCtes + advanceItems + "ORDER BY item")) +
+      // eq142 audits the state after the engine COMPACTS the advanced
+      // tables: the seven advance items must not move (compaction is
+      // semantics-free), the compacted band table's physical rows must
+      // equal the effective count (the raw table IS the effective view
+      // now), and the rows removed are exactly the merged rows the stop
+      // list guards — all recomputed from scratch over raw documents.
+      ("eq142_state_compaction" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'band_raw_rows', (SELECT COUNT(*) FROM band2)::BIGINT
+          |UNION ALL SELECT 'band_rows_removed',
+          |  (SELECT COUNT(*) FROM m_rows)::BIGINT - (SELECT COUNT(*) FROM band2)::BIGINT
           |ORDER BY item""".stripMargin))
   }
 }

@@ -207,27 +207,53 @@ object ScaleBench {
       val incProbeSec = median3(probeFlags()) // warm: the per-batch cost
       var incFlags = (0L, 0L)
       val incProbeWork = meter { incFlags = probeFlags() }
+
+      // ---- at-rest advance + compaction (r11, eq141/eq142): the state
+      // tables written once per snapshot (setup, untimed), memos cleared
+      // (the fresh-restart posture), then the SAME fixed delta ADVANCED
+      // into the stored state — the per-ingest maintenance cost, which
+      // must stay batch-bounded as the state grows (ScaleSpec pins the
+      // 1x→10x shuffle ratio). Compaction is measured beside it as the
+      // corpus-sized rewrite it deliberately is (paid once, not per
+      // delta).
+      import graft.sources.SnapshotStateSink
+      val st = SnapshotStateSink.write(spark, union, isNew, !isNew)
+      Dedup.clearDerivedCaches()
+      val advT0 = System.nanoTime()
+      var advSt: SnapshotStateSink.StateTables = null
+      val advWork = meter { advSt = SnapshotStateSink.advance(spark, union, st, isNew) }
+      val advSec = (System.nanoTime() - advT0) / 1e9
+      val compT0 = System.nanoTime()
+      val compWork = meter(SnapshotStateSink.compact(spark, advSt))
+      val compSec = (System.nanoTime() - compT0) / 1e9
+
       println(s"[scalebench] ${s}x: n=$n mine=$mineSec split=$splitSec " +
         s"eq127=$eq127Sec chainCold=$chainColdSec chainWarm=$chainWarmSec " +
         s"cand=$candidates pairs=$pairs spanDocs=$spanDocs chainKept=$kept " +
         s"mineShufRead=${mineWork.shuffleRead} chainShufRead=${chainWork.shuffleRead} " +
         s"incIndex=$incIndexSec incProbe=$incProbeSec " +
-        s"incFlags=$incFlags incProbeShufRead=${incProbeWork.shuffleRead}")
+        s"incFlags=$incFlags incProbeShufRead=${incProbeWork.shuffleRead} " +
+        s"advance=$advSec advShufRead=${advWork.shuffleRead} " +
+        s"compact=$compSec compShufRead=${compWork.shuffleRead}")
       (s, n, mineSec, splitSec, eq127Sec, candidates, pairs, spanDocs,
         chainColdSec, chainWarmSec, kept, mineWork, chainWork,
-        (incIndexSec, incProbeSec, incFlags, incIndexWork, incProbeWork))
+        (incIndexSec, incProbeSec, incFlags, incIndexWork, incProbeWork),
+        (advSec, advWork, compSec, compWork))
     }
     val json = "{\"metric\":\"scalebench\",\"unit\":\"sec\",\"cpus\":" + cpus +
       ",\"base_docs\":" + baseN + ",\"scales\":[" +
-      results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw, inc) =>
+      results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw, inc, atRest) =>
         val (ii, ip, (fe, fn), iw, pw) = inc
+        val (as, aw, cs, cpw) = atRest
         s"""{"scale":$s,"docs":$n,"mine_sec":$m,"split_sec":$sp,""" +
           s""""eq127_sec":$e,"prefix_candidates":$c,"pairs":$p,"span_docs":$d,""" +
           s""""chain_cold_sec":$cc,"chain_warm_sec":$cw,"chain_kept_docs":$k,""" +
           s""""mine_work":${mw.json},"chain_work":${chw.json},""" +
           s""""inc_index_sec":$ii,"inc_probe_sec":$ip,""" +
           s""""inc_exact_flagged":$fe,"inc_near_flagged":$fn,""" +
-          s""""inc_index_work":${iw.json},"inc_probe_work":${pw.json}}"""
+          s""""inc_index_work":${iw.json},"inc_probe_work":${pw.json},""" +
+          s""""advance_sec":$as,"advance_work":${aw.json},""" +
+          s""""compact_sec":$cs,"compact_work":${cpw.json}}"""
       }.mkString(",") + "]}"
     println(json)
     try java.nio.file.Files.write(

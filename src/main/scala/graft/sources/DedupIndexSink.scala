@@ -55,8 +55,19 @@ object DedupIndexSink {
     * guard's drop set, part of the shipped index since eq141: advancing
     * the state needs the keys, not just their count, and post-advance
     * probes filter the band table by it); `meta` carries the build
-    * stats. */
-  final case class IndexTables(hash: String, band: String, stop: String, meta: String)
+    * stats; `tomb` is the PENDING-RETRACTION marker (eq142/eq143) — a
+    * [[retract]] call sets it, every effective view subtracts it, the
+    * next [[compact]] applies it physically and clears it. `None` (the
+    * write-time state) costs existing paths nothing. */
+  final case class IndexTables(hash: String, band: String, stop: String, meta: String,
+      tomb: Option[TombTables] = None)
+
+  /** The two tombstone tables a retraction writes: `docs` — the deleted
+    * doc_ids (the band layer subtracts by row ownership); `hash` — the
+    * ORPHANED content hashes (a hash leaves the exact layer only when
+    * its LAST owner is deleted — computed at retraction time, when the
+    * corpus store still knows the owners). */
+  final case class TombTables(docs: String, hash: String)
 
   /** eq104's snapshot convention: doc_id % 10 ∈ {8,9} is the incoming
     * batch, the rest is the indexed corpus. */
@@ -104,6 +115,76 @@ object DedupIndexSink {
     * session of the context — the restart path PipelineSpec drives. */
   def readBack(spark: SparkSession, t: IndexTables): (DataFrame, DataFrame, DataFrame, DataFrame) =
     (spark.table(t.hash), spark.table(t.band), spark.table(t.stop), spark.table(t.meta))
+
+  /** eq142 — COMPACT the stored index: [[SnapshotStateSink.advance]] is
+    * deliberately append-only (survivor rows land in stop-listed or
+    * newly-hot buckets and stay physically present; every append adds
+    * files per bucket), so after N delta ingests the at-rest index
+    * carries dead rows probes must filter on every read, and the
+    * bucketed layers fragment toward the small-file wall. Compaction is
+    * the maintenance pass that pays those debts down ONCE:
+    *
+    *  - band layer: the [[effectiveBandIndex]] view made PHYSICAL — the
+    *    stop-listed rows are dropped and the survivors rewritten
+    *    one-file-per-bucket. Post-compaction the raw table IS the
+    *    effective view, and probes pay neither the anti-join nor the
+    *    dead-row scan;
+    *  - hash layer: content unchanged (appends are pre-deduped), files
+    *    coalesced the same way;
+    *  - stop list: REWRITTEN, NOT DROPPED — the stop keys are the
+    *    guard's memory. Dropping them with the rows they guard would
+    *    let the next advance recount a hot bucket from zero and
+    *    resurrect it (PipelineSpec's advance-after-compaction test
+    *    fails exactly that way if the stop list is cleared);
+    *  - meta: re-derived from the compacted stop table, new version.
+    *
+    * Everything is written to NEW table names (never in-place over a
+    * table being read); the old generation stays readable until the
+    * caller drops it — the production swap is a catalog pointer flip.
+    *
+    * Plan shape: the rewrites run with `autoBucketedScan` pinned OFF so
+    * the reads are TRUE bucketed scans — one task per bucket, already
+    * aligned with the write's bucket-id hash — making each rewrite a
+    * zero-Exchange scan→filter→write pass that emits exactly one file
+    * per bucket. (The tempting `repartition(Buckets, key)` is WRONG
+    * here: the optimizer elides it against the catalog's bucket spec
+    * while the physical scan may still read split-based, leaving write
+    * tasks holding rows of many buckets — up to tasks×Buckets files,
+    * the debt compaction exists to pay down.) The conf flip is
+    * session-visible for the duration of the two writes; concurrent
+    * readers of bucketed tables just lose split-based scan parallelism
+    * for that window, never correctness — and compaction is a
+    * maintenance action, not a query. */
+  def compact(spark: SparkSession, t: IndexTables): IndexTables = {
+    val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
+    val t2 = IndexTables(
+      s"graft_dedup_idx_hash_c$id", s"graft_dedup_idx_band_c$id",
+      s"graft_dedup_idx_stop_c$id", s"graft_dedup_idx_meta_c$id")
+    val tmp = sys.props("java.io.tmpdir")
+    val AutoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.get(AutoScanKey)
+    try {
+      spark.conf.set(AutoScanKey, "false")
+      effectiveBandIndex(spark, t)
+        .write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_c${id}_band")
+        .bucketBy(Buckets, "band_key").sortBy("band_key")
+        .saveAsTable(t2.band)
+      spark.table(t.hash)
+        .write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_c${id}_hash")
+        .bucketBy(Buckets, "h").sortBy("h")
+        .saveAsTable(t2.hash)
+    } finally spark.conf.set(AutoScanKey, prevAutoScan)
+    spark.table(t.stop).coalesce(1).write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_c${id}_stop")
+      .saveAsTable(t2.stop)
+    spark.table(t2.stop).agg(count(lit(1)).as("n_stop_buckets"))
+      .write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_c${id}_meta")
+      .saveAsTable(t2.meta)
+    t2
+  }
 
   /** The index's EFFECTIVE near layer: the stored band rows with the
     * stop-listed buckets filtered out (one broadcast anti-join against

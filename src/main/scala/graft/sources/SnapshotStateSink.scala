@@ -191,12 +191,16 @@ object SnapshotStateSink {
     * effective band-index size (stop-filtered), hash entries, stop-key
     * count, and the merged corpus's pack totals from the advanced
     * summary — the (item, n) shape of eq139's audit. */
-  private[graft] def auditAdvanced(spark: SparkSession, t: StateTables): DataFrame = {
+  private[graft] def auditAdvanced(spark: SparkSession, t: StateTables): DataFrame =
+    auditItems(spark, t).orderBy("item")
+
+  private def one(item: String, df: DataFrame): DataFrame =
+    df.select(lit(item).as("item"), col("n"))
+
+  private def auditItems(spark: SparkSession, t: StateTables): DataFrame = {
     val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
     val eff = bandIdx.join(broadcast(stopIdx), Seq("band", "band_key"), "left_anti")
     val ps = spark.table(t.packSummary)
-    def one(item: String, df: DataFrame): DataFrame =
-      df.select(lit(item).as("item"), col("n"))
     one("idx_hash_entries", hashIdx.agg(count(lit(1)).as("n")))
       .unionAll(one("idx_band_entries", eff.agg(count(lit(1)).as("n"))))
       .unionAll(one("idx_stop_buckets", stopIdx.agg(count(lit(1)).as("n"))))
@@ -204,6 +208,42 @@ object SnapshotStateSink {
       .unionAll(one("pack_tokens", ps.agg(coalesce(sum(col("t_tokens")), lit(0L)).as("n"))))
       .unionAll(one("pack_chars", ps.agg(coalesce(sum(col("t_chars")), lit(0L)).as("n"))))
       .unionAll(one("pack_shards", ps.agg(coalesce(sum(col("n_shards")), lit(0L)).as("n"))))
+  }
+
+  def eq142(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t1 = advance(spark, docs, write(spark, docs))
+    auditCompacted(spark, t1, compact(spark, t1))
+  }
+
+  /** eq142 — COMPACT the advanced state: the index layers pay down their
+    * append debts ([[DedupIndexSink.compact]] — stop-listed rows
+    * physically dropped, files re-coalesced one-per-bucket, the stop-key
+    * list KEPT as the guard's memory); the frozen artifacts (vocabulary,
+    * mix rates, encoder, pack summary) are immutable or already
+    * versioned-whole per advance, so they carry over untouched. The new
+    * generation gets new table names — the old state stays readable
+    * until the caller drops it. */
+  def compact(spark: SparkSession, t: StateTables): StateTables =
+    t.copy(index = DedupIndexSink.compact(spark, t.index))
+
+  /** The compacted state's audit: [[auditAdvanced]]'s seven items (they
+    * must not move — compaction is semantics-free) plus the two facts
+    * compaction is FOR: `band_raw_rows`, the physical row count of the
+    * compacted band table (≡ `idx_band_entries` — the raw table IS the
+    * effective view now, the compaction theorem the oracle re-proves
+    * from scratch), and `band_rows_removed`, the dead rows the rewrite
+    * dropped (counted pre-vs-post as one union-agg — no join between
+    * the generations). */
+  private[graft] def auditCompacted(spark: SparkSession,
+      pre: StateTables, t: StateTables): DataFrame = {
+    val raw = spark.table(t.index.band)
+    val removed = spark.table(pre.index.band).select(lit(1L).as("w"))
+      .unionAll(raw.select(lit(-1L).as("w")))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("n"))
+    auditItems(spark, t)
+      .unionAll(one("band_raw_rows", raw.agg(count(lit(1)).as("n"))))
+      .unionAll(one("band_rows_removed", removed))
       .orderBy("item")
   }
 }

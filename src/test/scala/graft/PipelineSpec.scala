@@ -1123,16 +1123,16 @@ class PipelineSpec extends SparkSpec {
     sameSet(spark.table(t1.packSummary), Curation.packSummaryOf(mergedCur), "pack summary")
   }
 
-  test("eq141 induction: two successive advances equal scratch, with probes filtered by the stop list") {
-    import graft.sources.{DedupIndexSink, SnapshotStateSink}
-    // Three boilerplate families, 60 exact copies each — every family
-    // band bucket blows past the guard cap at build, so the whole family
-    // lives ONLY on the stop list. Delta variants (family text + a short
-    // distinct tail) band-collide with those stopped buckets and with
-    // each other, which is exactly the append-into-stopped-buckets
-    // scenario the r11 review flagged: without the stop-list filter on
-    // probes, a SECOND delta would resurrect the guarded buckets through
-    // the first delta's appended survivor rows.
+  /** The engineered hot-bucket corpus the eq141/eq142 at-rest tests
+    * share: three boilerplate families, 60 exact copies each — every
+    * family band bucket blows past the guard cap at build, so the whole
+    * family lives ONLY on the stop list. Delta variants (family text + a
+    * short distinct tail) band-collide with those stopped buckets and
+    * with each other, which is exactly the append-into-stopped-buckets
+    * scenario the r11 review flagged: without the stop-list filter on
+    * probes, a SECOND delta would resurrect the guarded buckets through
+    * the first delta's appended survivor rows. */
+  private object HotBucketFixture {
     val fam = Seq(
       "spark catalyst optimizer prunes columns across distributed shuffles while tungsten emits compact kernels",
       "parquet row groups carry min max statistics so selective scans skip entire chunks during query execution",
@@ -1156,7 +1156,11 @@ class PipelineSpec extends SparkSpec {
         ((base + 6), novel, "de", "src", novel.length.toLong)
     val bDocs = variants(1000L, bTails, "entirely novel text about alpine meadow ecology surveys")
     val cDocs = variants(2000L, cTails, "separate novel text about tidal estuary sediment transport")
+  }
 
+  test("eq141 induction: two successive advances equal scratch, with probes filtered by the stop list") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
     val docs1 = docsDf(aDocs ++ bDocs)
     val isNew1 = col("doc_id") >= 1000L
     val t0 = SnapshotStateSink.write(spark, docs1, isNew1, col("doc_id") < 1000L)
@@ -1212,6 +1216,79 @@ class PipelineSpec extends SparkSpec {
       .unionByName(s2.select(packCols.head, packCols.tail: _*))
     sameSet(spark.table(t2.packSummary), Curation.packSummaryOf(mergedCur),
       "pack summary after two advances")
+  }
+
+  test("eq142: compaction drops the stop-guarded rows, coalesces files, changes no probe, and stays induction-transparent") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val docs1 = docsDf(aDocs ++ bDocs)
+    val isNew1 = col("doc_id") >= 1000L
+    val t0 = SnapshotStateSink.write(spark, docs1, isNew1, col("doc_id") < 1000L)
+    val (h0, _, _, _) = DedupIndexSink.readBack(spark, t0.index)
+    val s1 = Curation.deltaSurvivorsFromState(docs1, isNew1, h0,
+      DedupIndexSink.effectiveBandIndex(spark, t0.index),
+      spark.table(t0.testVocab), spark.table(t0.mixRates)).localCheckpoint()
+    val t1 = SnapshotStateSink.advance(spark, docs1, t0, isNew1)
+    val (h1, b1raw, stop1, _) = DedupIndexSink.readBack(spark, t1.index)
+    val rawPre = b1raw.count()
+    val filesPre = spark.table(t1.index.band).inputFiles.length
+
+    val tc = SnapshotStateSink.compact(spark, t1)
+    val (hc, bcRaw, stopc, metac) = DedupIndexSink.readBack(spark, tc.index)
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+
+    // the dead rows are physically gone — and ONLY those
+    assert(bcRaw.count() < rawPre, "compaction must physically drop the stop-guarded rows")
+    assert(bcRaw.join(stop1, Seq("band", "band_key"), "left_semi").count() == 0,
+      "no stop-listed rows may survive the rewrite")
+    sameSet(bcRaw, DedupIndexSink.effectiveBandIndex(spark, t1.index),
+      "compacted raw band table vs pre-compaction effective view")
+    sameSet(hc, h1, "hash layer across compaction")
+    sameSet(stopc, stop1.select("band", "band_key"),
+      "stop list across compaction (the guard's memory must be KEPT)")
+    assert(metac.head().getLong(0) == stopc.count(), "compacted meta vs stored stop keys")
+
+    // the file debt is paid: at most one file per bucket, strictly fewer
+    // than the appended generation carried
+    val filesPost = spark.table(tc.index.band).inputFiles.length
+    assert(filesPost <= DedupIndexSink.Buckets && filesPost < filesPre,
+      s"band files $filesPre -> $filesPost (buckets=${DedupIndexSink.Buckets})")
+    assert(spark.table(tc.index.hash).inputFiles.length <= DedupIndexSink.Buckets,
+      "hash layer must coalesce to at most one file per bucket")
+
+    // a second delta probes the compacted state IDENTICALLY — and the
+    // compacted raw table needs no stop filter to get there
+    val docs2 = docsDf(aDocs ++ bDocs ++ cDocs)
+    val isNew2 = col("doc_id") >= 2000L
+    val cBanded = Dedup.batchBandKeys(docs2.filter(isNew2))
+    sameSet(Dedup.probeCandidates(cBanded, DedupIndexSink.effectiveBandIndex(spark, tc.index)),
+      Dedup.probeCandidates(cBanded, DedupIndexSink.effectiveBandIndex(spark, t1.index)),
+      "probe candidates across compaction")
+    sameSet(Dedup.probeCandidates(cBanded, bcRaw),
+      Dedup.probeCandidates(cBanded, DedupIndexSink.effectiveBandIndex(spark, t1.index)),
+      "raw-table probe of the compacted generation")
+
+    // induction transparency: advancing the COMPACTED state by a second
+    // delta still equals a scratch rebuild over (old ∪ s1 ∪ s2)
+    val s2 = Curation.deltaSurvivorsFromState(docs2, isNew2, hc,
+      DedupIndexSink.effectiveBandIndex(spark, tc.index),
+      spark.table(tc.testVocab), spark.table(tc.mixRates)).localCheckpoint()
+    val t2 = SnapshotStateSink.advance(spark, docs2, tc, isNew2)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = docs1.filter(col("doc_id") < 1000L).select(cols.head, cols.tail: _*)
+      .unionByName(s1.select(cols.head, cols.tail: _*))
+      .unionByName(s2.select(cols.head, cols.tail: _*))
+    val (sh, sb, sstop) = Dedup.indexBuildFrames(pop, lit(false))
+    val (h2, b2raw, stop2, _) = DedupIndexSink.readBack(spark, t2.index)
+    sameSet(b2raw.join(stop2, Seq("band", "band_key"), "left_anti")
+        .select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"),
+      "effective band index after compact-then-advance")
+    sameSet(stop2.select("band", "band_key"), sstop.select("band", "band_key"),
+      "stop list after compact-then-advance")
+    sameSet(h2.filter(col("h").isNotNull), sh.filter(col("h").isNotNull),
+      "hash layer after compact-then-advance")
   }
 
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {

@@ -107,4 +107,48 @@ class ScaleSpec extends SparkSpec {
         s"${p1.shuffleRead} -> ${p10.shuffleRead}")
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
+
+  test("at-rest advance: a FIXED delta against a 10x stored state — " +
+    "advance shuffle batch-bounded; compaction is the corpus-sized " +
+    "rewrite, paid once (r11)") {
+    // eq141/eq142's scale claim, measured end to end on the AT-REST path:
+    // the state tables are written once per snapshot (untimed setup), the
+    // memos are cleared (the fresh-restart posture — only the batch gets
+    // signed), and the SAME 400-doc delta is advanced into a state built
+    // from a 10x bigger corpus. The advance's shuffle mass must stay
+    // batch-bounded: every probe broadcasts batch keys into bucketed
+    // scan-only index tables, the hash anti-join aligns the BATCH side to
+    // the index's buckets, and the guard recount touches only the
+    // batch-collided buckets. Compaction's cost is corpus-sized in I/O
+    // (it rewrites the whole effective layer — why it is a separate
+    // maintenance pass, not part of the ingest) but ZERO-EXCHANGE by
+    // construction: a forced bucketed scan feeds the bucketed write
+    // already aligned, so the rewrite ships no shuffle at ANY scale.
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotStateSink
+    val meter = WorkMass.meter(spark.sparkContext)
+    def adv(n: Long): (WorkMass, WorkMass) = {
+      val union = ScaleBench.corpus(spark, n)
+        .unionByName(ScaleBench.deltaCorpus(spark, n, 400, targetBlocks = 20))
+        .localCheckpoint()
+      val isNew = col("doc_id") >= n
+      val st = SnapshotStateSink.write(spark, union, isNew, !isNew)
+      Dedup.clearDerivedCaches()
+      var t1: SnapshotStateSink.StateTables = null
+      val advWork = meter { t1 = SnapshotStateSink.advance(spark, union, st, isNew) }
+      val compWork = meter { SnapshotStateSink.compact(spark, t1) }
+      (advWork, compWork)
+    }
+    val (a1, c1) = adv(2000)
+    val (a10, c10) = adv(20000)
+    assert(a1.shuffleRead > 0, "meter must observe the advance")
+    assert(a10.shuffleRead < 3L * a1.shuffleRead,
+      s"advance must be batch-bounded, not state-bounded: " +
+        s"${a1.shuffleRead} -> ${a10.shuffleRead}")
+    assert(c1.shuffleRead < 10240 && c10.shuffleRead < 10240,
+      s"the compaction rewrite must stay shuffle-free at every scale " +
+        s"(bucket-aligned scan -> bucketed write): " +
+        s"${c1.shuffleRead} / ${c10.shuffleRead} bytes")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }
