@@ -3188,6 +3188,61 @@ object Oracles {
           |          FROM sp LEFT JOIN vc USING (verdict)
           |ORDER BY item""".stripMargin),
 
+    // eq143: index retraction — eq139's structure over the RETAINED
+    // corpus (doc_id % 7 = 3 of the indexed side deleted). The stop list
+    // is MONOTONE (computed over the FULL pre-retraction corpus — the
+    // engine's recall-conservative guard rule), band rows are the
+    // retained docs' keys anti the monotone stop, and a content hash
+    // leaves the exact layer only when its LAST owner was deleted
+    // (orphan set = deleted hashes anti retained hashes — anti joins
+    // everywhere for NULL-hash safety, matching the engine's left_anti
+    // semantics). The probe re-derives every verdict against the
+    // retained index: content whose last owner died comes back 'novel',
+    // content with a surviving owner 'exact'.
+    "eq143_index_retraction" ->
+      (s"$minhashKeyCtes,\n" +
+        """old_keys AS (SELECT * FROM keys WHERE doc_id % 10 < 8),
+          |new_keys AS (SELECT * FROM keys WHERE doc_id % 10 >= 8),
+          |stopb AS (SELECT band, band_key FROM old_keys GROUP BY 1, 2 HAVING COUNT(*) > 50),
+          |del AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 8 AND doc_id % 7 = 3),
+          |ret_keys AS (SELECT k.* FROM old_keys k ANTI JOIN del USING (doc_id)),
+          |po AS (SELECT k.doc_id, k.band, k.band_key
+          |       FROM ret_keys k ANTI JOIN stopb USING (band, band_key)),
+          |cand AS (
+          |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          |  FROM new_keys n JOIN po o ON n.band = o.band AND n.band_key = o.band_key),
+          |ver AS (
+          |  SELECT new_id, len(list_intersect(a.shd, b.shd)) AS common,
+          |         a.sz AS sz_n, b.sz AS sz_o
+          |  FROM cand JOIN s a ON a.doc_id = cand.new_id
+          |            JOIN s b ON b.doc_id = cand.old_id),
+          |near AS (SELECT DISTINCT new_id FROM ver
+          |         WHERE common::DOUBLE / (sz_n + sz_o - common) >= 0.5::DOUBLE),
+          |oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+          |delh AS (SELECT DISTINCT md5(d.text) AS h FROM documents d JOIN del USING (doc_id)
+          |         WHERE md5(d.text) IS NOT NULL),
+          |reth AS (SELECT DISTINCT md5(d.text) AS h FROM documents d
+          |         WHERE d.doc_id % 10 < 8
+          |           AND d.doc_id NOT IN (SELECT doc_id FROM del)),
+          |tombh AS (SELECT d.h FROM delh d ANTI JOIN reth r USING (h)),
+          |effh AS (SELECT o.h FROM oldh o ANTI JOIN tombh t USING (h)),
+          |v AS (
+          |  SELECT CASE WHEN md5(d.text) IN (SELECT h FROM effh WHERE h IS NOT NULL) THEN 'exact'
+          |              WHEN d.doc_id IN (SELECT new_id FROM near) THEN 'near'
+          |              ELSE 'novel' END AS verdict
+          |  FROM documents d WHERE d.doc_id % 10 >= 8),
+          |vc AS (SELECT verdict, COUNT(*)::BIGINT AS n FROM v GROUP BY 1),
+          |sp AS (SELECT unnest(['exact', 'near', 'novel']) AS verdict)
+          |SELECT 'band_raw_rows' AS item, (SELECT COUNT(*) FROM po)::BIGINT AS n
+          |UNION ALL SELECT 'idx_band_entries', (SELECT COUNT(*) FROM po)::BIGINT
+          |UNION ALL SELECT 'idx_hash_entries', (SELECT COUNT(*) FROM effh)::BIGINT
+          |UNION ALL SELECT 'idx_stop_buckets', (SELECT COUNT(*) FROM stopb)::BIGINT
+          |UNION ALL SELECT 'probe_' || sp.verdict, COALESCE(vc.n, 0)::BIGINT
+          |          FROM sp LEFT JOIN vc USING (verdict)
+          |UNION ALL SELECT 'tomb_docs', (SELECT COUNT(*) FROM del)::BIGINT
+          |UNION ALL SELECT 'tomb_hashes', (SELECT COUNT(*) FROM tombh)::BIGINT
+          |ORDER BY item""".stripMargin),
+
     // eq105: nearest-centroid confusion matrix — micro-unit quantization
     // (the eq36 convention), centroid = raw integer SUM vector (cosine is
     // scale-invariant so no mean/rounding on the prototype), dot and norms

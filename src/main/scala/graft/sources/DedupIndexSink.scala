@@ -80,6 +80,68 @@ object DedupIndexSink {
     audit(docs, isNewCol, hashIdx, effectiveBandIndex(spark, t), meta)
   }
 
+  def eq143(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t0 = write(spark, docs, isNewCol)
+    val t1 = retract(spark, docs, t0, isNewCol, col("doc_id") % 7 === 3)
+    auditRetracted(spark, docs, t1, compact(spark, t1))
+  }
+
+  /** eq143 — RETRACT documents from the stored index: a production
+    * corpus DELETES (takedowns, right-to-be-forgotten, license expiry),
+    * and a deleted doc must stop suppressing future duplicates — the
+    * next crawl of the same content has to come back `novel`, not be
+    * silently dropped against a ghost. Retraction is tombstone-based
+    * (the same append-only posture as [[SnapshotStateSink.advance]]:
+    * never rewrite a table being read; [[compact]] applies tombstones
+    * physically and clears them):
+    *
+    *  - band layer: a `docs` tombstone of the deleted doc_ids — the
+    *    band table carries row ownership, so the effective view
+    *    subtracts by one broadcast anti-join;
+    *  - hash layer: the exact layer stores DISTINCT content hashes with
+    *    no owner attribution, so a hash may leave ONLY when its last
+    *    owner does. The orphan set is computed here, while the corpus
+    *    store still knows the owners, and batch-bounded: the deleted
+    *    docs' hashes broadcast-semi-prune the RETAINED corpus scan
+    *    (scan-only, no corpus shuffle), and hashes with no surviving
+    *    owner become the `hash` tombstone;
+    *  - stop list: MONOTONE by design — a bucket that went hot stays
+    *    guarded even if deletions shrink it back under the cap. The
+    *    guard is a recall/perf device, not content: un-stopping would
+    *    need the dropped rows back (they were never written), and a
+    *    recall-conservative index is the correct failure direction.
+    *    The oracle encodes the same rule (stop computed over the FULL
+    *    pre-retraction corpus), and PipelineSpec pins it on a hot
+    *    fixture.
+    *
+    * `isDeleted` is evaluated against the INDEXED side only (`!isNew &&
+    * isDeleted`) — retracting a doc the index never held is a no-op. */
+  def retract(spark: SparkSession, docs: DataFrame, t: IndexTables,
+      isNew: org.apache.spark.sql.Column, isDeleted: org.apache.spark.sql.Column): IndexTables = {
+    val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
+    val tmp = sys.props("java.io.tmpdir")
+    val deleted = docs.filter(!isNew && isDeleted)
+    val delHashes = deleted.select(md5(col("text")).as("h"))
+      .filter(col("h").isNotNull).distinct().localCheckpoint()
+    // hashes in the deletion set that a RETAINED doc still owns: the
+    // small deleted-hash frame broadcasts into the corpus scan, so the
+    // recount is batch-bounded (no corpus shuffle)
+    val surviving = docs.filter(!isNew && !isDeleted)
+      .select(md5(col("text")).as("h"))
+      .join(broadcast(delHashes), Seq("h"), "left_semi").distinct()
+    val orphaned = delHashes.join(broadcast(surviving), Seq("h"), "left_anti")
+    val tomb = TombTables(
+      s"graft_dedup_idx_tombd_$id", s"graft_dedup_idx_tombh_$id")
+    deleted.select("doc_id").write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_tombd")
+      .saveAsTable(tomb.docs)
+    orphaned.write.mode("overwrite")
+      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_tombh")
+      .saveAsTable(tomb.hash)
+    t.copy(tomb = Some(tomb))
+  }
+
   /** Builds the index frames from the OLD side of the corpus and writes
     * them as external tables (per-invocation names + tmp paths, the
     * eq138/eq55 convention: concurrent plans never race on a directory). */
@@ -125,11 +187,13 @@ object DedupIndexSink {
     * the maintenance pass that pays those debts down ONCE:
     *
     *  - band layer: the [[effectiveBandIndex]] view made PHYSICAL — the
-    *    stop-listed rows are dropped and the survivors rewritten
-    *    one-file-per-bucket. Post-compaction the raw table IS the
-    *    effective view, and probes pay neither the anti-join nor the
-    *    dead-row scan;
-    *  - hash layer: content unchanged (appends are pre-deduped), files
+    *    stop-listed rows (and any tombstoned docs' rows, eq143) are
+    *    dropped and the survivors rewritten one-file-per-bucket.
+    *    Post-compaction the raw table IS the effective view, and probes
+    *    pay neither the anti-joins nor the dead-row scan;
+    *  - hash layer: the [[effectiveHashIndex]] view made physical —
+    *    content unchanged when no retraction is pending (appends are
+    *    pre-deduped), orphaned hashes dropped when one is; files
     *    coalesced the same way;
     *  - stop list: REWRITTEN, NOT DROPPED — the stop keys are the
     *    guard's memory. Dropping them with the rows they guard would
@@ -170,7 +234,7 @@ object DedupIndexSink {
         .option("path", s"$tmp/graft_dedup_idx_sink_c${id}_band")
         .bucketBy(Buckets, "band_key").sortBy("band_key")
         .saveAsTable(t2.band)
-      spark.table(t.hash)
+      effectiveHashIndex(spark, t)
         .write.mode("overwrite")
         .option("path", s"$tmp/graft_dedup_idx_sink_c${id}_hash")
         .bucketBy(Buckets, "h").sortBy("h")
@@ -198,7 +262,22 @@ object DedupIndexSink {
     * PipelineSpec's two-advance test). */
   def effectiveBandIndex(spark: SparkSession, t: IndexTables): DataFrame = {
     val (_, band, stop, _) = readBack(spark, t)
-    band.join(broadcast(stop), Seq("band", "band_key"), "left_anti")
+    val guarded = band.join(broadcast(stop), Seq("band", "band_key"), "left_anti")
+    t.tomb.fold(guarded) { tb =>
+      guarded.join(broadcast(spark.table(tb.docs)), Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** The index's EFFECTIVE exact layer: the stored hashes minus any
+    * pending hash tombstones (eq143 — a hash leaves only when its last
+    * owner was retracted). Identical to the raw table when no retraction
+    * is pending; NULL hashes (NULL-text docs) are never tombstoned and
+    * pass the anti-join untouched. */
+  def effectiveHashIndex(spark: SparkSession, t: IndexTables): DataFrame = {
+    val hash = spark.table(t.hash)
+    t.tomb.fold(hash) { tb =>
+      hash.join(broadcast(spark.table(tb.hash)), Seq("h"), "left_anti")
+    }
   }
 
   /** The stored-index audit + probe result: one (item, n) row per index
@@ -221,6 +300,30 @@ object DedupIndexSink {
       .unionAll(bandIdx.agg(count(lit(1)).as("n")).select(lit("idx_band_entries").as("item"), col("n")))
       .unionAll(meta.select(lit("idx_stop_buckets").as("item"), col("n_stop_buckets").as("n")))
       .unionAll(probe)
+      .orderBy("item")
+  }
+
+  /** The retract-then-compact audit (eq143): [[audit]]'s six items read
+    * from the COMPACTED tables (whose raw frames are their own effective
+    * views — tombstones applied), plus `band_raw_rows` (≡
+    * `idx_band_entries`, the application proof), and the two tombstone
+    * masses from the PRE-compaction generation. The probe runs against
+    * the post-retraction index: content whose last owner was deleted
+    * must come back `novel`, content with a surviving owner `exact` —
+    * the oracle rebuilds the retained index (monotone stop) from raw
+    * documents and re-derives every verdict. */
+  private[graft] def auditRetracted(spark: SparkSession, docs: DataFrame,
+      pre: IndexTables, t: IndexTables): DataFrame = {
+    val (_, band, _, meta) = readBack(spark, t)
+    val tomb = pre.tomb.getOrElse(
+      throw new IllegalArgumentException("auditRetracted needs the pre-compaction generation"))
+    audit(docs, isNewCol, effectiveHashIndex(spark, t), effectiveBandIndex(spark, t), meta)
+      .unionAll(band.agg(count(lit(1)).as("n"))
+        .select(lit("band_raw_rows").as("item"), col("n")))
+      .unionAll(spark.table(tomb.docs).agg(count(lit(1)).as("n"))
+        .select(lit("tomb_docs").as("item"), col("n")))
+      .unionAll(spark.table(tomb.hash).agg(count(lit(1)).as("n"))
+        .select(lit("tomb_hashes").as("item"), col("n")))
       .orderBy("item")
   }
 }

@@ -134,6 +134,11 @@ object SnapshotStateSink {
 
   def advance(spark: SparkSession, docs: DataFrame, t: StateTables,
       isNew: org.apache.spark.sql.Column): StateTables = {
+    // the advance's hash anti-join and appends read the RAW layers; a
+    // state with pending retraction tombstones (eq143) must be compacted
+    // first so the ghosts are physically gone before new facts land
+    require(t.index.tomb.isEmpty,
+      "advance requires a compacted state — apply pending retraction tombstones first")
     val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
     // the survivors are decided against the EFFECTIVE index view — after
     // a prior advance the raw band table carries rows in stop-listed

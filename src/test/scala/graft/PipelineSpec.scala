@@ -1291,6 +1291,91 @@ class PipelineSpec extends SparkSpec {
       "hash layer after compact-then-advance")
   }
 
+  test("eq143: retraction — deleted docs stop suppressing duplicates, hashes leave with their last owner, the stop list is monotone") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    val t1txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2txt = "iota kappa lambda mu nu xi omicron pi"
+    val g1 = "ruby sapphire emerald topaz quartz garnet opal jade amber pearl coral onyx"
+    val g2 = "maple birch cedar willow aspen alder poplar rowan hazel linden yew elm"
+    val fam = HotBucketFixture.fam.head
+    val old = Seq(
+      (2L, t1txt), (4L, t1txt), // hash twins — delete one, the content stays exact
+      (6L, t2txt), //              solo owner — deleting it orphans the hash
+      (8L, g1), (10L, g1 + " extra"), // near group 1 — deleted whole
+      (12L, g2), (14L, g2 + " extra")) // near group 2 — retained
+      .map { case (id, s) => (id, s, "en", "src", s.length.toLong) } ++
+      (0 until 60).map(i => ((20 + i).toLong, fam, "en", "src", fam.length.toLong))
+    val batch = Seq(
+      (101L, t1txt), (103L, t2txt),
+      (105L, g1 + " varia"), (107L, g2 + " varia"),
+      (109L, "totally novel text about tidal marsh sediment transport"),
+      (111L, s"$fam ${HotBucketFixture.bTails.head}")) // collides only with the stop-guarded family
+      .map { case (id, s) => (id, s, "de", "src", s.length.toLong) }
+    val docs = docsDf(old ++ batch)
+    val isNew = col("doc_id") >= 100L
+    val t0 = DedupIndexSink.write(spark, docs, isNew)
+    def verdicts(t: DedupIndexSink.IndexTables): Map[Long, String] =
+      Dedup.probeStoredIndex(docs, isNew,
+        DedupIndexSink.effectiveHashIndex(spark, t),
+        DedupIndexSink.effectiveBandIndex(spark, t))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v0 = verdicts(t0)
+    assert(v0(101L) == "exact" && v0(103L) == "exact" &&
+      v0(105L) == "near" && v0(107L) == "near" && v0(109L) == "novel")
+    assert(v0(111L) == "novel", "the stop-guarded family must produce no candidates at build")
+    val (_, _, stop0, _) = DedupIndexSink.readBack(spark, t0)
+    val nStop0 = stop0.count()
+    assert(nStop0 > 0, "fixture must stop-list the hot family")
+
+    // delete: one twin, the solo owner, ALL of group 1, half the hot family
+    val isDeleted = col("doc_id").isin(4L, 6L, 8L, 10L) ||
+      (col("doc_id") >= 20L && col("doc_id") < 50L)
+    val t1 = DedupIndexSink.retract(spark, docs, t0, isNew, isDeleted)
+    assert(spark.table(t1.tomb.get.docs).count() == 34L)
+    val orphans = spark.table(t1.tomb.get.hash).collect().map(_.getString(0)).toSet
+    assert(orphans.size == 3, // t2txt + the two group-1 texts; NOT the twins' (one
+      s"orphaned hashes: $orphans") // owner left) and NOT the family's (30 owners left)
+    val v1 = verdicts(t1)
+    assert(v1(101L) == "exact", "a surviving twin keeps the content exact")
+    assert(v1(103L) == "novel", "last-owner deletion must orphan the hash")
+    assert(v1(105L) == "novel", "retracting the whole group kills the near suppression")
+    assert(v1(107L) == "near", "an untouched group keeps suppressing")
+    assert(v1(109L) == "novel" && v1(111L) == "novel")
+
+    // a tombstoned state must refuse to advance (ghosts first)
+    assertThrows[IllegalArgumentException] {
+      SnapshotStateSink.advance(spark, docs,
+        SnapshotStateSink.StateTables(t1, "x", "x", "x", "x"), isNew)
+    }
+
+    // compaction applies the tombstones physically and clears them;
+    // verdicts must not move
+    val t2c = DedupIndexSink.compact(spark, t1)
+    assert(t2c.tomb.isEmpty)
+    val (h2, b2, stop2, _) = DedupIndexSink.readBack(spark, t2c)
+    assert(b2.join(spark.table(t1.tomb.get.docs), Seq("doc_id"), "left_semi").count() == 0)
+    assert(h2.join(spark.table(t1.tomb.get.hash), Seq("h"), "left_semi").count() == 0)
+    assert(stop2.count() == nStop0,
+      "the stop list is MONOTONE: 30 retained copies are under the cap, the guard stays")
+    assert(verdicts(t2c) == v1, "compaction must not change any verdict")
+
+    // scratch equality under the monotone-stop rule: the compacted hash
+    // layer is exactly the retained corpus's distinct hashes, and the
+    // compacted band layer is the retained docs' keys anti the ORIGINAL
+    // stop list (a full recount would un-stop the family — deliberately
+    // not what retraction does)
+    val retained = docs.filter(!isNew && !isDeleted)
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(h2, retained.select(md5(col("text")).as("h")).distinct(),
+      "hash layer vs retained scratch")
+    sameSet(b2.select("band", "band_key", "doc_id"),
+      Dedup.batchBandKeys(retained)
+        .join(stop0, Seq("band", "band_key"), "left_anti")
+        .select("band", "band_key", "doc_id"),
+      "band layer vs retained keys anti the monotone stop")
+  }
+
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
     import spark.implicits._
     // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
