@@ -1376,6 +1376,108 @@ class PipelineSpec extends SparkSpec {
       "band layer vs retained keys anti the monotone stop")
   }
 
+  test("state log: exactly-once streaming ingest — committed batches skipped, crash replays converge, folded log identical, final state equals scratch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    implicit val sqlCtx = spark.sqlContext
+
+    // a finished full curation wrote its snapshot; the log wraps it
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st)
+
+    // the corpus store grows with arrivals (the near-verify layer point-
+    // reads candidate docs from it); survivors for the scratch comparison
+    // are computed against the COMMITTED views right before each ingest
+    var store = oldDocs
+    def expectedSurvivors(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val docs = store.withColumn("is_new", lit(false))
+        .unionByName(batch.withColumn("is_new", lit(true)))
+      val (hashV, _, _, _) = StateLog.views(spark, ref)
+      Curation.deltaSurvivorsFromState(docs, col("is_new"), hashV,
+        StateLog.effectiveBand(spark, ref),
+        spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    }
+    val batches = scala.collection.mutable.Map[Long, org.apache.spark.sql.DataFrame]()
+    def ingest(batch: org.apache.spark.sql.DataFrame, batchId: Long): Boolean = {
+      val docs = store.withColumn("is_new", lit(false))
+        .unionByName(batch.withColumn("is_new", lit(true)))
+      val applied = StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), batchId)
+      if (applied) store = store.unionByName(batch).localCheckpoint()
+      applied
+    }
+
+    val s1 = expectedSurvivors(docsDf(bDocs))
+
+    // simulate a CRASHED first attempt at batch 0: half-written generation
+    // tables at the deterministic names — they must be invisible (not in
+    // the manifest) and get overwritten by the real attempt
+    Seq(("deadbeef")).toDF("h").write.mode("overwrite")
+      .option("path", s"${sys.props("java.io.tmpdir")}/${ref.manifest}_hash_b0")
+      .saveAsTable(s"${ref.manifest}_hash_b0")
+    val (preHash, _, _, _) = StateLog.views(spark, ref)
+    assert(preHash.filter(col("h") === "deadbeef").count() == 0,
+      "an uncommitted generation must be invisible to every view")
+
+    // drive the two deltas as MICRO-BATCHES through foreachBatch
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        batches(batchId) = b
+        ingest(b, batchId): Unit
+      }
+      .start()
+    mem.addData(bDocs)
+    q.processAllAvailable()
+    val s2 = expectedSurvivors(docsDf(cDocs)) // vs the state AFTER batch 0
+    mem.addData(cDocs)
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.keySet == Set(0L, 1L), s"expected two micro-batches, got ${batches.keySet}")
+
+    // a replay of a COMMITTED batch is skipped outright
+    val docsReplay = store.withColumn("is_new", lit(false))
+      .unionByName(batches(0L).withColumn("is_new", lit(true)))
+    assert(!StateLog.ingestBatch(spark, ref, st, docsReplay, col("is_new"), 0L),
+      "a committed batch id must be skipped")
+    assert(spark.table(ref.manifest).count() == 3, "gen0 + two committed batches")
+
+    // final state ≡ scratch over (old ∪ s1 ∪ s2)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = oldDocs.select(cols.head, cols.tail: _*)
+      .unionByName(s1.select(cols.head, cols.tail: _*))
+      .unionByName(s2.select(cols.head, cols.tail: _*))
+    val (sh, sb, sstop) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (hashV, _, stopV, packV) = StateLog.views(spark, ref)
+    sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"), "log effective band vs scratch")
+    sameSet(stopV.distinct(), sstop.select("band", "band_key"), "log stop union vs scratch")
+    sameSet(hashV.filter(col("h").isNotNull), sh.filter(col("h").isNotNull),
+      "log hash union vs scratch")
+    val packCols = Seq("lang", "doc_id", "n_tokens", "n_chars")
+    val mergedCur = Curation.curatedDocsDf(oldDocs)
+      .select(packCols.head, packCols.tail: _*)
+      .unionByName(s1.select(packCols.head, packCols.tail: _*))
+      .unionByName(s2.select(packCols.head, packCols.tail: _*))
+    sameSet(packV, Curation.packSummaryOf(mergedCur), "log cumulative pack vs scratch")
+
+    // folding the log (compaction) changes nothing a probe can see and
+    // bounds the manifest back to one row
+    val preFold = StateLog.effectiveBand(spark, ref).localCheckpoint()
+    StateLog.compactLog(spark, ref)
+    assert(spark.table(ref.manifest).count() == 1, "folded manifest is the single pointer row")
+    sameSet(StateLog.effectiveBand(spark, ref), preFold, "effective band across the fold")
+    val (hashF, bandF, _, packF) = StateLog.views(spark, ref)
+    sameSet(hashF, hashV, "hash layer across the fold")
+    sameSet(bandF.select("band", "band_key", "doc_id"), preFold, "folded raw band IS the effective view")
+    sameSet(packF, packV, "pack summary across the fold")
+  }
+
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
     import spark.implicits._
     // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
