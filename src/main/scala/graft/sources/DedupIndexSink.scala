@@ -116,9 +116,19 @@ object DedupIndexSink {
     *    fixture.
     *
     * `isDeleted` is evaluated against the INDEXED side only (`!isNew &&
-    * isDeleted`) — retracting a doc the index never held is a no-op. */
+    * isDeleted`) — retracting a doc the index never held is a no-op.
+    *
+    * A state with tombstones already pending REFUSES a second
+    * retraction (the advance's posture): replacing the tomb handle
+    * would silently resurrect the first deletion set, and merging is
+    * subtly wrong — the second orphan recount would treat the first
+    * set's docs as surviving owners. Compact between retractions; the
+    * production cadence batches deletions per maintenance window
+    * anyway. */
   def retract(spark: SparkSession, docs: DataFrame, t: IndexTables,
       isNew: org.apache.spark.sql.Column, isDeleted: org.apache.spark.sql.Column): IndexTables = {
+    require(t.tomb.isEmpty,
+      "retract requires a compacted state — apply the pending tombstones first")
     val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
     val tmp = sys.props("java.io.tmpdir")
     val deleted = docs.filter(!isNew && isDeleted)

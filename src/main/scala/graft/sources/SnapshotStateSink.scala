@@ -87,9 +87,14 @@ object SnapshotStateSink {
     * from any session of the context — the restart path PipelineSpec
     * drives. */
   def readAndCurate(spark: SparkSession, docs: DataFrame, t: StateTables): DataFrame = {
-    val (hashIdx, _, _, _) = DedupIndexSink.readBack(spark, t.index)
+    // EFFECTIVE views on both layers: after a retraction (eq143) the raw
+    // hash table still carries the ghosts, and gating a re-crawl out as
+    // an exact dup against a deleted doc is exactly the failure
+    // retraction exists to prevent (identical frame when no tombstones
+    // are pending — the anti-join is added only under Some(tomb))
     Curation.incrementalCurationFromState(docs, DedupIndexSink.isNewCol,
-      hashIdx, DedupIndexSink.effectiveBandIndex(spark, t.index),
+      DedupIndexSink.effectiveHashIndex(spark, t.index),
+      DedupIndexSink.effectiveBandIndex(spark, t.index),
       spark.table(t.testVocab), spark.table(t.mixRates),
       spark.table(t.bpeEnc), spark.table(t.packSummary))
   }

@@ -32,26 +32,34 @@ import graft.pipeline.{Curation, Dedup}
   *  - a replayed batch whose id is already in the manifest is skipped
   *    outright (the at-least-once → exactly-once gate).
   *
+  * The manifest itself is APPEND-ONLY — including compaction. A fold
+  * ([[compactLog]]) writes the merged generation's tables and then
+  * appends ONE manifest row flagged `fold = true`; readers resolve the
+  * active state as "the latest fold row plus everything after it", so
+  * the pointer flip is a single atomic-append commit, never an in-place
+  * rewrite of the table every reader depends on (an overwrite would
+  * have a drop-recreate window in which a crash strands the whole log).
+  * Batch-id skip checks scan the FULL manifest history, so a replay of
+  * a long-committed batch is still skipped after any number of folds.
+  * Manifest rows accumulate one per batch — tiny — while the per-probe
+  * union width is bounded by the folds.
+  *
   * Layer semantics per generation: `hash` — the batch survivors' content
-  * hashes not present in any committed generation; `band` — the
-  * survivors' band keys (probes filter by the UNION of stop lists, the
-  * monotone guard, exactly eq141's posture); `stop` — buckets the batch
-  * pushed past the cap, relative to the committed raw mass; `pack` — the
-  * CUMULATIVE per-lang pack summary ([[Curation.appendPackSummary]]'s
-  * O(batch) math over the latest committed summary), so the newest
-  * generation's pack table is always the whole corpus's summary.
+  * hashes not present in any committed generation (probed scan-only:
+  * batch hashes broadcast INTO the state union, never a state-wide
+  * shuffle); `band` — the survivors' band keys (probes filter by the
+  * UNION of stop lists, the monotone guard, exactly eq141's posture);
+  * `stop` — buckets the batch pushed past the cap, relative to the
+  * committed raw mass; `pack` — the CUMULATIVE per-lang pack summary
+  * ([[Curation.appendPackSummary]]'s O(batch) math over the latest
+  * committed summary), so the newest generation's pack table is always
+  * the whole corpus's summary.
   *
-  * Generation count is bounded by [[compactLog]]: fold all committed
-  * generations into one (the effective views made physical — eq142's
-  * compaction applied to the log) and swap the manifest to the single
-  * folded row; the old generation tables stay readable until dropped,
-  * the manifest overwrite is the catalog pointer flip.
-  *
-  * The driver-side manifest read (one tiny collect per batch, rows =
-  * generations since the last compaction) is the log's only
-  * driver-side state — nothing else survives a restart, which is the
-  * point: StreamingSpec pins that a fresh "driver" resuming from the
-  * manifest skips committed batches and lands on the same final state.
+  * The driver-side manifest read (one tiny collect per batch) is the
+  * log's only driver-side state — nothing else survives a restart,
+  * which is the point: StreamingSpec pins that a fresh "driver"
+  * resuming from the manifest skips committed batches and lands on the
+  * same final state.
   *
   * Reference basis: the reference persists ETL output and serves queries
   * from the stored copy (`etl_project/data.py:41-42`); this is that
@@ -67,53 +75,79 @@ object StateLog {
     * collide on purpose. */
   final case class LogRef(manifest: String)
 
+  private final case class Gen(genId: Long, batchId: Long, fold: Boolean,
+      hash: String, band: String, stop: String, pack: String)
+
   /** Start a log over a finished full curation: generation 0 POINTS AT
     * the snapshot's existing index + pack tables (no copy — the log
     * wraps the snapshot; eq140's write is the expensive pass, the log
-    * is a one-row manifest write). */
+    * is a one-row manifest write). Gen 0 is the initial fold row. */
   def fromSnapshot(spark: SparkSession, st: SnapshotStateSink.StateTables): LogRef = {
     require(st.index.tomb.isEmpty,
       "the log ingests forward — apply pending retraction tombstones first")
     val id = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
     val ref = LogRef(s"graft_state_log_$id")
-    genRow(spark, 0L, -1L, st.index.hash, st.index.band, st.index.stop, st.packSummary)
+    genRow(spark, Gen(0L, -1L, fold = true,
+      st.index.hash, st.index.band, st.index.stop, st.packSummary))
       .write.mode("overwrite")
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_state_log_${id}_manifest")
       .saveAsTable(ref.manifest)
     ref
   }
 
-  private def genRow(spark: SparkSession, genId: Long, batchId: Long,
-      hash: String, band: String, stop: String, pack: String): DataFrame = {
+  private def genRow(spark: SparkSession, g: Gen): DataFrame = {
     import spark.implicits._
-    Seq((genId, batchId, hash, band, stop, pack))
-      .toDF("gen_id", "batch_id", "hash_tbl", "band_tbl", "stop_tbl", "pack_tbl")
+    Seq((g.genId, g.batchId, g.fold, g.hash, g.band, g.stop, g.pack))
+      .toDF("gen_id", "batch_id", "fold", "hash_tbl", "band_tbl", "stop_tbl", "pack_tbl")
   }
 
-  /** The committed generations, oldest first. One tiny driver-side read
-    * per call — the manifest is generations-since-compaction rows. */
-  private def committed(spark: SparkSession, ref: LogRef): Seq[(Long, Long, String, String, String, String)] =
+  /** The FULL manifest history, oldest first — one tiny driver-side
+    * read. The skip set needs all of it; the active state is the suffix
+    * from the latest fold row ([[active]]). */
+  private def history(spark: SparkSession, ref: LogRef): Seq[Gen] =
     spark.table(ref.manifest).orderBy("gen_id").collect().toSeq
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
-        r.getString(4), r.getString(5)))
+      .map(r => Gen(r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6)))
 
-  /** The committed state's layer views: raw hash union, raw band union,
-    * stop-key union (the monotone guard across generations), and the
-    * LATEST generation's cumulative pack summary. */
-  def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val gens = committed(spark, ref)
+  private def active(hist: Seq[Gen]): Seq[Gen] =
+    hist.drop(hist.lastIndexWhere(_.fold))
+
+  /** The committed state's layer views over a resolved generation list:
+    * raw hash union, raw band union, stop-key union (the monotone guard
+    * across generations), and the LATEST generation's cumulative pack
+    * summary. */
+  private def viewsOf(spark: SparkSession, gens: Seq[Gen]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def union(tbls: Seq[String]): DataFrame =
       tbls.map(spark.table).reduce(_ unionAll _)
-    (union(gens.map(_._3)), union(gens.map(_._4)), union(gens.map(_._5)),
-      spark.table(gens.last._6))
+    (union(gens.map(_.hash)), union(gens.map(_.band)), union(gens.map(_.stop)),
+      spark.table(gens.last.pack))
   }
 
-  /** The committed EFFECTIVE band index: every generation's band rows,
-    * minus the union stop list — the probe view (eq141's stop-filter
-    * posture across generations). */
+  def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    viewsOf(spark, active(history(spark, ref)))
+
+  private def effectiveBandOf(bandRaw: DataFrame, stop: DataFrame): DataFrame =
+    bandRaw.join(broadcast(stop.distinct()), Seq("band", "band_key"), "left_anti")
+
+  /** The committed EFFECTIVE band index: every active generation's band
+    * rows, minus the union stop list — the probe view (eq141's
+    * stop-filter posture across generations). */
   def effectiveBand(spark: SparkSession, ref: LogRef): DataFrame = {
     val (_, band, stop, _) = views(spark, ref)
-    band.join(broadcast(stop.distinct()), Seq("band", "band_key"), "left_anti")
+    effectiveBandOf(band, stop)
+  }
+
+  /** One generation table: deterministic name + path from (log, layer,
+    * tag), overwrite mode — the shared writer for batch generations and
+    * folds, so the two can never drift in layout. */
+  private def saveGen(spark: SparkSession, ref: LogRef, df: DataFrame,
+      layer: String, tag: String, bucketCol: Option[String]): String = {
+    val tbl = s"${ref.manifest}_${layer}_$tag"
+    val w = df.write.mode("overwrite")
+      .option("path", s"${sys.props("java.io.tmpdir")}/${ref.manifest}_${layer}_$tag")
+    bucketCol.fold(w)(c => w.bucketBy(DedupIndexSink.Buckets, c).sortBy(c))
+      .saveAsTable(tbl)
+    tbl
   }
 
   /** Exactly-once micro-batch ingest — the foreachBatch body. `docs`
@@ -122,7 +156,8 @@ object StateLog {
     * docs' shingle sets from it, broadcast-pruned, exactly like the
     * advance. Gates (test vocabulary, mix rates) come from the frozen
     * snapshot `st`. Returns true if the batch was applied, false if the
-    * manifest already had it (replay of a committed batch — skipped).
+    * manifest already had it (replay of a committed batch — skipped,
+    * checked against the FULL history so folds never forget a batch).
     *
     * Crash matrix: die before any write → nothing visible; die
     * mid-generation-write → the half-generation is not in the manifest,
@@ -132,19 +167,23 @@ object StateLog {
     * Every path converges to the same committed state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
-    val gens = committed(spark, ref)
-    if (gens.exists(_._2 == batchId)) return false
-    val (hashV, bandRawV, stopV, packV) = views(spark, ref)
-    val effBand = bandRawV.join(broadcast(stopV.distinct()), Seq("band", "band_key"), "left_anti")
+    val hist = history(spark, ref)
+    if (hist.exists(_.batchId == batchId)) return false
+    val (hashV, bandRawV, stopV, packV) = viewsOf(spark, active(hist))
     val survivors = Curation.deltaSurvivorsFromState(docs, isNew,
-      hashV, effBand, spark.table(st.testVocab), spark.table(st.mixRates))
+      hashV, effectiveBandOf(bandRawV, stopV),
+      spark.table(st.testVocab), spark.table(st.mixRates))
       .localCheckpoint()
 
     // generation content — all batch-bounded, all derived from COMMITTED
-    // views + the batch, so a replay recomputes identical frames
-    val newHashes = survivors.select(md5(col("text")).as("h"))
+    // views + the batch, so a replay recomputes identical frames. The
+    // hash dedup is the storedMatchedHashes shape: batch hashes
+    // broadcast INTO the state-union scan (scan-only on the state side),
+    // the matched set broadcast back — never a state-wide shuffle.
+    val survHashes = survivors.select(md5(col("text")).as("h"))
       .filter(col("h").isNotNull).distinct()
-      .join(hashV, Seq("h"), "left_anti")
+    val matchedHashes = hashV.join(broadcast(survHashes), Seq("h"), "left_semi")
+    val newHashes = survHashes.join(broadcast(matchedHashes), Seq("h"), "left_anti")
     val survBanded = Dedup.batchBandKeys(docs.filter(isNew))
       .join(broadcast(survivors.select("doc_id")), Seq("doc_id"), "left_semi")
       .select("band", "band_key", "doc_id")
@@ -162,53 +201,42 @@ object StateLog {
 
     // deterministic per-batch generation tables, overwrite mode
     val tag = s"b$batchId"
-    val tmp = sys.props("java.io.tmpdir")
-    def save(df: DataFrame, layer: String, bucketCol: Option[String]): String = {
-      val tbl = s"${ref.manifest}_${layer}_$tag"
-      val w = df.write.mode("overwrite")
-        .option("path", s"$tmp/${ref.manifest}_${layer}_$tag")
-      bucketCol.fold(w)(c => w.bucketBy(DedupIndexSink.Buckets, c).sortBy(c))
-        .saveAsTable(tbl)
-      tbl
-    }
-    val hashT = save(newHashes, "hash", Some("h"))
-    val bandT = save(survBanded, "band", Some("band_key"))
-    val stopT = save(newlyHot, "stop", None)
-    val packT = save(pack, "pack", None)
+    val hashT = saveGen(spark, ref, newHashes, "hash", tag, Some("h"))
+    val bandT = saveGen(spark, ref, survBanded, "band", tag, Some("band_key"))
+    val stopT = saveGen(spark, ref, newlyHot, "stop", tag, None)
+    val packT = saveGen(spark, ref, pack, "pack", tag, None)
 
     // THE COMMIT POINT: one manifest row
-    genRow(spark, gens.map(_._1).max + 1, batchId, hashT, bandT, stopT, packT)
+    genRow(spark, Gen(hist.map(_.genId).max + 1, batchId, fold = false,
+      hashT, bandT, stopT, packT))
       .write.mode("append").saveAsTable(ref.manifest)
     true
   }
 
-  /** Fold every committed generation into one (eq142's compaction
-    * applied to the log): the effective views written physically as a
-    * fresh generation, the union stop list kept (the monotone guard's
-    * memory), the latest cumulative pack carried, and the manifest
-    * OVERWRITTEN with the single folded row — the pointer flip that
-    * bounds both generation count and the per-probe union width. */
+  /** Fold every active generation into one (eq142's compaction applied
+    * to the log): the effective views written physically as a fresh
+    * generation, the union stop list kept (the monotone guard's
+    * memory), the latest cumulative pack carried — committed by
+    * APPENDING one `fold = true` manifest row, the same atomic-append
+    * discipline as every batch commit. Readers resolve the active state
+    * from the latest fold, so the flip has no drop-recreate window; the
+    * superseded generation tables stay readable until dropped. */
   def compactLog(spark: SparkSession, ref: LogRef): Unit = {
-    val gens = committed(spark, ref)
-    val (hashV, _, stopV, packV) = views(spark, ref)
-    val eff = effectiveBand(spark, ref)
-    val tag = s"c${gens.map(_._1).max}"
-    val tmp = sys.props("java.io.tmpdir")
-    def save(df: DataFrame, layer: String, bucketCol: Option[String]): String = {
-      val tbl = s"${ref.manifest}_${layer}_$tag"
-      val w = df.write.mode("overwrite")
-        .option("path", s"$tmp/${ref.manifest}_${layer}_$tag")
-      bucketCol.fold(w)(c => w.bucketBy(DedupIndexSink.Buckets, c).sortBy(c))
-        .saveAsTable(tbl)
-      tbl
-    }
-    val hashT = save(hashV, "hash", Some("h"))
-    val bandT = save(eff, "band", Some("band_key"))
-    val stopT = save(stopV.distinct(), "stop", None)
-    val packT = save(packV, "pack", None)
-    genRow(spark, gens.map(_._1).max + 1, gens.map(_._2).max, hashT, bandT, stopT, packT)
-      .write.mode("overwrite")
-      .option("path", s"$tmp/${ref.manifest}_manifest_$tag")
-      .saveAsTable(ref.manifest)
+    val hist = history(spark, ref)
+    val gens = active(hist)
+    val (hashV, bandRawV, stopV, packV) = viewsOf(spark, gens)
+    val tag = s"c${hist.map(_.genId).max}"
+    val hashT = saveGen(spark, ref, hashV, "hash", tag, Some("h"))
+    val bandT = saveGen(spark, ref, effectiveBandOf(bandRawV, stopV), "band", tag, Some("band_key"))
+    val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
+    val packT = saveGen(spark, ref, packV, "pack", tag, None)
+    genRow(spark, Gen(hist.map(_.genId).max + 1, hist.map(_.batchId).max, fold = true,
+      hashT, bandT, stopT, packT))
+      .write.mode("append").saveAsTable(ref.manifest)
   }
+
+  /** Active generation count (post-fold width) — the bounded quantity
+    * probes pay for; test-visible. */
+  private[graft] def activeGenerations(spark: SparkSession, ref: LogRef): Int =
+    active(history(spark, ref)).size
 }

@@ -1342,10 +1342,15 @@ class PipelineSpec extends SparkSpec {
     assert(v1(107L) == "near", "an untouched group keeps suppressing")
     assert(v1(109L) == "novel" && v1(111L) == "novel")
 
-    // a tombstoned state must refuse to advance (ghosts first)
+    // a tombstoned state must refuse to advance (ghosts first) — and to
+    // retract AGAIN (replacing the tomb handle would resurrect the first
+    // deletion set; merging would mis-count the orphan recount)
     assertThrows[IllegalArgumentException] {
       SnapshotStateSink.advance(spark, docs,
         SnapshotStateSink.StateTables(t1, "x", "x", "x", "x"), isNew)
+    }
+    assertThrows[IllegalArgumentException] {
+      DedupIndexSink.retract(spark, docs, t1, isNew, col("doc_id") === 2L)
     }
 
     // compaction applies the tombstones physically and clears them;
@@ -1374,6 +1379,36 @@ class PipelineSpec extends SparkSpec {
         .join(stop0, Seq("band", "band_key"), "left_anti")
         .select("band", "band_key", "doc_id"),
       "band layer vs retained keys anti the monotone stop")
+  }
+
+  test("readAndCurate respects pending retraction tombstones: a re-crawl of deleted content is not gated against a ghost") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    val tx = "unique retracted content about glacier meltwater chemistry"
+    val docs = docsDf(Seq(
+      (2L, tx, "en", "src"),
+      (3L, "gardeners rotate tomato beds yearly in raised plots", "en", "src"),
+      (4L, "violin makers season maple wood patiently for decades", "en", "src"),
+      (5L, "lighthouse keepers log passing ships nightly by hand", "en", "src"),
+      (8L, tx, "de", "src"), // the re-crawl of the content id 2 owned
+      (9L, "novel text about tidal estuary sediment transport", "de", "src"))
+      .map { case (id, s, l, src) => (id, s, l, src, s.length.toLong) })
+    val st = SnapshotStateSink.write(spark, docs)
+    val retracted = st.copy(index = DedupIndexSink.retract(spark, docs, st.index,
+      DedupIndexSink.isNewCol, col("doc_id") === 2L))
+    assert(spark.table(retracted.index.tomb.get.hash).count() == 1,
+      "deleting the solo owner must orphan its hash")
+    val viaTombstones = SnapshotStateSink.readAndCurate(spark, docs, retracted)
+      .collect().map(_.toString).toSeq
+    val viaCompacted = SnapshotStateSink.readAndCurate(spark, docs,
+      SnapshotStateSink.compact(spark, retracted)).collect().map(_.toString).toSeq
+    assert(viaTombstones == viaCompacted,
+      "the delta funnel must see the same ghost-free exact layer before and after the tombstones are applied")
+    // load-bearing check: against the UNretracted state the same funnel
+    // gates the re-crawl out at the exact stage, so the frames differ
+    val viaUnretracted = SnapshotStateSink.readAndCurate(spark, docs, st)
+      .collect().map(_.toString).toSeq
+    assert(viaTombstones != viaUnretracted,
+      "the retraction must be load-bearing for this fixture")
   }
 
   test("state log: exactly-once streaming ingest — committed batches skipped, crash replays converge, folded log identical, final state equals scratch") {
@@ -1467,15 +1502,24 @@ class PipelineSpec extends SparkSpec {
     sameSet(packV, Curation.packSummaryOf(mergedCur), "log cumulative pack vs scratch")
 
     // folding the log (compaction) changes nothing a probe can see and
-    // bounds the manifest back to one row
+    // bounds the ACTIVE width back to one generation — committed by an
+    // atomic APPEND of a fold row, never an in-place manifest rewrite
     val preFold = StateLog.effectiveBand(spark, ref).localCheckpoint()
     StateLog.compactLog(spark, ref)
-    assert(spark.table(ref.manifest).count() == 1, "folded manifest is the single pointer row")
+    assert(spark.table(ref.manifest).count() == 4,
+      "the manifest is append-only: gen0 + two batches + the fold row")
+    assert(StateLog.activeGenerations(spark, ref) == 1,
+      "the fold bounds the active width to the single folded generation")
     sameSet(StateLog.effectiveBand(spark, ref), preFold, "effective band across the fold")
     val (hashF, bandF, _, packF) = StateLog.views(spark, ref)
     sameSet(hashF, hashV, "hash layer across the fold")
     sameSet(bandF.select("band", "band_key", "doc_id"), preFold, "folded raw band IS the effective view")
     sameSet(packF, packV, "pack summary across the fold")
+    // a fold never forgets a committed batch: the skip check reads the
+    // full history, so a late replay of batch 0 is still a no-op
+    assert(!StateLog.ingestBatch(spark, ref, st, docsReplay, col("is_new"), 0L),
+      "a committed batch must stay skipped after a fold")
+    assert(spark.table(ref.manifest).count() == 4, "the skipped replay appended nothing")
   }
 
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
