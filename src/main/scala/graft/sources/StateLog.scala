@@ -32,17 +32,20 @@ import graft.pipeline.{Curation, Dedup}
   *  - a replayed batch whose id is already in the manifest is skipped
   *    outright (the at-least-once → exactly-once gate).
   *
-  * The manifest itself is APPEND-ONLY — including compaction. A fold
-  * ([[compactLog]]) writes the merged generation's tables and then
-  * appends ONE manifest row flagged `fold = true`; readers resolve the
-  * active state as "the latest fold row plus everything after it", so
-  * the pointer flip is a single atomic-append commit, never an in-place
-  * rewrite of the table every reader depends on (an overwrite would
-  * have a drop-recreate window in which a crash strands the whole log).
-  * Batch-id skip checks scan the FULL manifest history, so a replay of
-  * a long-committed batch is still skipped after any number of folds.
-  * Manifest rows accumulate one per batch — tiny — while the per-probe
-  * union width is bounded by the folds.
+  * The manifest itself is APPEND-ONLY — including compaction and
+  * deletion. A fold ([[compactLog]]) writes the merged generation's
+  * tables and then appends ONE `fold`-kind manifest row; readers
+  * resolve the active state as "the latest fold row plus everything
+  * after it", so the pointer flip is a single atomic-append commit,
+  * never an in-place rewrite of the table every reader depends on (an
+  * overwrite would have a drop-recreate window in which a crash strands
+  * the whole log). A retraction ([[retractBatch]]) commits eq143's two
+  * tombstones as a `retract`-kind generation that every view subtracts,
+  * applied physically at the next fold. Batch-id skip checks scan the
+  * FULL manifest history (kind-aware), so a replay of a long-committed
+  * operation is still skipped after any number of folds. Manifest rows
+  * accumulate one per operation — tiny — while the per-probe union
+  * width is bounded by the folds.
   *
   * Layer semantics per generation: `hash` — the batch survivors' content
   * hashes not present in any committed generation (probed scan-only:
@@ -75,19 +78,26 @@ object StateLog {
     * collide on purpose. */
   final case class LogRef(manifest: String)
 
-  private final case class Gen(genId: Long, batchId: Long, fold: Boolean,
+  /** Manifest row kinds: `base` — the genesis pointer at a finished full
+    * curation's tables; `delta` — one ingested micro-batch's generation;
+    * `retract` — one deletion operation's tombstone generation (its
+    * `hash` table holds ORPHANED hashes, its `band` table holds deleted
+    * doc_ids — eq143's two tombstones as a committed generation, which
+    * every view subtracts); `fold` — a compaction pointer: the merged
+    * generation all prior rows collapse into (tombstones applied). */
+  private final case class Gen(genId: Long, batchId: Long, kind: String,
       hash: String, band: String, stop: String, pack: String)
 
   /** Start a log over a finished full curation: generation 0 POINTS AT
     * the snapshot's existing index + pack tables (no copy — the log
     * wraps the snapshot; eq140's write is the expensive pass, the log
-    * is a one-row manifest write). Gen 0 is the initial fold row. */
+    * is a one-row manifest write). Gen 0 is the genesis fold point. */
   def fromSnapshot(spark: SparkSession, st: SnapshotStateSink.StateTables): LogRef = {
     require(st.index.tomb.isEmpty,
       "the log ingests forward — apply pending retraction tombstones first")
     val id = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
     val ref = LogRef(s"graft_state_log_$id")
-    genRow(spark, Gen(0L, -1L, fold = true,
+    genRow(spark, Gen(0L, -1L, "base",
       st.index.hash, st.index.band, st.index.stop, st.packSummary))
       .write.mode("overwrite")
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_state_log_${id}_manifest")
@@ -97,30 +107,45 @@ object StateLog {
 
   private def genRow(spark: SparkSession, g: Gen): DataFrame = {
     import spark.implicits._
-    Seq((g.genId, g.batchId, g.fold, g.hash, g.band, g.stop, g.pack))
-      .toDF("gen_id", "batch_id", "fold", "hash_tbl", "band_tbl", "stop_tbl", "pack_tbl")
+    Seq((g.genId, g.batchId, g.kind, g.hash, g.band, g.stop, g.pack))
+      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl", "pack_tbl")
   }
 
   /** The FULL manifest history, oldest first — one tiny driver-side
     * read. The skip set needs all of it; the active state is the suffix
-    * from the latest fold row ([[active]]). */
+    * from the latest fold point ([[active]]). */
   private def history(spark: SparkSession, ref: LogRef): Seq[Gen] =
     spark.table(ref.manifest).orderBy("gen_id").collect().toSeq
-      .map(r => Gen(r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3),
+      .map(r => Gen(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5), r.getString(6)))
 
   private def active(hist: Seq[Gen]): Seq[Gen] =
-    hist.drop(hist.lastIndexWhere(_.fold))
+    hist.drop(hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold"))
 
   /** The committed state's layer views over a resolved generation list:
-    * raw hash union, raw band union, stop-key union (the monotone guard
-    * across generations), and the LATEST generation's cumulative pack
-    * summary. */
+    * the hash layer (delta unions MINUS retract generations' orphaned-
+    * hash tombstones), the LIVE band rows (delta unions MINUS retract
+    * generations' doc tombstones — stop-unfiltered: the guard recount
+    * counts live rows, eq143's retained-keys semantics), the stop-key
+    * union (the monotone guard, never shrunk by retraction), and the
+    * LATEST delta generation's cumulative pack summary (retraction does
+    * not re-account packing — that is a repack/full-recuration concern,
+    * the eq143 posture). */
   private def viewsOf(spark: SparkSession, gens: Seq[Gen]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def union(tbls: Seq[String]): DataFrame =
       tbls.map(spark.table).reduce(_ unionAll _)
-    (union(gens.map(_.hash)), union(gens.map(_.band)), union(gens.map(_.stop)),
-      spark.table(gens.last.pack))
+    val deltas = gens.filter(_.kind != "retract")
+    val retracts = gens.filter(_.kind == "retract")
+    val hashRaw = union(deltas.map(_.hash))
+    val bandRaw = union(deltas.map(_.band))
+    val hashV =
+      if (retracts.isEmpty) hashRaw
+      else hashRaw.join(broadcast(union(retracts.map(_.hash))), Seq("h"), "left_anti")
+    val bandLive =
+      if (retracts.isEmpty) bandRaw
+      else bandRaw.join(
+        broadcast(union(retracts.map(_.band)).select("doc_id")), Seq("doc_id"), "left_anti")
+    (hashV, bandLive, union(deltas.map(_.stop)), spark.table(deltas.last.pack))
   }
 
   def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) =
@@ -168,7 +193,7 @@ object StateLog {
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
     val hist = history(spark, ref)
-    if (hist.exists(_.batchId == batchId)) return false
+    if (hist.exists(g => g.batchId == batchId && g.kind == "delta")) return false
     val (hashV, bandRawV, stopV, packV) = viewsOf(spark, active(hist))
     val survivors = Curation.deltaSurvivorsFromState(docs, isNew,
       hashV, effectiveBandOf(bandRawV, stopV),
@@ -207,30 +232,76 @@ object StateLog {
     val packT = saveGen(spark, ref, pack, "pack", tag, None)
 
     // THE COMMIT POINT: one manifest row
-    genRow(spark, Gen(hist.map(_.genId).max + 1, batchId, fold = false,
+    genRow(spark, Gen(hist.map(_.genId).max + 1, batchId, "delta",
       hashT, bandT, stopT, packT))
+      .write.mode("append").saveAsTable(ref.manifest)
+    true
+  }
+
+  /** Exactly-once RETRACTION through the log — eq143's tombstones as a
+    * committed generation, under the same discipline as every ingest:
+    * deterministic per-operation tables (overwrite mode), a one-row
+    * manifest append as the commit point, operation ids skipped if
+    * already committed (kind-aware, so a deletion op and a stream batch
+    * may share a numeric id space without colliding).
+    *
+    * `indexedDocs` must be the INDEXED corpus store — the base snapshot
+    * plus committed survivors (production maintains exactly this: it is
+    * the curated training corpus, eq138's written product). The orphan
+    * recount is eq143's, extended across prior retractions: a deleted
+    * hash survives only if some indexed doc that is neither in THIS
+    * deletion set nor in any PRIOR retract generation still owns it.
+    * The stop list is never shrunk (the monotone guard); pack
+    * re-accounting is deferred to a repack (the eq143 posture). */
+  def retractBatch(spark: SparkSession, ref: LogRef, indexedDocs: DataFrame,
+      isDeleted: Column, opId: Long): Boolean = {
+    val hist = history(spark, ref)
+    if (hist.exists(g => g.batchId == opId && g.kind == "retract")) return false
+    val priorTombs = active(hist).filter(_.kind == "retract")
+    val deleted = indexedDocs.filter(isDeleted)
+    val delHashes = deleted.select(md5(col("text")).as("h"))
+      .filter(col("h").isNotNull).distinct().localCheckpoint()
+    val retained0 = indexedDocs.filter(!isDeleted)
+    val retained =
+      if (priorTombs.isEmpty) retained0
+      else retained0.join(
+        broadcast(priorTombs.map(g => spark.table(g.band)).reduce(_ unionAll _)
+          .select("doc_id")), Seq("doc_id"), "left_anti")
+    val surviving = retained.select(md5(col("text")).as("h"))
+      .join(broadcast(delHashes), Seq("h"), "left_semi").distinct()
+    val orphaned = delHashes.join(broadcast(surviving), Seq("h"), "left_anti")
+
+    val tag = s"r$opId"
+    val tombDocsT = saveGen(spark, ref, deleted.select("doc_id"), "band", tag, None)
+    val tombHashT = saveGen(spark, ref, orphaned, "hash", tag, None)
+    // stop/pack slots carry pointers (never read through a retract row:
+    // the stop union and the latest pack resolve over delta rows only)
+    val lastDelta = active(hist).filter(_.kind != "retract").last
+    genRow(spark, Gen(hist.map(_.genId).max + 1, opId, "retract",
+      tombHashT, tombDocsT, lastDelta.stop, lastDelta.pack))
       .write.mode("append").saveAsTable(ref.manifest)
     true
   }
 
   /** Fold every active generation into one (eq142's compaction applied
     * to the log): the effective views written physically as a fresh
-    * generation, the union stop list kept (the monotone guard's
-    * memory), the latest cumulative pack carried — committed by
-    * APPENDING one `fold = true` manifest row, the same atomic-append
-    * discipline as every batch commit. Readers resolve the active state
-    * from the latest fold, so the flip has no drop-recreate window; the
-    * superseded generation tables stay readable until dropped. */
+    * generation — retraction tombstones applied, stop-guarded rows
+    * dropped, the union stop list kept (the monotone guard's memory),
+    * the latest cumulative pack carried — committed by APPENDING one
+    * `fold` manifest row, the same atomic-append discipline as every
+    * batch commit. Readers resolve the active state from the latest
+    * fold, so the flip has no drop-recreate window; the superseded
+    * generation tables stay readable until dropped. */
   def compactLog(spark: SparkSession, ref: LogRef): Unit = {
     val hist = history(spark, ref)
     val gens = active(hist)
-    val (hashV, bandRawV, stopV, packV) = viewsOf(spark, gens)
+    val (hashV, bandLiveV, stopV, packV) = viewsOf(spark, gens)
     val tag = s"c${hist.map(_.genId).max}"
     val hashT = saveGen(spark, ref, hashV, "hash", tag, Some("h"))
-    val bandT = saveGen(spark, ref, effectiveBandOf(bandRawV, stopV), "band", tag, Some("band_key"))
+    val bandT = saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
     val packT = saveGen(spark, ref, packV, "pack", tag, None)
-    genRow(spark, Gen(hist.map(_.genId).max + 1, hist.map(_.batchId).max, fold = true,
+    genRow(spark, Gen(hist.map(_.genId).max + 1, hist.map(_.batchId).max, "fold",
       hashT, bandT, stopT, packT))
       .write.mode("append").saveAsTable(ref.manifest)
   }

@@ -1520,6 +1520,36 @@ class PipelineSpec extends SparkSpec {
     assert(!StateLog.ingestBatch(spark, ref, st, docsReplay, col("is_new"), 0L),
       "a committed batch must stay skipped after a fold")
     assert(spark.table(ref.manifest).count() == 4, "the skipped replay appended nothing")
+
+    // RETRACTION through the log: delete two normal old docs (away from
+    // the hot families, so the scratch comparison stays exact under the
+    // monotone stop) — committed as a tombstone generation, subtracted
+    // by every view, applied physically at the next fold
+    val isDel = col("doc_id").isin(180L, 181L)
+    assert(StateLog.retractBatch(spark, ref, pop, isDel, 7L), "first retraction applies")
+    assert(!StateLog.retractBatch(spark, ref, pop, isDel, 7L),
+      "a committed retraction op is skipped on replay")
+    assert(StateLog.activeGenerations(spark, ref) == 2, "fold + tombstone generation")
+    val retainedPop = pop.filter(!isDel)
+    val (shR, sbR, sstopR) = Dedup.indexBuildFrames(retainedPop, lit(false))
+    val (hashR, bandLiveR, stopR, _) = StateLog.views(spark, ref)
+    sameSet(hashR, shR, "hash view after log retraction vs retained scratch")
+    sameSet(bandLiveR.join(stopR.distinct(), Seq("band", "band_key"), "left_anti")
+        .select("band", "band_key", "doc_id"),
+      sbR.select("band", "band_key", "doc_id"),
+      "effective band after log retraction vs retained scratch")
+    sameSet(stopR.distinct(), sstopR.select("band", "band_key"),
+      "stop union after log retraction (monotone, families untouched)")
+    // the second fold applies the tombstones physically
+    StateLog.compactLog(spark, ref)
+    assert(StateLog.activeGenerations(spark, ref) == 1)
+    val (hashF2, bandF2, _, _) = StateLog.views(spark, ref)
+    sameSet(hashF2, shR, "folded hash layer is tombstone-free")
+    sameSet(bandF2.select("band", "band_key", "doc_id"),
+      sbR.select("band", "band_key", "doc_id"),
+      "folded raw band has the tombstoned rows physically gone")
+    assert(!StateLog.retractBatch(spark, ref, pop, isDel, 7L),
+      "the retraction op stays skipped after the fold")
   }
 
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
