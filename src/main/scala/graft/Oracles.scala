@@ -4287,6 +4287,11 @@ object Oracles {
     pipelineBase +
       ("eq140_atrest_incremental_curation" -> eq137) +
       ("eq141_state_advance" -> (advanceCtes + advanceItems + "ORDER BY item")) +
+      // eq144 drives the SAME advance semantics through the generational
+      // state log (ingestBatch + fold) — it must land on exactly the
+      // state the in-place advance reaches, so it shares eq141's
+      // scratch-rebuild oracle verbatim (the eq140/eq137 pattern).
+      ("eq144_state_log_ingest" -> (advanceCtes + advanceItems + "ORDER BY item")) +
       // eq142 audits the state after the engine COMPACTS the advanced
       // tables: the seven advance items must not move (compaction is
       // semantics-free), the compacted band table's physical rows must

@@ -310,4 +310,36 @@ object StateLog {
     * probes pay for; test-visible. */
   private[graft] def activeGenerations(spark: SparkSession, ref: LogRef): Int =
     active(history(spark, ref)).size
+
+  def eq144(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st)
+    ingestBatch(spark, ref, st, docs, DedupIndexSink.isNewCol, 0L)
+    compactLog(spark, ref)
+    auditFolded(spark, ref)
+  }
+
+  /** eq144 — the log under the ORACLE: one micro-batch ingested through
+    * [[ingestBatch]] and folded must land on EXACTLY the state
+    * [[SnapshotStateSink.advance]] reaches — same survivor gates against
+    * the same committed views, same monotone guard update, same O(batch)
+    * pack append — so the audit shares eq141's DuckDB oracle VERBATIM
+    * (the eq140/eq137 pattern): the scratch rebuild over the merged
+    * population hash-checks the whole
+    * ingest→generation→commit→fold path, not just the test fixtures. */
+  private[graft] def auditFolded(spark: SparkSession, ref: LogRef): DataFrame = {
+    val (hashV, bandLive, stopV, packV) = views(spark, ref)
+    val eff = effectiveBandOf(bandLive, stopV)
+    def one(item: String, df: DataFrame): DataFrame =
+      df.select(lit(item).as("item"), col("n"))
+    one("idx_hash_entries", hashV.agg(count(lit(1)).as("n")))
+      .unionAll(one("idx_band_entries", eff.agg(count(lit(1)).as("n"))))
+      .unionAll(one("idx_stop_buckets", stopV.distinct().agg(count(lit(1)).as("n"))))
+      .unionAll(one("pack_docs", packV.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"))))
+      .unionAll(one("pack_tokens", packV.agg(coalesce(sum(col("t_tokens")), lit(0L)).as("n"))))
+      .unionAll(one("pack_chars", packV.agg(coalesce(sum(col("t_chars")), lit(0L)).as("n"))))
+      .unionAll(one("pack_shards", packV.agg(coalesce(sum(col("n_shards")), lit(0L)).as("n"))))
+      .orderBy("item")
+  }
 }
