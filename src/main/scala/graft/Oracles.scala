@@ -4302,6 +4302,55 @@ object Oracles {
         """UNION ALL SELECT 'band_raw_rows', (SELECT COUNT(*) FROM band2)::BIGINT
           |UNION ALL SELECT 'band_rows_removed',
           |  (SELECT COUNT(*) FROM m_rows)::BIGINT - (SELECT COUNT(*) FROM band2)::BIGINT
+          |ORDER BY item""".stripMargin)) +
+      // eq145: post-retraction repack — the retained curated corpus
+      // (the old chain's survivors minus the deleted docs, eq143's
+      // doc_id % 7 = 3 predicate) RE-SHARDED from a zero prefix sum, its
+      // per-lang pack summary rebuilt from scratch, plus a shard-
+      // assignment checksum (sum of doc_id·(shard+1)) that breaks if any
+      // retained doc lands in the wrong shard after the re-window.
+      ("eq145_post_retraction_repack" -> (deltaCtes +
+        """retc AS (SELECT lang, doc_id, n_tokens, n_chars FROM o_k7
+          |         WHERE doc_id % 7 <> 3),
+          |rw AS (SELECT lang, doc_id, n_tokens, n_chars,
+          |              COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |       FROM retc)
+          |SELECT lang,
+          |       COUNT(*)::BIGINT AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+          |       CAST(SUM(n_chars) AS BIGINT) AS t_chars,
+          |       COUNT(DISTINCT cum // 2000)::BIGINT AS n_shards,
+          |       CAST(MAX(cum // 2000) AS BIGINT) AS last_shard,
+          |       CAST(SUM(doc_id * ((cum // 2000) + 1)) AS BIGINT) AS shard_checksum
+          |FROM rw GROUP BY lang ORDER BY lang""".stripMargin)) +
+      // eq146: time travel — the SAME manifest read twice after one
+      // ingest + fold: as-of generation 0 must equal the scratch OLD-
+      // corpus state (g0_*: eq139's base numbers, rebuilt here from raw
+      // documents), while the head must equal the scratch MERGED state
+      // (live_*: eq141/eq144's advance items verbatim) — proving prefix
+      // resolution reconstructs committed history, not just the head.
+      ("eq146_state_time_travel" -> (advanceCtes +
+        """, okc AS (SELECT lang, n_tokens,
+          |              COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |       FROM o_k7),
+          |oks AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM
+          |        (SELECT DISTINCT lang, cum // 2000 AS shard FROM okc))
+          |SELECT 'g0_idx_band_entries' AS item, (SELECT COUNT(*) FROM po)::BIGINT AS n
+          |UNION ALL SELECT 'g0_idx_hash_entries', (SELECT COUNT(*) FROM oldh)::BIGINT
+          |UNION ALL SELECT 'g0_idx_stop_buckets', (SELECT COUNT(*) FROM stop_old)::BIGINT
+          |UNION ALL SELECT 'g0_pack_chars', (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM o_k7)
+          |UNION ALL SELECT 'g0_pack_docs', (SELECT COUNT(*) FROM o_k7)::BIGINT
+          |UNION ALL SELECT 'g0_pack_shards', (SELECT n_units FROM oks)
+          |UNION ALL SELECT 'g0_pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM o_k7)
+          |UNION ALL SELECT 'live_idx_band_entries', (SELECT COUNT(*) FROM band2)::BIGINT
+          |UNION ALL SELECT 'live_idx_hash_entries', (SELECT COUNT(*) FROM hash2)::BIGINT
+          |UNION ALL SELECT 'live_idx_stop_buckets', (SELECT COUNT(*) FROM stop2)::BIGINT
+          |UNION ALL SELECT 'live_pack_chars', (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mm)
+          |UNION ALL SELECT 'live_pack_docs', (SELECT COUNT(*) FROM mm)::BIGINT
+          |UNION ALL SELECT 'live_pack_shards', (SELECT n_units FROM mms)
+          |UNION ALL SELECT 'live_pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mm)
           |ORDER BY item""".stripMargin))
   }
 }

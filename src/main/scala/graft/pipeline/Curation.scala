@@ -86,11 +86,19 @@ object Curation {
   def curatedDocs(spark: SparkSession, dir: String): DataFrame =
     curatedDocsDf(Tables.load(spark, dir, "documents"))
 
-  def curatedDocsDf(docs: DataFrame): DataFrame = {
-    val s7 = chainOf(docs).s7
+  def curatedDocsDf(docs: DataFrame): DataFrame =
+    shardAssign(chainOf(docs).s7)
+
+  /** The eq34 shard assignment over a corpus frame: per-lang prefix sum
+    * of n_tokens in doc_id order, shard = cum div budget. Shared by
+    * [[curatedDocsDf]] (the full curation's product) and the
+    * post-retraction REPACK (fresh assignments over the retained corpus —
+    * [[graft.sources.SnapshotStateSink.repack]]), so the two can never
+    * disagree on the packing rule. */
+  private[graft] def shardAssign(corpus: DataFrame): DataFrame = {
     val packW = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    s7.withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+    corpus.withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
       .withColumn("shard_id", expr(s"cum div $ShardBudget"))
       .drop("cum")
   }

@@ -19,6 +19,14 @@ import graft.pipeline.Curation
   * every artifact from storage ([[readAndCurate]]), holding nothing in
   * memory from the last full run.
   *
+  * Restart contract (ADVICE r11): [[StateTables]] carries CATALOG TABLE
+  * NAMES, so "a different driver" requires a PERSISTENT metastore (Hive
+  * or equivalent) in which those names resolve — the deployment shape on
+  * a real cluster. Under the default in-memory catalog the names resolve
+  * only in sessions of the same SparkContext, which is exactly what the
+  * fresh-session PipelineSpec pins exercise; the parquet files themselves
+  * are already durable either way.
+  *
   * Table layouts: the test vocabulary (the one corpus-scaled artifact)
   * is bucketed+sorted by `sg` so the decontamination probe shuffles only
   * the delta side; mix rates / pack summary are |langs|-row frames and
@@ -144,6 +152,13 @@ object SnapshotStateSink {
     // first so the ghosts are physically gone before new facts land
     require(t.index.tomb.isEmpty,
       "advance requires a compacted state — apply pending retraction tombstones first")
+    // a snapshot a StateLog wraps is a COMMITTED generation — its gen-0
+    // manifest row points INTO these very tables (no copy), so an
+    // in-place append here would retroactively mutate committed history
+    // (ADVICE r11). Ingest through the log instead.
+    require(!StateLog.wrapsSnapshotIndex(t.index.hash),
+      "this snapshot is wrapped by a state log (its tables ARE the log's " +
+        "generation 0) — ingest through StateLog.ingestBatch instead")
     val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
     // the survivors are decided against the EFFECTIVE index view — after
     // a prior advance the raw band table carries rows in stop-listed
@@ -255,5 +270,76 @@ object SnapshotStateSink {
       .unionAll(one("band_raw_rows", raw.agg(count(lit(1)).as("n"))))
       .unionAll(one("band_rows_removed", removed))
       .orderBy("item")
+  }
+
+  def eq145(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isDel = col("doc_id") % 7 === 3
+    val st0 = write(spark, docs)
+    val t1 = DedupIndexSink.retract(spark, docs, st0.index,
+      DedupIndexSink.isNewCol, isDel)
+    val st2 = repack(spark, docs, st0.copy(index = DedupIndexSink.compact(spark, t1)), isDel)
+    auditRepacked(spark, docs, isDel, st2)
+  }
+
+  /** eq145 — POST-RETRACTION REPACK: eq143 deliberately defers pack
+    * re-accounting after deletions (the summary still counts the dead
+    * docs' tokens, and the written shard layout still holds their rows'
+    * gaps). The repack closes that loop once the tombstones are applied:
+    * the RETAINED curated corpus is re-sharded from scratch — the same
+    * [[Curation.shardAssign]] prefix-sum rule as the full curation, so
+    * deleted docs' token mass no longer pads anyone's shard — and the
+    * per-lang pack summary is rebuilt over it and written as a new
+    * versioned table. That re-establishes the append-pack INVARIANT
+    * (summary ≡ packSummaryOf of the corpus it describes), which is the
+    * precondition [[Curation.appendPackSummary]]'s O(batch) math needs:
+    * the next [[advance]] after a retraction is exact again (pinned
+    * retract→repack→advance ≡ scratch in PipelineSpec).
+    *
+    * `isDeleted` must be the SAME predicate the retraction committed —
+    * the repack recomputes the retained membership from it (doc-level
+    * shard assignment is corpus-sized, which is why retraction defers
+    * this pass rather than paying it per deletion).
+    *
+    * Scale shape: one per-lang window over the retained curated corpus
+    * (the price of a full curation's packing stage, paid once per repack,
+    * not per deletion) + a |langs|-row write; nothing doc×doc. */
+  def repack(spark: SparkSession, docs: DataFrame, t: StateTables,
+      isDeleted: org.apache.spark.sql.Column): StateTables =
+    repack(spark, docs, t, isDeleted, col("doc_id") % 10 < 8)
+
+  def repack(spark: SparkSession, docs: DataFrame, t: StateTables,
+      isDeleted: org.apache.spark.sql.Column,
+      isOld: org.apache.spark.sql.Column): StateTables = {
+    require(t.index.tomb.isEmpty,
+      "repack follows compaction — apply the pending tombstones first")
+    val retained = Curation.curatedDocsDf(docs.filter(isOld))
+      .filter(!isDeleted).drop("shard_id")
+    val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
+    val tmp = sys.props("java.io.tmpdir")
+    val ps2 = s"${t.packSummary}_rpk_$id"
+    Curation.packSummaryOf(retained)
+      .write.mode("overwrite")
+      .option("path", s"$tmp/graft_snapshot_state_${id}_pack_rpk")
+      .saveAsTable(ps2)
+    t.copy(packSummary = ps2)
+  }
+
+  /** The repacked state's audit: the per-lang pack summary READ BACK from
+    * the new table, joined with a shard-assignment checksum over the
+    * re-sharded retained corpus (sum of doc_id·(shard_id+1) — sensitive
+    * to any doc landing in the wrong shard, not just to counts). The
+    * DuckDB oracle re-derives both from the raw documents: the curated
+    * old corpus minus the deleted docs, re-windowed from zero. */
+  private[graft] def auditRepacked(spark: SparkSession, docs: DataFrame,
+      isDeleted: org.apache.spark.sql.Column, t: StateTables): DataFrame = {
+    val repacked = Curation.shardAssign(
+      Curation.curatedDocsDf(docs.filter(col("doc_id") % 10 < 8))
+        .filter(!isDeleted).drop("shard_id"))
+    val checks = repacked.groupBy("lang")
+      .agg(sum(col("doc_id") * (col("shard_id") + lit(1L))).as("shard_checksum"))
+    spark.table(t.packSummary)
+      .join(checks, Seq("lang"), "left_outer")
+      .orderBy("lang")
   }
 }

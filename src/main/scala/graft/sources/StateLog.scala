@@ -72,6 +72,56 @@ object StateLog {
 
   private val logSeq = new AtomicLong()
 
+  /** Index-hash table names of snapshots a log wraps ([[fromSnapshot]]'s
+    * gen 0 POINTS at the snapshot's live tables, no copy) — an in-place
+    * [[SnapshotStateSink.advance]] on such a snapshot would retroactively
+    * mutate a committed generation (ADVICE r11), so the sink refuses it. */
+  private val wrappedSnapshots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[sources] def wrapsSnapshotIndex(hashTable: String): Boolean =
+    wrappedSnapshots.contains(hashTable)
+
+  /** Per-manifest commit mutex + optimistic re-check (VERDICT r11 task 4).
+    * The manifest is append-only and every committer mints gen_id =
+    * max+1 from its own read, so two concurrent committers racing the
+    * read→append window would mint duplicate gen_ids and lose an update.
+    * The commit point therefore (a) serializes same-process committers on
+    * a per-manifest mutex, and (b) re-checks under the mutex that the max
+    * gen_id is still the one this operation READ its views at — if the
+    * manifest advanced, the operation's survivor math is stale against
+    * the new committed state and the commit ABORTS; the public ops catch
+    * the abort and recompute from fresh history ([[withCommitRetry]]),
+    * making each operation linearizable. Cross-PROCESS writers are out of
+    * contract (single-writer per log, like every table-format compaction
+    * daemon): the mutex cannot see them, and the re-check narrows but
+    * cannot close that window. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def commitRow(spark: SparkSession, ref: LogRef,
+      expectedMaxGen: Long, g: Gen): Unit = {
+    val lock = commitLocks.computeIfAbsent(ref.manifest, _ => new Object)
+    lock.synchronized {
+      val cur = spark.table(ref.manifest)
+        .agg(max(col("gen_id"))).head().getLong(0)
+      if (cur != expectedMaxGen)
+        throw new java.util.ConcurrentModificationException(
+          s"state log ${ref.manifest}: manifest advanced " +
+            s"($expectedMaxGen -> $cur) since this operation read its views")
+      genRow(spark, g).write.mode("append").saveAsTable(ref.manifest)
+    }
+  }
+
+  /** Re-run `body` (which re-reads history, recomputes against the NEW
+    * committed views, overwrites its deterministic generation tables and
+    * re-attempts the commit) after an optimistic-commit abort. Bounded:
+    * a log with more concurrent committers than this is misconfigured. */
+  private def withCommitRetry[T](attemptsLeft: Int = 16)(body: => T): T =
+    try body catch {
+      case _: java.util.ConcurrentModificationException if attemptsLeft > 1 =>
+        withCommitRetry(attemptsLeft - 1)(body)
+    }
+
   /** Handle to a log: just the manifest table name — every generation
     * table is recorded IN the manifest, and batch-generation names
     * derive deterministically from (manifest, batchId) so replays
@@ -102,6 +152,7 @@ object StateLog {
       .write.mode("overwrite")
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_state_log_${id}_manifest")
       .saveAsTable(ref.manifest)
+    wrappedSnapshots.add(st.index.hash)
     ref
   }
 
@@ -123,33 +174,102 @@ object StateLog {
     hist.drop(hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold"))
 
   /** The committed state's layer views over a resolved generation list:
-    * the hash layer (delta unions MINUS retract generations' orphaned-
-    * hash tombstones), the LIVE band rows (delta unions MINUS retract
-    * generations' doc tombstones — stop-unfiltered: the guard recount
-    * counts live rows, eq143's retained-keys semantics), the stop-key
-    * union (the monotone guard, never shrunk by retraction), and the
-    * LATEST delta generation's cumulative pack summary (retraction does
-    * not re-account packing — that is a repack/full-recuration concern,
-    * the eq143 posture). */
+    * the hash layer (delta unions MINUS orphaned-hash tombstones), the
+    * LIVE band rows (delta unions MINUS doc tombstones — stop-unfiltered:
+    * the guard recount counts live rows, eq143's retained-keys
+    * semantics), the stop-key union (the monotone guard, never shrunk by
+    * retraction), and the LATEST delta generation's cumulative pack
+    * summary (retraction does not re-account packing — that is
+    * [[SnapshotStateSink.repack]]'s job, the eq143 posture).
+    *
+    * Tombstone subtraction is ORDER-AWARE (ADVICE r11): a retract row
+    * tombstones only what was committed BEFORE it. Content re-admitted
+    * by a LATER ingest legitimately owns its hash again — the ingest
+    * probed the post-retraction views, saw the hash gone, and wrote it
+    * into its own generation — so each delta generation subtracts only
+    * the retract rows with a HIGHER gen_id. Without the ordering, a
+    * retract→re-admit sequence would subtract the re-admitted hash
+    * forever, the next fold would bake the loss in physically, and
+    * further exact duplicates of live content would probe 'novel'.
+    * Deltas sharing the same later-retract suffix share one anti-join
+    * (retracts are gen_id-sorted, so "the retracts after delta d" is
+    * always a suffix). */
   private def viewsOf(spark: SparkSession, gens: Seq[Gen]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def union(tbls: Seq[String]): DataFrame =
       tbls.map(spark.table).reduce(_ unionAll _)
     val deltas = gens.filter(_.kind != "retract")
     val retracts = gens.filter(_.kind == "retract")
-    val hashRaw = union(deltas.map(_.hash))
-    val bandRaw = union(deltas.map(_.band))
-    val hashV =
-      if (retracts.isEmpty) hashRaw
-      else hashRaw.join(broadcast(union(retracts.map(_.hash))), Seq("h"), "left_anti")
-    val bandLive =
-      if (retracts.isEmpty) bandRaw
-      else bandRaw.join(
-        broadcast(union(retracts.map(_.band)).select("doc_id")), Seq("doc_id"), "left_anti")
+    def minusLaterTombs(layer: Gen => String, key: String,
+        tombCols: DataFrame => DataFrame): DataFrame =
+      deltas.groupBy(d => retracts.count(_.genId > d.genId)).toSeq.sortBy(_._1)
+        .map { case (nLater, ds) =>
+          val raw = union(ds.map(layer))
+          if (nLater == 0) raw
+          else raw.join(
+            broadcast(tombCols(union(retracts.takeRight(nLater).map(layer)))),
+            Seq(key), "left_anti")
+            // the USING-join fronts the key column; restore the layer's
+            // order so the cross-group unionAll stays position-aligned
+            .select(raw.columns.map(col).toIndexedSeq: _*)
+        }.reduce(_ unionAll _)
+    val hashV = minusLaterTombs(_.hash, "h", identity)
+    val bandLive = minusLaterTombs(_.band, "doc_id", _.select("doc_id"))
     (hashV, bandLive, union(deltas.map(_.stop)), spark.table(deltas.last.pack))
   }
 
   def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) =
     viewsOf(spark, active(history(spark, ref)))
+
+  /** TIME-TRAVEL read (eq146): the state's views AS OF generation `gen` —
+    * the manifest prefix ending there, resolved exactly like the live
+    * read (latest fold point in the prefix + its suffix). Nearly free:
+    * generations are immutable once committed, so a historical read is
+    * just a different manifest resolution, no data movement — the
+    * audit/debugging surface every versioned store ships. [[vacuum]]
+    * bounds it from below: a generation whose tables were vacuumed away
+    * fails with a clear error instead of a missing-table resolve. */
+  def viewsAsOf(spark: SparkSession, ref: LogRef, gen: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val hist = history(spark, ref)
+    require(hist.exists(_.genId == gen),
+      s"generation $gen was never committed to ${ref.manifest}")
+    val need = active(hist.filter(_.genId <= gen))
+    need.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack)).distinct.foreach { t =>
+      if (!spark.catalog.tableExists(t))
+        throw new IllegalStateException(s"as-of generation $gen needs $t, " +
+          "which a vacuum dropped — time travel is bounded by the latest fold")
+    }
+    viewsOf(spark, need)
+  }
+
+  /** Generation GC (VERDICT r11 task 3): drop every generation table
+    * STRICTLY BEFORE the latest fold point — the superseded deltas,
+    * retract tombstones, and earlier folds the active resolution no
+    * longer reads. What stays: the FULL manifest history (one tiny row
+    * per operation — the replay-skip set and the audit trail), and the
+    * latest fold + suffix (the active state). Only log-OWNED tables are
+    * dropped: gen 0 (`base`) points INTO the wrapped snapshot's tables,
+    * which the snapshot owns (and retract rows carry borrowed stop/pack
+    * pointers — the keep-set and ownership-prefix checks cover both).
+    * After a vacuum, [[viewsAsOf]] is bounded below by the latest fold —
+    * the retention trade every versioned table format ships. Returns the
+    * dropped table names. */
+  def vacuum(spark: SparkSession, ref: LogRef): Seq[String] = {
+    val hist = history(spark, ref)
+    val cut = hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold")
+    val keep = hist.drop(cut)
+      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack)).toSet
+    val dropped = hist.take(cut)
+      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack)).distinct
+      .filter(t => t.startsWith(ref.manifest + "_") && !keep(t))
+      .filter(spark.catalog.tableExists) // already-vacuumed rows are a no-op
+    dropped.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val p = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    }
+    dropped
+  }
 
   private def effectiveBandOf(bandRaw: DataFrame, stop: DataFrame): DataFrame =
     bandRaw.join(broadcast(stop.distinct()), Seq("band", "band_key"), "left_anti")
@@ -191,7 +311,7 @@ object StateLog {
     * commit → the replay finds the batch id in the manifest and skips.
     * Every path converges to the same committed state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
-      docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
+      docs: DataFrame, isNew: Column, batchId: Long): Boolean = withCommitRetry() {
     val hist = history(spark, ref)
     if (hist.exists(g => g.batchId == batchId && g.kind == "delta")) return false
     val (hashV, bandRawV, stopV, packV) = viewsOf(spark, active(hist))
@@ -231,10 +351,11 @@ object StateLog {
     val stopT = saveGen(spark, ref, newlyHot, "stop", tag, None)
     val packT = saveGen(spark, ref, pack, "pack", tag, None)
 
-    // THE COMMIT POINT: one manifest row
-    genRow(spark, Gen(hist.map(_.genId).max + 1, batchId, "delta",
+    // THE COMMIT POINT: one manifest row, iff the manifest is still at
+    // the max gen_id the views above were read at
+    val base = hist.map(_.genId).max
+    commitRow(spark, ref, base, Gen(base + 1, batchId, "delta",
       hashT, bandT, stopT, packT))
-      .write.mode("append").saveAsTable(ref.manifest)
     true
   }
 
@@ -254,7 +375,7 @@ object StateLog {
     * The stop list is never shrunk (the monotone guard); pack
     * re-accounting is deferred to a repack (the eq143 posture). */
   def retractBatch(spark: SparkSession, ref: LogRef, indexedDocs: DataFrame,
-      isDeleted: Column, opId: Long): Boolean = {
+      isDeleted: Column, opId: Long): Boolean = withCommitRetry() {
     val hist = history(spark, ref)
     if (hist.exists(g => g.batchId == opId && g.kind == "retract")) return false
     val priorTombs = active(hist).filter(_.kind == "retract")
@@ -277,9 +398,9 @@ object StateLog {
     // stop/pack slots carry pointers (never read through a retract row:
     // the stop union and the latest pack resolve over delta rows only)
     val lastDelta = active(hist).filter(_.kind != "retract").last
-    genRow(spark, Gen(hist.map(_.genId).max + 1, opId, "retract",
+    val base = hist.map(_.genId).max
+    commitRow(spark, ref, base, Gen(base + 1, opId, "retract",
       tombHashT, tombDocsT, lastDelta.stop, lastDelta.pack))
-      .write.mode("append").saveAsTable(ref.manifest)
     true
   }
 
@@ -292,18 +413,18 @@ object StateLog {
     * batch commit. Readers resolve the active state from the latest
     * fold, so the flip has no drop-recreate window; the superseded
     * generation tables stay readable until dropped. */
-  def compactLog(spark: SparkSession, ref: LogRef): Unit = {
+  def compactLog(spark: SparkSession, ref: LogRef): Unit = withCommitRetry() {
     val hist = history(spark, ref)
     val gens = active(hist)
     val (hashV, bandLiveV, stopV, packV) = viewsOf(spark, gens)
-    val tag = s"c${hist.map(_.genId).max}"
+    val base = hist.map(_.genId).max
+    val tag = s"c$base"
     val hashT = saveGen(spark, ref, hashV, "hash", tag, Some("h"))
     val bandT = saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
     val packT = saveGen(spark, ref, packV, "pack", tag, None)
-    genRow(spark, Gen(hist.map(_.genId).max + 1, hist.map(_.batchId).max, "fold",
+    commitRow(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
       hashT, bandT, stopT, packT))
-      .write.mode("append").saveAsTable(ref.manifest)
   }
 
   /** Active generation count (post-fold width) — the bounded quantity
@@ -328,11 +449,15 @@ object StateLog {
     * (the eq140/eq137 pattern): the scratch rebuild over the merged
     * population hash-checks the whole
     * ingest→generation→commit→fold path, not just the test fixtures. */
-  private[graft] def auditFolded(spark: SparkSession, ref: LogRef): DataFrame = {
-    val (hashV, bandLive, stopV, packV) = views(spark, ref)
+  private[graft] def auditFolded(spark: SparkSession, ref: LogRef): DataFrame =
+    auditItems(views(spark, ref), "").orderBy("item")
+
+  private def auditItems(vs: (DataFrame, DataFrame, DataFrame, DataFrame),
+      prefix: String): DataFrame = {
+    val (hashV, bandLive, stopV, packV) = vs
     val eff = effectiveBandOf(bandLive, stopV)
     def one(item: String, df: DataFrame): DataFrame =
-      df.select(lit(item).as("item"), col("n"))
+      df.select(lit(prefix + item).as("item"), col("n"))
     one("idx_hash_entries", hashV.agg(count(lit(1)).as("n")))
       .unionAll(one("idx_band_entries", eff.agg(count(lit(1)).as("n"))))
       .unionAll(one("idx_stop_buckets", stopV.distinct().agg(count(lit(1)).as("n"))))
@@ -340,6 +465,29 @@ object StateLog {
       .unionAll(one("pack_tokens", packV.agg(coalesce(sum(col("t_tokens")), lit(0L)).as("n"))))
       .unionAll(one("pack_chars", packV.agg(coalesce(sum(col("t_chars")), lit(0L)).as("n"))))
       .unionAll(one("pack_shards", packV.agg(coalesce(sum(col("n_shards")), lit(0L)).as("n"))))
-      .orderBy("item")
   }
+
+  def eq146(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st)
+    ingestBatch(spark, ref, st, docs, DedupIndexSink.isNewCol, 0L)
+    compactLog(spark, ref)
+    auditTimeTravel(spark, ref)
+  }
+
+  /** eq146 — TIME TRAVEL under the oracle: after one ingest + fold, the
+    * same audit read twice — as-of generation 0 (`g0_` items: the base
+    * snapshot exactly as it stood before the batch, though the live
+    * tables have long since been superseded by the fold) and at the
+    * head (`live_` items, eq144's advanced state). The DuckDB oracle
+    * rebuilds BOTH states from scratch over the raw population — the
+    * historical read must equal the scratch OLD-corpus state (eq139's
+    * numbers) while the head equals the scratch MERGED state (eq141's),
+    * proving manifest-prefix resolution reconstructs committed history,
+    * not just the head. */
+  private[graft] def auditTimeTravel(spark: SparkSession, ref: LogRef): DataFrame =
+    auditItems(viewsAsOf(spark, ref, 0L), "g0_")
+      .unionAll(auditItems(views(spark, ref), "live_"))
+      .orderBy("item")
 }

@@ -1552,6 +1552,252 @@ class PipelineSpec extends SparkSpec {
       "the retraction op stays skipped after the fold")
   }
 
+  test("state log: order-aware retraction — content re-admitted after a deletion owns its hash again (ADVICE r11)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.aDocs
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st)
+
+    // delete the five normal docs (away from the hot families), then a
+    // later crawl re-discovers the SAME CONTENT under fresh doc_ids — the
+    // production re-admission sequence the tombstones must not outlive
+    val delIds = Seq(180L, 181L, 182L, 183L, 184L)
+    val isDel = col("doc_id").isin(delIds: _*)
+    assert(StateLog.retractBatch(spark, ref, oldDocs, isDel, 1L))
+    val retained = oldDocs.filter(!isDel).localCheckpoint()
+    val recrawl = docsDf(aDocs.filter(d => delIds.contains(d._1))
+      .zipWithIndex.map { case ((_, t, l, s, n), i) => (5000L + i, t, l, s, n) })
+    val docs2 = retained.withColumn("is_new", lit(false))
+      .unionByName(recrawl.withColumn("is_new", lit(true)))
+    // the re-crawl probes the POST-retraction views: its content hashes
+    // are gone from the hash layer, so the exact gate must pass it
+    val (preHash, _, _, _) = StateLog.views(spark, ref)
+    val s2 = Curation.deltaSurvivorsFromState(docs2, col("is_new"), preHash,
+      StateLog.effectiveBand(spark, ref),
+      spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    val readmitted = s2.select(md5(col("text")).as("h")).distinct().localCheckpoint()
+    assert(readmitted.count() > 0,
+      "fixture must carry at least one re-crawled doc through the survivor gates")
+    assert(StateLog.ingestBatch(spark, ref, st, docs2, col("is_new"), 2L))
+
+    // the view must NOT subtract the re-admitted hashes: the retract row
+    // (gen 2) tombstones only generations committed BEFORE it, and the
+    // re-admitting ingest (gen 3) is after
+    def hashView() = StateLog.views(spark, ref)._1
+    assert(hashView().join(readmitted, Seq("h"), "left_semi").count() == readmitted.count(),
+      "re-admitted content must own its hash again in the live view")
+    // scratch equivalence over (retained ∪ re-admitted survivors)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = retained.select(cols.head, cols.tail: _*)
+      .unionByName(s2.select(cols.head, cols.tail: _*))
+    val (sh, _, _) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(hashView(), sh, "hash view after retract-then-readmit vs scratch")
+
+    // the fold must bake the CORRECT view in physically…
+    StateLog.compactLog(spark, ref)
+    sameSet(hashView(), sh, "folded hash layer after retract-then-readmit vs scratch")
+    // …so a further exact duplicate of the re-admitted content is gated
+    // out at the exact layer instead of being re-admitted as 'novel'
+    val dupAgain = s2.select(cols.head, cols.tail: _*).orderBy("doc_id").limit(1)
+      .withColumn("doc_id", lit(9999L)).localCheckpoint()
+    val docs3 = pop.withColumn("is_new", lit(false))
+      .unionByName(dupAgain.withColumn("is_new", lit(true)))
+    val (h3, _, _, _) = StateLog.views(spark, ref)
+    val s3 = Curation.deltaSurvivorsFromState(docs3, col("is_new"), h3,
+      StateLog.effectiveBand(spark, ref),
+      spark.table(st.testVocab), spark.table(st.mixRates))
+    assert(dupAgain.count() > 0 && s3.count() == 0,
+      "an exact duplicate of re-admitted content must gate out at the exact layer")
+  }
+
+  test("state log: two concurrent committers cannot lose an update — optimistic gen_id guard (VERDICT r12 task 4)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st)
+
+    // two independent batches with disjoint vocabularies (no shared band
+    // keys, no shared hashes), so EITHER commit order lands on the same
+    // final state and the scratch comparison is order-free
+    val frRows = Seq(
+      (3000L, "les vignerons taillent sarments pendant hiver froid", "fr", "src", 52L),
+      (3001L, "phare breton guide chalutiers vers criee matinale", "fr", "src", 50L),
+      (3002L, "fromagers affinent meules dans caves humides", "fr", "src", 45L))
+    val batches = Map(
+      10L -> docsDf(bDocs).localCheckpoint(),
+      11L -> docsDf(frRows).localCheckpoint())
+    def docsFor(id: Long) = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(batches(id).withColumn("is_new", lit(true)))
+    // expected survivors, computed against the BASE state: the batches
+    // are mutually inert, so neither commit changes the other's gates
+    val (h0, _, _, _) = StateLog.views(spark, ref)
+    val eb0 = StateLog.effectiveBand(spark, ref)
+    val expect = batches.keys.toSeq.sorted.map { id =>
+      Curation.deltaSurvivorsFromState(docsFor(id), col("is_new"), h0, eb0,
+        spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    }
+
+    // race them: both threads read gen 0's manifest head, both try to
+    // commit max+1 — without the guard one manifest append is lost or a
+    // duplicate gen_id minted; with it the loser recomputes and re-commits
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val done = batches.keys.toSeq.sorted.map { id =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          go.await()
+          StateLog.ingestBatch(spark, ref, st, docsFor(id), col("is_new"), id)
+        }
+      })
+    }
+    go.countDown()
+    assert(done.forall(_.get(300, TimeUnit.SECONDS)), "both concurrent ingests must apply")
+    pool.shutdown()
+
+    val manifest = spark.table(ref.manifest).collect()
+    val genIds = manifest.map(_.getLong(0)).toSeq
+    assert(genIds.sorted == Seq(0L, 1L, 2L),
+      s"gen_ids must be unique and dense, got $genIds")
+    assert(manifest.map(_.getLong(1)).toSet == Set(-1L, 10L, 11L),
+      "both batch commits must be present — no lost update")
+
+    // final state ≡ scratch over (old ∪ both survivor sets), either order
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = expect.foldLeft(oldDocs.select(cols.head, cols.tail: _*)) {
+      (acc, s) => acc.unionByName(s.select(cols.head, cols.tail: _*)) }
+    val (sh, sb, _) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (hashV, _, _, _) = StateLog.views(spark, ref)
+    sameSet(hashV, sh, "hash view after concurrent ingests vs scratch")
+    sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"),
+      "effective band after concurrent ingests vs scratch")
+  }
+
+  test("state log: vacuum drops superseded generations only; views, replay-skip, folds and bounded time travel survive (VERDICT r12 task 3)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st)
+    def ingest(batch: Seq[(Long, String, String, String, Long)], store: org.apache.spark.sql.DataFrame, id: Long) = {
+      val docs = store.withColumn("is_new", lit(false))
+        .unionByName(docsDf(batch).withColumn("is_new", lit(true)))
+      assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), id))
+      docs.filter(col("is_new")).drop("is_new").localCheckpoint()
+    }
+    ingest(bDocs, oldDocs, 0L) // gen 1 (delta b0)
+    StateLog.compactLog(spark, ref) // gen 2 (fold)
+
+    // time travel BEFORE the vacuum: as-of the head ≡ live, as-of gen 1
+    // resolves the pre-fold state identically (fold is semantics-free)
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (liveH, _, _, _) = StateLog.views(spark, ref)
+    sameSet(StateLog.viewsAsOf(spark, ref, 2L)._1, liveH, "as-of(head) hash vs live")
+    sameSet(StateLog.viewsAsOf(spark, ref, 1L)._1, liveH, "as-of(pre-fold) hash vs live")
+    val g0Hash = StateLog.viewsAsOf(spark, ref, 0L)._1.localCheckpoint()
+    assert(g0Hash.count() < liveH.count(),
+      "the historical base must be strictly smaller than the advanced head")
+
+    // vacuum: exactly gen 1's four log-owned tables go (gen 0 points into
+    // the snapshot, which the log does not own; gen 2 is the active fold)
+    val dropped = StateLog.vacuum(spark, ref)
+    assert(dropped.nonEmpty && dropped.forall(_.startsWith(ref.manifest + "_")),
+      s"vacuum must drop only log-owned tables, got $dropped")
+    assert(dropped.forall(!spark.catalog.tableExists(_)), "dropped tables must leave the catalog")
+    assert(spark.table(ref.manifest).count() == 3,
+      "the manifest history is NEVER vacuumed — it is the replay-skip set")
+    val (liveH2, _, _, _) = StateLog.views(spark, ref)
+    sameSet(liveH2, liveH, "live hash view across the vacuum")
+    // a second vacuum is a no-op
+    assert(StateLog.vacuum(spark, ref).isEmpty, "nothing left to vacuum")
+
+    // bounded time travel: the base (snapshot-owned) still resolves; the
+    // vacuumed delta generation fails with a CLEAR error, not a resolve
+    sameSet(StateLog.viewsAsOf(spark, ref, 0L)._1, g0Hash, "as-of(base) after vacuum")
+    val e = intercept[IllegalStateException] { StateLog.viewsAsOf(spark, ref, 1L) }
+    assert(e.getMessage.contains("vacuum"), s"unexpected error: ${e.getMessage}")
+
+    // replay-skip reads the full manifest: batch 0 stays skipped
+    val replay = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+    assert(!StateLog.ingestBatch(spark, ref, st, replay, col("is_new"), 0L),
+      "a committed batch must stay skipped after a vacuum")
+
+    // the vacuumed log still ingests and still folds
+    val store1 = oldDocs.unionByName(docsDf(bDocs)).localCheckpoint()
+    ingest(cDocs, store1, 1L)
+    StateLog.compactLog(spark, ref)
+    assert(StateLog.activeGenerations(spark, ref) == 1)
+    assert(StateLog.vacuum(spark, ref).nonEmpty,
+      "the second fold supersedes the first — vacuumable again")
+  }
+
+  test("a snapshot wrapped by a state log refuses the in-place advance (ADVICE r11)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs)
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    StateLog.fromSnapshot(spark, st)
+    val docs = docsDf(aDocs ++ bDocs)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStateSink.advance(spark, docs, st, col("doc_id") >= 1000L)
+    }
+    assert(e.getMessage.contains("wrapped by a state log"))
+  }
+
+  test("eq145: retract → compact → repack re-establishes the append-pack invariant; the next advance is exact again") {
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    import HotBucketFixture.{aDocs, bDocs}
+    val docs1 = docsDf(aDocs ++ bDocs).localCheckpoint()
+    val isNew1 = col("doc_id") >= 1000L
+    val isOld1 = col("doc_id") < 1000L
+    val t0 = SnapshotStateSink.write(spark, docs1, isNew1, isOld1)
+
+    // delete two docs that ARE in the curated product, so the repack is
+    // load-bearing for the pack summary (not just the index layers)
+    val curated = Curation.curatedDocsDf(docs1.filter(isOld1)).localCheckpoint()
+    val delIds = curated.select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val isDel = col("doc_id").isin(delIds: _*)
+    val t1 = DedupIndexSink.retract(spark, docs1, t0.index, isNew1, isDel)
+    val stC = t0.copy(index = DedupIndexSink.compact(spark, t1))
+
+    // WITHOUT the repack the summary still counts the dead docs — the
+    // seam eq143 deliberately deferred
+    val retainedCur = curated.filter(!isDel).drop("shard_id").localCheckpoint()
+    val scratchPack = Curation.packSummaryOf(retainedCur).localCheckpoint()
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    assert(spark.table(stC.packSummary).exceptAll(scratchPack).count() > 0,
+      "fixture must make the repack load-bearing (pre-repack summary still counts deleted docs)")
+    val st2 = SnapshotStateSink.repack(spark, docs1, stC, isDel, isOld1)
+    sameSet(spark.table(st2.packSummary), scratchPack,
+      "repacked summary vs scratch pack over the retained corpus")
+
+    // invariant re-established: advancing the repacked state by a delta
+    // equals the scratch pack over (retained curated ∪ survivors)
+    val docs2 = docsDf(aDocs ++ bDocs).localCheckpoint()
+    val (hR, _, _, _) = DedupIndexSink.readBack(spark, st2.index)
+    val s1 = Curation.deltaSurvivorsFromState(docs2, isNew1, hR,
+      DedupIndexSink.effectiveBandIndex(spark, st2.index),
+      spark.table(st2.testVocab), spark.table(st2.mixRates)).localCheckpoint()
+    assert(s1.count() > 0, "fixture must carry delta survivors")
+    val t3 = SnapshotStateSink.advance(spark, docs2, st2, isNew1)
+    val packCols = Seq("lang", "doc_id", "n_tokens", "n_chars")
+    val mergedCur = retainedCur.select(packCols.head, packCols.tail: _*)
+      .unionByName(s1.select(packCols.head, packCols.tail: _*))
+    sameSet(spark.table(t3.packSummary), Curation.packSummaryOf(mergedCur),
+      "advance after repack vs scratch pack over the merged population")
+  }
+
   test("centroid confusion: outlier crosses to the nearer prototype; ties go to the lower label") {
     import spark.implicits._
     // label 0 owns the x-axis, label 1 the y-axis; vec 5 is labeled 0 but
