@@ -82,7 +82,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      (sec, work)
+      // a failed pass's PARTIAL shuffle/spill bytes are not a plan's
+      // deterministic work mass — discard them rather than letting the
+      // max-fold report them as such (ADVICE r11)
+      (sec, if (sec < 0) WorkMass.zero else work)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -109,13 +112,15 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"work":$wm,"sf":"$sfDir"}"""
     println(json)
-    // Also persist the full per-query map to a file: the driver's stdout
-    // capture has truncated the JSON line to a tail before (ADVICE r7),
-    // losing two-thirds of the per-query figures from the round record.
-    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+    // Optional explicit file sink (the stdout JSON line has been
+    // truncated by capture before, ADVICE r7). NOTE: no default filename
+    // — BENCH_full.json was a shared clobber target between the builder's
+    // runs and the driver's post-close capture (VERDICT r11 task 2); the
+    // canonical full-map record is the per-round BENCH_rNN_full.json
+    // written below, which the driver's capture never touches.
+    try sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
-        json.getBytes("UTF-8"))
+        java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
     catch { case e: Exception => System.err.println(s"[bench] file sink failed: ${e.getMessage}") }
     // Dual-write the per-ROUND artifact too (VERDICT r9 task 6, naming
     // fixed per ADVICE r10 + VERDICT r10 task 1): the driver's stdout

@@ -4256,6 +4256,27 @@ object Oracles {
     * the old stop list restored, the hash set unioned. Matching it
     * proves advance(state, delta) ≡ state(merged) — the induction step
     * that makes any number of successive delta ingests correct. */
+  /** DuckDB CTE-materialization hints (VERDICT r12 task 1, the "profile
+    * the slowest oracles and cut obvious waste" half): DuckDB 1.0 INLINES
+    * every CTE reference, so an oracle that mentions the signature frame
+    * `s` 33 times recomputes the shingle→minhash chain 33 times — the
+    * eq144 scratch-rebuild oracle ran 201 s at sf0.001 and was the
+    * plausible driver-timeout cause behind the empty CORRECTNESS_r11.
+    * Rewriting the SHARED chain CTEs to `AS MATERIALIZED` (compute once,
+    * reuse — exactly the engine's own PlanMemo posture) takes it to
+    * 0.4 s with bit-identical output. Names listed here are the chain
+    * stages referenced more than once across the eq104/eq136/eq137
+    * families; recursive CTEs (o_reach/d_reach/v1..vN) are left alone. */
+  private val SharedCtes = Seq(
+    "toks", "shingled", "s", "xx", "mins", "keys",       // minhash chain
+    "kk", "cand", "ver", "j",                            // verified pairs
+    "zq", "o_cs", "d_cs", "o_k6", "d_k6", "o_k7", "d_k8", // curation chain
+    "o_ex", "d_ex", "o_tv", "oldh", "old_keys", "new_keys", "po",
+    "okb", "stopb", "del", "ret_keys", "mm")             // index + retraction
+  private def materializeShared(sql: String): String =
+    SharedCtes.foldLeft(sql)((q, c) =>
+      q.replaceAll(s"\\b$c AS \\(", s"$c AS MATERIALIZED ("))
+
   val pipeline: Map[String, String] = {
     val eq137 = pipelineBase("eq137_incremental_curation")
     val markerAt = eq137.indexOf("-- ::finals::")
@@ -4352,5 +4373,5 @@ object Oracles {
           |UNION ALL SELECT 'live_pack_shards', (SELECT n_units FROM mms)
           |UNION ALL SELECT 'live_pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mm)
           |ORDER BY item""".stripMargin))
-  }
+  }.view.mapValues(materializeShared).toMap
 }

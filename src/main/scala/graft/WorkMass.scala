@@ -66,12 +66,25 @@ final class WorkMassListener extends SparkListener {
 object WorkMass {
   val zero: WorkMass = WorkMass(0L, 0L, 0L, 0L)
 
-  /** Install a listener on `sc` and return a measure function: each call
+  /** One listener per SparkContext, installed on first use and REUSED by
+    * every later [[meter]] call (ADVICE r11: a listener per meter() call
+    * leaked onto the shared context's bus — Bench + ScaleBench + every
+    * ScaleSpec test each added one, all paying accumulation work on every
+    * task-end for the context lifetime). The totals are cumulative and
+    * every window is a before/after difference, so sharing is free. */
+  private val listeners =
+    new java.util.concurrent.ConcurrentHashMap[SparkContext, WorkMassListener]()
+
+  /** Return a measure function over `sc`'s shared listener: each call
     * runs `body` and returns its exclusive work-mass window. Sequential
-    * use only (the bench's shape). */
+    * use only (the bench's shape) — two concurrent windows would
+    * double-count each other's tasks. */
   def meter(sc: SparkContext): (=> Any) => WorkMass = {
-    val l = new WorkMassListener
-    sc.addSparkListener(l)
+    val l = listeners.computeIfAbsent(sc, c => {
+      val nl = new WorkMassListener
+      c.addSparkListener(nl)
+      nl
+    })
     body => {
       org.apache.spark.graftbench.BusDrain.waitUntilEmpty(sc)
       l.resetPeak()

@@ -4,12 +4,25 @@
 Mimics the driver: load oracle_sql.json, run each SQL in DuckDB over the
 base parquet tables, load our parquet result, sort columns by name, sort
 rows, compare values.
+
+Usage: parity.py [SF_DIR] [VERIFY_OUT] [name,name,...] [--emit=FILE]
+
+--emit=FILE writes the per-query outcome in the driver's CORRECTNESS
+schema ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — the builder-side redundancy for the round record
+(round 11's driver file arrived empty; this one is committed with the
+round so the correctness signal can never go missing again). The emit
+also carries a _meta entry with per-oracle DuckDB seconds so the slow
+scratch-rebuild oracles stay profiled.
 """
-import sys, json, glob
+import sys, json, glob, time
 import duckdb, pandas as pd
 
-sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+args = [a for a in sys.argv[1:] if not a.startswith('--')]
+emit = next((a.split('=', 1)[1] for a in sys.argv[1:]
+             if a.startswith('--emit=')), None)
+sf = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
+out = args[1] if len(args) > 1 else '/tmp/verify_out'
 
 con = duckdb.connect()
 for p in glob.glob(f'{sf}/*.parquet'):
@@ -43,29 +56,42 @@ if os.path.exists(meta_path):
     print('preflight: engine and oracle agree on fixture counts and events ts range')
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
-if len(sys.argv) > 3:  # optional comma-separated subset of query names
-    keep = set(sys.argv[3].split(','))
+if len(args) > 2:  # optional comma-separated subset of query names
+    keep = set(args[2].split(','))
     oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = []
+record = {}   # driver CORRECTNESS schema, per query
+timing = {}   # oracle DuckDB seconds, per query
 for name, sql in sorted(oracle.items()):
+    rec = {'rows_match': False, 'schema_match': False, 'hash_match': False,
+           'spark_rows': None, 'oracle_rows': None, 'err': None}
+    record[name] = rec
+    t0 = time.monotonic()
     try:
         exp = con.execute(sql).fetchdf()
     except Exception as e:
+        rec['err'] = f'duckdb error: {e}'
         print(f'FAIL {name}: duckdb error: {e}')
         fails.append(name); continue
+    finally:
+        timing[name] = round(time.monotonic() - t0, 3)
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f'{out}/{name}/*.parquet'))])
     except Exception as e:
+        rec['err'] = f'missing spark output: {e}'
         print(f'FAIL {name}: missing spark output: {e}')
         fails.append(name); continue
+    rec['spark_rows'], rec['oracle_rows'] = len(got), len(exp)
     exp = exp[sorted(exp.columns)].reset_index(drop=True)
     got = got[sorted(got.columns)].reset_index(drop=True)
     exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
     got = got.sort_values(list(got.columns)) .reset_index(drop=True)
-    if list(exp.columns) != list(got.columns):
+    rec['schema_match'] = list(exp.columns) == list(got.columns)
+    if not rec['schema_match']:
         print(f'FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}')
         fails.append(name); continue
-    if len(exp) != len(got):
+    rec['rows_match'] = len(exp) == len(got)
+    if not rec['rows_match']:
         print(f'FAIL {name}: rows exp={len(exp)} got={len(got)}')
         fails.append(name); continue
     # value-level compare, exact (hash-style)
@@ -78,9 +104,23 @@ for name, sql in sorted(oracle.items()):
             mismatch = (c, bad, ev[bad], gv[bad]); break
     if mismatch:
         c, i, e, g = mismatch
+        rec['err'] = f'hash mismatch: col {c} row {i}: oracle={e} spark={g}'
         print(f'FAIL {name}: col {c} row {i}: oracle={e} spark={g}')
         fails.append(name)
     else:
+        rec['hash_match'] = True
         print(f'OK   {name} ({len(exp)} rows)')
-print(f'\n{len(oracle)-len(fails)}/{len(oracle)} pass')
+slow = sorted(timing.items(), key=lambda kv: -kv[1])[:5]
+print('\nslowest oracles (DuckDB sec): ' +
+      ', '.join(f'{n}={s}' for n, s in slow))
+print(f'{len(oracle)-len(fails)}/{len(oracle)} pass')
+if emit:
+    payload = dict(record)
+    payload['_meta'] = {'sf_dir': sf, 'verify_out': out,
+                        'oracle_sec': timing,
+                        'passed': len(oracle) - len(fails),
+                        'total': len(oracle)}
+    with open(emit, 'w') as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f'emitted {emit}')
 sys.exit(1 if fails else 0)
