@@ -24,12 +24,19 @@ object Bench {
     val only: Set[String] =
       if (args.length > 0) args(0).split(",").filter(_.nonEmpty).toSet
       else Set.empty
-    val spark = SparkSession.builder()
+    // Spill-rehearsal knob (VERDICT r11 task 7): the 2g-heap run recorded
+    // zero spill everywhere because the working sets fit; shrinking the
+    // unified-memory pool (e.g. SPARK_GRAFT_MEM_FRACTION=0.05 on a 2g
+    // heap) forces the UnsafeExternalSorter spill path so the work-mass
+    // meter's spill column is proven against a nonzero observation.
+    val memFrac = sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = memFrac.fold(builder)(f =>
+      builder.config("spark.memory.fraction", f)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fail fast on fixture-schema drift (footer reads only)
     Tables.validate(spark, sfDir)

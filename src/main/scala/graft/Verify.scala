@@ -15,11 +15,16 @@ object Verify {
     require(only.isEmpty || only.subsetOf(SparkEntry.queries.keySet),
       s"unknown queries requested: ${(only -- SparkEntry.queries.keySet).mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MEM_FRACTION: same spill-rehearsal knob as Bench — a
+    // constrained run must also prove results UNCHANGED, which is this
+    // dump + the parity compare under the same squeezed memory pool.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+      .fold(builder)(f => builder.config("spark.memory.fraction", f))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fail fast on fixture-schema drift (footer reads only) — one explicit
