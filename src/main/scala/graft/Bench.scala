@@ -139,7 +139,12 @@ object Bench {
     // otherwise write BENCH_rNN_full.json for the CURRENT max round — a
     // distinct name the driver's capture never touches, and re-runs
     // overwrite it instead of allocating new rounds.
-    try if (only.isEmpty) { // a filtered run is iteration, not a round record
+    // an explicit SPARK_GRAFT_BENCH_OUT names the record; the auto path
+    // below must then stay silent — in r12 it guessed "current round =
+    // max recorded" and clobbered the COMMITTED prior round's full map
+    // (the driver closes round N by writing BENCH_rN.json, so a builder
+    // run during round N+1 sees max = N and must write N+1's slot)
+    try if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val target = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt) match {
         case Some(r) => Some(f"BENCH_r$r%02d.json")
         case None =>
@@ -148,7 +153,7 @@ object Bench {
           val seen = if (dir == null) Seq.empty[Int]
             else dir.toSeq.flatMap(f => f.getName match {
               case rx(n) => Some(n.toInt); case _ => None })
-          if (seen.isEmpty) None else Some(f"BENCH_r${seen.max}%02d_full.json")
+          if (seen.isEmpty) None else Some(f"BENCH_r${seen.max + 1}%02d_full.json")
       }
       target.foreach(t => java.nio.file.Files.write(
         java.nio.file.Paths.get(t), json.getBytes("UTF-8")))

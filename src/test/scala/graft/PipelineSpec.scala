@@ -1540,6 +1540,13 @@ class PipelineSpec extends SparkSpec {
       "effective band after log retraction vs retained scratch")
     sameSet(stopR.distinct(), sstopR.select("band", "band_key"),
       "stop union after log retraction (monotone, families untouched)")
+    // time travel ACROSS the retraction: as-of the retract generation is
+    // the live (retained) view; as-of the pre-retraction fold restores
+    // the deleted docs — history is reconstructable, not just the head
+    sameSet(StateLog.viewsAsOf(spark, ref, 4L)._1, hashR,
+      "as-of(retract gen) hash vs live retained view")
+    sameSet(StateLog.viewsAsOf(spark, ref, 3L)._1, hashF,
+      "as-of(pre-retraction fold) hash restores the deleted docs")
     // the second fold applies the tombstones physically
     StateLog.compactLog(spark, ref)
     assert(StateLog.activeGenerations(spark, ref) == 1)
