@@ -1719,6 +1719,9 @@ class PipelineSpec extends SparkSpec {
     assert(dropped.nonEmpty && dropped.forall(_.startsWith(ref.manifest + "_")),
       s"vacuum must drop only log-owned tables, got $dropped")
     assert(dropped.forall(!spark.catalog.tableExists(_)), "dropped tables must leave the catalog")
+    assert(dropped.forall(t =>
+      !new java.io.File(s"${sys.props("java.io.tmpdir")}/$t").exists()),
+      "vacuum must free the DISK, not just the catalog (external-table paths deleted)")
     assert(spark.table(ref.manifest).count() == 3,
       "the manifest history is NEVER vacuumed — it is the replay-skip set")
     val (liveH2, _, _, _) = StateLog.views(spark, ref)
@@ -1745,6 +1748,104 @@ class PipelineSpec extends SparkSpec {
     assert(StateLog.activeGenerations(spark, ref) == 1)
     assert(StateLog.vacuum(spark, ref).nonEmpty,
       "the second fold supersedes the first — vacuumable again")
+  }
+
+  test("state log soak: four batches, two folds, a retraction, vacuums and replays interleaved — the final state still equals scratch") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, fam}
+    // the unbounded-stream induction DRIVEN, not argued: every operation
+    // class the log supports, interleaved over one horizon, with the
+    // survivor truth recomputed from the committed views before each
+    // ingest (so no step's outcome is assumed) and ONE scratch equality
+    // at the end over exactly the population the horizon admitted
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st)
+
+    // batch i: a novel unique doc, an exact copy of batch i-1's novel doc
+    // (the exact gate's food), and a fam variant with a fresh tail (the
+    // band layer's food) — ids strictly increasing so commit order is
+    // doc_id order and the scratch pack uses the plain ordering
+    def mkBatch(i: Int): Seq[(Long, String, String, String, Long)] = {
+      val novel = s"batch $i studies ${"aurora borealis over frozen tundra plains".split(" ").map(w => s"$w$i").mkString(" ")}"
+      val famVar = s"${fam(i % fam.length)} beneath batch $i moonlight"
+      val dup = if (i == 0) novel + " anew"
+        else s"batch ${i - 1} studies ${"aurora borealis over frozen tundra plains".split(" ").map(w => s"$w${i - 1}").mkString(" ")}"
+      Seq((10000L + i * 100, novel, "en", "src", novel.length.toLong),
+        (10001L + i * 100, dup, "en", "src", dup.length.toLong),
+        (10002L + i * 100, famVar, "en", "src", famVar.length.toLong))
+    }
+
+    var store = oldDocs
+    val survivorSets = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    def ingest(i: Int): Unit = {
+      val batch = docsDf(mkBatch(i))
+      val docs = store.withColumn("is_new", lit(false))
+        .unionByName(batch.withColumn("is_new", lit(true)))
+      val (hashV, _, _, _) = StateLog.views(spark, ref)
+      val s = Curation.deltaSurvivorsFromState(docs, col("is_new"), hashV,
+        StateLog.effectiveBand(spark, ref),
+        spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+      assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), i.toLong))
+      survivorSets += s
+      store = store.unionByName(batch).localCheckpoint()
+    }
+
+    val delIds = Seq(181L, 182L) // normals, away from the hot families
+    val isDel = col("doc_id").isin(delIds: _*)
+    ingest(0); ingest(1)
+    StateLog.compactLog(spark, ref)
+    assert(StateLog.vacuum(spark, ref).nonEmpty, "fold 1 leaves vacuumable deltas")
+    ingest(2)
+    // retraction mid-horizon: the indexed corpus store is the base
+    // snapshot plus the committed survivors (what production maintains)
+    val idxCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val indexedNow = survivorSets.foldLeft(
+      oldDocs.select(idxCols.head, idxCols.tail: _*)) {
+      (acc, s) => acc.unionByName(s.select(idxCols.head, idxCols.tail: _*)) }
+    assert(StateLog.retractBatch(spark, ref, indexedNow, isDel, 100L))
+    ingest(3)
+    // replay storm mid-horizon: every committed op re-offered, all no-ops
+    (0 to 3).foreach { i =>
+      val batch = docsDf(mkBatch(i))
+      val docs = store.withColumn("is_new", lit(false))
+        .unionByName(batch.withColumn("is_new", lit(true)))
+      assert(!StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), i.toLong),
+        s"committed batch $i must stay skipped across folds and vacuums")
+    }
+    assert(!StateLog.retractBatch(spark, ref, store, isDel, 100L),
+      "the committed retraction op must stay skipped")
+    StateLog.compactLog(spark, ref)
+    assert(StateLog.vacuum(spark, ref).nonEmpty, "fold 2 leaves vacuumable history")
+    assert(StateLog.activeGenerations(spark, ref) == 1,
+      "the horizon ends folded to a single active generation")
+    assert(spark.table(ref.manifest).count() == 8,
+      "manifest: base + 4 batches + retract + 2 folds — replays appended nothing")
+
+    // ONE scratch equality over exactly the admitted population: the
+    // retained old corpus plus every batch's survivors (gate decisions
+    // were recomputed per step, so this is the horizon's ground truth)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = survivorSets.foldLeft(
+      oldDocs.filter(!isDel).select(cols.head, cols.tail: _*)) {
+      (acc, s) => acc.unionByName(s.select(cols.head, cols.tail: _*)) }
+    assert(pop.count() < oldDocs.count() - delIds.size + 12,
+      "the gates must be load-bearing over the horizon (some batch docs dropped)")
+    val (sh, sb, sstop) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (hashV, _, stopV, packV) = StateLog.views(spark, ref)
+    sameSet(hashV, sh, "soak hash layer vs scratch")
+    sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"), "soak effective band vs scratch")
+    sameSet(stopV.distinct(), sstop.select("band", "band_key"), "soak stop union vs scratch")
+    // pack ignores deletions by design (eq143 posture; eq145's repack is
+    // the re-accounting pass) — scratch pack is over old-curated ∪ survivors
+    val packCols = Seq("lang", "doc_id", "n_tokens", "n_chars")
+    val packPop = survivorSets.foldLeft(
+      Curation.curatedDocsDf(oldDocs).select(packCols.head, packCols.tail: _*)) {
+      (acc, s) => acc.unionByName(s.select(packCols.head, packCols.tail: _*)) }
+    sameSet(packV, Curation.packSummaryOf(packPop), "soak cumulative pack vs scratch")
   }
 
   test("a snapshot wrapped by a state log refuses the in-place advance (ADVICE r11)") {

@@ -151,4 +151,45 @@ class ScaleSpec extends SparkSpec {
         s"${c1.shuffleRead} / ${c10.shuffleRead} bytes")
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
+
+  test("post-retraction repack: the corpus-sized window is paid once by " +
+    "the repack itself — the advance AFTER it stays batch-bounded (r12)") {
+    // eq145's scale claim, measured: retraction defers pack re-accounting
+    // precisely because it is corpus-sized (a per-lang prefix-sum window
+    // over the retained curated corpus). The repack pays that window once
+    // (its shuffle mass must GROW with the corpus — that is its honest
+    // cost, same class as the index build), and in exchange the advance
+    // that follows keeps eq141's batch-bounded shuffle shape against the
+    // repacked summary — the invariant the repack exists to restore.
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DedupIndexSink, SnapshotStateSink}
+    val meter = WorkMass.meter(spark.sparkContext)
+    def rp(n: Long): (WorkMass, WorkMass) = {
+      val union = ScaleBench.corpus(spark, n)
+        .unionByName(ScaleBench.deltaCorpus(spark, n, 400, targetBlocks = 20))
+        .localCheckpoint()
+      val isNew = col("doc_id") >= n
+      val isDel = !isNew && col("doc_id") % 97 === 3
+      val st = SnapshotStateSink.write(spark, union, isNew, !isNew)
+      val tc = DedupIndexSink.compact(spark,
+        DedupIndexSink.retract(spark, union, st.index, isNew, isDel))
+      Dedup.clearDerivedCaches() // fresh-restart posture: repack re-mines
+      var st2: SnapshotStateSink.StateTables = null
+      val rpWork = meter {
+        st2 = SnapshotStateSink.repack(spark, union, st.copy(index = tc), isDel, !isNew)
+      }
+      val advWork = meter { SnapshotStateSink.advance(spark, union, st2, isNew) }
+      (rpWork, advWork)
+    }
+    val (r1, a1) = rp(2000)
+    val (r10, a10) = rp(20000)
+    assert(r1.shuffleRead > 0, "meter must observe the repack")
+    assert(r10.shuffleRead > 3L * r1.shuffleRead,
+      s"repack is corpus-sized by design (sanity): " +
+        s"${r1.shuffleRead} -> ${r10.shuffleRead}")
+    assert(a10.shuffleRead < 3L * a1.shuffleRead,
+      s"the advance after a repack must stay batch-bounded: " +
+        s"${a1.shuffleRead} -> ${a10.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }
