@@ -139,14 +139,16 @@ object Bench {
     // otherwise write BENCH_rNN_full.json for the CURRENT max round — a
     // distinct name the driver's capture never touches, and re-runs
     // overwrite it instead of allocating new rounds.
-    // an explicit SPARK_GRAFT_BENCH_OUT names the record; the auto path
-    // below must then stay silent — in r12 it guessed "current round =
-    // max recorded" and clobbered the COMMITTED prior round's full map
-    // (the driver closes round N by writing BENCH_rN.json, so a builder
-    // run during round N+1 sees max = N and must write N+1's slot)
-    try if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+    // an explicit SPARK_GRAFT_ROUND always writes its canonical slot; an
+    // explicit SPARK_GRAFT_BENCH_OUT silences only the AUTO-GUESS below —
+    // in r12 the guess "current round = max recorded" clobbered the
+    // COMMITTED prior round's full map (the driver closes round N by
+    // writing BENCH_rN.json, so a builder run during round N+1 sees
+    // max = N and must write N+1's slot)
+    try if (only.isEmpty) {
       val target = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt) match {
         case Some(r) => Some(f"BENCH_r$r%02d.json")
+        case None if sys.env.contains("SPARK_GRAFT_BENCH_OUT") => None
         case None =>
           val rx = """BENCH_r(\d+)\.json""".r
           val dir = new java.io.File(".").listFiles()

@@ -4270,7 +4270,7 @@ object Oracles {
   private val SharedCtes = Seq(
     "toks", "shingled", "s", "xx", "mins", "keys",       // minhash chain
     "kk", "cand", "ver", "j",                            // verified pairs
-    "zq", "o_cs", "d_cs", "o_k6", "d_k6", "o_k7", "d_k8", // curation chain
+    "zq", "o_cs", "d_cs", "o_k6", "d_k6", "o_k7", "d_k7", "d_k8", // curation chain
     "o_ex", "d_ex", "o_tv", "oldh", "old_keys", "new_keys", "po",
     "okb", "stopb", "del", "ret_keys", "mm")             // index + retraction
   private def materializeShared(sql: String): String =

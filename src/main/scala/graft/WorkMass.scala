@@ -83,6 +83,14 @@ object WorkMass {
     val l = listeners.computeIfAbsent(sc, c => {
       val nl = new WorkMassListener
       c.addSparkListener(nl)
+      // drop the map entry when the context ends, else the static map
+      // would strongly retain every stopped SparkContext's whole object
+      // graph for the JVM lifetime (r12 review)
+      c.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          listeners.remove(c): Unit
+      })
       nl
     })
     body => {

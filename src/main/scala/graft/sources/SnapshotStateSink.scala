@@ -156,7 +156,7 @@ object SnapshotStateSink {
     // manifest row points INTO these very tables (no copy), so an
     // in-place append here would retroactively mutate committed history
     // (ADVICE r11). Ingest through the log instead.
-    require(!StateLog.wrapsSnapshotIndex(t.index.hash),
+    require(!StateLog.wrapsSnapshotIndex(spark, t.index.hash),
       "this snapshot is wrapped by a state log (its tables ARE the log's " +
         "generation 0) — ingest through StateLog.ingestBatch instead")
     val (hashIdx, bandIdx, stopIdx, _) = DedupIndexSink.readBack(spark, t.index)
@@ -279,7 +279,7 @@ object SnapshotStateSink {
     val t1 = DedupIndexSink.retract(spark, docs, st0.index,
       DedupIndexSink.isNewCol, isDel)
     val st2 = repack(spark, docs, st0.copy(index = DedupIndexSink.compact(spark, t1)), isDel)
-    auditRepacked(spark, docs, isDel, st2)
+    auditRepacked(spark, docs, isDel, col("doc_id") % 10 < 8, st2)
   }
 
   /** eq145 — POST-RETRACTION REPACK: eq143 deliberately defers pack
@@ -332,9 +332,10 @@ object SnapshotStateSink {
     * DuckDB oracle re-derives both from the raw documents: the curated
     * old corpus minus the deleted docs, re-windowed from zero. */
   private[graft] def auditRepacked(spark: SparkSession, docs: DataFrame,
-      isDeleted: org.apache.spark.sql.Column, t: StateTables): DataFrame = {
+      isDeleted: org.apache.spark.sql.Column,
+      isOld: org.apache.spark.sql.Column, t: StateTables): DataFrame = {
     val repacked = Curation.shardAssign(
-      Curation.curatedDocsDf(docs.filter(col("doc_id") % 10 < 8))
+      Curation.curatedDocsDf(docs.filter(isOld))
         .filter(!isDeleted).drop("shard_id"))
     val checks = repacked.groupBy("lang")
       .agg(sum(col("doc_id") * (col("shard_id") + lit(1L))).as("shard_checksum"))

@@ -75,11 +75,23 @@ object StateLog {
   /** Index-hash table names of snapshots a log wraps ([[fromSnapshot]]'s
     * gen 0 POINTS at the snapshot's live tables, no copy) — an in-place
     * [[SnapshotStateSink.advance]] on such a snapshot would retroactively
-    * mutate a committed generation (ADVICE r11), so the sink refuses it. */
+    * mutate a committed generation (ADVICE r11), so the sink refuses it.
+    * The marker is DURABLE (a catalog marker table derived from the
+    * wrapped hash table's name) plus a fast in-process set: the failure
+    * this guard exists for is precisely the OTHER-driver restart — a
+    * fresh JVM resolving the same names through a persistent metastore —
+    * where a memory-only set would silently fail open (r12 review). */
   private val wrappedSnapshots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private[sources] def wrapsSnapshotIndex(hashTable: String): Boolean =
-    wrappedSnapshots.contains(hashTable)
+  private def wrapMarker(hashTable: String): String = s"${hashTable}_logwrapped"
+  private[sources] def wrapsSnapshotIndex(spark: SparkSession, hashTable: String): Boolean =
+    wrappedSnapshots.contains(hashTable) ||
+      spark.catalog.tableExists(wrapMarker(hashTable))
+  /** Test hook: forget the in-process wrap registration, simulating a
+    * FRESH driver that resolves the same names through the catalog — the
+    * durable marker must still refuse the in-place advance. */
+  private[graft] def forgetWrappedInProcess(hashTable: String): Unit =
+    wrappedSnapshots.remove(hashTable): Unit
 
   /** Per-manifest commit mutex + optimistic re-check (VERDICT r11 task 4).
     * The manifest is append-only and every committer mints gen_id =
@@ -153,6 +165,9 @@ object StateLog {
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_state_log_${id}_manifest")
       .saveAsTable(ref.manifest)
     wrappedSnapshots.add(st.index.hash)
+    genRow(spark, Gen(0L, -1L, "base",
+      st.index.hash, st.index.band, st.index.stop, st.packSummary))
+      .write.mode("overwrite").saveAsTable(wrapMarker(st.index.hash))
     ref
   }
 
@@ -423,8 +438,22 @@ object StateLog {
     val bandT = saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
     val packT = saveGen(spark, ref, packV, "pack", tag, None)
-    commitRow(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
+    try commitRow(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
       hashT, bandT, stopT, packT))
+    catch { case e: java.util.ConcurrentModificationException =>
+      // a lost fold race retries against the NEW max gen, so the retry's
+      // tag differs — drop this attempt's four tables now or they would
+      // be orphaned forever (no manifest row ever points at them, so
+      // vacuum, which walks manifest rows, could never reclaim them).
+      // Batch/retract tags (b$id / r$id) are retry-stable and need none
+      // of this: their retry overwrites the same locations.
+      Seq(hashT, bandT, stopT, packT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        val p = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/$t")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+      throw e
+    }
   }
 
   /** Active generation count (post-fold width) — the bounded quantity

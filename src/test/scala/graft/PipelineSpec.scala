@@ -1859,6 +1859,15 @@ class PipelineSpec extends SparkSpec {
       SnapshotStateSink.advance(spark, docs, st, col("doc_id") >= 1000L)
     }
     assert(e.getMessage.contains("wrapped by a state log"))
+    // the guard must survive a DRIVER RESTART: a fresh JVM resolving the
+    // same table names through a persistent metastore has no in-process
+    // registration — the durable catalog marker must still refuse
+    StateLog.forgetWrappedInProcess(st.index.hash)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStateSink.advance(spark, docs, st, col("doc_id") >= 1000L)
+    }
+    assert(e2.getMessage.contains("wrapped by a state log"),
+      "the wrap guard must be durable, not memory-only")
   }
 
   test("eq145: retract → compact → repack re-establishes the append-pack invariant; the next advance is exact again") {
