@@ -4372,6 +4372,23 @@ object Oracles {
           |UNION ALL SELECT 'live_pack_docs', (SELECT COUNT(*) FROM mm)::BIGINT
           |UNION ALL SELECT 'live_pack_shards', (SELECT n_units FROM mms)
           |UNION ALL SELECT 'live_pack_tokens', (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mm)
+          |ORDER BY item""".stripMargin)) +
+      // eq147: the SELF-CONTAINED log — the ingest resolves the corpus
+      // store from the log's own corpus layer, so the final state must
+      // be exactly eq144's (the seven advance items, shared oracle), and
+      // the resolved store itself must equal the scratch population:
+      // the raw old corpus plus the funnel's delta survivors (d_k8),
+      // checked by count, char mass, and doc_id checksum.
+      ("eq147_self_contained_log" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'corpus_docs',
+          |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8)::BIGINT
+          |  + (SELECT COUNT(*) FROM d_k8)::BIGINT
+          |UNION ALL SELECT 'corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
           |ORDER BY item""".stripMargin))
   }.view.mapValues(materializeShared).toMap
 }

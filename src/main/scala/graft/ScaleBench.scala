@@ -227,6 +227,26 @@ object ScaleBench {
       val compWork = meter(SnapshotStateSink.compact(spark, advSt))
       val compSec = (System.nanoTime() - compT0) / 1e9
 
+      // ---- post-retraction repack (r12, eq145): measured on its own
+      // fresh snapshot (the advance above appends into its state's
+      // tables in place), a ~1% deletion slice of the indexed corpus,
+      // tombstones applied (compact), then the pack layer rebuilt — the
+      // corpus-sized per-lang window that retraction deliberately defers
+      // out of the per-deletion path. Its work mass GROWING with the
+      // corpus is the honest record (ScaleSpec pins that, plus the
+      // batch-bounded advance after it).
+      import graft.sources.DedupIndexSink
+      val stR = SnapshotStateSink.write(spark, union, isNew, !isNew)
+      val isDel = !isNew && pmod(col("doc_id"), lit(97)) === lit(3)
+      val tR = DedupIndexSink.compact(spark,
+        DedupIndexSink.retract(spark, union, stR.index, isNew, isDel))
+      Dedup.clearDerivedCaches()
+      val rpT0 = System.nanoTime()
+      val rpWork = meter {
+        SnapshotStateSink.repack(spark, union, stR.copy(index = tR), isDel, !isNew)
+      }
+      val rpSec = (System.nanoTime() - rpT0) / 1e9
+
       println(s"[scalebench] ${s}x: n=$n mine=$mineSec split=$splitSec " +
         s"eq127=$eq127Sec chainCold=$chainColdSec chainWarm=$chainWarmSec " +
         s"cand=$candidates pairs=$pairs spanDocs=$spanDocs chainKept=$kept " +
@@ -234,17 +254,18 @@ object ScaleBench {
         s"incIndex=$incIndexSec incProbe=$incProbeSec " +
         s"incFlags=$incFlags incProbeShufRead=${incProbeWork.shuffleRead} " +
         s"advance=$advSec advShufRead=${advWork.shuffleRead} " +
-        s"compact=$compSec compShufRead=${compWork.shuffleRead}")
+        s"compact=$compSec compShufRead=${compWork.shuffleRead} " +
+        s"repack=$rpSec repackShufRead=${rpWork.shuffleRead}")
       (s, n, mineSec, splitSec, eq127Sec, candidates, pairs, spanDocs,
         chainColdSec, chainWarmSec, kept, mineWork, chainWork,
         (incIndexSec, incProbeSec, incFlags, incIndexWork, incProbeWork),
-        (advSec, advWork, compSec, compWork))
+        (advSec, advWork, compSec, compWork, rpSec, rpWork))
     }
     val json = "{\"metric\":\"scalebench\",\"unit\":\"sec\",\"cpus\":" + cpus +
       ",\"base_docs\":" + baseN + ",\"scales\":[" +
       results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw, inc, atRest) =>
         val (ii, ip, (fe, fn), iw, pw) = inc
-        val (as, aw, cs, cpw) = atRest
+        val (as, aw, cs, cpw, rs, rw) = atRest
         s"""{"scale":$s,"docs":$n,"mine_sec":$m,"split_sec":$sp,""" +
           s""""eq127_sec":$e,"prefix_candidates":$c,"pairs":$p,"span_docs":$d,""" +
           s""""chain_cold_sec":$cc,"chain_warm_sec":$cw,"chain_kept_docs":$k,""" +
@@ -253,7 +274,8 @@ object ScaleBench {
           s""""inc_exact_flagged":$fe,"inc_near_flagged":$fn,""" +
           s""""inc_index_work":${iw.json},"inc_probe_work":${pw.json},""" +
           s""""advance_sec":$as,"advance_work":${aw.json},""" +
-          s""""compact_sec":$cs,"compact_work":${cpw.json}}"""
+          s""""compact_sec":$cs,"compact_work":${cpw.json},""" +
+          s""""repack_sec":$rs,"repack_work":${rw.json}}"""
       }.mkString(",") + "]}"
     println(json)
     try java.nio.file.Files.write(

@@ -146,35 +146,62 @@ object StateLog {
     * `hash` table holds ORPHANED hashes, its `band` table holds deleted
     * doc_ids — eq143's two tombstones as a committed generation, which
     * every view subtracts); `fold` — a compaction pointer: the merged
-    * generation all prior rows collapse into (tombstones applied). */
+    * generation all prior rows collapse into (tombstones applied).
+    *
+    * `cur` is the CORPUS layer (eq147): the generation's contribution to
+    * the raw document store — the base's at-rest corpus table for gen 0,
+    * each delta's survivor rows, the merged store for a fold, and the
+    * doc-tombstone table for a retract (corpus resolution subtracts it,
+    * order-aware like every layer). With it the log is SELF-CONTAINED:
+    * ingest and retraction can resolve the store from the log instead of
+    * trusting the caller to reconstruct it — the last caller-maintained
+    * piece of the state's life between sessions. */
   private final case class Gen(genId: Long, batchId: Long, kind: String,
-      hash: String, band: String, stop: String, pack: String)
+      hash: String, band: String, stop: String, pack: String, cur: String)
+
+  /** The raw-store columns every funnel input needs — what the corpus
+    * layer persists per generation. */
+  private val StoreCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** An at-rest RAW corpus store for [[fromSnapshot]]'s gen-0 corpus
+    * pointer — the production table eq138's product build reads from;
+    * written here as a plain parquet table of the store columns. */
+  def writeCorpusStore(spark: SparkSession, docs: DataFrame): String = {
+    val id = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
+    val tbl = s"graft_corpus_store_$id"
+    docs.select(StoreCols.map(col): _*).write.mode("overwrite")
+      .option("path", s"${sys.props("java.io.tmpdir")}/$tbl").saveAsTable(tbl)
+    tbl
+  }
 
   /** Start a log over a finished full curation: generation 0 POINTS AT
-    * the snapshot's existing index + pack tables (no copy — the log
-    * wraps the snapshot; eq140's write is the expensive pass, the log
-    * is a one-row manifest write). Gen 0 is the genesis fold point. */
-  def fromSnapshot(spark: SparkSession, st: SnapshotStateSink.StateTables): LogRef = {
+    * the snapshot's existing index + pack tables and the at-rest corpus
+    * store (no copy — the log wraps the snapshot; eq140's write is the
+    * expensive pass, the log is a one-row manifest write). Gen 0 is the
+    * genesis fold point. */
+  def fromSnapshot(spark: SparkSession, st: SnapshotStateSink.StateTables,
+      corpusStore: String): LogRef = {
     require(st.index.tomb.isEmpty,
       "the log ingests forward — apply pending retraction tombstones first")
     val id = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
     val ref = LogRef(s"graft_state_log_$id")
     genRow(spark, Gen(0L, -1L, "base",
-      st.index.hash, st.index.band, st.index.stop, st.packSummary))
+      st.index.hash, st.index.band, st.index.stop, st.packSummary, corpusStore))
       .write.mode("overwrite")
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_state_log_${id}_manifest")
       .saveAsTable(ref.manifest)
     wrappedSnapshots.add(st.index.hash)
     genRow(spark, Gen(0L, -1L, "base",
-      st.index.hash, st.index.band, st.index.stop, st.packSummary))
+      st.index.hash, st.index.band, st.index.stop, st.packSummary, corpusStore))
       .write.mode("overwrite").saveAsTable(wrapMarker(st.index.hash))
     ref
   }
 
   private def genRow(spark: SparkSession, g: Gen): DataFrame = {
     import spark.implicits._
-    Seq((g.genId, g.batchId, g.kind, g.hash, g.band, g.stop, g.pack))
-      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl", "pack_tbl")
+    Seq((g.genId, g.batchId, g.kind, g.hash, g.band, g.stop, g.pack, g.cur))
+      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
+        "pack_tbl", "cur_tbl")
   }
 
   /** The FULL manifest history, oldest first — one tiny driver-side
@@ -183,7 +210,7 @@ object StateLog {
   private def history(spark: SparkSession, ref: LogRef): Seq[Gen] =
     spark.table(ref.manifest).orderBy("gen_id").collect().toSeq
       .map(r => Gen(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
-        r.getString(4), r.getString(5), r.getString(6)))
+        r.getString(4), r.getString(5), r.getString(6), r.getString(7)))
 
   private def active(hist: Seq[Gen]): Seq[Gen] =
     hist.drop(hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold"))
@@ -209,28 +236,53 @@ object StateLog {
     * Deltas sharing the same later-retract suffix share one anti-join
     * (retracts are gen_id-sorted, so "the retracts after delta d" is
     * always a suffix). */
-  private def viewsOf(spark: SparkSession, gens: Seq[Gen]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** Delta-layer union MINUS the order-aware tombstones: each delta
+    * generation subtracts only the retract rows with a HIGHER gen_id
+    * (deltas sharing the same later-retract suffix share one anti-join;
+    * retracts are gen_id-sorted, so the applicable set is always a
+    * suffix). `tombLayer` names the retract row's table holding the
+    * tombstones for this layer. */
+  private def minusLaterTombs(spark: SparkSession, gens: Seq[Gen],
+      layer: Gen => String, tombLayer: Gen => String, key: String,
+      tombCols: DataFrame => DataFrame): DataFrame = {
     def union(tbls: Seq[String]): DataFrame =
       tbls.map(spark.table).reduce(_ unionAll _)
     val deltas = gens.filter(_.kind != "retract")
     val retracts = gens.filter(_.kind == "retract")
-    def minusLaterTombs(layer: Gen => String, key: String,
-        tombCols: DataFrame => DataFrame): DataFrame =
-      deltas.groupBy(d => retracts.count(_.genId > d.genId)).toSeq.sortBy(_._1)
-        .map { case (nLater, ds) =>
-          val raw = union(ds.map(layer))
-          if (nLater == 0) raw
-          else raw.join(
-            broadcast(tombCols(union(retracts.takeRight(nLater).map(layer)))),
-            Seq(key), "left_anti")
-            // the USING-join fronts the key column; restore the layer's
-            // order so the cross-group unionAll stays position-aligned
-            .select(raw.columns.map(col).toIndexedSeq: _*)
-        }.reduce(_ unionAll _)
-    val hashV = minusLaterTombs(_.hash, "h", identity)
-    val bandLive = minusLaterTombs(_.band, "doc_id", _.select("doc_id"))
-    (hashV, bandLive, union(deltas.map(_.stop)), spark.table(deltas.last.pack))
+    deltas.groupBy(d => retracts.count(_.genId > d.genId)).toSeq.sortBy(_._1)
+      .map { case (nLater, ds) =>
+        val raw = union(ds.map(layer))
+        if (nLater == 0) raw
+        else raw.join(
+          broadcast(tombCols(union(retracts.takeRight(nLater).map(tombLayer)))),
+          Seq(key), "left_anti")
+          // the USING-join fronts the key column; restore the layer's
+          // order so the cross-group unionAll stays position-aligned
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionAll _)
   }
+
+  private def viewsOf(spark: SparkSession, gens: Seq[Gen]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val deltas = gens.filter(_.kind != "retract")
+    val hashV = minusLaterTombs(spark, gens, _.hash, _.hash, "h", identity)
+    val bandLive = minusLaterTombs(spark, gens, _.band, _.band, "doc_id", _.select("doc_id"))
+    (hashV, bandLive,
+      deltas.map(g => spark.table(g.stop)).reduce(_ unionAll _),
+      spark.table(deltas.last.pack))
+  }
+
+  /** The committed CORPUS STORE resolved from the log itself (eq147):
+    * the base at-rest corpus plus every committed batch's survivors,
+    * minus deleted docs — order-aware like every layer (a retract's doc
+    * tombstones live in its band/cur table). This is "the corpus store"
+    * every funnel input and every retraction's orphan recount needs, so
+    * the self-contained [[ingestBatch]]/[[retractBatch]] overloads
+    * resolve it here instead of trusting the caller to reconstruct it. */
+  def corpus(spark: SparkSession, ref: LogRef): DataFrame =
+    corpusOf(spark, active(history(spark, ref)))
+
+  private def corpusOf(spark: SparkSession, gens: Seq[Gen]): DataFrame =
+    minusLaterTombs(spark, gens, _.cur, _.band, "doc_id", _.select("doc_id"))
 
   def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) =
     viewsOf(spark, active(history(spark, ref)))
@@ -248,7 +300,7 @@ object StateLog {
     require(hist.exists(_.genId == gen),
       s"generation $gen was never committed to ${ref.manifest}")
     val need = active(hist.filter(_.genId <= gen))
-    need.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack)).distinct.foreach { t =>
+    need.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct.foreach { t =>
       if (!spark.catalog.tableExists(t))
         throw new IllegalStateException(s"as-of generation $gen needs $t, " +
           "which a vacuum dropped — time travel is bounded by the latest fold")
@@ -272,9 +324,9 @@ object StateLog {
     val hist = history(spark, ref)
     val cut = hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold")
     val keep = hist.drop(cut)
-      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack)).toSet
+      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
     val dropped = hist.take(cut)
-      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack)).distinct
+      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct
       .filter(t => t.startsWith(ref.manifest + "_") && !keep(t))
       .filter(spark.catalog.tableExists) // already-vacuumed rows are a no-op
     dropped.foreach { t =>
@@ -327,6 +379,11 @@ object StateLog {
     * Every path converges to the same committed state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       docs: DataFrame, isNew: Column, batchId: Long): Boolean = withCommitRetry() {
+    ingestOnce(spark, ref, st, docs, isNew, batchId)
+  }
+
+  private def ingestOnce(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
+      docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
     val hist = history(spark, ref)
     if (hist.exists(g => g.batchId == batchId && g.kind == "delta")) return false
     val (hashV, bandRawV, stopV, packV) = viewsOf(spark, active(hist))
@@ -365,13 +422,27 @@ object StateLog {
     val bandT = saveGen(spark, ref, survBanded, "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, newlyHot, "stop", tag, None)
     val packT = saveGen(spark, ref, pack, "pack", tag, None)
+    val curT = saveGen(spark, ref,
+      survivors.select(StoreCols.map(col): _*), "cur", tag, None)
 
     // THE COMMIT POINT: one manifest row, iff the manifest is still at
     // the max gen_id the views above were read at
     val base = hist.map(_.genId).max
     commitRow(spark, ref, base, Gen(base + 1, batchId, "delta",
-      hashT, bandT, stopT, packT))
+      hashT, bandT, stopT, packT, curT))
     true
+  }
+
+  /** SELF-CONTAINED ingest (eq147): the corpus store is resolved from
+    * the log's own corpus layer — the caller hands over ONLY the batch.
+    * Resolution happens inside the retry scope, so a lost optimistic
+    * race re-resolves against the post-conflict store too. */
+  def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
+      batch: DataFrame, batchId: Long): Boolean = withCommitRetry() {
+    val docs = corpus(spark, ref).withColumn("is_new", lit(false))
+      .unionByName(batch.select(StoreCols.map(col): _*)
+        .withColumn("is_new", lit(true)))
+    ingestOnce(spark, ref, st, docs, col("is_new"), batchId)
   }
 
   /** Exactly-once RETRACTION through the log — eq143's tombstones as a
@@ -391,6 +462,11 @@ object StateLog {
     * re-accounting is deferred to a repack (the eq143 posture). */
   def retractBatch(spark: SparkSession, ref: LogRef, indexedDocs: DataFrame,
       isDeleted: Column, opId: Long): Boolean = withCommitRetry() {
+    retractOnce(spark, ref, indexedDocs, isDeleted, opId)
+  }
+
+  private def retractOnce(spark: SparkSession, ref: LogRef, indexedDocs: DataFrame,
+      isDeleted: Column, opId: Long): Boolean = {
     val hist = history(spark, ref)
     if (hist.exists(g => g.batchId == opId && g.kind == "retract")) return false
     val priorTombs = active(hist).filter(_.kind == "retract")
@@ -411,12 +487,25 @@ object StateLog {
     val tombDocsT = saveGen(spark, ref, deleted.select("doc_id"), "band", tag, None)
     val tombHashT = saveGen(spark, ref, orphaned, "hash", tag, None)
     // stop/pack slots carry pointers (never read through a retract row:
-    // the stop union and the latest pack resolve over delta rows only)
+    // the stop union and the latest pack resolve over delta rows only);
+    // the cur slot names the doc-tombstone table — corpus resolution
+    // subtracts it, order-aware like the band layer
     val lastDelta = active(hist).filter(_.kind != "retract").last
     val base = hist.map(_.genId).max
     commitRow(spark, ref, base, Gen(base + 1, opId, "retract",
-      tombHashT, tombDocsT, lastDelta.stop, lastDelta.pack))
+      tombHashT, tombDocsT, lastDelta.stop, lastDelta.pack, tombDocsT))
     true
+  }
+
+  /** SELF-CONTAINED retraction (eq147): the indexed corpus store — the
+    * base snapshot plus committed survivors, prior deletions already
+    * subtracted — is resolved from the log's own corpus layer, so the
+    * orphan recount can never be computed against a store the caller
+    * reconstructed wrong. Prior tombstones are already applied by the
+    * resolution itself. */
+  def retractBatch(spark: SparkSession, ref: LogRef,
+      isDeleted: Column, opId: Long): Boolean = withCommitRetry() {
+    retractOnce(spark, ref, corpus(spark, ref), isDeleted, opId)
   }
 
   /** Fold every active generation into one (eq142's compaction applied
@@ -438,16 +527,17 @@ object StateLog {
     val bandT = saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
     val packT = saveGen(spark, ref, packV, "pack", tag, None)
+    val curT = saveGen(spark, ref, corpusOf(spark, gens), "cur", tag, None)
     try commitRow(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
-      hashT, bandT, stopT, packT))
+      hashT, bandT, stopT, packT, curT))
     catch { case e: java.util.ConcurrentModificationException =>
       // a lost fold race retries against the NEW max gen, so the retry's
-      // tag differs — drop this attempt's four tables now or they would
-      // be orphaned forever (no manifest row ever points at them, so
+      // tag differs — drop this attempt's tables now or they would be
+      // orphaned forever (no manifest row ever points at them, so
       // vacuum, which walks manifest rows, could never reclaim them).
       // Batch/retract tags (b$id / r$id) are retry-stable and need none
       // of this: their retry overwrites the same locations.
-      Seq(hashT, bandT, stopT, packT).foreach { t =>
+      Seq(hashT, bandT, stopT, packT, curT).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
         val p = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/$t")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
@@ -464,7 +554,8 @@ object StateLog {
   def eq144(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
     val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
     ingestBatch(spark, ref, st, docs, DedupIndexSink.isNewCol, 0L)
     compactLog(spark, ref)
     auditFolded(spark, ref)
@@ -499,7 +590,8 @@ object StateLog {
   def eq146(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
     val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
     ingestBatch(spark, ref, st, docs, DedupIndexSink.isNewCol, 0L)
     compactLog(spark, ref)
     auditTimeTravel(spark, ref)
@@ -519,4 +611,37 @@ object StateLog {
     auditItems(viewsAsOf(spark, ref, 0L), "g0_")
       .unionAll(auditItems(views(spark, ref), "live_"))
       .orderBy("item")
+
+  def eq147(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    // the caller hands over ONLY the batch — the store comes from the log
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L)
+    compactLog(spark, ref)
+    auditSelfContained(spark, ref)
+  }
+
+  /** eq147 — the SELF-CONTAINED log under the oracle: the same single
+    * batch as eq144, but the ingest resolves the corpus store from the
+    * log's own corpus layer instead of receiving it from the caller. The
+    * final state must therefore be EXACTLY eq144's (the seven audit items
+    * share eq141's scratch-rebuild oracle verbatim — any divergence in
+    * the self-resolved store breaks the hash), plus three corpus items
+    * proving the store itself: the resolved corpus's row count, char
+    * mass, and doc_id checksum must equal the scratch population (old
+    * corpus ∪ the funnel's delta survivors) rebuilt in DuckDB. */
+  private[graft] def auditSelfContained(spark: SparkSession, ref: LogRef): DataFrame = {
+    val c = corpus(spark, ref)
+    def one(item: String, df: DataFrame): DataFrame =
+      df.select(lit(item).as("item"), col("n"))
+    auditItems(views(spark, ref), "")
+      .unionAll(one("corpus_docs", c.agg(count(lit(1)).as("n"))))
+      .unionAll(one("corpus_chars",
+        c.agg(coalesce(sum(col("n_chars")), lit(0L)).as("n"))))
+      .unionAll(one("corpus_id_checksum",
+        c.agg(coalesce(sum(col("doc_id")), lit(0L)).as("n"))))
+      .orderBy("item")
+  }
 }

@@ -1420,7 +1420,7 @@ class PipelineSpec extends SparkSpec {
     // a finished full curation wrote its snapshot; the log wraps it
     val oldDocs = docsDf(aDocs).localCheckpoint()
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
-    val ref = StateLog.fromSnapshot(spark, st)
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
 
     // the corpus store grows with arrivals (the near-verify layer point-
     // reads candidate docs from it); survivors for the scratch comparison
@@ -1564,7 +1564,7 @@ class PipelineSpec extends SparkSpec {
     import HotBucketFixture.aDocs
     val oldDocs = docsDf(aDocs).localCheckpoint()
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
-    val ref = StateLog.fromSnapshot(spark, st)
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
 
     // delete the five normal docs (away from the hot families), then a
     // later crawl re-discovers the SAME CONTENT under fresh doc_ids — the
@@ -1625,7 +1625,7 @@ class PipelineSpec extends SparkSpec {
     import HotBucketFixture.{aDocs, bDocs}
     val oldDocs = docsDf(aDocs).localCheckpoint()
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
-    val ref = StateLog.fromSnapshot(spark, st)
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
 
     // two independent batches with disjoint vocabularies (no shared band
     // keys, no shared hashes), so EITHER commit order lands on the same
@@ -1692,7 +1692,7 @@ class PipelineSpec extends SparkSpec {
     import HotBucketFixture.{aDocs, bDocs, cDocs}
     val oldDocs = docsDf(aDocs).localCheckpoint()
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
-    val ref = StateLog.fromSnapshot(spark, st)
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
     def ingest(batch: Seq[(Long, String, String, String, Long)], store: org.apache.spark.sql.DataFrame, id: Long) = {
       val docs = store.withColumn("is_new", lit(false))
         .unionByName(docsDf(batch).withColumn("is_new", lit(true)))
@@ -1760,7 +1760,7 @@ class PipelineSpec extends SparkSpec {
     // at the end over exactly the population the horizon admitted
     val oldDocs = docsDf(aDocs).localCheckpoint()
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
-    val ref = StateLog.fromSnapshot(spark, st)
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
 
     // batch i: a novel unique doc, an exact copy of batch i-1's novel doc
     // (the exact gate's food), and a fam variant with a fresh tail (the
@@ -1776,19 +1776,21 @@ class PipelineSpec extends SparkSpec {
         (10002L + i * 100, famVar, "en", "src", famVar.length.toLong))
     }
 
-    var store = oldDocs
+    // the SELF-CONTAINED surface throughout (eq147): every operation
+    // hands over only the batch/predicate — the corpus store, and the
+    // indexed population a retraction's orphan recount needs, are
+    // resolved from the log's own corpus layer, never caller-rebuilt
     val survivorSets = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     def ingest(i: Int): Unit = {
       val batch = docsDf(mkBatch(i))
-      val docs = store.withColumn("is_new", lit(false))
+      val docs = StateLog.corpus(spark, ref).withColumn("is_new", lit(false))
         .unionByName(batch.withColumn("is_new", lit(true)))
       val (hashV, _, _, _) = StateLog.views(spark, ref)
       val s = Curation.deltaSurvivorsFromState(docs, col("is_new"), hashV,
         StateLog.effectiveBand(spark, ref),
         spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
-      assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), i.toLong))
+      assert(StateLog.ingestBatch(spark, ref, st, batch, i.toLong))
       survivorSets += s
-      store = store.unionByName(batch).localCheckpoint()
     }
 
     val delIds = Seq(181L, 182L) // normals, away from the hot families
@@ -1797,23 +1799,14 @@ class PipelineSpec extends SparkSpec {
     StateLog.compactLog(spark, ref)
     assert(StateLog.vacuum(spark, ref).nonEmpty, "fold 1 leaves vacuumable deltas")
     ingest(2)
-    // retraction mid-horizon: the indexed corpus store is the base
-    // snapshot plus the committed survivors (what production maintains)
-    val idxCols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val indexedNow = survivorSets.foldLeft(
-      oldDocs.select(idxCols.head, idxCols.tail: _*)) {
-      (acc, s) => acc.unionByName(s.select(idxCols.head, idxCols.tail: _*)) }
-    assert(StateLog.retractBatch(spark, ref, indexedNow, isDel, 100L))
+    assert(StateLog.retractBatch(spark, ref, isDel, 100L))
     ingest(3)
     // replay storm mid-horizon: every committed op re-offered, all no-ops
     (0 to 3).foreach { i =>
-      val batch = docsDf(mkBatch(i))
-      val docs = store.withColumn("is_new", lit(false))
-        .unionByName(batch.withColumn("is_new", lit(true)))
-      assert(!StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), i.toLong),
+      assert(!StateLog.ingestBatch(spark, ref, st, docsDf(mkBatch(i)), i.toLong),
         s"committed batch $i must stay skipped across folds and vacuums")
     }
-    assert(!StateLog.retractBatch(spark, ref, store, isDel, 100L),
+    assert(!StateLog.retractBatch(spark, ref, isDel, 100L),
       "the committed retraction op must stay skipped")
     StateLog.compactLog(spark, ref)
     assert(StateLog.vacuum(spark, ref).nonEmpty, "fold 2 leaves vacuumable history")
@@ -1839,6 +1832,9 @@ class PipelineSpec extends SparkSpec {
     sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
       sb.select("band", "band_key", "doc_id"), "soak effective band vs scratch")
     sameSet(stopV.distinct(), sstop.select("band", "band_key"), "soak stop union vs scratch")
+    // the log-resolved corpus store IS the admitted population — the
+    // fifth layer under the same scratch standard as the other four
+    sameSet(StateLog.corpus(spark, ref), pop, "soak corpus layer vs scratch")
     // pack ignores deletions by design (eq143 posture; eq145's repack is
     // the re-accounting pass) — scratch pack is over old-curated ∪ survivors
     val packCols = Seq("lang", "doc_id", "n_tokens", "n_chars")
@@ -1853,7 +1849,7 @@ class PipelineSpec extends SparkSpec {
     import HotBucketFixture.{aDocs, bDocs}
     val oldDocs = docsDf(aDocs)
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
-    StateLog.fromSnapshot(spark, st)
+    StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
     val docs = docsDf(aDocs ++ bDocs)
     val e = intercept[IllegalArgumentException] {
       SnapshotStateSink.advance(spark, docs, st, col("doc_id") >= 1000L)
