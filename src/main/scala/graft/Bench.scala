@@ -134,10 +134,11 @@ object Bench {
     // capture has repeatedly truncated BENCH_rNN.json to a tail, and in
     // r10 the old max+1 auto-increment minted a phantom BENCH_r11.json
     // from a round-10 re-measurement while the driver's capture clobbered
-    // the committed full map. New rules: (a) only write the canonical
+    // the committed full map. Rules: (a) only write the canonical
     // BENCH_rNN.json slot when the driver sets SPARK_GRAFT_ROUND; (b)
-    // otherwise write BENCH_rNN_full.json for the CURRENT max round — a
-    // distinct name the driver's capture never touches, and re-runs
+    // otherwise auto-write BENCH_r{max+1}_full.json — the CURRENT round's
+    // slot, since the driver closes round N by writing BENCH_rN.json —
+    // a distinct name the driver's capture never touches, and re-runs
     // overwrite it instead of allocating new rounds.
     // an explicit SPARK_GRAFT_ROUND always writes its canonical slot; an
     // explicit SPARK_GRAFT_BENCH_OUT silences only the AUTO-GUESS below —

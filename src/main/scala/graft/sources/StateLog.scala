@@ -185,15 +185,20 @@ object StateLog {
       "the log ingests forward — apply pending retraction tombstones first")
     val id = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
     val ref = LogRef(s"graft_state_log_$id")
-    genRow(spark, Gen(0L, -1L, "base",
+    val row = genRow(spark, Gen(0L, -1L, "base",
       st.index.hash, st.index.band, st.index.stop, st.packSummary, corpusStore))
-      .write.mode("overwrite")
+    // the durable wrap marker goes FIRST: a crash between the two writes
+    // then fails CLOSED (a spurious refusal on a log that never
+    // materialized) instead of open (a live log whose snapshot a fresh
+    // driver could still advance in place — r12 review)
+    wrappedSnapshots.add(st.index.hash)
+    row.write.mode("overwrite")
+      .option("path",
+        s"${sys.props("java.io.tmpdir")}/${wrapMarker(st.index.hash)}")
+      .saveAsTable(wrapMarker(st.index.hash))
+    row.write.mode("overwrite")
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_state_log_${id}_manifest")
       .saveAsTable(ref.manifest)
-    wrappedSnapshots.add(st.index.hash)
-    genRow(spark, Gen(0L, -1L, "base",
-      st.index.hash, st.index.band, st.index.stop, st.packSummary, corpusStore))
-      .write.mode("overwrite").saveAsTable(wrapMarker(st.index.hash))
     ref
   }
 
@@ -379,12 +384,16 @@ object StateLog {
     * Every path converges to the same committed state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       docs: DataFrame, isNew: Column, batchId: Long): Boolean = withCommitRetry() {
-    ingestOnce(spark, ref, st, docs, isNew, batchId)
+    ingestOnce(spark, ref, st, history(spark, ref), docs, isNew, batchId)
   }
 
+  /** `hist` is the ONE manifest snapshot this attempt works from: the
+    * views, the (self-contained path's) corpus resolution, and the
+    * commit's optimistic max-gen check all derive from it, so a commit
+    * landing after the snapshot ALWAYS aborts the attempt (no window in
+    * which half the inputs see the newer state — r12 review). */
   private def ingestOnce(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
-      docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
-    val hist = history(spark, ref)
+      hist: Seq[Gen], docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
     if (hist.exists(g => g.batchId == batchId && g.kind == "delta")) return false
     val (hashV, bandRawV, stopV, packV) = viewsOf(spark, active(hist))
     val survivors = Curation.deltaSurvivorsFromState(docs, isNew,
@@ -435,14 +444,17 @@ object StateLog {
 
   /** SELF-CONTAINED ingest (eq147): the corpus store is resolved from
     * the log's own corpus layer — the caller hands over ONLY the batch.
-    * Resolution happens inside the retry scope, so a lost optimistic
-    * race re-resolves against the post-conflict store too. */
+    * The corpus, the views, and the commit check all derive from the
+    * SAME manifest snapshot, taken inside the retry scope: a concurrent
+    * commit aborts the attempt at the commit point and the retry
+    * re-resolves everything against the post-conflict state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       batch: DataFrame, batchId: Long): Boolean = withCommitRetry() {
-    val docs = corpus(spark, ref).withColumn("is_new", lit(false))
+    val hist = history(spark, ref)
+    val docs = corpusOf(spark, active(hist)).withColumn("is_new", lit(false))
       .unionByName(batch.select(StoreCols.map(col): _*)
         .withColumn("is_new", lit(true)))
-    ingestOnce(spark, ref, st, docs, col("is_new"), batchId)
+    ingestOnce(spark, ref, st, hist, docs, col("is_new"), batchId)
   }
 
   /** Exactly-once RETRACTION through the log — eq143's tombstones as a
@@ -462,14 +474,25 @@ object StateLog {
     * re-accounting is deferred to a repack (the eq143 posture). */
   def retractBatch(spark: SparkSession, ref: LogRef, indexedDocs: DataFrame,
       isDeleted: Column, opId: Long): Boolean = withCommitRetry() {
-    retractOnce(spark, ref, indexedDocs, isDeleted, opId)
+    retractOnce(spark, ref, history(spark, ref), indexedDocs, isDeleted, opId,
+      priorTombsApplied = false)
   }
 
-  private def retractOnce(spark: SparkSession, ref: LogRef, indexedDocs: DataFrame,
-      isDeleted: Column, opId: Long): Boolean = {
-    val hist = history(spark, ref)
+  /** `priorTombsApplied`: the self-contained path's corpus resolution
+    * already subtracts prior tombstones ORDER-AWARE (a doc_id re-admitted
+    * by a later delta stays live) — re-subtracting them here would be
+    * order-BLIND and could exclude a legitimately live re-admitted doc
+    * from the orphan recount, wrongly tombstoning its hash (r12 review).
+    * The caller-supplied path keeps the subtraction (its contract: a raw
+    * store with prior deletions possibly still present, fresh doc_ids on
+    * re-admission). */
+  private def retractOnce(spark: SparkSession, ref: LogRef, hist: Seq[Gen],
+      indexedDocs: DataFrame, isDeleted: Column, opId: Long,
+      priorTombsApplied: Boolean): Boolean = {
     if (hist.exists(g => g.batchId == opId && g.kind == "retract")) return false
-    val priorTombs = active(hist).filter(_.kind == "retract")
+    val priorTombs =
+      if (priorTombsApplied) Seq.empty
+      else active(hist).filter(_.kind == "retract")
     val deleted = indexedDocs.filter(isDeleted)
     val delHashes = deleted.select(md5(col("text")).as("h"))
       .filter(col("h").isNotNull).distinct().localCheckpoint()
@@ -505,7 +528,9 @@ object StateLog {
     * resolution itself. */
   def retractBatch(spark: SparkSession, ref: LogRef,
       isDeleted: Column, opId: Long): Boolean = withCommitRetry() {
-    retractOnce(spark, ref, corpus(spark, ref), isDeleted, opId)
+    val hist = history(spark, ref)
+    retractOnce(spark, ref, hist, corpusOf(spark, active(hist)), isDeleted, opId,
+      priorTombsApplied = true)
   }
 
   /** Fold every active generation into one (eq142's compaction applied
@@ -535,9 +560,17 @@ object StateLog {
       // tag differs — drop this attempt's tables now or they would be
       // orphaned forever (no manifest row ever points at them, so
       // vacuum, which walks manifest rows, could never reclaim them).
-      // Batch/retract tags (b$id / r$id) are retry-stable and need none
-      // of this: their retry overwrites the same locations.
-      Seq(hashT, bandT, stopT, packT, curT).foreach { t =>
+      // UNLESS the race was another fold from the same base: both wrote
+      // the SAME deterministic c$base names (overwrite mode, identical
+      // content by determinism) and the winner's committed row now
+      // points at them — dropping would corrupt the committed fold
+      // (r12 review), so re-read the manifest and keep any table a row
+      // references. Batch/retract tags (b$id / r$id) are retry-stable
+      // and need none of this: their retry overwrites the same
+      // locations.
+      val committed = history(spark, ref)
+        .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
+      Seq(hashT, bandT, stopT, packT, curT).filterNot(committed).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
         val p = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/$t")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
