@@ -141,11 +141,15 @@ object Bench {
     // a distinct name the driver's capture never touches, and re-runs
     // overwrite it instead of allocating new rounds.
     // an explicit SPARK_GRAFT_ROUND always writes its canonical slot; an
-    // explicit SPARK_GRAFT_BENCH_OUT silences only the AUTO-GUESS below —
-    // in r12 the guess "current round = max recorded" clobbered the
-    // COMMITTED prior round's full map (the driver closes round N by
-    // writing BENCH_rN.json, so a builder run during round N+1 sees
-    // max = N and must write N+1's slot)
+    // explicit SPARK_GRAFT_BENCH_OUT silences only the AUTO-GUESS below.
+    // The auto slot carries a `_builder_` infix (VERDICT r12 task 4): the
+    // driver's post-close capture writes BENCH_rNN.json AND
+    // BENCH_rNN_full.json, so in r12 the builder's committed
+    // BENCH_r12_full.json was clobbered by the capture — builder-emitted
+    // records now live at names the driver never writes. The round number
+    // in the auto path is still a GUESS (max recorded + 1 assumes the
+    // driver already closed the prior round — ADVICE r12); recorded runs
+    // should set SPARK_GRAFT_ROUND or SPARK_GRAFT_BENCH_OUT explicitly.
     try if (only.isEmpty) {
       val target = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt) match {
         case Some(r) => Some(f"BENCH_r$r%02d.json")
@@ -156,7 +160,13 @@ object Bench {
           val seen = if (dir == null) Seq.empty[Int]
             else dir.toSeq.flatMap(f => f.getName match {
               case rx(n) => Some(n.toInt); case _ => None })
-          if (seen.isEmpty) None else Some(f"BENCH_r${seen.max + 1}%02d_full.json")
+          if (seen.isEmpty) None else {
+            val guess = f"BENCH_r${seen.max + 1}%02d_builder_full.json"
+            System.err.println(s"[bench] no SPARK_GRAFT_ROUND/SPARK_GRAFT_BENCH_OUT " +
+              s"set — auto-writing $guess (round number is a guess: max " +
+              "recorded BENCH_rN.json + 1; set the env var for a recorded run)")
+            Some(guess)
+          }
       }
       target.foreach(t => java.nio.file.Files.write(
         java.nio.file.Paths.get(t), json.getBytes("UTF-8")))

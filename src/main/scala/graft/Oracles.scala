@@ -4274,8 +4274,23 @@ object Oracles {
     "o_ex", "d_ex", "o_tv", "oldh", "old_keys", "new_keys", "po",
     "okb", "stopb", "del", "ret_keys", "mm")             // index + retraction
   private def materializeShared(sql: String): String =
-    SharedCtes.foldLeft(sql)((q, c) =>
-      q.replaceAll(s"\\b$c AS \\(", s"$c AS MATERIALIZED ("))
+    SharedCtes.foldLeft(sql) { (q, c) =>
+      // fail-loud rewrite guard (ADVICE r12): `NAME AS (` at a CTE
+      // definition site gets the MATERIALIZED hint — semantics-neutral
+      // wherever it lands on real SQL (same-named CTEs in nested WITH
+      // scopes included) — but a hit INSIDE a string literal would
+      // corrupt the oracle's data, not its plan. Reject at load time any
+      // match sitting at odd quote parity (inside a '…' literal; DuckDB
+      // doubles embedded quotes, which preserves the parity rule).
+      val pat = s"\\b$c AS \\(".r
+      pat.findAllMatchIn(q).foreach { m =>
+        require(q.substring(0, m.start).count(_ == '\'') % 2 == 0,
+          s"materializeShared: CTE name '$c' matched inside a string " +
+            s"literal at offset ${m.start} — the rewrite would corrupt " +
+            "the oracle; rename the CTE or drop it from SharedCtes")
+      }
+      pat.replaceAllIn(q, s"$c AS MATERIALIZED (")
+    }
 
   val pipeline: Map[String, String] = {
     val eq137 = pipelineBase("eq137_incremental_curation")
@@ -4389,6 +4404,40 @@ object Oracles {
           |UNION ALL SELECT 'corpus_id_checksum',
           |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
           |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
+          |ORDER BY item""".stripMargin)) +
+      // eq148: CORPUS time travel — one ingest, one retraction
+      // (doc_id % 7 = 3 over the resolved store, eq143/eq145's
+      // predicate), one fold; the corpus layer read at three manifest
+      // points, each re-derived from raw documents: gen 0 is the base
+      // corpus alone, gen 1 is base ∪ the funnel's survivors (BEFORE
+      // the deletion — the retract's tombstones must apply order-aware
+      // in as-of resolutions too), and the live head is the fold's
+      // merged store with the deletion applied to both sides.
+      ("eq148_corpus_time_travel" -> (deltaCtes +
+        """oldc AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 < 8),
+          |d8c AS (SELECT doc_id, n_chars FROM d_k8)
+          |SELECT 'g0_corpus_docs' AS item, (SELECT COUNT(*) FROM oldc)::BIGINT AS n
+          |UNION ALL SELECT 'g0_corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM oldc)
+          |UNION ALL SELECT 'g0_corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM oldc)
+          |UNION ALL SELECT 'g1_corpus_docs',
+          |  (SELECT COUNT(*) FROM oldc)::BIGINT + (SELECT COUNT(*) FROM d8c)::BIGINT
+          |UNION ALL SELECT 'g1_corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM oldc)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d8c)
+          |UNION ALL SELECT 'g1_corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM oldc)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d8c)
+          |UNION ALL SELECT 'live_corpus_docs',
+          |  (SELECT COUNT(*) FROM oldc WHERE doc_id % 7 <> 3)::BIGINT
+          |  + (SELECT COUNT(*) FROM d8c WHERE doc_id % 7 <> 3)::BIGINT
+          |UNION ALL SELECT 'live_corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM oldc WHERE doc_id % 7 <> 3)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d8c WHERE doc_id % 7 <> 3)
+          |UNION ALL SELECT 'live_corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM oldc WHERE doc_id % 7 <> 3)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d8c WHERE doc_id % 7 <> 3)
           |ORDER BY item""".stripMargin))
   }.view.mapValues(materializeShared).toMap
 }

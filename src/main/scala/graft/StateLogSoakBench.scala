@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapshotStateSink, StateLog}
+
+/** The STATE-LOG SOAK at scale (VERDICT r12 task 5): eq144–eq148 prove
+  * the log correct and ScaleSpec pins single operations, but the 100 TB
+  * claim the log actually makes is about the TRAJECTORY — per-batch
+  * ingest work must stay flat while the committed state underneath it
+  * grows, across the full operation mix (ingest → fold → retract →
+  * vacuum → more ingests). This harness drives that soak shape on the
+  * deterministic ScaleBench corpus at 1×/3×/10× and records per-batch
+  * work mass; SCALEBENCH.md carries the table, ScaleSpec pins the
+  * 1×→10× per-batch shuffle ratio in CI.
+  *
+  * Shape per scale: wrap a finished snapshot of corpus(n) in a log, then
+  * four FIXED 400-doc batches through the SELF-CONTAINED ingest (memos
+  * cleared before each — the fresh-restart posture, so each batch pays
+  * only its own signing), a fold + vacuum after batch 1, a retraction
+  * (~1% of the old corpus) after batch 2, and a closing fold + vacuum.
+  * The honest costs stay visible: folds are corpus-sized by design
+  * (paid once per maintenance window), the retraction's orphan recount
+  * scales with the deletion slice — what must NOT grow with the corpus
+  * is the per-batch ingest, and that is the recorded claim. */
+object StateLogSoakBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = WorkMass.meter(spark.sparkContext)
+
+    val scales = Seq(1, 3, 10)
+    val baseN = 5000L
+    val results = scales.map { s =>
+      val n = baseN * s
+      val old = ScaleBench.corpus(spark, n)
+        .repartition(cpus.toInt).localCheckpoint()
+      val st = SnapshotStateSink.write(spark, old, lit(false), lit(true))
+      val ref = StateLog.fromSnapshot(spark, st,
+        StateLog.writeCorpusStore(spark, old))
+      // four fixed 400-doc batches (the delta fixture is n-independent in
+      // structure: exact dups + near probes target blocks 0..19, which
+      // exist at every scale)
+      val batches = (0 until 4).map { i =>
+        ScaleBench.deltaCorpus(spark, n, 1600, targetBlocks = 20)
+          .filter(col("doc_id") >= n + i * 400L && col("doc_id") < n + (i + 1) * 400L)
+          .localCheckpoint()
+      }
+      val ingests = scala.collection.mutable.ArrayBuffer[(Double, WorkMass)]()
+      def ingest(i: Int): Unit = {
+        graft.pipeline.Dedup.clearDerivedCaches()
+        val t0 = System.nanoTime()
+        val w = meter {
+          require(StateLog.ingestBatch(spark, ref, st, batches(i), i.toLong),
+            s"soak batch $i must apply")
+        }
+        ingests += (((System.nanoTime() - t0) / 1e9, w))
+      }
+      ingest(0); ingest(1)
+      val fold1 = meter(StateLog.compactLog(spark, ref))
+      StateLog.vacuum(spark, ref)
+      ingest(2)
+      val isDel = col("doc_id") < n && pmod(col("doc_id"), lit(97)) === lit(3)
+      val retract = meter {
+        require(StateLog.retractBatch(spark, ref, isDel, 100L),
+          "soak retraction must apply")
+      }
+      ingest(3)
+      val fold2 = meter(StateLog.compactLog(spark, ref))
+      StateLog.vacuum(spark, ref)
+      println(s"[statelogsoak] ${s}x: n=$n " +
+        ingests.zipWithIndex.map { case ((sec, w), i) =>
+          f"b$i=$sec%.2fs/${w.shuffleRead}B" }.mkString(" ") +
+        s" fold1Shuf=${fold1.shuffleRead} retractShuf=${retract.shuffleRead} " +
+        s"fold2Shuf=${fold2.shuffleRead}")
+      (s, n, ingests.toSeq, fold1, retract, fold2)
+    }
+    val json = "{\"metric\":\"statelogsoak\",\"unit\":\"sec\",\"cpus\":" + cpus +
+      ",\"base_docs\":" + baseN + ",\"scales\":[" +
+      results.map { case (s, n, ing, f1, rw, f2) =>
+        s"""{"scale":$s,"docs":$n,"ingests":[""" +
+          ing.map { case (sec, w) =>
+            s"""{"sec":$sec,"work":${w.json}}""" }.mkString(",") +
+          s"""],"fold1_work":${f1.json},"retract_work":${rw.json},""" +
+          s""""fold2_work":${f2.json}}"""
+      }.mkString(",") + "]}"
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_STATELOGSOAK_OUT", "STATELOGSOAK.json")),
+      json.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[statelogsoak] file sink failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -16,19 +16,22 @@ import graft.pipeline.{Curation, Dedup}
   * sink exactly-once: a micro-batch REPLAYED after a crash would append
   * its survivor rows twice, and worse, the replay's probes would see the
   * first attempt's rows and gate the whole batch out as duplicates. The
-  * log fixes both with the same discipline the repo's foreachBatch upsert
-  * sink uses (deterministic overwrite per batch id), extended to a
-  * multi-table state:
+  * log fixes both with a write-ahead discipline:
   *
-  *  - every micro-batch writes its delta as its OWN GENERATION — four
-  *    tables whose names derive deterministically from (log, batchId),
-  *    written in overwrite mode, so a replay rewrites byte-identical
-  *    content into the same locations;
-  *  - a single-row append to the MANIFEST table is the COMMIT POINT.
-  *    Probes and views read only manifest-committed generations, so an
-  *    in-flight (crashed, half-written) generation is invisible — the
-  *    replay recomputes survivors against exactly the pre-batch state
-  *    and converges;
+  *  - every operation attempt writes its delta as its OWN GENERATION —
+  *    five tables under ATTEMPT-UNIQUE names (r13: unique per attempt,
+  *    not just per batch id, so a slow concurrent duplicate attempt can
+  *    never overwrite tables a committed manifest row already points at
+  *    — ADVICE r12); the manifest row BINDS the names, so nothing about
+  *    a generation is resolved by naming convention;
+  *  - a single-row append to the MANIFEST table is the COMMIT POINT,
+  *    guarded by a per-generation COMMIT-CLAIM table (the durable
+  *    cross-process CAS, below). Probes and views read only
+  *    manifest-committed generations, so an in-flight (crashed,
+  *    half-written) attempt is invisible — the replay recomputes
+  *    survivors against exactly the pre-batch state and converges, and
+  *    the crashed attempt's unreferenced tables are reclaimed by
+  *    [[sweep]];
   *  - a replayed batch whose id is already in the manifest is skipped
   *    outright (the at-least-once → exactly-once gate).
   *
@@ -93,39 +96,162 @@ object StateLog {
   private[graft] def forgetWrappedInProcess(hashTable: String): Unit =
     wrappedSnapshots.remove(hashTable): Unit
 
-  /** Per-manifest commit mutex + optimistic re-check (VERDICT r11 task 4).
-    * The manifest is append-only and every committer mints gen_id =
-    * max+1 from its own read, so two concurrent committers racing the
+  /** Table names currently being written by an in-flight attempt of THIS
+    * process — [[sweep]]'s protection against reclaiming an attempt that
+    * has not reached its commit point yet. Cross-process, sweep has no
+    * such registry: like every table-format GC, it must only run with
+    * foreign writers quiesced (or it could reclaim their in-flight
+    * attempts, which converge anyway — the replay recomputes — but would
+    * waste their work). */
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-manifest commit mutex + optimistic re-check (VERDICT r11 task 4)
+    * + the durable per-generation COMMIT CLAIM (VERDICT r12 task 1). The
+    * manifest is append-only and every committer mints gen_id = max+1
+    * from its own read, so two concurrent committers racing the
     * read→append window would mint duplicate gen_ids and lose an update.
-    * The commit point therefore (a) serializes same-process committers on
-    * a per-manifest mutex, and (b) re-checks under the mutex that the max
-    * gen_id is still the one this operation READ its views at — if the
-    * manifest advanced, the operation's survivor math is stale against
-    * the new committed state and the commit ABORTS; the public ops catch
-    * the abort and recompute from fresh history ([[withCommitRetry]]),
-    * making each operation linearizable. Cross-PROCESS writers are out of
-    * contract (single-writer per log, like every table-format compaction
-    * daemon): the mutex cannot see them, and the re-check narrows but
-    * cannot close that window. */
+    * Three rings close that window:
+    *
+    *  (a) same-process committers serialize on a per-manifest mutex;
+    *  (b) under the mutex, the max gen_id is re-checked against the one
+    *      this operation READ its views at — if the manifest advanced,
+    *      the operation's survivor math is stale and the commit ABORTS
+    *      into [[withCommitRetry]], which recomputes from fresh history;
+    *  (c) CROSS-PROCESS writers — which the mutex cannot see — are
+    *      arbitrated by a catalog-visible CAS: before appending, the
+    *      committer must CREATE the claim table `<manifest>_claim_g<N>`
+    *      (create-if-absent, so a shared metastore rejects the second
+    *      creator; the claim's DATA is staged at an attempt-unique path,
+    *      so racers never touch each other's files) and then read its
+    *      own row back (the verify half: a metastore without an atomic
+    *      create resolves a double-create last-wins, and the verify
+    *      makes the loser abort). The loser aborts into the same retry
+    *      as an in-process loser.
+    *
+    * Crash recovery: the claim row carries the ENTIRE manifest row, and
+    * every generation table is fully written before the claim is
+    * attempted — so a claimant that dies between its claim and its
+    * manifest append is ROLLED FORWARD by the next committer (the claim
+    * content is appended on its behalf). If the claimant was merely slow
+    * and appends too, the rows are byte-identical and [[history]] dedups;
+    * a torn (≠ 1 row) claim never committed anything and is dropped so
+    * the slot can be re-claimed. One residual asymmetry, documented: a
+    * writer whose own earlier claim gets rolled forward by a peer
+    * observes `false` ("already committed") from its retry — the batch
+    * landed exactly once either way. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Test hook (the `forgetWrappedInProcess` of the commit path): while a
+    * manifest is registered here, every commit takes a FRESH lock object,
+    * making the in-process mutex ineffective — two threads then race the
+    * read→claim→append window exactly like two separate DRIVER PROCESSES
+    * sharing a metastore would, and the durable claim CAS must arbitrate
+    * alone. */
+  private val unsharedLocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def simulateCrossProcessWriters(manifest: String, on: Boolean): Unit =
+    if (on) { unsharedLocks.add(manifest): Unit }
+    else { unsharedLocks.remove(manifest): Unit }
 
+  private def claimTable(ref: LogRef, gen: Long): String =
+    s"${ref.manifest}_claim_g$gen"
+  private val ClaimGenRe = """^.*_claim_g(\d+)$""".r
+
+  /** Every manifest read goes through here: the manifest is the ONE
+    * mutable (append-only) table in the log, and Spark caches a resolved
+    * table's file list per session — a peer SESSION or PROCESS's append
+    * would be invisible to the stale cache (found by the cross-process
+    * race test), so the relation cache is refreshed first. Generation
+    * and claim tables need no refresh: attempt-unique names make every
+    * other table in the log write-once. */
+  private def freshManifest(spark: SparkSession, ref: LogRef): DataFrame = {
+    spark.catalog.refreshTable(ref.manifest)
+    spark.table(ref.manifest)
+  }
+
+  private def maxGen(spark: SparkSession, ref: LogRef): Long =
+    freshManifest(spark, ref).agg(max(col("gen_id"))).head().getLong(0)
+
+  private def stale(ref: LogRef, msg: String): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"state log ${ref.manifest}: $msg")
+
+  /** Append `g` iff the manifest still ends at `expectedMaxGen` AND this
+    * committer wins the durable claim for gen `expectedMaxGen + 1`. */
   private def commitRow(spark: SparkSession, ref: LogRef,
       expectedMaxGen: Long, g: Gen): Unit = {
-    val lock = commitLocks.computeIfAbsent(ref.manifest, _ => new Object)
+    val lock =
+      if (unsharedLocks.contains(ref.manifest)) new Object
+      else commitLocks.computeIfAbsent(ref.manifest, _ => new Object)
     lock.synchronized {
-      val cur = spark.table(ref.manifest)
-        .agg(max(col("gen_id"))).head().getLong(0)
+      val cur = maxGen(spark, ref)
       if (cur != expectedMaxGen)
-        throw new java.util.ConcurrentModificationException(
-          s"state log ${ref.manifest}: manifest advanced " +
-            s"($expectedMaxGen -> $cur) since this operation read its views")
+        stale(ref, s"manifest advanced ($expectedMaxGen -> $cur) " +
+          "since this operation read its views")
+      val claim = claimTable(ref, expectedMaxGen + 1)
+      if (spark.catalog.tableExists(claim)) {
+        // another (crashed or foreign in-flight) claimant holds the slot:
+        // finish its commit if it is whole, clear it if it is torn, and
+        // abort — this attempt's math is stale against the claimed state
+        rollForwardClaim(spark, ref, claim, expectedMaxGen + 1)
+        stale(ref, s"generation ${expectedMaxGen + 1} was claimed by another writer")
+      }
+      // the claim DATA is staged at an ATTEMPT-UNIQUE path — racers never
+      // touch each other's files; only the claim NAME (the catalog
+      // create) is contested, so the CAS is a pure metastore operation
+      val claimPath = s"${sys.props("java.io.tmpdir")}/${claim}_" +
+        s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
+      try genRow(spark, g).write.mode("errorifexists")
+        .option("path", claimPath).saveAsTable(claim)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        deletePath(spark, claimPath) // this attempt's staged files only
+        stale(ref, s"lost the claim race for generation ${expectedMaxGen + 1}")
+      }
+      // create-then-VERIFY: the readback must be exactly this attempt's
+      // row (the row is its own token — the table names are
+      // attempt-unique); a metastore without an atomic create resolves
+      // a double-create last-wins, and the verify makes the loser abort
+      val back = spark.table(claim).collect()
+      if (!(back.length == 1 && back(0).toSeq == genRowValues(g)))
+        stale(ref, s"claim for generation ${expectedMaxGen + 1} " +
+          "verified against another writer's content")
+      // belt-and-braces: a committed row could have landed between the
+      // max re-check and the claim create if a sweep reclaimed the
+      // winner's claim in that window — never append over it
+      val cur2 = maxGen(spark, ref)
+      if (cur2 != expectedMaxGen)
+        stale(ref, s"manifest advanced ($expectedMaxGen -> $cur2) during the claim")
       genRow(spark, g).write.mode("append").saveAsTable(ref.manifest)
     }
   }
 
+  /** A pre-existing claim at the slot this committer wanted: if it is a
+    * whole one-row claim whose generation never reached the manifest, the
+    * claimant died between claim and append — append its row on its
+    * behalf (every generation table is written BEFORE the claim, so the
+    * content is complete). A torn claim (≠ 1 row — a crash inside the
+    * metastore create, or a non-atomic metastore's mangled double-create)
+    * never committed anything and is dropped so the slot can be
+    * re-claimed. */
+  private def rollForwardClaim(spark: SparkSession, ref: LogRef,
+      claim: String, gen: Long): Unit = {
+    val rows = try spark.table(claim).collect().toSeq
+      catch { case _: Exception => Seq.empty }
+    val whole = rows.length == 1 && rows.head.length == 8 &&
+      !rows.head.anyNull && rows.head.getLong(0) == gen
+    if (whole) {
+      if (freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty) {
+        val r = rows.head
+        genRow(spark, Gen(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+          r.getString(7))).write.mode("append").saveAsTable(ref.manifest)
+      }
+    } else dropTableAndData(spark, claim)
+  }
+
   /** Re-run `body` (which re-reads history, recomputes against the NEW
-    * committed views, overwrites its deterministic generation tables and
+    * committed views, writes a fresh attempt's generation tables and
     * re-attempts the commit) after an optimistic-commit abort. Bounded:
     * a log with more concurrent committers than this is misconfigured. */
   private def withCommitRetry[T](attemptsLeft: Int = 16)(body: => T): T =
@@ -134,10 +260,62 @@ object StateLog {
         withCommitRetry(attemptsLeft - 1)(body)
     }
 
+  /** Commit + attempt-table lifecycle: on success the attempt's tables
+    * are bound by the manifest row (and leave the in-flight registry);
+    * on an optimistic abort they are dropped NOW — with attempt-unique
+    * names no retry will ever overwrite them, so without this they would
+    * be orphaned until a [[sweep]]. Kept if anything durable references
+    * them: a committed manifest row (a retract row BORROWS the last
+    * delta's stop/pack pointers — dropping those would corrupt committed
+    * state) or a still-pending claim (a peer may roll it forward). */
+  private def commitAttempt(spark: SparkSession, ref: LogRef,
+      expectedMaxGen: Long, g: Gen): Unit = {
+    val mine = Seq(g.hash, g.band, g.stop, g.pack, g.cur).distinct
+    try {
+      commitRow(spark, ref, expectedMaxGen, g)
+      mine.foreach(inFlight.remove)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        val committed = history(spark, ref)
+          .flatMap(x => Seq(x.hash, x.band, x.stop, x.pack, x.cur)).toSet
+        val claimed = pendingClaimRefs(spark, ref)
+        mine.foreach { t =>
+          if (!committed(t) && !claimed(t)) dropTableAndData(spark, t)
+          inFlight.remove(t): Unit
+        }
+        throw e
+    }
+  }
+
+  /** Tables referenced by claims whose generation has NOT reached the
+    * manifest — content a peer may yet roll forward, so neither the
+    * abort cleanup nor [[sweep]] may reclaim it. */
+  private def pendingClaimRefs(spark: SparkSession, ref: LogRef): Set[String] = {
+    val committedGens = history(spark, ref).map(_.genId).toSet
+    listLogTables(spark, ref).filter(isClaim(ref, _)).flatMap { c =>
+      c match {
+        case ClaimGenRe(n) if committedGens.contains(n.toLong) => Seq.empty
+        case _ =>
+          try spark.table(c).collect().toSeq.flatMap(r =>
+            Seq(r.getString(3), r.getString(4), r.getString(5),
+              r.getString(6), r.getString(7)))
+          catch { case _: Exception => Seq.empty }
+      }
+    }.toSet
+  }
+
+  private def isClaim(ref: LogRef, t: String): Boolean =
+    t.startsWith(s"${ref.manifest}_claim_g")
+
+  private def listLogTables(spark: SparkSession, ref: LogRef): Seq[String] =
+    spark.sessionState.catalog
+      .listTables(spark.sessionState.catalog.getCurrentDatabase)
+      .map(_.table).filter(_.startsWith(ref.manifest + "_"))
+
   /** Handle to a log: just the manifest table name — every generation
-    * table is recorded IN the manifest, and batch-generation names
-    * derive deterministically from (manifest, batchId) so replays
-    * collide on purpose. */
+    * table is recorded IN the manifest (names are attempt-unique; the
+    * manifest row is the only binding), and operation ids in the
+    * manifest are what make replays collide on purpose. */
   final case class LogRef(manifest: String)
 
   /** Manifest row kinds: `base` — the genesis pointer at a finished full
@@ -202,6 +380,9 @@ object StateLog {
     ref
   }
 
+  private def genRowValues(g: Gen): Seq[Any] =
+    Seq(g.genId, g.batchId, g.kind, g.hash, g.band, g.stop, g.pack, g.cur)
+
   private def genRow(spark: SparkSession, g: Gen): DataFrame = {
     import spark.implicits._
     Seq((g.genId, g.batchId, g.kind, g.hash, g.band, g.stop, g.pack, g.cur))
@@ -211,11 +392,21 @@ object StateLog {
 
   /** The FULL manifest history, oldest first — one tiny driver-side
     * read. The skip set needs all of it; the active state is the suffix
-    * from the latest fold point ([[active]]). */
-  private def history(spark: SparkSession, ref: LogRef): Seq[Gen] =
-    spark.table(ref.manifest).orderBy("gen_id").collect().toSeq
+    * from the latest fold point ([[active]]). Byte-identical duplicate
+    * rows are legal (a slow claimant whose claim a peer already rolled
+    * forward appends the same row twice) and collapse here; two DISTINCT
+    * rows sharing a gen_id mean a writer bypassed the claim protocol and
+    * fail loudly. */
+  private def history(spark: SparkSession, ref: LogRef): Seq[Gen] = {
+    val gens = freshManifest(spark, ref).distinct()
+      .orderBy("gen_id").collect().toSeq
       .map(r => Gen(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5), r.getString(6), r.getString(7)))
+    require(gens.map(_.genId).distinct.size == gens.size,
+      s"state log ${ref.manifest}: conflicting manifest rows share a " +
+        "gen_id — a writer bypassed the commit-claim protocol")
+    gens
+  }
 
   private def active(hist: Seq[Gen]): Seq[Gen] =
     hist.drop(hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold"))
@@ -237,10 +428,7 @@ object StateLog {
     * the retract rows with a HIGHER gen_id. Without the ordering, a
     * retract→re-admit sequence would subtract the re-admitted hash
     * forever, the next fold would bake the loss in physically, and
-    * further exact duplicates of live content would probe 'novel'.
-    * Deltas sharing the same later-retract suffix share one anti-join
-    * (retracts are gen_id-sorted, so "the retracts after delta d" is
-    * always a suffix). */
+    * further exact duplicates of live content would probe 'novel'. */
   /** Delta-layer union MINUS the order-aware tombstones: each delta
     * generation subtracts only the retract rows with a HIGHER gen_id
     * (deltas sharing the same later-retract suffix share one anti-join;
@@ -292,26 +480,45 @@ object StateLog {
   def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) =
     viewsOf(spark, active(history(spark, ref)))
 
-  /** TIME-TRAVEL read (eq146): the state's views AS OF generation `gen` —
-    * the manifest prefix ending there, resolved exactly like the live
-    * read (latest fold point in the prefix + its suffix). Nearly free:
-    * generations are immutable once committed, so a historical read is
-    * just a different manifest resolution, no data movement — the
-    * audit/debugging surface every versioned store ships. [[vacuum]]
-    * bounds it from below: a generation whose tables were vacuumed away
-    * fails with a clear error instead of a missing-table resolve. */
-  def viewsAsOf(spark: SparkSession, ref: LogRef, gen: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The manifest prefix ending at `gen`, resolved exactly like a live
+    * read (latest fold point in the prefix + its suffix), with the
+    * needed layer tables' existence checked up front: a generation whose
+    * tables a [[vacuum]] (or [[releaseWrappedSnapshot]]) dropped fails
+    * with a clear bounded-time-travel error, not a missing-table
+    * resolve. */
+  private def asOfGens(spark: SparkSession, ref: LogRef, gen: Long,
+      layers: Gen => Seq[String]): Seq[Gen] = {
     val hist = history(spark, ref)
     require(hist.exists(_.genId == gen),
       s"generation $gen was never committed to ${ref.manifest}")
     val need = active(hist.filter(_.genId <= gen))
-    need.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct.foreach { t =>
+    need.flatMap(layers).distinct.foreach { t =>
       if (!spark.catalog.tableExists(t))
         throw new IllegalStateException(s"as-of generation $gen needs $t, " +
-          "which a vacuum dropped — time travel is bounded by the latest fold")
+          "which a vacuum or snapshot release dropped — time travel is " +
+          "bounded by the latest fold")
     }
-    viewsOf(spark, need)
+    need
   }
+
+  /** TIME-TRAVEL read (eq146): the state's views AS OF generation `gen`.
+    * Nearly free: generations are immutable once committed, so a
+    * historical read is just a different manifest resolution, no data
+    * movement — the audit/debugging surface every versioned store ships.
+    * [[vacuum]] bounds it from below. */
+  def viewsAsOf(spark: SparkSession, ref: LogRef, gen: Long): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    viewsOf(spark, asOfGens(spark, ref, gen,
+      g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)))
+
+  /** TIME-TRAVEL read of the CORPUS layer (eq148, VERDICT r12 task 3):
+    * the raw document store AS OF generation `gen` — the historical
+    * population the as-of index views indexed, which eq146 alone could
+    * not reconstruct. Same manifest-prefix resolution, same vacuum
+    * bound; only the layers the corpus needs are required to exist (a
+    * delta's `cur` table, a retract's doc-tombstone table). */
+  def corpusAsOf(spark: SparkSession, ref: LogRef, gen: Long): DataFrame =
+    corpusOf(spark, asOfGens(spark, ref, gen,
+      g => if (g.kind == "retract") Seq(g.band, g.cur).distinct else Seq(g.cur)))
 
   /** Generation GC (VERDICT r11 task 3): drop every generation table
     * STRICTLY BEFORE the latest fold point — the superseded deltas,
@@ -332,15 +539,101 @@ object StateLog {
       .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
     val dropped = hist.take(cut)
       .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct
-      .filter(t => t.startsWith(ref.manifest + "_") && !keep(t))
+      .filter(t => t.startsWith(ref.manifest + "_") && !keep(t) && !isClaim(ref, t))
       .filter(spark.catalog.tableExists) // already-vacuumed rows are a no-op
-    dropped.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val p = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/$t")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true): Unit
-    }
+    dropped.foreach(dropTableAndData(spark, _))
     dropped
+  }
+
+  /** Orphan sweep (VERDICT r12 task 2): [[vacuum]] walks manifest rows,
+    * so an attempt that CRASHED before its commit point — its generation
+    * tables fully or half written, no manifest row, no claim — leaves
+    * tables nothing can ever reclaim. The sweep closes that leak from
+    * the other side: every catalog table under this log's name prefix
+    * (log-owned by construction — attempt tables and claims are the only
+    * names minted there) is dropped UNLESS something still references
+    * it: a manifest row (any kind, any age — vacuum owns the superseded
+    * ones), a pending claim's content (a peer may roll it forward), a
+    * pending claim itself, or this process's in-flight attempt registry.
+    * Claims whose generation is committed are inert and reclaimed too.
+    * Like every table-format GC, run it with foreign writers quiesced
+    * (in-process writers are protected by the registry). Returns the
+    * dropped names. */
+  def sweep(spark: SparkSession, ref: LogRef): Seq[String] = {
+    val hist = history(spark, ref)
+    val referenced = hist.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
+    val committedGens = hist.map(_.genId).toSet
+    val candidates = listLogTables(spark, ref)
+    val claimRefs = pendingClaimRefs(spark, ref)
+    val dropped = candidates.filter { t =>
+      if (isClaim(ref, t)) t match {
+        case ClaimGenRe(n) => committedGens.contains(n.toLong) // inert claim
+        case _ => false // unparseable: keep, fail safe
+      } else !referenced(t) && !claimRefs(t) && !inFlight.contains(t)
+    }.sorted
+    dropped.foreach(dropTableAndData(spark, _))
+    dropped
+  }
+
+  /** Release the WRAPPED SNAPSHOT (VERDICT r12 task 7): after a fold,
+    * gen 0's tables — the snapshot's index/pack tables and the at-rest
+    * corpus store the log wrapped at [[fromSnapshot]] — are read only by
+    * as-of resolutions below the fold, yet [[vacuum]] correctly refuses
+    * to touch them (the log does not own them). Once the history before
+    * the latest fold is vacuumed, that time-travel window is already
+    * gone, so the snapshot's only remaining reader is as-of(0): this
+    * call drops the snapshot tables and the wrap marker, freeing the
+    * genesis copy of the corpus. ONLY legal when (a) the active state is
+    * a fold past gen 0 and (b) the pre-fold history is vacuumed —
+    * enforced here, fail-loud. The caller's contract: nothing OUTSIDE
+    * the log still reads the snapshot tables or the corpus store (the
+    * fold's own `cur` table carries the live corpus forward). After a
+    * release, as-of(0) fails with the clear bounded-time-travel error.
+    * Returns the dropped names. */
+  def releaseWrappedSnapshot(spark: SparkSession, ref: LogRef): Seq[String] = {
+    val hist = history(spark, ref)
+    val cut = hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold")
+    val head = hist(cut)
+    require(head.kind == "fold" && head.genId > 0,
+      s"state log ${ref.manifest}: releasing the wrapped snapshot requires " +
+        "the active state to be a fold past the genesis generation")
+    val keep = hist.drop(cut)
+      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
+    val preCutOwned = hist.take(cut)
+      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct
+      .filter(t => t.startsWith(ref.manifest + "_") && !keep(t))
+    require(preCutOwned.forall(!spark.catalog.tableExists(_)),
+      s"state log ${ref.manifest}: vacuum the pre-fold history first — " +
+        "the snapshot release only makes sense once the time-travel " +
+        "window below the fold is already gone")
+    val base = hist.head
+    require(base.kind == "base",
+      s"state log ${ref.manifest}: no wrapped snapshot at generation 0")
+    val targets = (Seq(base.hash, base.band, base.stop, base.pack, base.cur)
+      .distinct.filterNot(keep) :+ wrapMarker(base.hash))
+      .filter(spark.catalog.tableExists)
+    targets.foreach(dropTableAndData(spark, _))
+    wrappedSnapshots.remove(base.hash): Unit
+    targets
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+  }
+
+  /** Drop a table AND its data: external tables (every table here — the
+    * tmpdir path convention) keep their files across DROP TABLE, so the
+    * location is resolved from the catalog first and deleted after. */
+  private def dropTableAndData(spark: SparkSession, t: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+    val loc = if (cat.tableExists(ident))
+      try cat.getTableMetadata(ident).storage.locationUri
+      catch { case _: Exception => None }
+    else None
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    loc.foreach(u => deletePath(spark, u.toString))
   }
 
   private def effectiveBandOf(bandRaw: DataFrame, stop: DataFrame): DataFrame =
@@ -354,18 +647,29 @@ object StateLog {
     effectiveBandOf(band, stop)
   }
 
-  /** One generation table: deterministic name + path from (log, layer,
-    * tag), overwrite mode — the shared writer for batch generations and
-    * folds, so the two can never drift in layout. */
+  /** One generation table under an ATTEMPT-UNIQUE name (ADVICE r12: a
+    * slow concurrent duplicate attempt writing deterministic names could
+    * overwrite tables a committed manifest row already points at, AFTER
+    * the winner's commit — mutating committed history. Unique names make
+    * every attempt's tables private until the manifest row binds them;
+    * losers are dropped by [[commitAttempt]], crashed attempts by
+    * [[sweep]]). The name keeps the manifest prefix (ownership) and the
+    * op tag (debuggability); registered in-flight for sweep safety. */
   private def saveGen(spark: SparkSession, ref: LogRef, df: DataFrame,
       layer: String, tag: String, bucketCol: Option[String]): String = {
     val tbl = s"${ref.manifest}_${layer}_$tag"
+    inFlight.add(tbl)
     val w = df.write.mode("overwrite")
-      .option("path", s"${sys.props("java.io.tmpdir")}/${ref.manifest}_${layer}_$tag")
+      .option("path", s"${sys.props("java.io.tmpdir")}/$tbl")
     bucketCol.fold(w)(c => w.bucketBy(DedupIndexSink.Buckets, c).sortBy(c))
       .saveAsTable(tbl)
     tbl
   }
+
+  /** One attempt's unique tag: the op id (for humans and sweeps reading
+    * the catalog) plus a process-unique nonce (for correctness). */
+  private def attemptTag(opTag: String): String =
+    s"${opTag}_a${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
 
   /** Exactly-once micro-batch ingest — the foreachBatch body. `docs`
     * must be the corpus store unioned with the batch (`isNew` marking
@@ -377,11 +681,14 @@ object StateLog {
     * checked against the FULL history so folds never forget a batch).
     *
     * Crash matrix: die before any write → nothing visible; die
-    * mid-generation-write → the half-generation is not in the manifest,
-    * invisible to every view, and the replay OVERWRITES the same
-    * deterministic locations; die after commit but before the offset
-    * commit → the replay finds the batch id in the manifest and skips.
-    * Every path converges to the same committed state. */
+    * mid-generation-write → the half-written attempt tables are bound by
+    * nothing (no manifest row, no claim), invisible to every view, and
+    * reclaimed by the next [[sweep]] while the replay writes a fresh
+    * attempt; die after the claim but before the manifest append → the
+    * next committer rolls the claim forward (the commit effectively
+    * happened); die after commit but before the offset commit → the
+    * replay finds the batch id in the manifest and skips. Every path
+    * converges to the same committed state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       docs: DataFrame, isNew: Column, batchId: Long): Boolean = withCommitRetry() {
     ingestOnce(spark, ref, st, history(spark, ref), docs, isNew, batchId)
@@ -425,8 +732,9 @@ object StateLog {
       .join(broadcast(stopV.distinct()), Seq("band", "band_key"), "left_anti")
     val pack = Curation.appendPackSummary(packV, survivors)
 
-    // deterministic per-batch generation tables, overwrite mode
-    val tag = s"b$batchId"
+    // this attempt's private generation tables (unique names — bound to
+    // the log only if the manifest row below commits)
+    val tag = attemptTag(s"b$batchId")
     val hashT = saveGen(spark, ref, newHashes, "hash", tag, Some("h"))
     val bandT = saveGen(spark, ref, survBanded, "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, newlyHot, "stop", tag, None)
@@ -435,9 +743,10 @@ object StateLog {
       survivors.select(StoreCols.map(col): _*), "cur", tag, None)
 
     // THE COMMIT POINT: one manifest row, iff the manifest is still at
-    // the max gen_id the views above were read at
+    // the max gen_id the views above were read at AND the durable claim
+    // for the minted gen_id is won
     val base = hist.map(_.genId).max
-    commitRow(spark, ref, base, Gen(base + 1, batchId, "delta",
+    commitAttempt(spark, ref, base, Gen(base + 1, batchId, "delta",
       hashT, bandT, stopT, packT, curT))
     true
   }
@@ -459,10 +768,10 @@ object StateLog {
 
   /** Exactly-once RETRACTION through the log — eq143's tombstones as a
     * committed generation, under the same discipline as every ingest:
-    * deterministic per-operation tables (overwrite mode), a one-row
-    * manifest append as the commit point, operation ids skipped if
-    * already committed (kind-aware, so a deletion op and a stream batch
-    * may share a numeric id space without colliding).
+    * attempt-private tables, a one-row manifest append (claim-guarded)
+    * as the commit point, operation ids skipped if already committed
+    * (kind-aware, so a deletion op and a stream batch may share a
+    * numeric id space without colliding).
     *
     * `indexedDocs` must be the INDEXED corpus store — the base snapshot
     * plus committed survivors (production maintains exactly this: it is
@@ -506,7 +815,7 @@ object StateLog {
       .join(broadcast(delHashes), Seq("h"), "left_semi").distinct()
     val orphaned = delHashes.join(broadcast(surviving), Seq("h"), "left_anti")
 
-    val tag = s"r$opId"
+    val tag = attemptTag(s"r$opId")
     val tombDocsT = saveGen(spark, ref, deleted.select("doc_id"), "band", tag, None)
     val tombHashT = saveGen(spark, ref, orphaned, "hash", tag, None)
     // stop/pack slots carry pointers (never read through a retract row:
@@ -515,7 +824,7 @@ object StateLog {
     // subtracts it, order-aware like the band layer
     val lastDelta = active(hist).filter(_.kind != "retract").last
     val base = hist.map(_.genId).max
-    commitRow(spark, ref, base, Gen(base + 1, opId, "retract",
+    commitAttempt(spark, ref, base, Gen(base + 1, opId, "retract",
       tombHashT, tombDocsT, lastDelta.stop, lastDelta.pack, tombDocsT))
     true
   }
@@ -538,45 +847,26 @@ object StateLog {
     * generation — retraction tombstones applied, stop-guarded rows
     * dropped, the union stop list kept (the monotone guard's memory),
     * the latest cumulative pack carried — committed by APPENDING one
-    * `fold` manifest row, the same atomic-append discipline as every
-    * batch commit. Readers resolve the active state from the latest
-    * fold, so the flip has no drop-recreate window; the superseded
-    * generation tables stay readable until dropped. */
+    * `fold` manifest row, the same claim-guarded atomic-append
+    * discipline as every batch commit. Readers resolve the active state
+    * from the latest fold, so the flip has no drop-recreate window; the
+    * superseded generation tables stay readable until dropped. A lost
+    * fold race's attempt tables are private (attempt-unique names) and
+    * dropped by [[commitAttempt]]'s cleanup before the retry recomputes
+    * against the new head. */
   def compactLog(spark: SparkSession, ref: LogRef): Unit = withCommitRetry() {
     val hist = history(spark, ref)
     val gens = active(hist)
     val (hashV, bandLiveV, stopV, packV) = viewsOf(spark, gens)
     val base = hist.map(_.genId).max
-    val tag = s"c$base"
+    val tag = attemptTag(s"c$base")
     val hashT = saveGen(spark, ref, hashV, "hash", tag, Some("h"))
     val bandT = saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key"))
     val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
     val packT = saveGen(spark, ref, packV, "pack", tag, None)
     val curT = saveGen(spark, ref, corpusOf(spark, gens), "cur", tag, None)
-    try commitRow(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
+    commitAttempt(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
       hashT, bandT, stopT, packT, curT))
-    catch { case e: java.util.ConcurrentModificationException =>
-      // a lost fold race retries against the NEW max gen, so the retry's
-      // tag differs — drop this attempt's tables now or they would be
-      // orphaned forever (no manifest row ever points at them, so
-      // vacuum, which walks manifest rows, could never reclaim them).
-      // UNLESS the race was another fold from the same base: both wrote
-      // the SAME deterministic c$base names (overwrite mode, identical
-      // content by determinism) and the winner's committed row now
-      // points at them — dropping would corrupt the committed fold
-      // (r12 review), so re-read the manifest and keep any table a row
-      // references. Batch/retract tags (b$id / r$id) are retry-stable
-      // and need none of this: their retry overwrites the same
-      // locations.
-      val committed = history(spark, ref)
-        .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
-      Seq(hashT, bandT, stopT, packT, curT).filterNot(committed).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS `$t`")
-        val p = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/$t")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
-      }
-      throw e
-    }
   }
 
   /** Active generation count (post-fold width) — the bounded quantity
@@ -667,14 +957,46 @@ object StateLog {
     * corpus ∪ the funnel's delta survivors) rebuilt in DuckDB. */
   private[graft] def auditSelfContained(spark: SparkSession, ref: LogRef): DataFrame = {
     val c = corpus(spark, ref)
-    def one(item: String, df: DataFrame): DataFrame =
-      df.select(lit(item).as("item"), col("n"))
     auditItems(views(spark, ref), "")
-      .unionAll(one("corpus_docs", c.agg(count(lit(1)).as("n"))))
+      .unionAll(corpusItems(c, ""))
+      .orderBy("item")
+  }
+
+  private def corpusItems(c: DataFrame, prefix: String): DataFrame = {
+    def one(item: String, df: DataFrame): DataFrame =
+      df.select(lit(prefix + item).as("item"), col("n"))
+    one("corpus_docs", c.agg(count(lit(1)).as("n")))
       .unionAll(one("corpus_chars",
         c.agg(coalesce(sum(col("n_chars")), lit(0L)).as("n"))))
       .unionAll(one("corpus_id_checksum",
         c.agg(coalesce(sum(col("doc_id")), lit(0L)).as("n"))))
-      .orderBy("item")
   }
+
+  def eq148(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    retractBatch(spark, ref, col("doc_id") % 7 === 3, 1L)                 // gen 2
+    compactLog(spark, ref)                                                // gen 3
+    auditCorpusTravel(spark, ref)
+  }
+
+  /** eq148 — CORPUS TIME TRAVEL under the oracle (VERDICT r12 task 3):
+    * eq147 made the corpus a log layer and eq146 made the index views
+    * time-travelable, but the historical CORPUS — the population the
+    * as-of index indexed — needs [[corpusAsOf]]. One ingest, one
+    * retraction, one fold; then the store read at three points, each
+    * re-derived from raw documents by the DuckDB oracle: as-of gen 0
+    * (the base corpus alone), as-of gen 1 (base ∪ the funnel's
+    * survivors — BEFORE the deletion, proving the retraction's
+    * tombstones apply order-aware in as-of resolutions too), and the
+    * live head (the fold's merged store, deletion applied). Count, char
+    * mass, and doc_id checksum per point. */
+  private[graft] def auditCorpusTravel(spark: SparkSession, ref: LogRef): DataFrame =
+    corpusItems(corpusAsOf(spark, ref, 0L), "g0_")
+      .unionAll(corpusItems(corpusAsOf(spark, ref, 1L), "g1_"))
+      .unionAll(corpusItems(corpus(spark, ref), "live_"))
+      .orderBy("item")
 }

@@ -1123,40 +1123,6 @@ class PipelineSpec extends SparkSpec {
     sameSet(spark.table(t1.packSummary), Curation.packSummaryOf(mergedCur), "pack summary")
   }
 
-  /** The engineered hot-bucket corpus the eq141/eq142 at-rest tests
-    * share: three boilerplate families, 60 exact copies each — every
-    * family band bucket blows past the guard cap at build, so the whole
-    * family lives ONLY on the stop list. Delta variants (family text + a
-    * short distinct tail) band-collide with those stopped buckets and
-    * with each other, which is exactly the append-into-stopped-buckets
-    * scenario the r11 review flagged: without the stop-list filter on
-    * probes, a SECOND delta would resurrect the guarded buckets through
-    * the first delta's appended survivor rows. */
-  private object HotBucketFixture {
-    val fam = Seq(
-      "spark catalyst optimizer prunes columns across distributed shuffles while tungsten emits compact kernels",
-      "parquet row groups carry min max statistics so selective scans skip entire chunks during query execution",
-      "broadcast joins ship small dimension tables to every executor avoiding wide exchanges over cluster fabric")
-    val normals = Seq(
-      "gardeners rotate tomato beds yearly", "violin makers season maple wood patiently",
-      "glaciers carve deep valleys over millennia", "saffron harvest requires dawn picking",
-      "lighthouse keepers log passing ships nightly")
-    val aDocs = fam.zipWithIndex.flatMap { case (s, f) =>
-      (0 until 60).map(i => ((f * 60 + i).toLong, s, "en", "src", s.length.toLong)) } ++
-      normals.zipWithIndex.map { case (s, i) => ((180 + i).toLong, s, "en", "src", s.length.toLong) }
-    val bTails = Seq("beside modern vectorized readers", "under adaptive execution planning",
-      "near compact dictionary encodings", "with lazy predicate evaluation",
-      "through tiered shuffle services", "atop resilient storage layers")
-    val cTails = Seq("inside speculative task retries", "across columnar cache hierarchies",
-      "behind incremental snapshot scans", "before asynchronous spill drains",
-      "beyond coalesced partition maps", "along deterministic replay paths")
-    def variants(base: Long, tails: Seq[String], novel: String) =
-      tails.zipWithIndex.map { case (t, i) =>
-        val s = s"${fam(i / 2)} $t"; ((base + i), s, "de", "src", s.length.toLong) } :+
-        ((base + 6), novel, "de", "src", novel.length.toLong)
-    val bDocs = variants(1000L, bTails, "entirely novel text about alpine meadow ecology surveys")
-    val cDocs = variants(2000L, cTails, "separate novel text about tidal estuary sediment transport")
-  }
 
   test("eq141 induction: two successive advances equal scratch, with probes filtered by the stop list") {
     import graft.sources.{DedupIndexSink, SnapshotStateSink}
@@ -1446,11 +1412,13 @@ class PipelineSpec extends SparkSpec {
     val s1 = expectedSurvivors(docsDf(bDocs))
 
     // simulate a CRASHED first attempt at batch 0: half-written generation
-    // tables at the deterministic names — they must be invisible (not in
-    // the manifest) and get overwritten by the real attempt
+    // tables bound by nothing (no manifest row, no claim) — they must be
+    // invisible to every view while the real attempt writes its own
+    // attempt-unique tables; StateLog.sweep reclaims such orphans (r13,
+    // pinned in its own test below)
     Seq(("deadbeef")).toDF("h").write.mode("overwrite")
-      .option("path", s"${sys.props("java.io.tmpdir")}/${ref.manifest}_hash_b0")
-      .saveAsTable(s"${ref.manifest}_hash_b0")
+      .option("path", s"${sys.props("java.io.tmpdir")}/${ref.manifest}_hash_b0_acrashed_0")
+      .saveAsTable(s"${ref.manifest}_hash_b0_acrashed_0")
     val (preHash, _, _, _) = StateLog.views(spark, ref)
     assert(preHash.filter(col("h") === "deadbeef").count() == 0,
       "an uncommitted generation must be invisible to every view")
@@ -1842,6 +1810,206 @@ class PipelineSpec extends SparkSpec {
       Curation.curatedDocsDf(oldDocs).select(packCols.head, packCols.tail: _*)) {
       (acc, s) => acc.unionByName(s.select(packCols.head, packCols.tail: _*)) }
     sameSet(packV, Curation.packSummaryOf(packPop), "soak cumulative pack vs scratch")
+  }
+
+  test("state log: two writers WITHOUT a shared mutex — the durable commit " +
+    "claim arbitrates alone, no duplicate gen_id, no lost update (VERDICT r12 task 1)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val storeTbl = StateLog.writeCorpusStore(spark, oldDocs)
+    val ref = StateLog.fromSnapshot(spark, st, storeTbl)
+
+    // two independent batches with disjoint vocabularies (mutually inert,
+    // so either commit order lands on the same final state), each staged
+    // AS A CATALOG TABLE: the two "processes" resolve every input through
+    // the shared metastore, nothing in-memory crosses sessions
+    val frRows = Seq(
+      (4000L, "alpinistes gravissent aretes glacees avant aube claire", "fr", "src", 55L),
+      (4001L, "apiculteurs recoltent miel dore des ruches provencales", "fr", "src", 55L),
+      (4002L, "potiers tournent argile rouge pres du four ancien", "fr", "src", 50L))
+    val tmp = sys.props("java.io.tmpdir")
+    val batchTbl = Map(20L -> "graft_xproc_b20", 21L -> "graft_xproc_b21")
+    docsDf(bDocs).write.mode("overwrite")
+      .option("path", s"$tmp/graft_xproc_b20").saveAsTable(batchTbl(20L))
+    docsDf(frRows).write.mode("overwrite")
+      .option("path", s"$tmp/graft_xproc_b21").saveAsTable(batchTbl(21L))
+    def docsFor(s: org.apache.spark.sql.SparkSession, id: Long) =
+      s.table(storeTbl).withColumn("is_new", lit(false))
+        .unionByName(s.table(batchTbl(id)).withColumn("is_new", lit(true)))
+    // expected survivors against the BASE state (the batches are mutually
+    // inert, so neither commit changes the other's gates)
+    val (h0, _, _, _) = StateLog.views(spark, ref)
+    val eb0 = StateLog.effectiveBand(spark, ref)
+    val expect = batchTbl.keys.toSeq.sorted.map { id =>
+      Curation.deltaSurvivorsFromState(docsFor(spark, id), col("is_new"), h0, eb0,
+        spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    }
+
+    // the cross-process shape: each writer in its OWN session, and the
+    // in-process commit mutex DISABLED for this manifest — only the
+    // durable per-generation claim can arbitrate, exactly as it would
+    // between two driver JVMs sharing a persistent metastore
+    StateLog.simulateCrossProcessWriters(ref.manifest, on = true)
+    try {
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val go = new CountDownLatch(1)
+      val sessions = batchTbl.keys.map(id => id -> spark.newSession()).toMap
+      val done = batchTbl.keys.toSeq.sorted.map { id =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            go.await()
+            StateLog.ingestBatch(sessions(id), ref, st,
+              docsFor(sessions(id), id), col("is_new"), id)
+          }
+        })
+      }
+      go.countDown()
+      // both writers must COMPLETE (the loser of the claim race retries
+      // against the new head, like an in-process optimistic abort); the
+      // durable outcome — not the booleans — is the contract: in the rare
+      // torn-claim interleaving a writer's first attempt is committed by
+      // a peer's roll-forward and its retry reports "already committed"
+      done.foreach(_.get(300, TimeUnit.SECONDS): Unit)
+      pool.shutdown()
+    } finally StateLog.simulateCrossProcessWriters(ref.manifest, on = false)
+
+    // the peers appended through THEIR sessions — refresh this session's
+    // relation cache before reading the manifest directly
+    spark.catalog.refreshTable(ref.manifest)
+    val manifest = spark.table(ref.manifest).distinct().collect()
+    assert(manifest.map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L, 2L),
+      s"gen_ids must be unique and dense, got ${manifest.map(_.getLong(0)).toSeq.sorted}")
+    assert(manifest.map(_.getLong(1)).toSet == Set(-1L, 20L, 21L),
+      "both batch commits must be present exactly once — no lost update")
+
+    // final state ≡ scratch over (old ∪ both survivor sets), either order
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = expect.foldLeft(oldDocs.select(cols.head, cols.tail: _*)) {
+      (acc, s) => acc.unionByName(s.select(cols.head, cols.tail: _*)) }
+    val (sh, sb, _) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (hashV, _, _, _) = StateLog.views(spark, ref)
+    sameSet(hashV, sh, "hash view after cross-process ingests vs scratch")
+    sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"),
+      "effective band after cross-process ingests vs scratch")
+  }
+
+  test("state log sweep: crashed-attempt orphans and inert claims reclaimed; " +
+    "manifest-referenced tables, pending claims and live state survive (VERDICT r12 task 2)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    val docs = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+    assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 0L)) // gen 1
+    StateLog.compactLog(spark, ref)                                       // gen 2
+
+    // plant a CRASHED attempt: generation tables under the log's prefix
+    // that no manifest row and no claim references — exactly what a
+    // driver death mid-generation-write leaves, which vacuum (walking
+    // manifest rows) can never see
+    val tmp = sys.props("java.io.tmpdir")
+    val orphans = Seq("hash_b9_adead_1", "band_b9_adead_1", "stop_b9_adead_1",
+      "pack_b9_adead_1", "cur_b9_adead_1").map(s => s"${ref.manifest}_$s")
+    orphans.foreach { t =>
+      Seq(("junk")).toDF("h").write.mode("overwrite")
+        .option("path", s"$tmp/$t").saveAsTable(t)
+    }
+    // plant a PENDING claim (its gen_id is NOT in the manifest) and the
+    // table it references: a claimant that died between claim and append
+    // — a peer may still roll it forward, so the sweep must keep BOTH
+    val keepT = s"${ref.manifest}_hash_b9_apending_7"
+    Seq(("x")).toDF("h").write.mode("overwrite")
+      .option("path", s"$tmp/$keepT").saveAsTable(keepT)
+    val pendingClaim = s"${ref.manifest}_claim_g9"
+    Seq((9L, 9L, "delta", keepT, keepT, keepT, keepT, keepT))
+      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
+        "pack_tbl", "cur_tbl")
+      .write.mode("overwrite").option("path", s"$tmp/$pendingClaim")
+      .saveAsTable(pendingClaim)
+
+    val preHash = StateLog.views(spark, ref)._1.localCheckpoint()
+    val dropped = StateLog.sweep(spark, ref)
+    orphans.foreach { t =>
+      assert(dropped.contains(t), s"sweep must reclaim the orphan $t")
+      assert(!spark.catalog.tableExists(t), s"$t must leave the catalog")
+      assert(!new java.io.File(s"$tmp/$t").exists(),
+        s"sweep must free the DISK under $t, not just the catalog")
+    }
+    // claims of COMMITTED generations are inert and reclaimed too
+    assert(dropped.contains(s"${ref.manifest}_claim_g1") &&
+      dropped.contains(s"${ref.manifest}_claim_g2"),
+      s"committed-generation claims are inert and must be swept, got $dropped")
+    // the pending claim and its referenced content survive
+    assert(spark.catalog.tableExists(pendingClaim),
+      "a pending claim is in-flight commit state — never swept")
+    assert(spark.catalog.tableExists(keepT),
+      "content a pending claim references may yet be rolled forward — never swept")
+    // nothing the manifest references was touched; views and replay-skip hold
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(StateLog.views(spark, ref)._1, preHash, "live hash view across the sweep")
+    assert(!StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 0L),
+      "a committed batch must stay skipped after a sweep")
+    // a second sweep finds nothing new (the pending claim still pending)
+    assert(StateLog.sweep(spark, ref).isEmpty, "nothing left to sweep")
+  }
+
+  test("state log: releasing the wrapped snapshot after fold+vacuum frees the " +
+    "genesis tables; live state survives, as-of(0) is bounded (VERDICT r12 task 7)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val storeTbl = StateLog.writeCorpusStore(spark, oldDocs)
+    val ref = StateLog.fromSnapshot(spark, st, storeTbl)
+    val docs = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+
+    // refused before a fold exists…
+    intercept[IllegalArgumentException] { StateLog.releaseWrappedSnapshot(spark, ref) }
+    assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 0L)) // gen 1
+    StateLog.compactLog(spark, ref)                                       // gen 2
+    // …and before the pre-fold history is vacuumed (the time-travel
+    // window below the fold must already be gone)
+    val e0 = intercept[IllegalArgumentException] { StateLog.releaseWrappedSnapshot(spark, ref) }
+    assert(e0.getMessage.contains("vacuum"), s"unexpected error: ${e0.getMessage}")
+    assert(StateLog.vacuum(spark, ref).nonEmpty)
+
+    val preHash = StateLog.views(spark, ref)._1.localCheckpoint()
+    val preCorpus = StateLog.corpus(spark, ref).localCheckpoint()
+    val released = StateLog.releaseWrappedSnapshot(spark, ref)
+    assert(released.contains(st.index.hash) && released.contains(storeTbl),
+      s"release must drop the snapshot index tables and the corpus store, got $released")
+    released.foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"$t must leave the catalog"))
+    assert(!new java.io.File(s"${sys.props("java.io.tmpdir")}/$storeTbl").exists(),
+      "release must free the DISK, not just the catalog")
+
+    // live reads are untouched (the fold's own tables carry the state)…
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(StateLog.views(spark, ref)._1, preHash, "live hash view across the release")
+    sameSet(StateLog.corpus(spark, ref), preCorpus, "live corpus across the release")
+    // …while historical reads below the fold are now cleanly bounded
+    val e1 = intercept[IllegalStateException] { StateLog.viewsAsOf(spark, ref, 0L) }
+    assert(e1.getMessage.contains("bounded"), s"unexpected error: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] { StateLog.corpusAsOf(spark, ref, 0L) }
+    assert(e2.getMessage.contains("bounded"), s"unexpected error: ${e2.getMessage}")
+    // a second release is a no-op
+    assert(StateLog.releaseWrappedSnapshot(spark, ref).isEmpty,
+      "a second release finds nothing left to drop")
+    // the released log still ingests (SELF-CONTAINED: the corpus resolves
+    // from the fold's cur table — the genesis store is genuinely not needed)
+    assert(StateLog.ingestBatch(spark, ref, st, docsDf(cDocs), 1L))
+    assert(StateLog.activeGenerations(spark, ref) == 2, "fold + the new delta")
   }
 
   test("a snapshot wrapped by a state log refuses the in-place advance (ADVICE r11)") {
@@ -3316,4 +3484,39 @@ class PipelineSpec extends SparkSpec {
       "empty old corpus must pack the delta from offset zero")
     assert(got(old.limit(0), delta.limit(0)) == 0L)
   }
+}
+
+/** The engineered hot-bucket corpus the eq141/eq142 at-rest tests and
+  * the StreamingSpec state-log tests share: three boilerplate families, 60 exact copies each — every
+  * family band bucket blows past the guard cap at build, so the whole
+  * family lives ONLY on the stop list. Delta variants (family text + a
+  * short distinct tail) band-collide with those stopped buckets and
+  * with each other, which is exactly the append-into-stopped-buckets
+  * scenario the r11 review flagged: without the stop-list filter on
+  * probes, a SECOND delta would resurrect the guarded buckets through
+  * the first delta's appended survivor rows. */
+private[graft] object HotBucketFixture {
+  val fam = Seq(
+    "spark catalyst optimizer prunes columns across distributed shuffles while tungsten emits compact kernels",
+    "parquet row groups carry min max statistics so selective scans skip entire chunks during query execution",
+    "broadcast joins ship small dimension tables to every executor avoiding wide exchanges over cluster fabric")
+  val normals = Seq(
+    "gardeners rotate tomato beds yearly", "violin makers season maple wood patiently",
+    "glaciers carve deep valleys over millennia", "saffron harvest requires dawn picking",
+    "lighthouse keepers log passing ships nightly")
+  val aDocs = fam.zipWithIndex.flatMap { case (s, f) =>
+    (0 until 60).map(i => ((f * 60 + i).toLong, s, "en", "src", s.length.toLong)) } ++
+    normals.zipWithIndex.map { case (s, i) => ((180 + i).toLong, s, "en", "src", s.length.toLong) }
+  val bTails = Seq("beside modern vectorized readers", "under adaptive execution planning",
+    "near compact dictionary encodings", "with lazy predicate evaluation",
+    "through tiered shuffle services", "atop resilient storage layers")
+  val cTails = Seq("inside speculative task retries", "across columnar cache hierarchies",
+    "behind incremental snapshot scans", "before asynchronous spill drains",
+    "beyond coalesced partition maps", "along deterministic replay paths")
+  def variants(base: Long, tails: Seq[String], novel: String) =
+    tails.zipWithIndex.map { case (t, i) =>
+      val s = s"${fam(i / 2)} $t"; ((base + i), s, "de", "src", s.length.toLong) } :+
+      ((base + 6), novel, "de", "src", novel.length.toLong)
+  val bDocs = variants(1000L, bTails, "entirely novel text about alpine meadow ecology surveys")
+  val cDocs = variants(2000L, cTails, "separate novel text about tidal estuary sediment transport")
 }

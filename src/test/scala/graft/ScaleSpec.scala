@@ -192,4 +192,45 @@ class ScaleSpec extends SparkSpec {
         s"${a1.shuffleRead} -> ${a10.shuffleRead}")
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
+
+  test("state log: a FIXED batch ingested into 10x accumulated committed " +
+    "state — per-batch shuffle flat (VERDICT r12 task 5)") {
+    // The at-rest pin above covers the snapshot path; this is the LOG
+    // path, and 'accumulated' means accumulated THROUGH the log: the
+    // metered batch lands on a state that already took an ingest and a
+    // fold (so the corpus resolves from the fold's cur table, the probes
+    // union committed generations). At 10x the committed state the same
+    // 400-doc batch must ship ~the same shuffle bytes — the survivor
+    // gates broadcast batch keys into scan-only state unions, the corpus
+    // resolution is scan+filter, the commit is a claim + one-row append.
+    // StateLogSoakBench records the full soak trajectory in SCALEBENCH.md;
+    // this is the CI pin on its headline ratio.
+    import org.apache.spark.sql.functions._
+    import graft.sources.{SnapshotStateSink, StateLog}
+    val meter = WorkMass.meter(spark.sparkContext)
+    def secondIngest(n: Long): WorkMass = {
+      val old = ScaleBench.corpus(spark, n).localCheckpoint()
+      val st = SnapshotStateSink.write(spark, old, lit(false), lit(true))
+      val ref = StateLog.fromSnapshot(spark, st,
+        StateLog.writeCorpusStore(spark, old))
+      val both = ScaleBench.deltaCorpus(spark, n, 800, targetBlocks = 20)
+      val b1 = both.filter(col("doc_id") < n + 400L).localCheckpoint()
+      val b2 = both.filter(col("doc_id") >= n + 400L).localCheckpoint()
+      Dedup.clearDerivedCaches()
+      assert(StateLog.ingestBatch(spark, ref, st, b1, 0L))
+      StateLog.compactLog(spark, ref)
+      Dedup.clearDerivedCaches() // fresh-restart posture for the metered batch
+      var applied = false
+      val w = meter { applied = StateLog.ingestBatch(spark, ref, st, b2, 1L) }
+      assert(applied, "the metered batch must apply")
+      w
+    }
+    val w1 = secondIngest(2000)
+    val w10 = secondIngest(20000)
+    assert(w1.shuffleRead > 0, "meter must observe the ingest")
+    assert(w10.shuffleRead < 3L * w1.shuffleRead,
+      s"per-batch log ingest must be batch-bounded, not state-bounded: " +
+        s"${w1.shuffleRead} -> ${w10.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }

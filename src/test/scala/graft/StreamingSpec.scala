@@ -647,4 +647,111 @@ class StreamingSpec extends SparkSpec {
       (7L, 4L, 1100L, 3L, 500L),
       (8L, 1L, 250L, 1L, 250L)))
   }
+
+  test("state log under TWO concurrent StreamingQueries: unique dense gen_ids, " +
+    "every batch applied exactly once, final state equals scratch (VERDICT r12 task 6)") {
+    // The PipelineSpec race test calls ingestBatch directly from raced
+    // threads; this drives the SAME log from two real foreachBatch sinks
+    // — two MemoryStream queries whose micro-batch threads interleave
+    // under the actual streaming scheduler, exercising the optimistic
+    // commit-abort/retry path in situ. The two streams share the log but
+    // own DISJOINT operation-id spaces (200 + 2·batchId / 201 + 2·batchId)
+    // — the caller contract for multi-writer ingest, since the replay-skip
+    // key is the operation id. All four batches are mutually inert
+    // (disjoint vocabularies), so every interleaving lands on one state.
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import graft.pipeline.{Curation, Dedup}
+    import HotBucketFixture.{aDocs, bDocs}
+    implicit val sqlCtx = spark.sqlContext
+    def docsDf(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+
+    val enRows = Seq(
+      (5000L, "astronomers chart distant quasars from desert observatories", "en", "src", 60L),
+      (5001L, "beekeepers inspect humming hives during clover bloom", "en", "src", 52L),
+      (5002L, "cartographers trace meandering rivers onto vellum charts", "en", "src", 57L))
+    val frRows = Seq(
+      (4000L, "alpinistes gravissent aretes glacees avant aube claire", "fr", "src", 55L),
+      (4001L, "apiculteurs recoltent miel dore des ruches provencales", "fr", "src", 55L),
+      (4002L, "potiers tournent argile rouge pres du four ancien", "fr", "src", 50L))
+    val fr2Rows = Seq(
+      (6000L, "luthiers vernissent violoncelles dans ateliers silencieux", "fr", "src", 58L),
+      (6001L, "meuniers moulent farine fraiche sous aile tournante", "fr", "src", 52L))
+    val aBatches = Seq(bDocs, enRows)   // query A: batchId 0, 1
+    val bBatches = Seq(frRows, fr2Rows) // query B: batchId 0, 1
+    def opA(batchId: Long) = 200L + 2L * batchId
+    def opB(batchId: Long) = 201L + 2L * batchId
+
+    // expected survivors, each against the BASE state (mutual inertness:
+    // no batch shares hashes or band keys with another, so no commit
+    // changes another batch's gates, whatever the interleaving)
+    val (h0, _, _, _) = StateLog.views(spark, ref)
+    val eb0 = StateLog.effectiveBand(spark, ref)
+    val expect = (aBatches ++ bBatches).map { rows =>
+      val docs = oldDocs.withColumn("is_new", lit(false))
+        .unionByName(docsDf(rows).withColumn("is_new", lit(true)))
+      Curation.deltaSurvivorsFromState(docs, col("is_new"), h0, eb0,
+        spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    }
+
+    // two foreachBatch sinks over ONE log, each using the SELF-CONTAINED
+    // ingest (the corpus store resolves from the log under concurrency too)
+    val applied = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    val memA = MemoryStream[(Long, String, String, String, Long)]
+    val memB = MemoryStream[(Long, String, String, String, Long)]
+    def sink(mem: MemoryStream[(Long, String, String, String, Long)],
+        op: Long => Long) =
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val b = batch.localCheckpoint()
+          applied.put(op(batchId),
+            StateLog.ingestBatch(spark, ref, st, b, op(batchId))): Unit
+        }
+        .start()
+    val qA = sink(memA, opA)
+    val qB = sink(memB, opB)
+    // per round: enqueue BOTH streams, then drain — the two micro-batch
+    // threads hold runnable work at once and their commits interleave
+    // (draining between rounds keeps MemoryStream from coalescing a
+    // query's two rounds into one micro-batch)
+    memA.addData(aBatches(0)); memB.addData(bBatches(0))
+    qA.processAllAvailable(); qB.processAllAvailable()
+    memA.addData(aBatches(1)); memB.addData(bBatches(1))
+    qA.processAllAvailable(); qB.processAllAvailable()
+    qA.stop(); qB.stop()
+
+    val ops = Seq(opA(0), opA(1), opB(0), opB(1))
+    assert(applied.keySet().size == 4 && ops.forall(applied.get(_)),
+      s"every micro-batch must report applied, got $applied")
+    val manifest = spark.table(ref.manifest).distinct().collect()
+    assert(manifest.map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L),
+      s"gen_ids must be unique and dense, got ${manifest.map(_.getLong(0)).toSeq.sorted}")
+    assert(manifest.map(_.getLong(1)).toSet == Set(-1L) ++ ops,
+      "all four batch commits must be present exactly once — no lost update")
+    // a replay of a committed batch through the same surface is skipped
+    assert(!StateLog.ingestBatch(spark, ref, st, docsDf(aBatches(0)), opA(0)),
+      "a committed batch id must stay skipped")
+
+    // final state ≡ scratch over (old ∪ all four survivor sets)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = expect.foldLeft(oldDocs.select(cols.head, cols.tail: _*)) {
+      (acc, s) => acc.unionByName(s.select(cols.head, cols.tail: _*)) }
+    assert(pop.count() > oldDocs.count(),
+      "the gates must admit some streamed docs — fixture load-bearing")
+    val (sh, sb, _) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (hashV, _, _, _) = StateLog.views(spark, ref)
+    sameSet(hashV, sh, "hash view after two concurrent streams vs scratch")
+    sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"),
+      "effective band after two concurrent streams vs scratch")
+    sameSet(StateLog.corpus(spark, ref), pop,
+      "log-resolved corpus after two concurrent streams vs scratch")
+  }
 }

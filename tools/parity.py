@@ -63,7 +63,11 @@ fails = []
 record = {}   # driver CORRECTNESS schema, per query
 timing = {}   # oracle DuckDB seconds, per query
 for name, sql in sorted(oracle.items()):
-    rec = {'rows_match': False, 'schema_match': False, 'hash_match': False,
+    # match fields start as None = NOT CHECKED (ADVICE r12): a consumer
+    # of the emitted record can distinguish "schema check short-circuited
+    # the row compare" from "rows actually mismatched"; err carries a
+    # reason string for EVERY failure class, not just DuckDB/hash ones
+    rec = {'rows_match': None, 'schema_match': None, 'hash_match': None,
            'spark_rows': None, 'oracle_rows': None, 'err': None}
     record[name] = rec
     t0 = time.monotonic()
@@ -88,10 +92,12 @@ for name, sql in sorted(oracle.items()):
     got = got.sort_values(list(got.columns)) .reset_index(drop=True)
     rec['schema_match'] = list(exp.columns) == list(got.columns)
     if not rec['schema_match']:
+        rec['err'] = f'schema mismatch: oracle={list(exp.columns)} spark={list(got.columns)}'
         print(f'FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}')
         fails.append(name); continue
     rec['rows_match'] = len(exp) == len(got)
     if not rec['rows_match']:
+        rec['err'] = f'row count mismatch: oracle={len(exp)} spark={len(got)}'
         print(f'FAIL {name}: rows exp={len(exp)} got={len(got)}')
         fails.append(name); continue
     # value-level compare, exact (hash-style)
@@ -104,6 +110,7 @@ for name, sql in sorted(oracle.items()):
             mismatch = (c, bad, ev[bad], gv[bad]); break
     if mismatch:
         c, i, e, g = mismatch
+        rec['hash_match'] = False
         rec['err'] = f'hash mismatch: col {c} row {i}: oracle={e} spark={g}'
         print(f'FAIL {name}: col {c} row {i}: oracle={e} spark={g}')
         fails.append(name)
