@@ -1899,6 +1899,88 @@ class PipelineSpec extends SparkSpec {
       "effective band after cross-process ingests vs scratch")
   }
 
+  test("state log: a claimant that died between claim and append is ROLLED " +
+    "FORWARD by the next committer; a torn claim is dropped and its slot " +
+    "re-claimed (VERDICT r12 task 1, crash matrix)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    def ingest(rows: Seq[(Long, String, String, String, Long)], id: Long): Boolean = {
+      val docs = StateLog.corpus(spark, ref).withColumn("is_new", lit(false))
+        .unionByName(docsDf(rows).withColumn("is_new", lit(true)))
+      StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), id)
+    }
+    assert(ingest(bDocs, 0L)) // gen 1
+
+    // simulate a claimant that wrote its WHOLE generation + claim and
+    // died before its manifest append: plant attempt tables with real
+    // layer schemas and a whole one-row claim at gen 2 for batch 50
+    val tmp = sys.props("java.io.tmpdir")
+    def plant(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val t = s"${ref.manifest}_$name"
+      df.write.mode("overwrite").option("path", s"$tmp/$t").saveAsTable(t)
+      t
+    }
+    val crashedHash = plant("hash_b50_acrashed_1",
+      Seq(("feedfacefeedfacefeedfacefeedface")).toDF("h"))
+    val crashedBand = plant("band_b50_acrashed_1",
+      Seq((99, "planted_band_key", 7777L)).toDF("band", "band_key", "doc_id"))
+    val crashedStop = plant("stop_b50_acrashed_1",
+      spark.table(s"$crashedBand").select("band", "band_key").limit(0))
+    // the pack layer resolves from the LATEST delta, so the crashed
+    // attempt's pack is (as in a real attempt) a cumulative summary —
+    // reuse gen 1's content copied to the attempt's own table
+    val gen1 = spark.table(ref.manifest).filter(col("gen_id") === 1L).head()
+    val crashedPack = plant("pack_b50_acrashed_1", spark.table(gen1.getString(6)))
+    val crashedCur = plant("cur_b50_acrashed_1",
+      Seq((7777L, "planted doc", "en", "src", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val claim2 = s"${ref.manifest}_claim_g2"
+    Seq((2L, 50L, "delta", crashedHash, crashedBand, crashedStop, crashedPack, crashedCur))
+      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
+        "pack_tbl", "cur_tbl")
+      .write.mode("overwrite").option("path", s"$tmp/${claim2}_planted")
+      .saveAsTable(claim2)
+
+    // the next committer finds the claim, commits the dead writer's row
+    // on its behalf, aborts, and retries its own commit at gen 3
+    assert(ingest(cDocs, 1L), "the live committer must still land")
+    spark.catalog.refreshTable(ref.manifest)
+    val rows = spark.table(ref.manifest).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((0L, -1L), (1L, 0L), (2L, 50L), (3L, 1L)),
+      s"the crashed claim must be rolled forward as gen 2 (batch 50), " +
+        s"the live commit landing after it — got $rows")
+    val (hashV, _, _, _) = StateLog.views(spark, ref)
+    assert(hashV.filter(col("h") === "feedfacefeedfacefeedfacefeedface").count() == 1,
+      "the rolled-forward generation's content must be live in the views")
+    assert(!ingest(Seq((7777L, "planted doc", "en", "src", 11L)), 50L),
+      "the rolled-forward batch id must be skipped like any committed batch")
+
+    // a TORN claim (≠ 1 row — e.g. a crash inside the metastore create)
+    // never committed anything: the next committer drops it and the slot
+    // is re-claimed by its retry
+    val claim4 = s"${ref.manifest}_claim_g4"
+    Seq((4L, 60L, "delta", "x", "x", "x", "x", "x"),
+      (4L, 61L, "delta", "y", "y", "y", "y", "y"))
+      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
+        "pack_tbl", "cur_tbl")
+      .write.mode("overwrite").option("path", s"$tmp/${claim4}_planted")
+      .saveAsTable(claim4)
+    val enRows = Seq(
+      (8000L, "astronomers chart distant quasars from desert observatories", "en", "src", 60L))
+    assert(ingest(enRows, 2L), "the torn claim must not block the slot")
+    spark.catalog.refreshTable(ref.manifest)
+    val gen4 = spark.table(ref.manifest).distinct()
+      .filter(col("gen_id") === 4L).collect()
+    assert(gen4.length == 1 && gen4(0).getLong(1) == 2L,
+      "gen 4 must be the live batch's commit, the torn claim discarded")
+    assert(spark.table(claim4).collect().map(_.getLong(1)).toSeq == Seq(2L),
+      "the re-claimed slot must carry the live committer's row")
+  }
+
   test("state log sweep: crashed-attempt orphans and inert claims reclaimed; " +
     "manifest-referenced tables, pending claims and live state survive (VERDICT r12 task 2)") {
     import graft.sources.{SnapshotStateSink, StateLog}
