@@ -4405,6 +4405,27 @@ object Oracles {
           |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
           |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
           |ORDER BY item""".stripMargin)) +
+      // eq149: the full retention lifecycle — ingest → fold → vacuum →
+      // snapshot release; the head state must STILL be exactly eq147's
+      // (seven advance items + three corpus items, scratch-rebuilt), and
+      // the three accounting items are deterministic by construction:
+      // vacuum reclaims the one superseded delta generation (5 attempt
+      // tables), release drops the snapshot's four tables + the corpus
+      // store + the wrap marker (6), and as-of(0) is cleanly bounded (1).
+      ("eq149_snapshot_release" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'corpus_docs',
+          |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8)::BIGINT
+          |  + (SELECT COUNT(*) FROM d_k8)::BIGINT
+          |UNION ALL SELECT 'corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'vacuumed_tables', 5::BIGINT
+          |UNION ALL SELECT 'released_tables', 6::BIGINT
+          |UNION ALL SELECT 'asof0_bounded', 1::BIGINT
+          |ORDER BY item""".stripMargin)) +
       // eq148: CORPUS time travel — one ingest, one retraction
       // (doc_id % 7 = 3 over the resolved store, eq143/eq145's
       // predicate), one fold; the corpus layer read at three manifest

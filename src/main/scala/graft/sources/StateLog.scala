@@ -983,6 +983,48 @@ object StateLog {
     auditCorpusTravel(spark, ref)
   }
 
+  def eq149(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    compactLog(spark, ref)                                                // gen 2
+    val vacuumed = vacuum(spark, ref)
+    val released = releaseWrappedSnapshot(spark, ref)
+    auditReleased(spark, ref, vacuumed, released)
+  }
+
+  /** eq149 — the FULL RETENTION LIFECYCLE under the oracle (VERDICT r12
+    * tasks 3+7 as a driver-gated query): ingest → fold → vacuum →
+    * releaseWrappedSnapshot, then the head state re-proven from scratch.
+    * The seven index/pack items and three corpus items must STILL equal
+    * eq147's (the fold's own tables carry the whole state — dropping the
+    * genesis snapshot, the corpus store, the wrap marker, and the
+    * superseded generation changed nothing a reader can see), plus three
+    * deterministic accounting items: `vacuumed_tables` = 5 (the one
+    * superseded delta generation's five attempt tables), `released_tables`
+    * = 6 (the snapshot's hash/band/stop/pack tables, the corpus store,
+    * and the wrap marker), and `asof0_bounded` = 1 (the historical read
+    * below the fold now fails with the clear bounded-time-travel error,
+    * not a missing-table resolve). */
+  private[graft] def auditReleased(spark: SparkSession, ref: LogRef,
+      vacuumed: Seq[String], released: Seq[String]): DataFrame = {
+    val bounded =
+      try { viewsAsOf(spark, ref, 0L); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("bounded") }
+    def flag(item: String, n: Long): DataFrame = {
+      import spark.implicits._
+      Seq((item, n)).toDF("item", "n")
+    }
+    auditItems(views(spark, ref), "")
+      .unionAll(corpusItems(corpus(spark, ref), ""))
+      .unionAll(flag("vacuumed_tables", vacuumed.size.toLong))
+      .unionAll(flag("released_tables", released.size.toLong))
+      .unionAll(flag("asof0_bounded", if (bounded) 1L else 0L))
+      .orderBy("item")
+  }
+
   /** eq148 — CORPUS TIME TRAVEL under the oracle (VERDICT r12 task 3):
     * eq147 made the corpus a log layer and eq146 made the index views
     * time-travelable, but the historical CORPUS — the population the
