@@ -1899,6 +1899,77 @@ class PipelineSpec extends SparkSpec {
       "effective band after cross-process ingests vs scratch")
   }
 
+  test("state log: empty micro-batches, fully-gated batches and empty " +
+    "retractions commit cleanly and change nothing (100 TB degenerate classes)") {
+    // At scale these are ROUTINE: a quiet source emits an empty
+    // micro-batch, a re-crawl batch is 100% duplicates (every doc gated
+    // out), a deletion request matches nothing. Each must still COMMIT
+    // (the batch id enters the replay-skip set — skipping the commit
+    // would replay the batch forever), write well-formed empty
+    // generation tables, and leave every view bit-identical.
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    val (h0, _, _, p0) = StateLog.views(spark, ref)
+    val hash0 = h0.localCheckpoint()
+    val pack0 = p0.localCheckpoint()
+    val corpus0 = StateLog.corpus(spark, ref).localCheckpoint()
+
+    // 1. an EMPTY micro-batch (self-contained surface)
+    val empty = docsDf(Seq.empty)
+    assert(StateLog.ingestBatch(spark, ref, st, empty, 0L),
+      "an empty batch must still commit (replay-skip needs the id)")
+    assert(!StateLog.ingestBatch(spark, ref, st, empty, 0L),
+      "and its replay must be skipped")
+    sameSet(StateLog.views(spark, ref)._1, hash0, "hash view after an empty batch")
+    sameSet(StateLog.views(spark, ref)._4, pack0, "pack summary after an empty batch")
+    sameSet(StateLog.corpus(spark, ref), corpus0, "corpus after an empty batch")
+
+    // 2. a batch that gates out ENTIRELY (exact duplicates of old docs
+    // under fresh ids — the re-crawl shape)
+    val dupBatch = docsDf(aDocs.filter(_._1 >= 180L)
+      .map { case (_, t, l, s, n) => (9000L + n, t, l, s, n) })
+    assert(dupBatch.count() > 0)
+    assert(StateLog.ingestBatch(spark, ref, st, dupBatch, 1L),
+      "a fully-gated batch must still commit")
+    sameSet(StateLog.views(spark, ref)._1, hash0, "hash view after a fully-gated batch")
+    sameSet(StateLog.corpus(spark, ref), corpus0, "corpus after a fully-gated batch")
+
+    // 3. an EMPTY retraction (the deletion predicate matches nothing)
+    assert(StateLog.retractBatch(spark, ref, col("doc_id") === -12345L, 50L),
+      "an empty retraction must still commit")
+    assert(!StateLog.retractBatch(spark, ref, col("doc_id") === -12345L, 50L))
+    sameSet(StateLog.views(spark, ref)._1, hash0, "hash view after an empty retraction")
+    sameSet(StateLog.corpus(spark, ref), corpus0, "corpus after an empty retraction")
+
+    // 4. the fold digests the three degenerate generations and the next
+    // REAL batch still lands on exactly the right state
+    StateLog.compactLog(spark, ref)
+    assert(StateLog.activeGenerations(spark, ref) == 1)
+    sameSet(StateLog.views(spark, ref)._1, hash0, "hash view across the fold")
+    sameSet(StateLog.corpus(spark, ref), corpus0, "corpus across the fold")
+    val docs2 = StateLog.corpus(spark, ref).withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+    val (hNow, _, _, _) = StateLog.views(spark, ref)
+    val s2 = Curation.deltaSurvivorsFromState(docs2, col("is_new"), hNow,
+      StateLog.effectiveBand(spark, ref),
+      spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    assert(s2.count() > 0, "the real batch must carry survivors")
+    assert(StateLog.ingestBatch(spark, ref, st, docsDf(bDocs), 2L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = oldDocs.select(cols.head, cols.tail: _*)
+      .unionByName(s2.select(cols.head, cols.tail: _*))
+    val (sh, _, _) = Dedup.indexBuildFrames(pop, lit(false))
+    sameSet(StateLog.views(spark, ref)._1, sh,
+      "hash view after degenerate ops + a real batch vs scratch")
+    sameSet(StateLog.corpus(spark, ref), pop,
+      "corpus after degenerate ops + a real batch vs scratch")
+  }
+
   test("state log: a claimant that died between claim and append is ROLLED " +
     "FORWARD by the next committer; a torn claim is dropped and its slot " +
     "re-claimed (VERDICT r12 task 1, crash matrix)") {
