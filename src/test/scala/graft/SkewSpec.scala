@@ -261,4 +261,52 @@ class SkewSpec extends SparkSpec {
     assert(profile(chunks) == profile(docs),
       "chunked layout must preserve the token profile exactly")
   }
+
+  // ---- fixture 6 (r13): a hostile hot-band BATCH against the state log
+
+  test("hostile hot-band batch vs the state log: ingest work is " +
+    "state-size-independent — the attack costs the batch, never the state") {
+    // 400 MUTUAL near-duplicates in one micro-batch — 11 shared template
+    // tokens plus a unique member token per doc, so every doc collides
+    // into the same band buckets as every other. The within-batch mining
+    // legitimately pays the cluster's own pair mass (the batch IS one
+    // giant near-dup cluster — SKEWBENCH §5's shape arriving as a
+    // delta), but the claim that matters at 100 TB is that the attack's
+    // cost is bounded by the BATCH: the same hostile batch ingested into
+    // a log wrapping a 10× bigger committed state must ship ~the same
+    // shuffle bytes. Probes broadcast batch keys into scan-only state
+    // unions; nothing about the hostile collision structure reaches the
+    // state side as shuffle.
+    import graft.sources.{SnapshotStateSink, StateLog}
+    val meter = WorkMass.meter(spark.sparkContext)
+    def hostileBatch(from: Long) = spark.range(from, from + 400).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        ((0 until 11).map(j => lit(s"zqv0s0t$j")) :+
+          concat(lit("m"), translate(col("id").cast("string"),
+            "0123456789", "abcdefghij"))): _*).as("text"),
+      lit("en").as("lang"), lit("s0").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    def ingestHostile(n: Long): WorkMass = {
+      val old = ScaleBench.corpus(spark, n).localCheckpoint()
+      val st = SnapshotStateSink.write(spark, old, lit(false), lit(true))
+      val ref = StateLog.fromSnapshot(spark, st,
+        StateLog.writeCorpusStore(spark, old))
+      Dedup.clearDerivedCaches() // fresh-restart posture: the batch pays its own signing
+      var applied = false
+      val w = meter { applied = StateLog.ingestBatch(spark, ref, st, hostileBatch(n), 0L) }
+      assert(applied, "the hostile batch must still commit")
+      w
+    }
+    val w1 = ingestHostile(2000)
+    val w10 = ingestHostile(20000)
+    println(s"[skewspec] hostile-band batch ingest shuffle: 1x=${w1.shuffleRead}B " +
+      s"10x=${w10.shuffleRead}B peak=${w1.peakMem}/${w10.peakMem}")
+    assert(w1.shuffleRead > 0, "meter must observe the hostile ingest")
+    assert(w10.shuffleRead < 3L * w1.shuffleRead,
+      s"a hostile batch's ingest work must not grow with the committed state: " +
+        s"${w1.shuffleRead} -> ${w10.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }
