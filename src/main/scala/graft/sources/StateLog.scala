@@ -173,6 +173,37 @@ object StateLog {
   private def maxGen(spark: SparkSession, ref: LogRef): Long =
     freshManifest(spark, ref).agg(max(col("gen_id"))).head().getLong(0)
 
+  /** Append one manifest row as ONE uniquely-named parquet file, staged
+    * at a private path and RENAMED into the table directory — the
+    * append-only-log file pattern. A `saveAsTable("append")` stages
+    * every writer's tasks under the SAME `_temporary` directory inside
+    * the table path, so two appends racing from different processes (a
+    * roll-forward vs the slow claimant it is finishing, or any two
+    * drivers) can delete each other's in-flight task files and abort —
+    * the failure the cross-process race test caught for real. With one
+    * staged file per row and an atomic rename, concurrent appenders
+    * never share a byte of staging; readers list the directory fresh
+    * ([[freshManifest]]). */
+  private def appendManifestRow(spark: SparkSession, ref: LogRef, g: Gen): Unit = {
+    val nonce = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
+    val stage = s"${sys.props("java.io.tmpdir")}/${ref.manifest}_rowstage_$nonce"
+    genRow(spark, g).coalesce(1).write.mode("overwrite").parquet(stage)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(conf)
+    val part = fs.listStatus(stagePath).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .head
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location
+    val dest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), s"part-row-g${g.genId}-$nonce.parquet")
+    require(fs.rename(part, dest),
+      s"state log ${ref.manifest}: manifest row rename failed for gen ${g.genId}")
+    fs.delete(stagePath, true): Unit
+    spark.catalog.refreshTable(ref.manifest)
+  }
+
   private def stale(ref: LogRef, msg: String): Nothing =
     throw new java.util.ConcurrentModificationException(
       s"state log ${ref.manifest}: $msg")
@@ -222,7 +253,7 @@ object StateLog {
       val cur2 = maxGen(spark, ref)
       if (cur2 != expectedMaxGen)
         stale(ref, s"manifest advanced ($expectedMaxGen -> $cur2) during the claim")
-      genRow(spark, g).write.mode("append").saveAsTable(ref.manifest)
+      appendManifestRow(spark, ref, g)
     }
   }
 
@@ -243,9 +274,9 @@ object StateLog {
     if (whole) {
       if (freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty) {
         val r = rows.head
-        genRow(spark, Gen(r.getLong(0), r.getLong(1), r.getString(2),
-          r.getString(3), r.getString(4), r.getString(5), r.getString(6),
-          r.getString(7))).write.mode("append").saveAsTable(ref.manifest)
+        appendManifestRow(spark, ref, Gen(r.getLong(0), r.getLong(1),
+          r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getString(6), r.getString(7)))
       }
     } else dropTableAndData(spark, claim)
   }

@@ -2052,6 +2052,65 @@ class PipelineSpec extends SparkSpec {
       "the re-claimed slot must carry the live committer's row")
   }
 
+  test("state log: the SAME batch id raced by two concurrent writers lands " +
+    "exactly once — the duplicate loses at the commit point, not by luck") {
+    // At-least-once delivery can produce CONCURRENT duplicates, not just
+    // sequential replays (two workers picking up the same unacked batch):
+    // the dup-skip check alone cannot see an in-flight twin, so the
+    // commit point must be what serializes them — the loser's retry then
+    // finds the batch id committed and no-ops. With attempt-unique names
+    // the loser's tables never touch the winner's (the ADVICE r12
+    // committed-history-mutation window), and its abort cleanup drops
+    // them.
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    val docs = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+    val (h0, _, _, _) = StateLog.views(spark, ref)
+    val expected = Curation.deltaSurvivorsFromState(docs, col("is_new"), h0,
+      StateLog.effectiveBand(spark, ref),
+      spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val results = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          go.await()
+          StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 30L)
+        }
+      })
+    }
+    go.countDown()
+    val applied = results.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(applied.count(identity) == 1,
+      s"exactly one of the duplicate writers must report applied, got $applied")
+
+    spark.catalog.refreshTable(ref.manifest)
+    val manifest = spark.table(ref.manifest).distinct().collect()
+    assert(manifest.map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L),
+      "exactly one generation committed for the duplicated batch")
+    assert(manifest.count(_.getLong(1) == 30L) == 1)
+    // the committed state is the batch applied ONCE — scratch equality
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val pop = oldDocs.select(cols.head, cols.tail: _*)
+      .unionByName(expected.select(cols.head, cols.tail: _*))
+    val (sh, sb, _) = Dedup.indexBuildFrames(pop, lit(false))
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(StateLog.views(spark, ref)._1, sh, "hash view after a duplicate race vs scratch")
+    sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      sb.select("band", "band_key", "doc_id"),
+      "effective band after a duplicate race vs scratch")
+    // a later replay of the id stays a no-op
+    assert(!StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 30L))
+  }
+
   test("state log sweep: crashed-attempt orphans and inert claims reclaimed; " +
     "manifest-referenced tables, pending claims and live state survive (VERDICT r12 task 2)") {
     import graft.sources.{SnapshotStateSink, StateLog}
