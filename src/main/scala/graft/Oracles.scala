@@ -4426,6 +4426,55 @@ object Oracles {
           |UNION ALL SELECT 'released_tables', 6::BIGINT
           |UNION ALL SELECT 'asof0_bounded', 1::BIGINT
           |ORDER BY item""".stripMargin)) +
+      // eq150: the MANIFEST CHECKPOINT — the checkpoint rewrites manifest
+      // FILES, never a row, so the state after ingest → checkpoint →
+      // fold → checkpoint → replay-probe is exactly eq147's (shared
+      // scratch-rebuild oracle), plus three deterministic accounting
+      // items: the second checkpoint leaves ONE data file, the three
+      // manifest rows (base + delta + fold) all survive two file swaps,
+      // and the committed batch id is still replay-skipped against the
+      // checkpointed manifest.
+      ("eq150_manifest_checkpoint" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'corpus_docs',
+          |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8)::BIGINT
+          |  + (SELECT COUNT(*) FROM d_k8)::BIGINT
+          |UNION ALL SELECT 'corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'manifest_files', 1::BIGINT
+          |UNION ALL SELECT 'manifest_rows', 3::BIGINT
+          |UNION ALL SELECT 'replay_skipped', 1::BIGINT
+          |ORDER BY item""".stripMargin)) +
+      // eq151: post-retraction REPACK through the log — eq145's pack
+      // re-accounting under the log's exactly-once discipline. The
+      // retained membership is the curated OLD corpus UNION the delta
+      // funnel's survivors, BOTH minus the deleted docs (the log
+      // ingested the batch before the deletion, so the retraction spans
+      // both sides — the difference from eq145's snapshot-only set),
+      // re-windowed from a zero prefix sum; per-lang summary plus the
+      // shard-assignment checksum that breaks if any retained doc lands
+      // in the wrong shard.
+      ("eq151_log_repack" -> (advanceCtes +
+        """, retc AS (SELECT lang, doc_id, n_tokens, n_chars FROM o_k7
+          |           WHERE doc_id % 7 <> 3
+          |           UNION ALL
+          |           SELECT lang, doc_id, n_tokens, n_chars FROM d_k8
+          |           WHERE doc_id % 7 <> 3),
+          |rw AS (SELECT lang, doc_id, n_tokens, n_chars,
+          |              COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |       FROM retc)
+          |SELECT lang,
+          |       COUNT(*)::BIGINT AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+          |       CAST(SUM(n_chars) AS BIGINT) AS t_chars,
+          |       COUNT(DISTINCT cum // 2000)::BIGINT AS n_shards,
+          |       CAST(MAX(cum // 2000) AS BIGINT) AS last_shard,
+          |       CAST(SUM(doc_id * ((cum // 2000) + 1)) AS BIGINT) AS shard_checksum
+          |FROM rw GROUP BY lang ORDER BY lang""".stripMargin)) +
       // eq148: CORPUS time travel — one ingest, one retraction
       // (doc_id % 7 = 3 over the resolved store, eq143/eq145's
       // predicate), one fold; the corpus layer read at three manifest

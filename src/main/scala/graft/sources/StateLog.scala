@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextCountExpressions.ws_token_count
 import graft.pipeline.{Curation, Dedup}
 
 /** The GENERATIONAL state log — exactly-once STREAMING ingest into the
@@ -171,7 +172,28 @@ object StateLog {
   }
 
   private def maxGen(spark: SparkSession, ref: LogRef): Long =
-    freshManifest(spark, ref).agg(max(col("gen_id"))).head().getLong(0)
+    withManifestRetry() {
+      freshManifest(spark, ref).agg(max(col("gen_id"))).head().getLong(0)
+    }
+
+  /** A manifest read can race [[checkpointManifest]]'s file swap: the
+    * checkpoint's merged file is renamed in BEFORE the superseded row
+    * files are deleted, so every row is readable at every instant — but
+    * a reader that planned its scan from a listing taken just before the
+    * deletes can still try to open a now-missing file. The rows it
+    * wanted are in the merged file, so the read is simply re-planned
+    * from a fresh listing. Bounded: each retry requires another
+    * concurrent checkpoint swap in the window. */
+  private def withManifestRetry[T](attemptsLeft: Int = 4)(body: => T): T =
+    try body catch {
+      case e: Throwable if attemptsLeft > 1 && missingFile(e, 8) =>
+        withManifestRetry(attemptsLeft - 1)(body)
+    }
+
+  private def missingFile(e: Throwable, depth: Int): Boolean =
+    e != null && depth > 0 && (e.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(e.getMessage).exists(_.contains("FileNotFoundException")) ||
+      missingFile(e.getCause, depth - 1))
 
   /** Append one manifest row as ONE uniquely-named parquet file, staged
     * at a private path and RENAMED into the table directory — the
@@ -272,7 +294,9 @@ object StateLog {
     val whole = rows.length == 1 && rows.head.length == 8 &&
       !rows.head.anyNull && rows.head.getLong(0) == gen
     if (whole) {
-      if (freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty) {
+      if (withManifestRetry() {
+        freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty
+      }) {
         val r = rows.head
         appendManifestRow(spark, ref, Gen(r.getLong(0), r.getLong(1),
           r.getString(2), r.getString(3), r.getString(4), r.getString(5),
@@ -429,9 +453,10 @@ object StateLog {
     * rows sharing a gen_id mean a writer bypassed the claim protocol and
     * fail loudly. */
   private def history(spark: SparkSession, ref: LogRef): Seq[Gen] = {
-    val gens = freshManifest(spark, ref).distinct()
-      .orderBy("gen_id").collect().toSeq
-      .map(r => Gen(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+    val gens = withManifestRetry() {
+      freshManifest(spark, ref).distinct()
+        .orderBy("gen_id").collect().toSeq
+    }.map(r => Gen(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5), r.getString(6), r.getString(7)))
     require(gens.map(_.genId).distinct.size == gens.size,
       s"state log ${ref.manifest}: conflicting manifest rows share a " +
@@ -647,6 +672,76 @@ object StateLog {
     wrappedSnapshots.remove(base.hash): Unit
     targets
   }
+
+  /** Manifest CHECKPOINT — cap the log's one remaining growth axis.
+    * [[appendManifestRow]] commits one parquet FILE per manifest row (the
+    * pattern that keeps concurrent appenders from ever sharing staging
+    * bytes), so a long-lived log accumulates one tiny file per operation
+    * and every [[freshManifest]] read lists and opens all of them — at a
+    * production cadence (a micro-batch a minute for a year) that is half
+    * a million files behind every read. The checkpoint coalesces them
+    * WITHOUT changing a row: list the current data files, read exactly
+    * those (deduping byte-identical rows a prior crash window may have
+    * left), rewrite them as ONE merged file staged privately and
+    * atomically renamed in, then delete EXACTLY the listed files.
+    *
+    * Safety, by window:
+    *  - a concurrent APPEND lands as its own new file, never in the
+    *    listed set — untouched in both directions;
+    *  - a concurrent READER sees the old files, old + merged (duplicate
+    *    rows — [[history]] collapses byte-identical rows by design), or
+    *    the merged file alone; a reader whose planned scan raced the
+    *    deletes re-plans from a fresh listing via [[withManifestRetry]];
+    *  - a crash after the rename leaves duplicates that collapse on read
+    *    and merge away at the next checkpoint; a crash before it leaves
+    *    the manifest bit-untouched (the stage is private);
+    *  - two concurrent checkpoints each delete only their own listed set
+    *    (deletes are idempotent), and the loser of the read race retries
+    *    into a no-op via the same [[withManifestRetry]].
+    *
+    * The merged file is written from the DRIVER-COLLECTED rows (the
+    * manifest is the log's one tiny driver-side read by design), so the
+    * write cannot race the deletes of a concurrent checkpoint either.
+    * Returns (data files before, data files after). */
+  def checkpointManifest(spark: SparkSession, ref: LogRef): (Long, Long) =
+    withManifestRetry() {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location
+      val dir = new org.apache.hadoop.fs.Path(loc)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles(): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      val parts = dataFiles()
+      if (parts.size <= 1) (parts.size.toLong, parts.size.toLong)
+      else {
+        val src = spark.read.parquet(parts.map(_.toString): _*).distinct()
+        val rows = src.collect().toSeq
+        // the history() invariant, re-checked BEFORE any file is touched:
+        // a torn manifest must fail loudly, never get baked into one file
+        require(rows.map(_.getLong(0)).distinct.size == rows.size,
+          s"state log ${ref.manifest}: conflicting manifest rows share a " +
+            "gen_id — refusing to checkpoint a torn manifest")
+        val nonce = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
+        val stage = s"${sys.props("java.io.tmpdir")}/${ref.manifest}_ckptstage_$nonce"
+        spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), src.schema)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val stagePath = new org.apache.hadoop.fs.Path(stage)
+        val part = fs.listStatus(stagePath).map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .head
+        val dest = new org.apache.hadoop.fs.Path(dir, s"part-ckpt-$nonce.parquet")
+        require(fs.rename(part, dest),
+          s"state log ${ref.manifest}: manifest checkpoint rename failed")
+        fs.delete(stagePath, true): Unit
+        parts.foreach(p => fs.delete(p, false): Unit)
+        spark.catalog.refreshTable(ref.manifest)
+        (parts.size.toLong, dataFiles().size.toLong)
+      }
+    }
 
   private def deletePath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -873,6 +968,88 @@ object StateLog {
       priorTombsApplied = true)
   }
 
+  /** The retained CURATED corpus resolved from the log itself — the
+    * membership the pack summary describes: the base generation's
+    * curated product (re-derived deterministically from the genesis raw
+    * corpus by the same [[Curation.curatedDocsDf]] chain that produced
+    * gen 0's summary — the pack layer aggregates, so membership is not
+    * recoverable from it) plus every committed delta's survivors (their
+    * `cur` tables ARE the curated contributions; `n_tokens` is
+    * recomputed by the funnel's own deterministic `ws_token_count`),
+    * minus deleted docs — ORDER-AWARE like every layer (a retract row
+    * tombstones only generations committed before it).
+    *
+    * Resolution walks base + delta rows of the FULL history (a fold's
+    * merged store cannot split curated-old from raw-old, so folds are
+    * skipped — their content is derived, not primary), which bounds the
+    * repack exactly like time travel: a [[vacuum]] or snapshot release
+    * that dropped a needed table fails loudly here. Repack BEFORE
+    * vacuuming the generations it must re-account. */
+  private def curatedRetained(spark: SparkSession, hist: Seq[Gen]): DataFrame = {
+    val contribs = hist.filter(g => g.kind == "base" || g.kind == "delta")
+    val retracts = hist.filter(_.kind == "retract")
+    (contribs.map(_.cur) ++ retracts.map(_.band)).distinct.foreach { t =>
+      if (!spark.catalog.tableExists(t))
+        throw new IllegalStateException(s"repack needs $t, which a vacuum " +
+          "or snapshot release dropped — the curated membership resolves " +
+          "from the base and delta generations; repack before vacuuming them")
+    }
+    def contrib(g: Gen): DataFrame =
+      if (g.kind == "base")
+        Curation.curatedDocsDf(spark.table(g.cur))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"))
+      else spark.table(g.cur).select(col("doc_id"), col("lang"),
+        ws_token_count(col("text")).cast("long").as("n_tokens"), col("n_chars"))
+    contribs.groupBy(d => retracts.count(_.genId > d.genId)).toSeq.sortBy(_._1)
+      .map { case (nLater, ds) =>
+        val raw = ds.map(contrib).reduce(_ unionAll _)
+        if (nLater == 0) raw
+        else raw.join(
+          broadcast(retracts.takeRight(nLater).map(g => spark.table(g.band))
+            .reduce(_ unionAll _).select("doc_id")), Seq("doc_id"), "left_anti")
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionAll _)
+  }
+
+  /** POST-RETRACTION REPACK through the log — eq145's pack re-accounting
+    * under the log's exactly-once discipline. A retraction deliberately
+    * defers pack math (eq143's posture), so after a [[retractBatch]] the
+    * pack layer still counts the dead docs' tokens and
+    * [[Curation.appendPackSummary]]'s O(batch) invariant (summary ≡
+    * packSummaryOf of the corpus it describes) is broken for every
+    * subsequent ingest. This commits a `repack`-kind generation that
+    * restores it: the retained curated corpus ([[curatedRetained]]) is
+    * re-windowed from a zero prefix sum by the SAME
+    * [[Curation.packSummaryOf]] rule as the full curation, written as
+    * the generation's pack table; the other four layers are committed as
+    * well-formed EMPTY tables (the repack changes accounting, not
+    * membership — the degenerate-generation class the log already
+    * supports), so every view except the pack resolves bit-identically.
+    * Replay-skipped kind-aware like every operation; corpus-sized once
+    * per repack (the full-chain re-derivation over the genesis corpus is
+    * its honest cost, mirrored from [[SnapshotStateSink.repack]]), never
+    * per deletion. */
+  def repackLog(spark: SparkSession, ref: LogRef, opId: Long): Boolean =
+    withCommitRetry() {
+      val hist = history(spark, ref)
+      if (hist.exists(g => g.batchId == opId && g.kind == "repack")) false
+      else {
+        val ps = Curation.packSummaryOf(curatedRetained(spark, hist))
+        val gens = active(hist)
+        val (hashV, bandRawV, stopV, _) = viewsOf(spark, gens)
+        val tag = attemptTag(s"p$opId")
+        val hashT = saveGen(spark, ref, hashV.limit(0), "hash", tag, Some("h"))
+        val bandT = saveGen(spark, ref, bandRawV.limit(0), "band", tag, Some("band_key"))
+        val stopT = saveGen(spark, ref, stopV.limit(0), "stop", tag, None)
+        val packT = saveGen(spark, ref, ps, "pack", tag, None)
+        val curT = saveGen(spark, ref, corpusOf(spark, gens).limit(0), "cur", tag, None)
+        val base = hist.map(_.genId).max
+        commitAttempt(spark, ref, base, Gen(base + 1, opId, "repack",
+          hashT, bandT, stopT, packT, curT))
+        true
+      }
+    }
+
   /** Fold every active generation into one (eq142's compaction applied
     * to the log): the effective views written physically as a fresh
     * generation — retraction tombstones applied, stop-guarded rows
@@ -1054,6 +1231,78 @@ object StateLog {
       .unionAll(flag("released_tables", released.size.toLong))
       .unionAll(flag("asof0_bounded", if (bounded) 1L else 0L))
       .orderBy("item")
+  }
+
+  def eq150(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    checkpointManifest(spark, ref)        // 2 row files -> 1
+    compactLog(spark, ref)                // gen 2, appended AFTER the checkpoint
+    val (_, filesAfter) = checkpointManifest(spark, ref)
+    // the replay-skip set must survive the file swap: the same batch id
+    // probed against the CHECKPOINTED manifest is still skipped outright
+    val skipped = !ingestBatch(spark, ref, st,
+      docs.filter(DedupIndexSink.isNewCol), 0L)
+    auditCheckpointed(spark, ref, filesAfter, skipped)
+  }
+
+  /** eq150 — the MANIFEST CHECKPOINT under the oracle: the log's state
+    * after ingest → checkpoint → fold → checkpoint → replay-probe must be
+    * EXACTLY eq147's (the checkpoint rewrites manifest FILES, never a
+    * row — seven index/pack items plus three corpus items share the
+    * scratch-rebuild oracle verbatim), with three deterministic
+    * accounting items: `manifest_files` = 1 (the second checkpoint
+    * merged the post-fold append back into one file), `manifest_rows` =
+    * 3 (base + delta + fold — no row lost across two file swaps), and
+    * `replay_skipped` = 1 (the committed batch id still collides against
+    * the checkpointed manifest). */
+  private[graft] def auditCheckpointed(spark: SparkSession, ref: LogRef,
+      filesAfter: Long, skipped: Boolean): DataFrame = {
+    def flag(item: String, n: Long): DataFrame = {
+      import spark.implicits._
+      Seq((item, n)).toDF("item", "n")
+    }
+    auditItems(views(spark, ref), "")
+      .unionAll(corpusItems(corpus(spark, ref), ""))
+      .unionAll(flag("manifest_files", filesAfter))
+      .unionAll(flag("manifest_rows", history(spark, ref).size.toLong))
+      .unionAll(flag("replay_skipped", if (skipped) 1L else 0L))
+      .orderBy("item")
+  }
+
+  def eq151(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    retractBatch(spark, ref, col("doc_id") % 7 === 3, 1L)                 // gen 2
+    repackLog(spark, ref, 2L)                                             // gen 3
+    compactLog(spark, ref)                                                // gen 4
+    auditLogRepacked(spark, ref)
+  }
+
+  /** eq151 — POST-RETRACTION REPACK THROUGH THE LOG under the oracle
+    * (eq145's claim carried into the log family): ingest → retract →
+    * [[repackLog]] → fold, then the pack summary read back FROM THE
+    * LOG'S VIEWS (the fold must carry the repacked table forward) joined
+    * with a shard-assignment checksum over the re-sharded retained
+    * corpus — [[SnapshotStateSink.auditRepacked]]'s shape. The DuckDB
+    * oracle re-derives everything from raw documents: the retained
+    * membership is the curated OLD corpus UNION the delta funnel's
+    * survivors, both minus the deleted docs (the log ingested the batch
+    * BEFORE the deletion, so the retraction spans both sides — the
+    * difference from eq145's snapshot-only retained set), re-windowed
+    * from a zero prefix sum. */
+  private[graft] def auditLogRepacked(spark: SparkSession, ref: LogRef): DataFrame = {
+    val retained = curatedRetained(spark, history(spark, ref))
+    val checks = Curation.shardAssign(retained).groupBy("lang")
+      .agg(sum(col("doc_id") * (col("shard_id") + lit(1L))).as("shard_checksum"))
+    val (_, _, _, packV) = views(spark, ref)
+    packV.join(checks, Seq("lang"), "left_outer").orderBy("lang")
   }
 
   /** eq148 — CORPUS TIME TRAVEL under the oracle (VERDICT r12 task 3):

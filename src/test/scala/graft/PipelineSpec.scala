@@ -2224,6 +2224,135 @@ class PipelineSpec extends SparkSpec {
     assert(StateLog.activeGenerations(spark, ref) == 2, "fold + the new delta")
   }
 
+  test("state log: the manifest checkpoint merges the per-row files without changing a row — " +
+    "history, views, replay-skip, later appends and crash-window duplicates all survive") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    assert(StateLog.ingestBatch(spark, ref, st, docsDf(bDocs), 0L)) // gen 1
+    StateLog.compactLog(spark, ref)                                  // gen 2
+
+    val manifestDir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/${ref.manifest}_manifest")
+    def dataFiles(): Seq[java.io.File] = manifestDir.listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles().size >= 3, "one file per manifest row before the checkpoint")
+
+    val preHash = StateLog.views(spark, ref)._1.localCheckpoint()
+    val preCorpus = StateLog.corpus(spark, ref).localCheckpoint()
+    val (before, after) = StateLog.checkpointManifest(spark, ref)
+    assert(before >= 3 && after == 1,
+      s"checkpoint must merge the row files into one, got $before -> $after")
+    assert(dataFiles().size == 1)
+
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(StateLog.views(spark, ref)._1, preHash, "live hash view across the checkpoint")
+    sameSet(StateLog.corpus(spark, ref), preCorpus, "live corpus across the checkpoint")
+    assert(!StateLog.ingestBatch(spark, ref, st, docsDf(bDocs), 0L),
+      "the replay-skip set must survive the file swap")
+    assert(StateLog.checkpointManifest(spark, ref) == ((1L, 1L)),
+      "a second checkpoint is a no-op")
+
+    // a later append lands as its own new file and is immediately visible
+    assert(StateLog.ingestBatch(spark, ref, st, docsDf(cDocs), 1L)) // gen 3
+    assert(dataFiles().size == 2, "the post-checkpoint append is one new file")
+    assert(StateLog.activeGenerations(spark, ref) == 2, "fold + the new delta")
+
+    // crash window: a checkpoint that died between its rename and its
+    // deletes leaves byte-identical duplicate rows — reads collapse them,
+    // and the next checkpoint merges them away
+    val postIngestCorpus = StateLog.corpus(spark, ref).localCheckpoint()
+    val ckpt = dataFiles().filter(_.getName.startsWith("part-ckpt-")).head
+    java.nio.file.Files.copy(ckpt.toPath,
+      ckpt.toPath.resolveSibling(ckpt.getName.replace("part-ckpt-", "part-ckpt-dup-")))
+    assert(dataFiles().size == 3)
+    sameSet(StateLog.corpus(spark, ref), postIngestCorpus,
+      "corpus across the duplicated checkpoint file")
+    assert(!StateLog.ingestBatch(spark, ref, st, docsDf(cDocs), 1L),
+      "replay-skip must hold over collapsed duplicate rows")
+    val (b2, a2) = StateLog.checkpointManifest(spark, ref)
+    assert(b2 == 3 && a2 == 1, "the next checkpoint merges the duplicates away")
+    assert(StateLog.activeGenerations(spark, ref) == 2,
+      "history resolves identically after the duplicate merge")
+  }
+
+  test("state log repack: a repack generation restores the append-pack invariant — " +
+    "stale pre-repack, scratch-exact post-repack, the next ingest exact again, folds carry it, vacuum bounds it") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+
+    // survivors of the batch, computed against the committed views the
+    // ingest will see (the scratch side of every pack comparison below)
+    val packCols = Seq("lang", "doc_id", "n_tokens", "n_chars")
+    def survivorsOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val docs = StateLog.corpus(spark, ref).withColumn("is_new", lit(false))
+        .unionByName(batch.withColumn("is_new", lit(true)))
+      val (hashV, _, _, _) = StateLog.views(spark, ref)
+      Curation.deltaSurvivorsFromState(docs, col("is_new"), hashV,
+        StateLog.effectiveBand(spark, ref),
+        spark.table(st.testVocab), spark.table(st.mixRates)).localCheckpoint()
+    }
+    val s1 = survivorsOf(docsDf(bDocs))
+    assert(s1.count() > 0, "fixture must carry delta survivors")
+    assert(StateLog.ingestBatch(spark, ref, st, docsDf(bDocs), 0L)) // gen 1
+
+    // delete docs that ARE in the pack's membership on BOTH sides — one
+    // curated old doc and one batch survivor — so the repack is
+    // load-bearing for the summary, not just the index layers
+    val curatedOld = Curation.curatedDocsDf(oldDocs).drop("shard_id").localCheckpoint()
+    val delOld = curatedOld.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    val delNew = s1.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    val isDel = col("doc_id").isin((delOld ++ delNew): _*)
+    assert(StateLog.retractBatch(spark, ref, isDel, 1L))            // gen 2
+
+    val retained = curatedOld.select(packCols.head, packCols.tail: _*)
+      .unionByName(s1.select(packCols.head, packCols.tail: _*))
+      .filter(!isDel).localCheckpoint()
+    val scratchPack = Curation.packSummaryOf(retained).localCheckpoint()
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    def packView() = StateLog.views(spark, ref)._4
+    assert(packView().exceptAll(scratchPack).count() > 0,
+      "fixture must make the repack load-bearing (pre-repack summary still counts deleted docs)")
+    val preHash = StateLog.views(spark, ref)._1.localCheckpoint()
+    val preBand = StateLog.effectiveBand(spark, ref).localCheckpoint()
+    val preCorpus = StateLog.corpus(spark, ref).localCheckpoint()
+
+    assert(StateLog.repackLog(spark, ref, 2L))                      // gen 3
+    assert(!StateLog.repackLog(spark, ref, 2L), "a replayed repack op is skipped")
+    sameSet(packView(), scratchPack, "repacked summary vs scratch pack over the retained corpus")
+    // the repack changes accounting, not membership: every other view is untouched
+    sameSet(StateLog.views(spark, ref)._1, preHash, "hash view across the repack")
+    sameSet(StateLog.effectiveBand(spark, ref), preBand, "effective band across the repack")
+    sameSet(StateLog.corpus(spark, ref), preCorpus, "corpus across the repack")
+
+    // invariant re-established: the next ingest's O(batch) append math
+    // lands on the scratch pack over (retained ∪ its survivors)
+    val s2 = survivorsOf(docsDf(cDocs))
+    assert(s2.count() > 0, "fixture must carry second-batch survivors")
+    assert(StateLog.ingestBatch(spark, ref, st, docsDf(cDocs), 3L)) // gen 4
+    val mergedPack = Curation.packSummaryOf(
+      retained.unionByName(s2.select(packCols.head, packCols.tail: _*))).localCheckpoint()
+    sameSet(packView(), mergedPack, "ingest after repack vs scratch pack over the merged population")
+
+    // a fold carries the repacked accounting forward…
+    StateLog.compactLog(spark, ref)                                 // gen 5
+    sameSet(packView(), mergedPack, "pack summary across the fold")
+    // …and vacuum bounds the NEXT repack exactly like time travel
+    assert(StateLog.vacuum(spark, ref).nonEmpty)
+    val e = intercept[IllegalStateException] { StateLog.repackLog(spark, ref, 9L) }
+    assert(e.getMessage.contains("repack before vacuuming"), s"unexpected error: ${e.getMessage}")
+  }
+
   test("a snapshot wrapped by a state log refuses the in-place advance (ADVICE r11)") {
     import graft.sources.{SnapshotStateSink, StateLog}
     import HotBucketFixture.{aDocs, bDocs}
