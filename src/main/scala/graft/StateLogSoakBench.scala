@@ -65,31 +65,50 @@ object StateLogSoakBench {
         ingests += (((System.nanoTime() - t0) / 1e9, w))
       }
       ingest(0); ingest(1)
-      val fold1 = meter(StateLog.compactLog(spark, ref))
-      StateLog.vacuum(spark, ref)
+      // manifest CHECKPOINT mid-horizon (r13): one file per committed op
+      // so far; must merge to ONE and cost driver-side file work only
+      val ckpt1 = StateLog.checkpointManifest(spark, ref)
       ingest(2)
       val isDel = col("doc_id") < n && pmod(col("doc_id"), lit(97)) === lit(3)
       val retract = meter {
         require(StateLog.retractBatch(spark, ref, isDel, 100L),
           "soak retraction must apply")
       }
+      // log-side REPACK right after the retraction (r13) — the production
+      // order (retract → repack → fold → vacuum): corpus-sized by honest
+      // design (the curated membership re-derived from the log's own
+      // generations), expected ~linear in n, paid once per retraction
+      // epoch — what must NOT grow is the per-batch ingest after it
+      val t0r = System.nanoTime()
+      val repack = meter {
+        graft.pipeline.Dedup.clearDerivedCaches()
+        require(StateLog.repackLog(spark, ref, 101L), "soak repack must apply")
+      }
+      val repackSec = (System.nanoTime() - t0r) / 1e9
+      val fold1 = meter(StateLog.compactLog(spark, ref))
+      StateLog.vacuum(spark, ref)
       ingest(3)
       val fold2 = meter(StateLog.compactLog(spark, ref))
       StateLog.vacuum(spark, ref)
+      val ckpt2 = StateLog.checkpointManifest(spark, ref)
       println(s"[statelogsoak] ${s}x: n=$n " +
         ingests.zipWithIndex.map { case ((sec, w), i) =>
           f"b$i=$sec%.2fs/${w.shuffleRead}B" }.mkString(" ") +
-        s" fold1Shuf=${fold1.shuffleRead} retractShuf=${retract.shuffleRead} " +
-        s"fold2Shuf=${fold2.shuffleRead}")
-      (s, n, ingests.toSeq, fold1, retract, fold2)
+        s" ckpt1=${ckpt1._1}->${ckpt1._2} " +
+        f"repack=$repackSec%.2fs/${repack.shuffleRead}B " +
+        s"fold1Shuf=${fold1.shuffleRead} retractShuf=${retract.shuffleRead} " +
+        s"fold2Shuf=${fold2.shuffleRead} ckpt2=${ckpt2._1}->${ckpt2._2}")
+      (s, n, ingests.toSeq, fold1, retract, fold2, (ckpt1, ckpt2), (repackSec, repack))
     }
     val json = "{\"metric\":\"statelogsoak\",\"unit\":\"sec\",\"cpus\":" + cpus +
       ",\"base_docs\":" + baseN + ",\"scales\":[" +
-      results.map { case (s, n, ing, f1, rw, f2) =>
+      results.map { case (s, n, ing, f1, rw, f2, (c1, c2), (rps, rpw)) =>
         s"""{"scale":$s,"docs":$n,"ingests":[""" +
           ing.map { case (sec, w) =>
             s"""{"sec":$sec,"work":${w.json}}""" }.mkString(",") +
-          s"""],"fold1_work":${f1.json},"retract_work":${rw.json},""" +
+          s"""],"ckpt1_files":[${c1._1},${c1._2}],"ckpt2_files":[${c2._1},${c2._2}],""" +
+          s""""repack_sec":$rps,"repack_work":${rpw.json},""" +
+          s""""fold1_work":${f1.json},"retract_work":${rw.json},""" +
           s""""fold2_work":${f2.json}}"""
       }.mkString(",") + "]}"
     println(json)

@@ -1033,22 +1033,46 @@ object StateLog {
     withCommitRetry() {
       val hist = history(spark, ref)
       if (hist.exists(g => g.batchId == opId && g.kind == "repack")) false
-      else {
-        val ps = Curation.packSummaryOf(curatedRetained(spark, hist))
-        val gens = active(hist)
-        val (hashV, bandRawV, stopV, _) = viewsOf(spark, gens)
-        val tag = attemptTag(s"p$opId")
-        val hashT = saveGen(spark, ref, hashV.limit(0), "hash", tag, Some("h"))
-        val bandT = saveGen(spark, ref, bandRawV.limit(0), "band", tag, Some("band_key"))
-        val stopT = saveGen(spark, ref, stopV.limit(0), "stop", tag, None)
-        val packT = saveGen(spark, ref, ps, "pack", tag, None)
-        val curT = saveGen(spark, ref, corpusOf(spark, gens).limit(0), "cur", tag, None)
-        val base = hist.map(_.genId).max
-        commitAttempt(spark, ref, base, Gen(base + 1, opId, "repack",
-          hashT, bandT, stopT, packT, curT))
-        true
-      }
+      else commitRepack(spark, ref, hist,
+        Curation.packSummaryOf(curatedRetained(spark, hist)), opId)
     }
+
+  /** Caller-supplied REPACK — the production-epoch form. The
+    * self-contained [[repackLog]] re-derives the curated membership from
+    * the base + delta generations, which a [[vacuum]] reclaims: after a
+    * fold + vacuum, a retraction in a LATER epoch could never re-account
+    * its packs through the log alone (the fold's merged store cannot
+    * split curated-old from raw-old). Production does not need it to —
+    * the curated corpus is the PRODUCT, persisted at rest (eq138's
+    * written layout, advanced by every append-pack), so the caller hands
+    * over the RETAINED curated rows (`lang, doc_id, n_tokens, n_chars`
+    * after deletions — [[SnapshotStateSink.repack]]'s exact contract)
+    * and the log commits the re-windowed summary under the same
+    * exactly-once discipline. Usable at ANY epoch, any vacuum state. */
+  def repackLog(spark: SparkSession, ref: LogRef,
+      retainedCurated: DataFrame, opId: Long): Boolean =
+    withCommitRetry() {
+      val hist = history(spark, ref)
+      if (hist.exists(g => g.batchId == opId && g.kind == "repack")) false
+      else commitRepack(spark, ref, hist,
+        Curation.packSummaryOf(retainedCurated), opId)
+    }
+
+  private def commitRepack(spark: SparkSession, ref: LogRef, hist: Seq[Gen],
+      ps: DataFrame, opId: Long): Boolean = {
+    val gens = active(hist)
+    val (hashV, bandRawV, stopV, _) = viewsOf(spark, gens)
+    val tag = attemptTag(s"p$opId")
+    val hashT = saveGen(spark, ref, hashV.limit(0), "hash", tag, Some("h"))
+    val bandT = saveGen(spark, ref, bandRawV.limit(0), "band", tag, Some("band_key"))
+    val stopT = saveGen(spark, ref, stopV.limit(0), "stop", tag, None)
+    val packT = saveGen(spark, ref, ps, "pack", tag, None)
+    val curT = saveGen(spark, ref, corpusOf(spark, gens).limit(0), "cur", tag, None)
+    val base = hist.map(_.genId).max
+    commitAttempt(spark, ref, base, Gen(base + 1, opId, "repack",
+      hashT, bandT, stopT, packT, curT))
+    true
+  }
 
   /** Fold every active generation into one (eq142's compaction applied
     * to the log): the effective views written physically as a fresh

@@ -2280,6 +2280,74 @@ class PipelineSpec extends SparkSpec {
       "history resolves identically after the duplicate merge")
   }
 
+  test("state log: a manifest checkpoint racing live committers loses nothing — " +
+    "appends land as their own files, readers re-plan across the file swap") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs, cDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    val frRows = Seq(
+      (3000L, "les vignerons taillent sarments pendant hiver froid", "fr", "src", 52L),
+      (3001L, "phare breton guide chalutiers vers criee matinale", "fr", "src", 50L))
+    val batches = Seq(20L -> docsDf(bDocs).localCheckpoint(),
+      21L -> docsDf(cDocs).localCheckpoint(), 22L -> docsDf(frRows).localCheckpoint())
+
+    // one writer thread committing three exactly-once ingests while a
+    // maintenance thread checkpoints the manifest in a loop until the
+    // writer finishes: every interleaving must keep every row (an append
+    // is never in a checkpoint's listed set) and every read consistent
+    // (withManifestRetry re-plans a scan that raced the file swap)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val writing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val writer = pool.submit(new java.util.concurrent.Callable[Boolean] {
+      def call(): Boolean =
+        try { go.await(); batches.forall { case (id, b) =>
+          StateLog.ingestBatch(spark, ref, st, b, id) } }
+        finally writing.set(false)
+    })
+    val sweeps = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        go.await()
+        var n = 0
+        while (writing.get()) { StateLog.checkpointManifest(spark, ref); n += 1
+          Thread.sleep(100) }
+        n
+      }
+    })
+    go.countDown()
+    assert(writer.get(300, TimeUnit.SECONDS), "all three racing-era ingests must apply")
+    assert(sweeps.get(300, TimeUnit.SECONDS) >= 1, "the race must exercise at least one checkpoint")
+    pool.shutdown()
+
+    // nothing lost in any interleaving: dense gen ids, every batch exactly once
+    val manifest = spark.table(ref.manifest).distinct().collect()
+    assert(manifest.map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L, 2L, 3L),
+      "gen_ids must be unique and dense across the checkpoint race")
+    assert(manifest.map(_.getLong(1)).toSet == Set(-1L, 20L, 21L, 22L),
+      "every batch commit must survive the file swaps")
+    batches.foreach { case (id, b) =>
+      assert(!StateLog.ingestBatch(spark, ref, st, b, id),
+        s"batch $id must stay replay-skipped after the race") }
+    assert(StateLog.checkpointManifest(spark, ref)._2 == 1,
+      "the closing checkpoint converges to one file")
+
+    // the raced log's state ≡ the same three ingests into a quiet log
+    val ref2 = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    batches.foreach { case (id, b) =>
+      assert(StateLog.ingestBatch(spark, ref2, st, b, id)) }
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(StateLog.views(spark, ref)._1, StateLog.views(spark, ref2)._1,
+      "hash view: raced log vs quiet log")
+    sameSet(StateLog.effectiveBand(spark, ref), StateLog.effectiveBand(spark, ref2),
+      "effective band: raced log vs quiet log")
+    sameSet(StateLog.corpus(spark, ref), StateLog.corpus(spark, ref2),
+      "corpus: raced log vs quiet log")
+  }
+
   test("state log repack: a repack generation restores the append-pack invariant — " +
     "stale pre-repack, scratch-exact post-repack, the next ingest exact again, folds carry it, vacuum bounds it") {
     import graft.sources.{SnapshotStateSink, StateLog}
@@ -2347,10 +2415,30 @@ class PipelineSpec extends SparkSpec {
     // a fold carries the repacked accounting forward…
     StateLog.compactLog(spark, ref)                                 // gen 5
     sameSet(packView(), mergedPack, "pack summary across the fold")
-    // …and vacuum bounds the NEXT repack exactly like time travel
+    // …and vacuum bounds the NEXT self-contained repack exactly like time travel
     assert(StateLog.vacuum(spark, ref).nonEmpty)
     val e = intercept[IllegalStateException] { StateLog.repackLog(spark, ref, 9L) }
     assert(e.getMessage.contains("repack before vacuuming"), s"unexpected error: ${e.getMessage}")
+
+    // EPOCH 2: a retraction AFTER the fold + vacuum — the log alone can no
+    // longer split curated-old from raw-old, but production persists the
+    // curated corpus as the product, so the caller-supplied overload
+    // (SnapshotStateSink.repack's contract) must re-account at any epoch
+    val mergedCur = retained
+      .unionByName(s2.select(packCols.head, packCols.tail: _*)).localCheckpoint()
+    val delEpoch2 = mergedCur.select("doc_id").orderBy(col("doc_id").desc).limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    val isDel2 = col("doc_id").isin(delEpoch2: _*)
+    assert(StateLog.retractBatch(spark, ref, isDel2, 11L))
+    val e2 = intercept[IllegalStateException] { StateLog.repackLog(spark, ref, 12L) }
+    assert(e2.getMessage.contains("repack before vacuuming"),
+      "the self-contained path must stay cleanly bounded in a later epoch")
+    val retained2 = mergedCur.filter(!isDel2).localCheckpoint()
+    assert(StateLog.repackLog(spark, ref, retained2, 12L))
+    assert(!StateLog.repackLog(spark, ref, retained2, 12L),
+      "a replayed caller-supplied repack op is skipped")
+    sameSet(packView(), Curation.packSummaryOf(retained2),
+      "caller-supplied repack in a post-vacuum epoch vs scratch pack")
   }
 
   test("a snapshot wrapped by a state log refuses the in-place advance (ADVICE r11)") {

@@ -193,6 +193,49 @@ class ScaleSpec extends SparkSpec {
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
 
+  test("state log repack: the corpus-sized re-derivation is paid once by " +
+    "the repack itself — the ingest AFTER it stays batch-bounded (r13)") {
+    // eq151's scale claim, measured through the LOG: the self-contained
+    // repack re-derives the curated membership from the log's own
+    // generations (one full-curation pass — its shuffle mass must GROW
+    // with the corpus, the honest cost class the soak bench records as
+    // ~linear), and in exchange the ingest that follows keeps the
+    // batch-bounded shape against the repacked summary — the invariant
+    // the repack exists to restore, now pinned in CI like its snapshot
+    // twin above.
+    import org.apache.spark.sql.functions._
+    import graft.sources.{SnapshotStateSink, StateLog}
+    val meter = WorkMass.meter(spark.sparkContext)
+    def rp(n: Long): (WorkMass, WorkMass) = {
+      val old = ScaleBench.corpus(spark, n).localCheckpoint()
+      val st = SnapshotStateSink.write(spark, old, lit(false), lit(true))
+      val ref = StateLog.fromSnapshot(spark, st,
+        StateLog.writeCorpusStore(spark, old))
+      val both = ScaleBench.deltaCorpus(spark, n, 800, targetBlocks = 20)
+      val b1 = both.filter(col("doc_id") < n + 400L).localCheckpoint()
+      val b2 = both.filter(col("doc_id") >= n + 400L).localCheckpoint()
+      Dedup.clearDerivedCaches()
+      assert(StateLog.ingestBatch(spark, ref, st, b1, 0L))
+      assert(StateLog.retractBatch(spark, ref,
+        col("doc_id") < n && col("doc_id") % 97 === 3, 1L))
+      Dedup.clearDerivedCaches() // fresh-restart posture: the repack re-derives
+      val rpWork = meter { assert(StateLog.repackLog(spark, ref, 2L)) }
+      Dedup.clearDerivedCaches() // fresh-restart posture for the metered batch
+      val ingWork = meter { assert(StateLog.ingestBatch(spark, ref, st, b2, 3L)) }
+      (rpWork, ingWork)
+    }
+    val (r1, i1) = rp(2000)
+    val (r10, i10) = rp(20000)
+    assert(r1.shuffleRead > 0, "meter must observe the repack")
+    assert(r10.shuffleRead > 3L * r1.shuffleRead,
+      s"log repack is corpus-sized by design (sanity): " +
+        s"${r1.shuffleRead} -> ${r10.shuffleRead}")
+    assert(i10.shuffleRead < 3L * i1.shuffleRead,
+      s"the ingest after a log repack must stay batch-bounded: " +
+        s"${i1.shuffleRead} -> ${i10.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
+
   test("state log: a FIXED batch ingested into 10x accumulated committed " +
     "state — per-batch shuffle flat (VERDICT r12 task 5)") {
     // The at-rest pin above covers the snapshot path; this is the LOG
