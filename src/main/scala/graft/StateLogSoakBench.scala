@@ -15,15 +15,21 @@ import graft.sources.{SnapshotStateSink, StateLog}
   * work mass; SCALEBENCH.md carries the table, ScaleSpec pins the
   * 1×→10× per-batch shuffle ratio in CI.
   *
-  * Shape per scale: wrap a finished snapshot of corpus(n) in a log, then
-  * four FIXED 400-doc batches through the SELF-CONTAINED ingest (memos
-  * cleared before each — the fresh-restart posture, so each batch pays
-  * only its own signing), a fold + vacuum after batch 1, a retraction
-  * (~1% of the old corpus) after batch 2, and a closing fold + vacuum.
-  * The honest costs stay visible: folds are corpus-sized by design
+  * Shape per scale (r13 close — the full maintenance mix): wrap a
+  * finished snapshot of corpus(n) in a log, then four FIXED 400-doc
+  * batches through the SELF-CONTAINED ingest (memos cleared before each
+  * — the fresh-restart posture, so each batch pays only its own
+  * signing), a manifest CHECKPOINT after batch 1, a retraction (~1% of
+  * the old corpus) after batch 2 followed immediately by the log-side
+  * REPACK (the production order: retract → repack → fold → vacuum),
+  * then batch 3 and a closing fold + vacuum + checkpoint. The honest
+  * costs stay visible: folds are corpus-sized in scan/write by design
   * (paid once per maintenance window), the retraction's orphan recount
-  * scales with the deletion slice — what must NOT grow with the corpus
-  * is the per-batch ingest, and that is the recorded claim. */
+  * scales with the deletion slice, the repack's membership re-derivation
+  * scales with the corpus (once per retraction epoch) — what must NOT
+  * grow with the corpus is the per-batch ingest, and that is the
+  * recorded claim (b3 lands after retract+repack+fold and must ship
+  * b0's bytes). */
 object StateLogSoakBench {
 
   def main(args: Array[String]): Unit = {

@@ -190,9 +190,15 @@ object StateLog {
         withManifestRetry(attemptsLeft - 1)(body)
     }
 
+  /** Both shapes a vanished file takes in Spark 4: executor-side reads
+    * throw FileNotFoundException (often wrapped), while an explicit-path
+    * `spark.read.parquet(files)` fails PLANNING with AnalysisException
+    * PATH_NOT_FOUND ("Path does not exist") — the concurrent-checkpoint
+    * loser's path, which must retry into the no-op, not crash. */
   private def missingFile(e: Throwable, depth: Int): Boolean =
     e != null && depth > 0 && (e.isInstanceOf[java.io.FileNotFoundException] ||
-      Option(e.getMessage).exists(_.contains("FileNotFoundException")) ||
+      Option(e.getMessage).exists(m => m.contains("FileNotFoundException") ||
+        m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")) ||
       missingFile(e.getCause, depth - 1))
 
   /** Append one manifest row as ONE uniquely-named parquet file, staged
@@ -208,8 +214,19 @@ object StateLog {
     * ([[freshManifest]]). */
   private def appendManifestRow(spark: SparkSession, ref: LogRef, g: Gen): Unit = {
     val nonce = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
-    val stage = s"${sys.props("java.io.tmpdir")}/${ref.manifest}_rowstage_$nonce"
-    genRow(spark, g).coalesce(1).write.mode("overwrite").parquet(stage)
+    commitOneFile(spark, ref, genRow(spark, g), s"part-row-g${g.genId}-$nonce.parquet")
+  }
+
+  /** The atomic commit-file step shared by [[appendManifestRow]] and
+    * [[checkpointManifest]]: write `df` as ONE parquet file at a private
+    * staging path, then RENAME it to `<manifest location>/<destName>` —
+    * racers never share a staging byte; the rename is the only
+    * shared-namespace operation. */
+  private def commitOneFile(spark: SparkSession, ref: LogRef,
+      df: DataFrame, destName: String): Unit = {
+    val stage = s"${sys.props("java.io.tmpdir")}/${ref.manifest}_stage_" +
+      s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
     val conf = spark.sparkContext.hadoopConfiguration
     val stagePath = new org.apache.hadoop.fs.Path(stage)
     val fs = stagePath.getFileSystem(conf)
@@ -219,9 +236,9 @@ object StateLog {
     val loc = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location
     val dest = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(loc), s"part-row-g${g.genId}-$nonce.parquet")
+      new org.apache.hadoop.fs.Path(loc), destName)
     require(fs.rename(part, dest),
-      s"state log ${ref.manifest}: manifest row rename failed for gen ${g.genId}")
+      s"state log ${ref.manifest}: commit-file rename failed for $destName")
     fs.delete(stagePath, true): Unit
     spark.catalog.refreshTable(ref.manifest)
   }
@@ -489,21 +506,23 @@ object StateLog {
     * generation subtracts only the retract rows with a HIGHER gen_id
     * (deltas sharing the same later-retract suffix share one anti-join;
     * retracts are gen_id-sorted, so the applicable set is always a
-    * suffix). `tombLayer` names the retract row's table holding the
-    * tombstones for this layer. */
-  private def minusLaterTombs(spark: SparkSession, gens: Seq[Gen],
-      layer: Gen => String, tombLayer: Gen => String, key: String,
+    * suffix). `layer` resolves a non-retract generation's contribution
+    * FRAME and `tombLayer` a retract row's tombstones for this layer —
+    * frames, not table names, so [[curatedRetained]]'s derived
+    * contributions share this exact subtraction instead of re-implementing
+    * it (the r11 re-admission bug class lives in ONE place). */
+  private def minusLaterTombs(gens: Seq[Gen],
+      layer: Gen => DataFrame, tombLayer: Gen => DataFrame, key: String,
       tombCols: DataFrame => DataFrame): DataFrame = {
-    def union(tbls: Seq[String]): DataFrame =
-      tbls.map(spark.table).reduce(_ unionAll _)
     val deltas = gens.filter(_.kind != "retract")
     val retracts = gens.filter(_.kind == "retract")
     deltas.groupBy(d => retracts.count(_.genId > d.genId)).toSeq.sortBy(_._1)
       .map { case (nLater, ds) =>
-        val raw = union(ds.map(layer))
+        val raw = ds.map(layer).reduce(_ unionAll _)
         if (nLater == 0) raw
         else raw.join(
-          broadcast(tombCols(union(retracts.takeRight(nLater).map(tombLayer)))),
+          broadcast(tombCols(
+            retracts.takeRight(nLater).map(tombLayer).reduce(_ unionAll _))),
           Seq(key), "left_anti")
           // the USING-join fronts the key column; restore the layer's
           // order so the cross-group unionAll stays position-aligned
@@ -513,8 +532,10 @@ object StateLog {
 
   private def viewsOf(spark: SparkSession, gens: Seq[Gen]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val deltas = gens.filter(_.kind != "retract")
-    val hashV = minusLaterTombs(spark, gens, _.hash, _.hash, "h", identity)
-    val bandLive = minusLaterTombs(spark, gens, _.band, _.band, "doc_id", _.select("doc_id"))
+    val hashV = minusLaterTombs(gens,
+      g => spark.table(g.hash), g => spark.table(g.hash), "h", identity)
+    val bandLive = minusLaterTombs(gens,
+      g => spark.table(g.band), g => spark.table(g.band), "doc_id", _.select("doc_id"))
     (hashV, bandLive,
       deltas.map(g => spark.table(g.stop)).reduce(_ unionAll _),
       spark.table(deltas.last.pack))
@@ -531,7 +552,8 @@ object StateLog {
     corpusOf(spark, active(history(spark, ref)))
 
   private def corpusOf(spark: SparkSession, gens: Seq[Gen]): DataFrame =
-    minusLaterTombs(spark, gens, _.cur, _.band, "doc_id", _.select("doc_id"))
+    minusLaterTombs(gens,
+      g => spark.table(g.cur), g => spark.table(g.band), "doc_id", _.select("doc_id"))
 
   def views(spark: SparkSession, ref: LogRef): (DataFrame, DataFrame, DataFrame, DataFrame) =
     viewsOf(spark, active(history(spark, ref)))
@@ -724,19 +746,10 @@ object StateLog {
           s"state log ${ref.manifest}: conflicting manifest rows share a " +
             "gen_id — refusing to checkpoint a torn manifest")
         val nonce = s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
-        val stage = s"${sys.props("java.io.tmpdir")}/${ref.manifest}_ckptstage_$nonce"
-        spark.createDataFrame(
+        commitOneFile(spark, ref, spark.createDataFrame(
           new java.util.ArrayList(scala.jdk.CollectionConverters
-            .SeqHasAsJava(rows).asJava), src.schema)
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val stagePath = new org.apache.hadoop.fs.Path(stage)
-        val part = fs.listStatus(stagePath).map(_.getPath)
-          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-          .head
-        val dest = new org.apache.hadoop.fs.Path(dir, s"part-ckpt-$nonce.parquet")
-        require(fs.rename(part, dest),
-          s"state log ${ref.manifest}: manifest checkpoint rename failed")
-        fs.delete(stagePath, true): Unit
+            .SeqHasAsJava(rows).asJava), src.schema),
+          s"part-ckpt-$nonce.parquet")
         parts.foreach(p => fs.delete(p, false): Unit)
         spark.catalog.refreshTable(ref.manifest)
         (parts.size.toLong, dataFiles().size.toLong)
@@ -1000,15 +1013,8 @@ object StateLog {
           .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"))
       else spark.table(g.cur).select(col("doc_id"), col("lang"),
         ws_token_count(col("text")).cast("long").as("n_tokens"), col("n_chars"))
-    contribs.groupBy(d => retracts.count(_.genId > d.genId)).toSeq.sortBy(_._1)
-      .map { case (nLater, ds) =>
-        val raw = ds.map(contrib).reduce(_ unionAll _)
-        if (nLater == 0) raw
-        else raw.join(
-          broadcast(retracts.takeRight(nLater).map(g => spark.table(g.band))
-            .reduce(_ unionAll _).select("doc_id")), Seq("doc_id"), "left_anti")
-          .select(raw.columns.map(col).toIndexedSeq: _*)
-      }.reduce(_ unionAll _)
+    minusLaterTombs(contribs ++ retracts, contrib,
+      g => spark.table(g.band), "doc_id", _.select("doc_id"))
   }
 
   /** POST-RETRACTION REPACK through the log — eq145's pack re-accounting
