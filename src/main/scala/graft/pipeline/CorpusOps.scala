@@ -546,13 +546,12 @@ object CorpusOps {
     packShardsDf(Tables.load(spark, dir, "documents"))
 
   def packShardsDf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
+    // the two-phase distributed prefix sum (Curation.packPrefixCum, r13):
+    // same exact cum as the plain per-lang window, but the dominant
+    // language no longer flows through ONE window task
+    Curation.packPrefixCum(docs
       .select(col("lang"), col("doc_id"),
-        ws_token_count(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        ws_token_count(col("text")).cast("long").as("n_tokens")))
       .withColumn("shard_id", expr(s"cum div $ShardBudget"))
       .groupBy("lang", "shard_id")
       .agg(

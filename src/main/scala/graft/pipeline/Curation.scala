@@ -89,19 +89,71 @@ object Curation {
   def curatedDocsDf(docs: DataFrame): DataFrame =
     shardAssign(chainOf(docs).s7)
 
+  /** Exclusive per-lang prefix sum of `n_tokens` in `doc_id` order — the
+    * pack family's one primitive — computed as a TWO-PHASE distributed
+    * scan instead of a single per-lang window (r13). A plain
+    * `Window.partitionBy("lang")` puts a language's ENTIRE corpus
+    * through one task (an external sort + scan), which at production
+    * scale makes the dominant language a single-task sort of most of
+    * the corpus — the last single-partition shape in the engine.
+    *
+    *  1. per-lang (min, max) doc_id — one cheap aggregate, broadcast;
+    *  2. a deterministic ORDER-PRESERVING bucket per row:
+    *     `(doc_id - min) div width`, `width = (max - min) div K + 1`
+    *     (pure integer division: no sampling, no overflow, no second
+    *     materialization of the frame, bkt ∈ [0, K));
+    *  3. per-(lang, bucket) token sums (map-side combined, K·|langs|
+    *     rows) → per-bucket EXCLUSIVE offsets via a window over that
+    *     tiny frame;
+    *  4. the per-row prefix sum within each (lang, bucket) window plus
+    *     the broadcast bucket offset.
+    *
+    * `cum` is EXACTLY the single-window value for every row — buckets
+    * are order-preserving, doc_ids unique, long addition exact — and
+    * K-independent (only the plan varies with the session), so golden
+    * hashes are bit-identical. Shuffle byte class unchanged (one
+    * frame-sized exchange, keyed (lang, bucket) instead of (lang)); the
+    * max window partition drops from |dominant language| to ~|corpus|/K.
+    * Ids clustered into one bucket degrade toward the old shape, never
+    * below it. The BATCH-side windows ([[appendPackCount]]/
+    * [[appendPackSummary]]) keep the plain shape — batch-bounded by
+    * contract. The lang key is null-safe via a sentinel (a plain join
+    * would silently DROP null-lang rows the old window kept as their
+    * own partition). */
+  private[graft] def packPrefixCum(corpus: DataFrame): DataFrame = {
+    val k = math.max(1, corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val withKey = corpus.withColumn("_pl", coalesce(col("lang"), lit("\u0000")))
+    val ranges = withKey.groupBy("_pl").agg(
+      min(col("doc_id")).as("_idmin"), max(col("doc_id")).as("_idmax"))
+    val bucketed = withKey.join(broadcast(ranges), Seq("_pl"))
+      .withColumn("_bkt",
+        expr(s"(doc_id - _idmin) div (((_idmax - _idmin) div $k) + 1)"))
+      .drop("_idmin", "_idmax")
+    val offW = Window.partitionBy("_pl").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("_pl"), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_bsum"))
+      .withColumn("_boff", coalesce(sum(col("_bsum")).over(offW), lit(0L)))
+      .select("_pl", "_bkt", "_boff")
+    val bktW = Window.partitionBy("_pl", "_bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("_pl", "_bkt"))
+      .withColumn("cum",
+        coalesce(sum(col("n_tokens")).over(bktW), lit(0L)) + col("_boff"))
+      .drop("_pl", "_bkt", "_boff")
+  }
+
   /** The eq34 shard assignment over a corpus frame: per-lang prefix sum
-    * of n_tokens in doc_id order, shard = cum div budget. Shared by
-    * [[curatedDocsDf]] (the full curation's product) and the
-    * post-retraction REPACK (fresh assignments over the retained corpus —
+    * of n_tokens in doc_id order ([[packPrefixCum]] — the two-phase
+    * scan), shard = cum div budget. Shared by [[curatedDocsDf]] (the
+    * full curation's product) and the post-retraction REPACK (fresh
+    * assignments over the retained corpus —
     * [[graft.sources.SnapshotStateSink.repack]]), so the two can never
     * disagree on the packing rule. */
-  private[graft] def shardAssign(corpus: DataFrame): DataFrame = {
-    val packW = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    corpus.withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+  private[graft] def shardAssign(corpus: DataFrame): DataFrame =
+    packPrefixCum(corpus)
       .withColumn("shard_id", expr(s"cum div $ShardBudget"))
-      .drop("cum")
-  }
+      .select((corpus.columns :+ "shard_id").map(col).toIndexedSeq: _*)
 
   /** The seven survivor frames, one per filter stage (packing/encoding
     * transform s7 without dropping). */
@@ -187,11 +239,8 @@ object Curation {
     * prefix-sum window as curatedDocs' shard ids, so the summary can
     * never disagree with the written layout. */
   private[graft] def packSummaryOf(corpus: DataFrame): DataFrame = {
-    val packW = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    corpus
-      .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+    packPrefixCum(corpus
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_chars")))
       .withColumn("shard", expr(s"cum div $ShardBudget"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -2224,6 +2224,51 @@ class PipelineSpec extends SparkSpec {
     assert(StateLog.activeGenerations(spark, ref) == 2, "fold + the new delta")
   }
 
+  test("packPrefixCum: the two-phase distributed prefix sum equals the plain " +
+    "per-lang window on hostile layouts, and its buckets actually split the work") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq[(Long, String, java.lang.Long)](
+      // en: ids spanning a wide range (buckets split), one NULL n_tokens
+      (0L, "en", 10L), (1L, "en", 5L), (1000000L, "en", 7L),
+      (9000000L, "en", null), (9000001L, "en", 3L),
+      // fr: tightly clustered ids (degenerates toward one bucket — legal)
+      (500L, "fr", 4L), (501L, "fr", 6L), (502L, "fr", 8L),
+      // de: a single-doc language (min == max, width 1)
+      (77L, "de", 9L),
+      // NULL lang and empty-string lang must stay SEPARATE partitions
+      (10L, null, 2L), (11L, null, 2L),
+      (10L, "", 5L), (12L, "", 5L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val plainW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def cumMap(df: org.apache.spark.sql.DataFrame): Map[(Option[String], Long), Long] =
+      df.select("lang", "doc_id", "cum").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = cumMap(rows.withColumn("cum",
+      coalesce(sum(col("n_tokens")).over(plainW), lit(0L))))
+    val got = cumMap(Curation.packPrefixCum(rows))
+    assert(got == expect, s"two-phase cum diverged:\n$got\nvs\n$expect")
+
+    // the single-dominant-language shape the rewrite exists for: exact
+    // values AND the bucketing genuinely splits the one-language corpus
+    val solo = spark.range(0, 200).select(
+      (col("id") * 13 % 997).as("doc_id"), lit("en").as("lang"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(col("id") % 7).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val e2 = cumMap(solo.withColumn("cum",
+      coalesce(sum(col("n_tokens")).over(plainW), lit(0L))))
+    assert(cumMap(Curation.packPrefixCum(solo)) == e2,
+      "two-phase cum diverged on the single-language corpus")
+    val k = spark.sessionState.conf.numShufflePartitions
+    val ids = solo.select("doc_id").collect().map(_.getLong(0))
+    val width = (ids.max - ids.min) / k + 1
+    val maxBucket = ids.groupBy(id => (id - ids.min) / width).values.map(_.size).max
+    assert(maxBucket < ids.length / 2,
+      s"uniform ids must spread across buckets (max bucket $maxBucket of ${ids.length}) — " +
+        "the single-task window is exactly what the two-phase scan removes")
+  }
+
   test("state log: the manifest checkpoint merges the per-row files without changing a row — " +
     "history, views, replay-skip, later appends and crash-window duplicates all survive") {
     import graft.sources.{SnapshotStateSink, StateLog}
