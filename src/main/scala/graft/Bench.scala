@@ -161,11 +161,22 @@ object Bench {
             else dir.toSeq.flatMap(f => f.getName match {
               case rx(n) => Some(n.toInt); case _ => None })
           if (seen.isEmpty) None else {
-            val guess = f"BENCH_r${seen.max + 1}%02d_builder_full.json"
+            // WRITE-ONCE (VERDICT r13 task 1): the guessed slot is the
+            // exact name a builder commits, and an env-less post-close
+            // capture has clobbered the committed record three rounds
+            // running. If the slot is taken, append a process-unique
+            // suffix — an auto-guess run may mint new files, never
+            // replace a committed one.
+            val base = f"BENCH_r${seen.max + 1}%02d_builder_full"
+            val guess = (s"$base.json" +:
+              (1 to 99).map(i => s"${base}_${ProcessHandle.current().pid()}" +
+                (if (i == 1) "" else s"_$i") + ".json"))
+              .find(p => !new java.io.File(p).exists())
             System.err.println(s"[bench] no SPARK_GRAFT_ROUND/SPARK_GRAFT_BENCH_OUT " +
-              s"set — auto-writing $guess (round number is a guess: max " +
-              "recorded BENCH_rN.json + 1; set the env var for a recorded run)")
-            Some(guess)
+              s"set — auto-writing ${guess.getOrElse("(no free slot)")} (round " +
+              "number is a guess: max recorded BENCH_rN.json + 1; existing " +
+              "files are never overwritten; set the env var for a recorded run)")
+            guess
           }
       }
       target.foreach(t => java.nio.file.Files.write(
