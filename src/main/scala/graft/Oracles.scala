@@ -4273,6 +4273,19 @@ object Oracles {
     "zq", "o_cs", "d_cs", "o_k6", "d_k6", "o_k7", "d_k7", "d_k8", // curation chain
     "o_ex", "d_ex", "o_tv", "oldh", "old_keys", "new_keys", "po",
     "okb", "stopb", "del", "ret_keys", "mm")             // index + retraction
+  /** Per-CTE rewrite sites in one oracle string — the [[materializeShared]]
+    * fold makes exactly this many substitutions. Exposed so the drift pin
+    * in OraclesGuardSpec can assert the FULL per-CTE substitution map
+    * against a recorded constant (ADVICE r12/r13): a future pipeline
+    * oracle that happens to define an unrelated CTE named `s` or `j`
+    * would otherwise pick up a MATERIALIZED hint silently. */
+  private[graft] def sharedCteHits(sql: String): Map[String, Int] =
+    SharedCtes.map(c => c -> s"\\b$c AS \\(".r.findAllMatchIn(sql).size)
+      .filter(_._2 > 0).toMap
+
+  private[graft] def materializeSharedForTest(sql: String): String =
+    materializeShared(sql)
+
   private def materializeShared(sql: String): String =
     SharedCtes.foldLeft(sql) { (q, c) =>
       // fail-loud rewrite guard (ADVICE r12): `NAME AS (` at a CTE
@@ -4292,7 +4305,12 @@ object Oracles {
       pat.replaceAllIn(q, s"$c AS MATERIALIZED (")
     }
 
-  val pipeline: Map[String, String] = {
+  /** The chain-family oracles BEFORE the materialization rewrite —
+    * [[materializeShared]] applies only to this map (the rewrite is
+    * family-scoped by construction; nothing outside `pipeline` is ever
+    * touched), and OraclesGuardSpec pins the per-CTE substitution counts
+    * over exactly these strings. */
+  private[graft] val pipelineRaw: Map[String, String] = {
     val eq137 = pipelineBase("eq137_incremental_curation")
     val markerAt = eq137.indexOf("-- ::finals::")
     require(markerAt >= 0, "finals marker missing from eq137 oracle")
@@ -4509,5 +4527,8 @@ object Oracles {
           |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM oldc WHERE doc_id % 7 <> 3)
           |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d8c WHERE doc_id % 7 <> 3)
           |ORDER BY item""".stripMargin))
-  }.view.mapValues(materializeShared).toMap
+  }
+
+  val pipeline: Map[String, String] =
+    pipelineRaw.view.mapValues(materializeShared).toMap
 }
