@@ -187,6 +187,39 @@ object SkewBench {
       .select(size(graft.pipeline.TextAnalysis.tokens(col("text"))).as("n"))
       .agg(max("n")).head().getInt(0)
 
+    // ---- 5. clustered doc_ids vs the pack prefix sum (r14) ------------
+    // 1M ids in a razor-thin band inside a huge range + 2 outliers:
+    // level-0 range buckets put ~everything in ONE bucket (the degraded
+    // single-task window the r13 verdict flagged); the refinement loop
+    // re-splits it to <= threshold. Control: the same 1M rows with
+    // uniform ids (no refinement triggered). Measured: the level-0 max
+    // bucket, the refined max bucket vs threshold, and wall-clock of the
+    // full prefix sum on both layouts.
+    val pn = 1000000L
+    val clustered = spark.range(pn).select(
+        (col("id") + 5000000000L).as("doc_id"), lit("en").as("lang"),
+        (col("id") % 7).cast("long").as("n_tokens"))
+      .union(spark.createDataFrame(Seq(
+        (0L, "en", 1L), (4000000000000L, "en", 2L)))
+        .toDF("doc_id", "lang", "n_tokens"))
+      .localCheckpoint()
+    val uniform = spark.range(pn + 2).select(
+        (col("id") * 3999999L).as("doc_id"), lit("en").as("lang"),
+        (col("id") % 7).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val kPart = spark.sessionState.conf.numShufflePartitions
+    val width0 = 4000000000000L / kPart + 1
+    val level0Max = clustered
+      .groupBy(expr(s"doc_id div $width0")).count()
+      .agg(max("count")).head().getLong(0)
+    val (_, packStats, packThreshold) =
+      graft.pipeline.Curation.packBucketed(clustered)
+    val refinedMax = packStats.map(_.rows).max
+    val clusteredSec = median3(
+      graft.pipeline.Curation.packPrefixCum(clustered).agg(sum("cum")).collect())
+    val uniformSec = median3(
+      graft.pipeline.Curation.packPrefixCum(uniform).agg(sum("cum")).collect())
+
     val json =
       s"""{"metric":"skewbench","unit":"sec","cpus":$cpus,""" +
         s""""hot_shingle":{"docs":20000,"hot_df":10000,""" +
@@ -203,7 +236,11 @@ object SkewBench {
         s""""giant_doc":{"docs":20001,"giant_tokens":2000000,"normal_tokens":240000,""" +
         s""""max_row_fanout_direct":$maxFanoutDirect,"max_row_fanout_chunked":$maxFanoutChunked,""" +
         s""""chunk_ingest_sec":$chunkIngestSec,""" +
-        s""""direct_sec":$directSec,"chunked_sec":$chunkedSec}}"""
+        s""""direct_sec":$directSec,"chunked_sec":$chunkedSec},""" +
+        s""""clustered_pack":{"rows":${pn + 2},"level0_max_bucket":$level0Max,""" +
+        s""""refined_max_bucket":$refinedMax,"threshold":$packThreshold,""" +
+        s""""buckets":${packStats.size},""" +
+        s""""clustered_sec":$clusteredSec,"uniform_sec":$uniformSec}}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEWBENCH_OUT", "SKEWBENCH.json")),

@@ -102,10 +102,27 @@ object Curation {
     *     `(doc_id - min) div width`, `width = (max - min) div K + 1`
     *     (pure integer division: no sampling, no overflow, no second
     *     materialization of the frame, bkt ∈ [0, K));
-    *  3. per-(lang, bucket) token sums (map-side combined, K·|langs|
-    *     rows) → per-bucket EXCLUSIVE offsets via a window over that
-    *     tiny frame;
-    *  4. the per-row prefix sum within each (lang, bucket) window plus
+    *  3. per-(lang, bucket) stats — count, token sum, (min, max) doc_id
+    *     — map-side combined down to a TINY frame (≤ K·|langs| rows)
+    *     and collected (the one deliberate driver read, same class as
+    *     the state log's manifest);
+    *  4. RE-SPLIT of oversized buckets (VERDICT r13 task 2): the bucket
+    *     boundaries are id-RANGE-derived, so ids clustered into one
+    *     narrow band put ~everything in one bucket — the degraded shape
+    *     is the very single-task window this rewrite removes. Any
+    *     bucket holding more than max(1, 2·|corpus|/K) rows is split
+    *     again by the SAME range rule over its OWN (min, max) — a
+    *     clustered band's internal range is exactly the band, so one
+    *     level usually resolves it; fractal layouts recurse (each level
+    *     divides the id range by K, so ≤ ~64/log2 K levels before
+    *     width 1, where unique ids force count 1). Each level costs one
+    *     extra scan+partial-agg over the frame and runs ONLY when an
+    *     oversized bucket exists; the driver renumbers the leaf
+    *     intervals densely in id order, so bucket ids stay small,
+    *     Long-safe and order-preserving;
+    *  5. per-bucket EXCLUSIVE offsets — exact prefix sums over the
+    *     collected stats, computed on the driver, broadcast back;
+    *  6. the per-row prefix sum within each (lang, bucket) window plus
     *     the broadcast bucket offset.
     *
     * `cum` is EXACTLY the single-window value for every row — buckets
@@ -113,34 +130,109 @@ object Curation {
     * K-independent (only the plan varies with the session), so golden
     * hashes are bit-identical. Shuffle byte class unchanged (one
     * frame-sized exchange, keyed (lang, bucket) instead of (lang)); the
-    * max window partition drops from |dominant language| to ~|corpus|/K.
-    * Ids clustered into one bucket degrade toward the old shape, never
-    * below it. The BATCH-side windows ([[appendPackCount]]/
-    * [[appendPackSummary]]) keep the plain shape — batch-bounded by
-    * contract. The lang key is null-safe via a sentinel (a plain join
-    * would silently DROP null-lang rows the old window kept as their
-    * own partition). */
-  private[graft] def packPrefixCum(corpus: DataFrame): DataFrame = {
+    * max window partition is ≤ the split threshold ~2·|corpus|/K
+    * whenever ids are splittable (only duplicate-id single-value
+    * buckets can exceed it — and unique doc_ids make those count ≤ 1).
+    * The BATCH-side windows ([[appendPackCount]]/[[appendPackSummary]])
+    * keep the plain shape — batch-bounded by contract. The lang key is
+    * null-safe via a PAIR (`lang IS NULL`, `coalesce(lang, '')`) — no
+    * reserved sentinel value (ADVICE r13: a corpus whose lang is
+    * literally the old NUL sentinel must stay a separate partition from
+    * NULL), and a plain single-column join would silently DROP
+    * null-lang rows the old window kept as their own partition. */
+  /** One (lang-key, bucket)'s collected stats — the tiny driver-side
+    * frame [[packBucketed]]'s refinement loop and [[packPrefixCum]]'s
+    * offset computation both run on. */
+  private[graft] final case class BStat(pln: Boolean, pl: String, bkt: Long,
+    rows: Long, toks: Long, mn: Long, mx: Long)
+
+  /** Steps 1–4 of [[packPrefixCum]]: the order-preserving bucket
+    * assignment with the oversized-bucket refinement loop. Returns the
+    * bucketed frame (`_pln`, `_pl`, `_bkt` appended), the final
+    * per-bucket stats, and the split threshold — exposed so SkewSpec can
+    * pin the SHAPE (max bucket ≤ threshold on hostile clustered-id
+    * layouts), not just the values. */
+  private[graft] def packBucketed(corpus: DataFrame):
+      (DataFrame, Seq[BStat], Long) = {
     val k = math.max(1, corpus.sparkSession.sessionState.conf.numShufflePartitions)
-    val withKey = corpus.withColumn("_pl", coalesce(col("lang"), lit("\u0000")))
-    val ranges = withKey.groupBy("_pl").agg(
+    val keyCols = Seq("_pln", "_pl")
+    val withKey = corpus
+      .withColumn("_pln", col("lang").isNull)
+      .withColumn("_pl", coalesce(col("lang"), lit("")))
+    val ranges = withKey.groupBy(keyCols.map(col): _*).agg(
       min(col("doc_id")).as("_idmin"), max(col("doc_id")).as("_idmax"))
-    val bucketed = withKey.join(broadcast(ranges), Seq("_pl"))
+    var bucketed = withKey.join(broadcast(ranges), keyCols)
       .withColumn("_bkt",
         expr(s"(doc_id - _idmin) div (((_idmax - _idmin) div $k) + 1)"))
       .drop("_idmin", "_idmax")
-    val offW = Window.partitionBy("_pl").orderBy("_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("_pl"), col("_bkt"))
-      .agg(sum(col("n_tokens")).as("_bsum"))
-      .withColumn("_boff", coalesce(sum(col("_bsum")).over(offW), lit(0L)))
-      .select("_pl", "_bkt", "_boff")
-    val bktW = Window.partitionBy("_pl", "_bkt").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), Seq("_pl", "_bkt"))
+
+    // per-(lang-key, bkt) stats: rows, token sum, (min, max) doc_id; TINY
+    def statsOf(df: DataFrame): Seq[BStat] =
+      df.groupBy(col("_pln"), col("_pl"), col("_bkt"))
+        .agg(count(lit(1)).as("_c"), sum(col("n_tokens")).as("_s"),
+          min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+        .collect().toSeq.map(r => BStat(r.getBoolean(0), r.getString(1),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5), r.getLong(6)))
+
+    var stats = statsOf(bucketed)
+    val total = stats.map(_.rows).sum
+    val threshold = math.max(1L, 2L * total / k)
+    var level = 0
+    // refine while any bucket is oversized AND still splittable: a
+    // single-id bucket cannot split, and with unique doc_ids it holds
+    // one row anyway — a duplicate-id corpus just stops there, matching
+    // the plain window's partition. Each level divides the id range by
+    // K, so the 40-level bound is never the stopper in practice.
+    while (level < 40 && stats.exists(s => s.rows > threshold && s.mx > s.mn)) {
+      level += 1
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      // dense leaf renumbering in id order: an unsplit bucket keeps one
+      // slot, a split bucket takes k consecutive slots (sub-range order
+      // == id order), so global (lang, bkt) order is preserved.
+      val remap = stats.groupBy(s => (s.pln, s.pl)).toSeq.flatMap {
+        case ((pln, pl), bs) =>
+          var next = 0L
+          bs.sortBy(_.bkt).map { s =>
+            val split = s.rows > threshold && s.mx > s.mn
+            val base = next
+            next += (if (split) k.toLong else 1L)
+            (pln, pl, s.bkt, base,
+              if (split) Some(s.mn) else None,
+              if (split) Some((s.mx - s.mn) / k + 1) else None)
+          }
+      }.toDF("_pln", "_pl", "_bkt", "_nb", "_smin", "_swidth")
+      bucketed = bucketed.join(broadcast(remap), keyCols :+ "_bkt")
+        .withColumn("_bkt",
+          when(col("_swidth").isNull, col("_nb"))
+            .otherwise(col("_nb") + expr("(doc_id - _smin) div _swidth")))
+        .drop("_nb", "_smin", "_swidth")
+      stats = statsOf(bucketed)
+    }
+    (bucketed, stats, threshold)
+  }
+
+  private[graft] def packPrefixCum(corpus: DataFrame): DataFrame = {
+    val keyCols = Seq("_pln", "_pl")
+    val (bucketed, stats, _) = packBucketed(corpus)
+    // exact exclusive offsets from the collected stats, driver-side
+    val offsets = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      stats.groupBy(s => (s.pln, s.pl)).toSeq.flatMap { case ((pln, pl), bs) =>
+        var acc = 0L
+        bs.sortBy(_.bkt).map { s =>
+          val off = acc; acc += s.toks; (pln, pl, s.bkt, off)
+        }
+      }.toDF("_pln", "_pl", "_bkt", "_boff")
+    }
+    val bktW = Window.partitionBy(col("_pln"), col("_pl"), col("_bkt"))
+      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), keyCols :+ "_bkt")
       .withColumn("cum",
         coalesce(sum(col("n_tokens")).over(bktW), lit(0L)) + col("_boff"))
-      .drop("_pl", "_bkt", "_boff")
+      .drop("_pln", "_pl", "_bkt", "_boff")
   }
 
   /** The eq34 shard assignment over a corpus frame: per-lang prefix sum
