@@ -120,27 +120,41 @@ object StateLog {
     *      the operation's survivor math is stale and the commit ABORTS
     *      into [[withCommitRetry]], which recomputes from fresh history;
     *  (c) CROSS-PROCESS writers — which the mutex cannot see — are
-    *      arbitrated by a catalog-visible CAS: before appending, the
-    *      committer must CREATE the claim table `<manifest>_claim_g<N>`
-    *      (create-if-absent, so a shared metastore rejects the second
-    *      creator; the claim's DATA is staged at an attempt-unique path,
-    *      so racers never touch each other's files) and then read its
-    *      own row back (the verify half: a metastore without an atomic
-    *      create resolves a double-create last-wins, and the verify
+    *      arbitrated by a durable FILESYSTEM CAS (r14; the r13 version
+    *      was a catalog create, which only arbitrated writers sharing a
+    *      metastore — two driver processes with per-JVM in-memory
+    *      catalogs never saw each other's claims; the shared STORE is
+    *      the one thing every writer of the same log provably shares):
+    *      before appending, the committer must PUBLISH the claim marker
+    *      `<manifest>_manifest_claims/g<N>.claim` exclusively. The
+    *      marker's content (the ENTIRE manifest row, written to an
+    *      attempt-unique temp file first) is complete BEFORE the
+    *      publish, and the publish is a single atomic primitive — a
+    *      hard link on local stores (O_EXCL semantics: fails if the
+    *      marker exists), a no-overwrite rename on HDFS — so no reader
+    *      ever observes a half-written claim on an atomic store. The
+    *      committer then reads the marker back and must see its OWN
+    *      payload (the verify half: an object store whose rename is
+    *      last-wins resolves a double-publish silently, and the verify
     *      makes the loser abort). The loser aborts into the same retry
     *      as an in-process loser.
     *
-    * Crash recovery: the claim row carries the ENTIRE manifest row, and
+    * Crash recovery: the marker carries the ENTIRE manifest row, and
     * every generation table is fully written before the claim is
     * attempted — so a claimant that dies between its claim and its
     * manifest append is ROLLED FORWARD by the next committer (the claim
     * content is appended on its behalf). If the claimant was merely slow
     * and appends too, the rows are byte-identical and [[history]] dedups;
-    * a torn (≠ 1 row) claim never committed anything and is dropped so
-    * the slot can be re-claimed. One residual asymmetry, documented: a
-    * writer whose own earlier claim gets rolled forward by a peer
-    * observes `false` ("already committed") from its retry — the batch
-    * landed exactly once either way. */
+    * a torn claim (unparseable content — only possible on a non-atomic
+    * store) never committed anything and is deleted so the slot can be
+    * re-claimed. A committer whose manifest append LANDED deletes its
+    * own marker immediately (VERDICT r13 task 5): the roll-forward and
+    * sweep paths re-check the manifest first, so the claim is inert the
+    * instant its row is durable, and N clean commits leave zero claim
+    * residue. One residual asymmetry, documented: a writer whose own
+    * earlier claim gets rolled forward by a peer observes `false`
+    * ("already committed") from its retry — the batch landed exactly
+    * once either way. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   /** Test hook (the `forgetWrappedInProcess` of the commit path): while a
@@ -155,9 +169,88 @@ object StateLog {
     if (on) { unsharedLocks.add(manifest): Unit }
     else { unsharedLocks.remove(manifest): Unit }
 
-  private def claimTable(ref: LogRef, gen: Long): String =
-    s"${ref.manifest}_claim_g$gen"
-  private val ClaimGenRe = """^.*_claim_g(\d+)$""".r
+  /** The directory holding this log's durable claim markers — a sibling
+    * of the manifest directory on the SAME shared store, so any process
+    * that can read the log can arbitrate commits against it. */
+  private def claimsDir(spark: SparkSession, ref: LogRef): org.apache.hadoop.fs.Path = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
+    new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + "_claims")
+  }
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerName(gen: Long): String = s"g$gen.claim"
+  private val MarkerGenRe = """^g(\d+)\.claim$""".r
+
+  /** Test hook: the local path of gen `gen`'s claim marker — the crash
+    * matrix plants dead claimants' markers and asserts self-drops
+    * through it. */
+  private[graft] def claimMarkerPathForTest(spark: SparkSession, ref: LogRef,
+      gen: Long): String =
+    new org.apache.hadoop.fs.Path(claimsDir(spark, ref), markerName(gen))
+      .toUri.getPath
+
+  /** Marker content: the 8 manifest-row fields, tab-joined (gen_id,
+    * batch_id, kind and 5 table names — all tab-free by construction). */
+  private def claimPayload(g: Gen): String = genRowValues(g).mkString("\t")
+
+  private def parseClaim(s: String, gen: Long): Option[Gen] =
+    s.split("\t", -1) match {
+      case Array(gid, bid, kind, h, b, st, p, c) =>
+        try {
+          val g = Gen(gid.toLong, bid.toLong, kind, h, b, st, p, c)
+          if (g.genId == gen && Seq(kind, h, b, st, p, c).forall(_.nonEmpty))
+            Some(g)
+          else None
+        } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** None = the marker vanished (a peer self-dropped or swept it) —
+    * NEVER a torn read: a real IO failure propagates. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Publish `payload` at `marker` atomically and exclusively: the
+    * content goes to an attempt-unique temp file first (complete before
+    * publish), then ONE primitive moves it into place — a hard link
+    * where the store supports it (local posix: O_EXCL, fails on an
+    * existing marker), a no-overwrite rename elsewhere (HDFS: atomic,
+    * fails on an existing destination). Returns whether this attempt
+    * WON the slot; the temp file is always cleaned. Object stores whose
+    * rename is last-wins can mis-report a win here — the caller's
+    * read-back verify catches that. */
+  private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, marker: org.apache.hadoop.fs.Path,
+      payload: Array[Byte]): Boolean = {
+    fs.mkdirs(dir): Unit
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"${marker.getName}." +
+      s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(payload) finally out.close()
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(marker.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.NoSuchFileException => false // tmp swept
+        }
+      else
+        try fs.rename(tmp, marker) catch { case _: Exception => false }
+    fs.delete(tmp, false): Unit
+    won
+  }
 
   /** Every manifest read goes through here: the manifest is the ONE
     * mutable (append-only) table in the log, and Spark caches a resolved
@@ -194,12 +287,26 @@ object StateLog {
     * throw FileNotFoundException (often wrapped), while an explicit-path
     * `spark.read.parquet(files)` fails PLANNING with AnalysisException
     * PATH_NOT_FOUND ("Path does not exist") — the concurrent-checkpoint
-    * loser's path, which must retry into the no-op, not crash. */
+    * loser's path, which must retry into the no-op, not crash.
+    *
+    * NARROW on purpose (ADVICE r13): only a FileNotFoundException
+    * instance, an AnalysisException whose error CONDITION is
+    * PATH_NOT_FOUND, or a task-failure SparkException quoting one (an
+    * executor exception that could not be re-serialized crosses the
+    * wire as message text only) qualifies — an arbitrary Throwable whose
+    * message merely mentions a missing path (a misconfigured manifest
+    * location wrapped in some other error) must surface immediately,
+    * not after 4 blind retries. */
   private def missingFile(e: Throwable, depth: Int): Boolean =
     e != null && depth > 0 && (e.isInstanceOf[java.io.FileNotFoundException] ||
-      Option(e.getMessage).exists(m => m.contains("FileNotFoundException") ||
-        m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")) ||
-      missingFile(e.getCause, depth - 1))
+      (e match {
+        case a: org.apache.spark.sql.AnalysisException =>
+          Option(a.getCondition).exists(_.contains("PATH_NOT_FOUND"))
+        case s: org.apache.spark.SparkException =>
+          Option(s.getMessage).exists(m => m.contains("FileNotFoundException") ||
+            m.contains("Path does not exist"))
+        case _ => false
+      }) || missingFile(e.getCause, depth - 1))
 
   /** Append one manifest row as ONE uniquely-named parquet file, staged
     * at a private path and RENAMED into the table directory — the
@@ -259,67 +366,68 @@ object StateLog {
       if (cur != expectedMaxGen)
         stale(ref, s"manifest advanced ($expectedMaxGen -> $cur) " +
           "since this operation read its views")
-      val claim = claimTable(ref, expectedMaxGen + 1)
-      if (spark.catalog.tableExists(claim)) {
+      val dir = claimsDir(spark, ref)
+      val fs = hadoopFs(spark, dir)
+      val marker = new org.apache.hadoop.fs.Path(dir, markerName(expectedMaxGen + 1))
+      if (fs.exists(marker)) {
         // another (crashed or foreign in-flight) claimant holds the slot:
         // finish its commit if it is whole, clear it if it is torn, and
         // abort — this attempt's math is stale against the claimed state
-        rollForwardClaim(spark, ref, claim, expectedMaxGen + 1)
+        rollForwardClaim(spark, ref, fs, marker, expectedMaxGen + 1)
         stale(ref, s"generation ${expectedMaxGen + 1} was claimed by another writer")
       }
-      // the claim DATA is staged at an ATTEMPT-UNIQUE path — racers never
-      // touch each other's files; only the claim NAME (the catalog
-      // create) is contested, so the CAS is a pure metastore operation
-      val claimPath = s"${sys.props("java.io.tmpdir")}/${claim}_" +
-        s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
-      try genRow(spark, g).write.mode("errorifexists")
-        .option("path", claimPath).saveAsTable(claim)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        deletePath(spark, claimPath) // this attempt's staged files only
+      val payload = claimPayload(g)
+      if (!publishExclusive(fs, dir, marker, payload.getBytes("UTF-8")))
         stale(ref, s"lost the claim race for generation ${expectedMaxGen + 1}")
-      }
-      // create-then-VERIFY: the readback must be exactly this attempt's
-      // row (the row is its own token — the table names are
-      // attempt-unique); a metastore without an atomic create resolves
-      // a double-create last-wins, and the verify makes the loser abort
-      val back = spark.table(claim).collect()
-      if (!(back.length == 1 && back(0).toSeq == genRowValues(g)))
+      // publish-then-VERIFY: the readback must be exactly this attempt's
+      // payload (the row is its own token — the table names are
+      // attempt-unique); a store without an exclusive publish resolves
+      // a double-publish last-wins, and the verify makes the loser abort
+      if (!readMarker(fs, marker).contains(payload))
         stale(ref, s"claim for generation ${expectedMaxGen + 1} " +
           "verified against another writer's content")
       // belt-and-braces: a committed row could have landed between the
-      // max re-check and the claim create if a sweep reclaimed the
-      // winner's claim in that window — never append over it
+      // max re-check and the claim publish if a sweep reclaimed the
+      // winner's claim in that window — never append over it (and free
+      // the slot again iff the marker is still this attempt's)
       val cur2 = maxGen(spark, ref)
-      if (cur2 != expectedMaxGen)
+      if (cur2 != expectedMaxGen) {
+        if (readMarker(fs, marker).contains(payload))
+          fs.delete(marker, false): Unit
         stale(ref, s"manifest advanced ($expectedMaxGen -> $cur2) during the claim")
+      }
       appendManifestRow(spark, ref, g)
+      // the row is durably in the manifest — the claim is inert from
+      // this instant; drop it NOW so clean commits leave no residue
+      // (VERDICT r13 task 5; crash windows stay covered by the
+      // roll-forward, which re-checks the manifest first)
+      try { fs.delete(marker, false): Unit } catch { case _: Exception => () }
     }
   }
 
-  /** A pre-existing claim at the slot this committer wanted: if it is a
-    * whole one-row claim whose generation never reached the manifest, the
-    * claimant died between claim and append — append its row on its
-    * behalf (every generation table is written BEFORE the claim, so the
-    * content is complete). A torn claim (≠ 1 row — a crash inside the
-    * metastore create, or a non-atomic metastore's mangled double-create)
-    * never committed anything and is dropped so the slot can be
-    * re-claimed. */
+  /** A pre-existing claim at the slot this committer wanted: if its
+    * content parses to a whole row whose generation never reached the
+    * manifest, the claimant died between claim and append — append its
+    * row on its behalf (every generation table is written BEFORE the
+    * claim, so the content is complete), then delete the now-inert
+    * marker. Unparseable content (torn — only a non-atomic store can
+    * produce one, a local hard link or HDFS rename publishes complete
+    * content or nothing) never committed anything and is deleted so the
+    * slot can be re-claimed. */
   private def rollForwardClaim(spark: SparkSession, ref: LogRef,
-      claim: String, gen: Long): Unit = {
-    val rows = try spark.table(claim).collect().toSeq
-      catch { case _: Exception => Seq.empty }
-    val whole = rows.length == 1 && rows.head.length == 8 &&
-      !rows.head.anyNull && rows.head.getLong(0) == gen
-    if (whole) {
-      if (withManifestRetry() {
-        freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty
-      }) {
-        val r = rows.head
-        appendManifestRow(spark, ref, Gen(r.getLong(0), r.getLong(1),
-          r.getString(2), r.getString(3), r.getString(4), r.getString(5),
-          r.getString(6), r.getString(7)))
-      }
-    } else dropTableAndData(spark, claim)
+      fs: org.apache.hadoop.fs.FileSystem, marker: org.apache.hadoop.fs.Path,
+      gen: Long): Unit = {
+    readMarker(fs, marker).flatMap(parseClaim(_, gen)) match {
+      case Some(claimed) =>
+        if (withManifestRetry() {
+          freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty
+        }) appendManifestRow(spark, ref, claimed)
+        // the row is in the manifest either way now — the claim is inert
+        try { fs.delete(marker, false): Unit } catch { case _: Exception => () }
+      case None =>
+        // torn (or vanished mid-read) — it never committed anything
+        try { fs.delete(marker, false): Unit } catch { case _: Exception => () }
+    }
   }
 
   /** Re-run `body` (which re-reads history, recomputes against the NEW
@@ -328,7 +436,12 @@ object StateLog {
     * a log with more concurrent committers than this is misconfigured. */
   private def withCommitRetry[T](attemptsLeft: Int = 16)(body: => T): T =
     try body catch {
-      case _: java.util.ConcurrentModificationException if attemptsLeft > 1 =>
+      case e: java.util.ConcurrentModificationException if attemptsLeft > 1 =>
+        // operational visibility: concurrent-writer aborts are healthy
+        // (the retry recomputes against the new head) but a log drowning
+        // in them is a sign of too many committers — make them countable
+        System.err.println(s"[statelog] optimistic commit abort " +
+          s"(${17 - attemptsLeft}/16), retrying: ${e.getMessage}")
         withCommitRetry(attemptsLeft - 1)(body)
     }
 
@@ -359,25 +472,30 @@ object StateLog {
     }
   }
 
+  /** All claim markers currently on the store, as (gen, path). */
+  private def listClaims(spark: SparkSession, ref: LogRef,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val dir = claimsDir(spark, ref)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath).flatMap(p => p.getName match {
+      case MarkerGenRe(n) => Seq((n.toLong, p))
+      case _ => Seq.empty
+    })
+  }
+
   /** Tables referenced by claims whose generation has NOT reached the
     * manifest — content a peer may yet roll forward, so neither the
     * abort cleanup nor [[sweep]] may reclaim it. */
   private def pendingClaimRefs(spark: SparkSession, ref: LogRef): Set[String] = {
     val committedGens = history(spark, ref).map(_.genId).toSet
-    listLogTables(spark, ref).filter(isClaim(ref, _)).flatMap { c =>
-      c match {
-        case ClaimGenRe(n) if committedGens.contains(n.toLong) => Seq.empty
-        case _ =>
-          try spark.table(c).collect().toSeq.flatMap(r =>
-            Seq(r.getString(3), r.getString(4), r.getString(5),
-              r.getString(6), r.getString(7)))
-          catch { case _: Exception => Seq.empty }
-      }
+    val fs = hadoopFs(spark, claimsDir(spark, ref))
+    listClaims(spark, ref, fs).flatMap { case (gen, p) =>
+      if (committedGens.contains(gen)) Seq.empty
+      else readMarker(fs, p).flatMap(parseClaim(_, gen))
+        .map(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur))
+        .getOrElse(Seq.empty)
     }.toSet
   }
-
-  private def isClaim(ref: LogRef, t: String): Boolean =
-    t.startsWith(s"${ref.manifest}_claim_g")
 
   private def listLogTables(spark: SparkSession, ref: LogRef): Seq[String] =
     spark.sessionState.catalog
@@ -478,7 +596,57 @@ object StateLog {
     require(gens.map(_.genId).distinct.size == gens.size,
       s"state log ${ref.manifest}: conflicting manifest rows share a " +
         "gen_id — a writer bypassed the commit-claim protocol")
+    registerForeign(spark, ref, gens)
     gens
+  }
+
+  /** Generation tables a PEER process committed exist on the shared
+    * store but not in this session's in-memory catalog — register them
+    * as external parquet tables on first sight (every log table lives
+    * under the manifest directory's parent, the one shared root), so a
+    * second driver's reads resolve without any side channel. Locally
+    * written tables are already registered and cost one catalog lookup;
+    * vacuumed tables stay unregistered (their data is gone — the
+    * bounded-time-travel errors stay precise). Bucketing metadata is
+    * NOT recovered for foreign tables (a plain parquet registration) —
+    * reads stay correct, co-located-join pruning just does not apply to
+    * a table this process did not write. */
+  private def registerForeign(spark: SparkSession, ref: LogRef, gens: Seq[Gen]): Unit = {
+    val missing = gens.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur))
+      .distinct.filterNot(t => spark.catalog.tableExists(t))
+    if (missing.nonEmpty) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
+      val root = loc.getParent
+      val fs = hadoopFs(spark, root)
+      missing.foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(root, t)
+        if (fs.exists(p))
+          try spark.sql(s"CREATE TABLE IF NOT EXISTS `$t` USING parquet " +
+            s"LOCATION '${p.toUri.getPath}'"): Unit
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+    }
+  }
+
+  /** ATTACH to an existing log from a fresh session or a SECOND DRIVER
+    * PROCESS (VERDICT r13 task 6): registers the manifest's external
+    * parquet directory in this session's catalog; [[registerForeign]]
+    * then resolves every generation table a manifest row references
+    * from the same shared root as peers commit them. With the claim CAS
+    * on the shared filesystem, two attached processes ingesting
+    * concurrently into one log serialize exactly like two sessions in
+    * one JVM — no shared metastore required. `root` is the shared
+    * scratch root the log was created under. */
+  def attach(spark: SparkSession, manifest: String,
+      root: String = sys.props("java.io.tmpdir")): LogRef = {
+    val ref = LogRef(manifest)
+    if (!spark.catalog.tableExists(manifest))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$manifest` USING parquet " +
+        s"LOCATION '$root/${manifest}_manifest'"): Unit
+    history(spark, ref): Unit // fail fast on a torn manifest; register gen tables
+    ref
   }
 
   private def active(hist: Seq[Gen]): Seq[Gen] =
@@ -617,7 +785,7 @@ object StateLog {
       .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
     val dropped = hist.take(cut)
       .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct
-      .filter(t => t.startsWith(ref.manifest + "_") && !keep(t) && !isClaim(ref, t))
+      .filter(t => t.startsWith(ref.manifest + "_") && !keep(t))
       .filter(spark.catalog.tableExists) // already-vacuumed rows are a no-op
     dropped.foreach(dropTableAndData(spark, _))
     dropped
@@ -643,14 +811,29 @@ object StateLog {
     val committedGens = hist.map(_.genId).toSet
     val candidates = listLogTables(spark, ref)
     val claimRefs = pendingClaimRefs(spark, ref)
-    val dropped = candidates.filter { t =>
-      if (isClaim(ref, t)) t match {
-        case ClaimGenRe(n) => committedGens.contains(n.toLong) // inert claim
-        case _ => false // unparseable: keep, fail safe
-      } else !referenced(t) && !claimRefs(t) && !inFlight.contains(t)
-    }.sorted
-    dropped.foreach(dropTableAndData(spark, _))
-    dropped
+    val droppedTables = candidates.filter(t =>
+      !referenced(t) && !claimRefs(t) && !inFlight.contains(t)).sorted
+    droppedTables.foreach(dropTableAndData(spark, _))
+    // claim residue on the store: markers of COMMITTED generations are
+    // inert (the self-drop usually beat us here; a crashed winner's or a
+    // belt-and-braces loser's marker can survive) and reclaimed; PENDING
+    // markers are in-flight commit state — never swept. Publish temp
+    // files (`*.tmp`) are attempt-private leftovers of crashed
+    // publishes; with foreign writers quiesced (the sweep contract) any
+    // survivor is dead and reclaimed too.
+    val dir = claimsDir(spark, ref)
+    val fs = hadoopFs(spark, dir)
+    val inertClaims = listClaims(spark, ref, fs)
+      .filter { case (gen, _) => committedGens.contains(gen) }
+      .map { case (gen, p) =>
+        fs.delete(p, false): Unit
+        s"${ref.manifest}_claim_g$gen"
+      }
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".tmp"))
+        .foreach(p => fs.delete(p, false): Unit)
+    droppedTables ++ inertClaims.sorted
   }
 
   /** Release the WRAPPED SNAPSHOT (VERDICT r12 task 7): after a fold,
@@ -724,19 +907,38 @@ object StateLog {
     * The merged file is written from the DRIVER-COLLECTED rows (the
     * manifest is the log's one tiny driver-side read by design), so the
     * write cannot race the deletes of a concurrent checkpoint either.
+    *
+    * Driver cost (ADVICE r13): the explicit-path read, the collect and
+    * the deletes are all O(files merged) on the driver, so a manifest
+    * left unchecked-pointed for ~500k operations would make the FIRST
+    * checkpoint itself a heavy driver call. Two reliefs: deletes run on
+    * a bounded parallel pool (not serially), and the [[checkpointManifest(
+    * spark,ref,maxFiles*)]] overload caps one call at the OLDEST
+    * `maxFiles` row files — merging a subset is row-preserving by the
+    * same argument (merged + remaining = the same rows; a crash-window
+    * duplicate straddling the cut collapses on read and merges away
+    * later), so a caller facing a badly overgrown manifest checkpoints
+    * incrementally in bounded slices instead of one giant step.
     * Returns (data files before, data files after). */
   def checkpointManifest(spark: SparkSession, ref: LogRef): (Long, Long) =
+    checkpointManifest(spark, ref, Int.MaxValue)
+
+  def checkpointManifest(spark: SparkSession, ref: LogRef,
+      maxFiles: Int): (Long, Long) =
     withManifestRetry() {
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location
       val dir = new org.apache.hadoop.fs.Path(loc)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def dataFiles(): Seq[org.apache.hadoop.fs.Path] =
-        fs.listStatus(dir).toSeq.map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") &&
-            !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      val parts = dataFiles()
-      if (parts.size <= 1) (parts.size.toLong, parts.size.toLong)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .sortBy(s => (s.getModificationTime, s.getPath.getName))
+          .map(_.getPath)
+      val all = dataFiles()
+      val parts = all.take(math.max(2, maxFiles))
+      if (all.size <= 1 || parts.size <= 1) (all.size.toLong, all.size.toLong)
       else {
         val src = spark.read.parquet(parts.map(_.toString): _*).distinct()
         val rows = src.collect().toSeq
@@ -750,9 +952,16 @@ object StateLog {
           new java.util.ArrayList(scala.jdk.CollectionConverters
             .SeqHasAsJava(rows).asJava), src.schema),
           s"part-ckpt-$nonce.parquet")
-        parts.foreach(p => fs.delete(p, false): Unit)
+        // bounded-parallel deletes: serial unlink of N merged files is a
+        // needless O(N·rpc) driver stall on a remote store (ADVICE r13)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, math.max(1, parts.size)))
+        try parts.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { fs.delete(p, false): Unit }
+          })).foreach(_.get())
+        finally pool.shutdown()
         spark.catalog.refreshTable(ref.manifest)
-        (parts.size.toLong, dataFiles().size.toLong)
+        (all.size.toLong, dataFiles().size.toLong)
       }
     }
 

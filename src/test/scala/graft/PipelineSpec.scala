@@ -2008,12 +2008,11 @@ class PipelineSpec extends SparkSpec {
     val crashedCur = plant("cur_b50_acrashed_1",
       Seq((7777L, "planted doc", "en", "src", 11L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
-    val claim2 = s"${ref.manifest}_claim_g2"
-    Seq((2L, 50L, "delta", crashedHash, crashedBand, crashedStop, crashedPack, crashedCur))
-      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
-        "pack_tbl", "cur_tbl")
-      .write.mode("overwrite").option("path", s"$tmp/${claim2}_planted")
-      .saveAsTable(claim2)
+    val claim2 = new java.io.File(StateLog.claimMarkerPathForTest(spark, ref, 2L))
+    claim2.getParentFile.mkdirs()
+    java.nio.file.Files.write(claim2.toPath,
+      Seq(2L, 50L, "delta", crashedHash, crashedBand, crashedStop, crashedPack,
+        crashedCur).mkString("\t").getBytes("UTF-8"))
 
     // the next committer finds the claim, commits the dead writer's row
     // on its behalf, aborts, and retries its own commit at gen 3
@@ -2029,17 +2028,16 @@ class PipelineSpec extends SparkSpec {
       "the rolled-forward generation's content must be live in the views")
     assert(!ingest(Seq((7777L, "planted doc", "en", "src", 11L)), 50L),
       "the rolled-forward batch id must be skipped like any committed batch")
+    assert(!claim2.exists(),
+      "a rolled-forward claim is inert the instant its row is in the " +
+        "manifest — the roll-forward deletes the marker")
 
-    // a TORN claim (≠ 1 row — e.g. a crash inside the metastore create)
-    // never committed anything: the next committer drops it and the slot
-    // is re-claimed by its retry
-    val claim4 = s"${ref.manifest}_claim_g4"
-    Seq((4L, 60L, "delta", "x", "x", "x", "x", "x"),
-      (4L, 61L, "delta", "y", "y", "y", "y", "y"))
-      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
-        "pack_tbl", "cur_tbl")
-      .write.mode("overwrite").option("path", s"$tmp/${claim4}_planted")
-      .saveAsTable(claim4)
+    // a TORN claim (unparseable content — only a non-atomic store can
+    // publish one) never committed anything: the next committer deletes
+    // it and the slot is re-claimed by its retry
+    val claim4 = new java.io.File(StateLog.claimMarkerPathForTest(spark, ref, 4L))
+    java.nio.file.Files.write(claim4.toPath,
+      "4\t60\tdelta\tx".getBytes("UTF-8")) // truncated mid-row
     val enRows = Seq(
       (8000L, "astronomers chart distant quasars from desert observatories", "en", "src", 60L))
     assert(ingest(enRows, 2L), "the torn claim must not block the slot")
@@ -2048,8 +2046,9 @@ class PipelineSpec extends SparkSpec {
       .filter(col("gen_id") === 4L).collect()
     assert(gen4.length == 1 && gen4(0).getLong(1) == 2L,
       "gen 4 must be the live batch's commit, the torn claim discarded")
-    assert(spark.table(claim4).collect().map(_.getLong(1)).toSeq == Seq(2L),
-      "the re-claimed slot must carry the live committer's row")
+    assert(!claim4.exists(),
+      "the torn claim is deleted and the winner's own claim self-drops " +
+        "after its append — no residue on the slot")
   }
 
   test("state log: the SAME batch id raced by two concurrent writers lands " +
@@ -2134,18 +2133,35 @@ class PipelineSpec extends SparkSpec {
       Seq(("junk")).toDF("h").write.mode("overwrite")
         .option("path", s"$tmp/$t").saveAsTable(t)
     }
-    // plant a PENDING claim (its gen_id is NOT in the manifest) and the
-    // table it references: a claimant that died between claim and append
-    // — a peer may still roll it forward, so the sweep must keep BOTH
+    // plant a PENDING claim marker (its gen_id is NOT in the manifest)
+    // and the table it references: a claimant that died between claim
+    // and append — a peer may still roll it forward, so the sweep must
+    // keep BOTH
     val keepT = s"${ref.manifest}_hash_b9_apending_7"
     Seq(("x")).toDF("h").write.mode("overwrite")
       .option("path", s"$tmp/$keepT").saveAsTable(keepT)
-    val pendingClaim = s"${ref.manifest}_claim_g9"
-    Seq((9L, 9L, "delta", keepT, keepT, keepT, keepT, keepT))
-      .toDF("gen_id", "batch_id", "kind", "hash_tbl", "band_tbl", "stop_tbl",
-        "pack_tbl", "cur_tbl")
-      .write.mode("overwrite").option("path", s"$tmp/$pendingClaim")
-      .saveAsTable(pendingClaim)
+    val pendingClaim = new java.io.File(
+      StateLog.claimMarkerPathForTest(spark, ref, 9L))
+    pendingClaim.getParentFile.mkdirs()
+    java.nio.file.Files.write(pendingClaim.toPath,
+      Seq(9L, 9L, "delta", keepT, keepT, keepT, keepT, keepT)
+        .mkString("\t").getBytes("UTF-8"))
+    // clean commits SELF-DROP their claims (VERDICT r13 task 5): after
+    // two normal commits there is NO claim residue for the sweep — plant
+    // an inert marker (a committed gen's claim, the crashed-winner /
+    // belt-and-braces-loser shape) plus a dead publish temp file to
+    // prove the sweep reclaims both
+    assert(!new java.io.File(
+      StateLog.claimMarkerPathForTest(spark, ref, 1L)).exists() &&
+      !new java.io.File(
+        StateLog.claimMarkerPathForTest(spark, ref, 2L)).exists(),
+      "clean commits must leave zero claim markers behind (self-drop)")
+    val inertClaim = new java.io.File(
+      StateLog.claimMarkerPathForTest(spark, ref, 2L))
+    java.nio.file.Files.write(inertClaim.toPath,
+      "2\t0\tfold\tx\tx\tx\tx\tx".getBytes("UTF-8"))
+    val deadTmp = new java.io.File(inertClaim.getParentFile, "g7.claim.12345_1.tmp")
+    java.nio.file.Files.write(deadTmp.toPath, "half".getBytes("UTF-8"))
 
     val preHash = StateLog.views(spark, ref)._1.localCheckpoint()
     val dropped = StateLog.sweep(spark, ref)
@@ -2155,12 +2171,14 @@ class PipelineSpec extends SparkSpec {
       assert(!new java.io.File(s"$tmp/$t").exists(),
         s"sweep must free the DISK under $t, not just the catalog")
     }
-    // claims of COMMITTED generations are inert and reclaimed too
-    assert(dropped.contains(s"${ref.manifest}_claim_g1") &&
-      dropped.contains(s"${ref.manifest}_claim_g2"),
+    // claims of COMMITTED generations are inert and reclaimed too, and
+    // crashed publishes' temp files with them
+    assert(dropped.contains(s"${ref.manifest}_claim_g2"),
       s"committed-generation claims are inert and must be swept, got $dropped")
+    assert(!inertClaim.exists(), "the inert marker must leave the store")
+    assert(!deadTmp.exists(), "dead publish temp files are reclaimed")
     // the pending claim and its referenced content survive
-    assert(spark.catalog.tableExists(pendingClaim),
+    assert(pendingClaim.exists(),
       "a pending claim is in-flight commit state — never swept")
     assert(spark.catalog.tableExists(keepT),
       "content a pending claim references may yet be rolled forward — never swept")
