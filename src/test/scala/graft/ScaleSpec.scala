@@ -276,4 +276,75 @@ class ScaleSpec extends SparkSpec {
         s"${w1.shuffleRead} -> ${w10.shuffleRead}")
     Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
   }
+
+  test("state log: per-batch shuffle returns to the flat baseline after EACH " +
+    "retraction epoch — the second epoch post-release, via the caller-supplied " +
+    "repack (VERDICT r13 task 7)") {
+    // The soak horizon's CI pin (StateLogSoakBench runs the full
+    // trajectory → STATELOGSOAK.json): two COMPLETE retraction epochs
+    // back-to-back — epoch 1 through the self-contained repack, epoch 2
+    // after the wrapped snapshot is RELEASED (the genesis store gone,
+    // the corpus resolving from the fold's cur table) and therefore
+    // through the caller-supplied repack (production's at-rest curated
+    // product, base slice here). The claim: the batch landing after the
+    // SECOND epoch ships batch-bounded shuffle, same as the first —
+    // maintenance epochs restore the flat baseline, they never erode it.
+    import org.apache.spark.sql.functions._
+    import graft.sources.{SnapshotStateSink, StateLog}
+    val meter = WorkMass.meter(spark.sparkContext)
+    def afterTwoEpochs(n: Long): (WorkMass, WorkMass) = {
+      val old = ScaleBench.corpus(spark, n).localCheckpoint()
+      val st = SnapshotStateSink.write(spark, old, lit(false), lit(true))
+      val ref = StateLog.fromSnapshot(spark, st,
+        StateLog.writeCorpusStore(spark, old))
+      val all = ScaleBench.deltaCorpus(spark, n, 1200, targetBlocks = 20)
+      val b = (0 until 3).map(i => all
+        .filter(col("doc_id") >= n + i * 400L && col("doc_id") < n + (i + 1) * 400L)
+        .localCheckpoint())
+      Dedup.clearDerivedCaches()
+      assert(StateLog.ingestBatch(spark, ref, st, b(0), 0L))
+      // epoch 1: retract → self-contained repack → fold → vacuum
+      assert(StateLog.retractBatch(spark, ref,
+        col("doc_id") < n && pmod(col("doc_id"), lit(97)) === lit(3), 100L))
+      Dedup.clearDerivedCaches()
+      assert(StateLog.repackLog(spark, ref, 101L))
+      StateLog.compactLog(spark, ref)
+      StateLog.vacuum(spark, ref)
+      Dedup.clearDerivedCaches()
+      var ok1 = false
+      val w1 = meter { ok1 = StateLog.ingestBatch(spark, ref, st, b(1), 1L) }
+      assert(ok1, "the post-epoch-1 batch must apply")
+      // epoch 2: release the snapshot, retract again, caller-supplied
+      // repack (post-release the log alone cannot re-derive curated
+      // membership), fold, vacuum
+      assert(StateLog.releaseWrappedSnapshot(spark, ref).nonEmpty)
+      val isDel2 = col("doc_id") < n && pmod(col("doc_id"), lit(97)) === lit(5)
+      assert(StateLog.retractBatch(spark, ref, isDel2, 200L))
+      Dedup.clearDerivedCaches()
+      val retained = graft.pipeline.Curation.curatedDocsDf(old)
+        .select("lang", "doc_id", "n_tokens", "n_chars")
+        .filter(!(pmod(col("doc_id"), lit(97)) === lit(3)) && !isDel2)
+        .localCheckpoint()
+      assert(StateLog.repackLog(spark, ref, retained, 201L))
+      StateLog.compactLog(spark, ref)
+      StateLog.vacuum(spark, ref)
+      Dedup.clearDerivedCaches()
+      var ok2 = false
+      val w2 = meter { ok2 = StateLog.ingestBatch(spark, ref, st, b(2), 2L) }
+      assert(ok2, "the post-epoch-2 batch must apply")
+      (w1, w2)
+    }
+    val (e1a, e2a) = afterTwoEpochs(2000)
+    val (e1b, e2b) = afterTwoEpochs(20000)
+    println(s"[scalespec] two-epoch soak pin: post-e1 ${e1a.shuffleRead}B -> " +
+      s"${e1b.shuffleRead}B, post-e2 ${e2a.shuffleRead}B -> ${e2b.shuffleRead}B")
+    assert(e2a.shuffleRead > 0, "meter must observe the post-epoch-2 ingest")
+    assert(e2b.shuffleRead < 3L * e2a.shuffleRead,
+      s"the post-epoch-2 batch must stay batch-bounded across 10x state: " +
+        s"${e2a.shuffleRead} -> ${e2b.shuffleRead}")
+    assert(e2b.shuffleRead < 3L * e1b.shuffleRead,
+      s"the second epoch must RESTORE the flat baseline, not erode it: " +
+        s"post-e1 ${e1b.shuffleRead} -> post-e2 ${e2b.shuffleRead}")
+    Dedup.clearDerivedCaches() // 20k-doc frames must not outlive the test
+  }
 }
