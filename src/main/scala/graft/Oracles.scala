@@ -4466,6 +4466,29 @@ object Oracles {
           |UNION ALL SELECT 'manifest_rows', 3::BIGINT
           |UNION ALL SELECT 'replay_skipped', 1::BIGINT
           |ORDER BY item""".stripMargin)) +
+      // eq152: the INCREMENTAL manifest checkpoint (r14) — eq150's
+      // committed state verbatim (ingest → fold; partial merges must not
+      // change a row any more than the full one may), with the drain
+      // trajectory pinned: two maxFiles=2 calls take the three one-row
+      // manifest files 3→2→1, and the replay-skip still holds against
+      // the sliced-and-merged manifest.
+      ("eq152_incremental_checkpoint" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'corpus_docs',
+          |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8)::BIGINT
+          |  + (SELECT COUNT(*) FROM d_k8)::BIGINT
+          |UNION ALL SELECT 'corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'drain1_after', 2::BIGINT
+          |UNION ALL SELECT 'drain2_after', 1::BIGINT
+          |UNION ALL SELECT 'drain_calls', 2::BIGINT
+          |UNION ALL SELECT 'manifest_files', 1::BIGINT
+          |UNION ALL SELECT 'manifest_rows', 3::BIGINT
+          |UNION ALL SELECT 'replay_skipped', 1::BIGINT
+          |ORDER BY item""".stripMargin)) +
       // eq151: post-retraction REPACK through the log — eq145's pack
       // re-accounting under the log's exactly-once discipline. The
       // retained membership is the curated OLD corpus UNION the delta

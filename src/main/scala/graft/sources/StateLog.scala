@@ -1512,6 +1512,43 @@ object StateLog {
       .orderBy("item")
   }
 
+  def eq152(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    compactLog(spark, ref)                                                // gen 2
+    // INCREMENTAL drain (r14): the three one-row manifest files merged
+    // in bounded slices of 2 — each call takes the OLDEST maxFiles row
+    // files and is row-preserving on its own (merged + remaining = the
+    // same rows), the relief valve for a manifest left to grow unbounded
+    val d1 = checkpointManifest(spark, ref, maxFiles = 2) // 3 -> 2 files
+    val d2 = checkpointManifest(spark, ref, maxFiles = 2) // 2 -> 1 file
+    val skipped = !ingestBatch(spark, ref, st,
+      docs.filter(DedupIndexSink.isNewCol), 0L)
+    def flag(item: String, n: Long): DataFrame = {
+      import spark.implicits._
+      Seq((item, n)).toDF("item", "n")
+    }
+    auditCheckpointed(spark, ref, d2._2, skipped)
+      .unionAll(flag("drain_calls", 2L))
+      .unionAll(flag("drain1_after", d1._2))
+      .unionAll(flag("drain2_after", d2._2))
+      .orderBy("item")
+  }
+
+  /* eq152 — the INCREMENTAL manifest checkpoint under the oracle (r14):
+   * same committed state as eq150 (ingest → fold), but the manifest's
+   * three one-row files are drained in maxFiles=2 slices instead of one
+   * full merge — two calls, deterministically 3→2→1 files — and the
+   * replay-skip is probed against the sliced-and-merged manifest. The
+   * state items share eq150's scratch-rebuild oracle verbatim (no row
+   * may change across PARTIAL merges either); the accounting items pin
+   * the drain trajectory (drain_calls=2, drain1_after=2,
+   * drain2_after=1, manifest_files=1, manifest_rows=3,
+   * replay_skipped=1). */
+
   def eq151(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
     val st = SnapshotStateSink.write(spark, docs)

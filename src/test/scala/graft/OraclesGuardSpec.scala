@@ -16,16 +16,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * before re-pinning. */
 class OraclesGuardSpec extends AnyFunSuite {
 
-  /** Recorded over the round-14 oracle set. Update ONLY after verifying
-    * every new match is a genuine chain CTE (and parity stays 192/192). */
+  /** Recorded over the round-14 oracle set (re-pinned once within r14:
+    * the new eq152 oracle legitimately reuses the advance-chain prefix,
+    * +1 on each CTE it contains — adjudicated, parity 193/193). Update
+    * ONLY after verifying every new match is a genuine chain CTE. */
   private val Expected: Map[String, Int] = Map(
-    "toks" -> 53, "shingled" -> 53, "s" -> 53, "xx" -> 18, "mins" -> 18,
-    "keys" -> 18, "kk" -> 3, "cand" -> 12, "ver" -> 5, "j" -> 20,
-    "zq" -> 14, "o_cs" -> 12, "d_cs" -> 12, "o_k6" -> 12, "d_k6" -> 12,
-    "o_k7" -> 12, "d_k7" -> 12, "d_k8" -> 12, "o_ex" -> 12, "d_ex" -> 12,
-    "o_tv" -> 12, "oldh" -> 15, "old_keys" -> 15, "new_keys" -> 15,
-    "po" -> 15, "okb" -> 12, "stopb" -> 2, "del" -> 1, "ret_keys" -> 1,
-    "mm" -> 13)
+    "toks" -> 54, "shingled" -> 54, "s" -> 54, "xx" -> 19, "mins" -> 19,
+    "keys" -> 19, "kk" -> 3, "cand" -> 12, "ver" -> 5, "j" -> 20,
+    "zq" -> 15, "o_cs" -> 13, "d_cs" -> 13, "o_k6" -> 13, "d_k6" -> 13,
+    "o_k7" -> 13, "d_k7" -> 13, "d_k8" -> 13, "o_ex" -> 13, "d_ex" -> 13,
+    "o_tv" -> 13, "oldh" -> 16, "old_keys" -> 16, "new_keys" -> 16,
+    "po" -> 16, "okb" -> 13, "stopb" -> 2, "del" -> 1, "ret_keys" -> 1,
+    "mm" -> 14)
 
   private def hitsOf(sqls: Iterable[String]): Map[String, Int] =
     sqls.toSeq.flatMap(Oracles.sharedCteHits)
