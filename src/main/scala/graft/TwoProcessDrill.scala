@@ -102,12 +102,35 @@ object TwoProcessDrill {
     case "prep" :: workdir :: Nil => prep(workdir)
     case "ingest" :: workdir :: first :: count :: Nil =>
       ingest(workdir, first.toLong, count.toInt)
+    case "checkpoint" :: workdir :: loops :: Nil =>
+      checkpointLoop(workdir, loops.toInt)
     case "check" :: workdir :: ids :: Nil =>
       check(workdir, ids.split(",").map(_.trim.toLong).toSeq)
     case other =>
       System.err.println(s"usage: prep <dir> | ingest <dir> <first> <n> | " +
-        s"check <dir> <idsCsv> — got $other")
+        s"checkpoint <dir> <loops> | check <dir> <idsCsv> — got $other")
       sys.exit(2)
+  }
+
+  /** A THIRD concurrent process class: manifest checkpoints in a loop
+    * against the two live ingesters — the r13 checkpoint-under-live-
+    * committers rehearsal taken cross-process (the checkpoint is safe
+    * under live committers BY DESIGN: concurrent appends land as their
+    * own files outside the listed set, losers of the read race retry
+    * into the no-op; `sweep` is NOT in this loop — it requires foreign
+    * writers quiesced by contract). */
+  private def checkpointLoop(workdir: String, loops: Int): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+    (0 until loops).foreach { i =>
+      val (before, after) = StateLog.checkpointManifest(spark, ref)
+      println(s"[drill] pid=${ProcessHandle.current().pid()} " +
+        s"checkpoint $i: $before -> $after files")
+      Thread.sleep(1500)
+    }
+    println(s"[drill] checkpoint loop done: pid=${ProcessHandle.current().pid()}")
+    spark.stop()
   }
 
   private def prep(workdir: String): Unit = {

@@ -37,17 +37,22 @@ run() { java "${JVM_OPTS[@]}" -cp "$CP" graft.TwoProcessDrill "$@"; }
 
 run prep "$WORK"
 
-# two REAL processes racing 4 batches each into the same log
+# two REAL processes racing 4 batches each into the same log, plus a
+# THIRD process checkpointing the manifest in a loop against them (the
+# r13 checkpoint-under-live-committers rehearsal, cross-process)
 run ingest "$WORK" 100 4 > "$WORK/ingest_a.log" 2>&1 &
 PA=$!
 run ingest "$WORK" 200 4 > "$WORK/ingest_b.log" 2>&1 &
 PB=$!
+run checkpoint "$WORK" 12 > "$WORK/checkpoint.log" 2>&1 &
+PC=$!
 FAIL=0
 wait "$PA" || FAIL=1
 wait "$PB" || FAIL=1
-grep '\[drill\]' "$WORK/ingest_a.log" "$WORK/ingest_b.log" || true
+wait "$PC" || FAIL=1
+grep '\[drill\]' "$WORK/ingest_a.log" "$WORK/ingest_b.log" "$WORK/checkpoint.log" || true
 if [ "$FAIL" -ne 0 ]; then
-  echo "[drill] FAIL: an ingest process exited non-zero"; exit 1
+  echo "[drill] FAIL: a drill process exited non-zero"; exit 1
 fi
 
 run check "$WORK" "100,101,102,103,200,201,202,203"
