@@ -136,10 +136,11 @@ object Bench {
     // from a round-10 re-measurement while the driver's capture clobbered
     // the committed full map. Rules: (a) only write the canonical
     // BENCH_rNN.json slot when the driver sets SPARK_GRAFT_ROUND; (b)
-    // otherwise auto-write BENCH_r{max+1}_full.json — the CURRENT round's
-    // slot, since the driver closes round N by writing BENCH_rN.json —
-    // a distinct name the driver's capture never touches, and re-runs
-    // overwrite it instead of allocating new rounds.
+    // otherwise auto-write into the BENCH_r{max+1}_builder_full family —
+    // the CURRENT round's slot, since the driver closes round N by
+    // writing BENCH_rN.json — a distinct name the driver's capture never
+    // touches, and WRITE-ONCE since r14: an occupied slot gets a
+    // pid-suffixed sibling, never an overwrite.
     // an explicit SPARK_GRAFT_ROUND always writes its canonical slot; an
     // explicit SPARK_GRAFT_BENCH_OUT silences only the AUTO-GUESS below.
     // The auto slot carries a `_builder_` infix (VERDICT r12 task 4): the

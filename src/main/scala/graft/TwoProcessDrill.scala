@@ -70,18 +70,19 @@ object TwoProcessDrill {
   private def propsPath(workdir: String) =
     java.nio.file.Paths.get(workdir, "drill.properties")
 
+  /** Full location URI (scheme kept — the registration must not re-root
+    * a shared-store table onto the session default filesystem). */
   private def tableLocation(spark: SparkSession, t: String): String =
     spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
-      .location.getPath
+      .location.toString
 
-  /** Register a snapshot table by its recorded (name, path) — the
+  /** Register a snapshot table by its recorded (name, location) — the
     * snapshot sink's names and paths differ, so the tmpdir convention
     * the log's own [[StateLog.attach]] uses does not cover them. */
-  private def register(spark: SparkSession, t: String, path: String): Unit =
+  private def register(spark: SparkSession, t: String, location: String): Unit =
     if (!spark.catalog.tableExists(t))
-      spark.sql(s"CREATE TABLE IF NOT EXISTS `$t` USING parquet " +
-        s"LOCATION '$path'"): Unit
+      StateLog.registerExternalParquet(spark, t, location)
 
   private def stateTablesOf(p: java.util.Properties): SnapshotStateSink.StateTables =
     SnapshotStateSink.StateTables(
@@ -199,8 +200,9 @@ object TwoProcessDrill {
       s"gen_ids must be dense and unique 0..${batchIds.size}, got $genIds")
     require(manifest.filter(_._3 == "delta").map(_._2).toSet == batchIds.toSet,
       s"every batch exactly once, got ${manifest.map(_._2).toList}")
-    val claimsDir = new java.io.File(new java.io.File(
-      tableLocation(spark, ref.manifest)).getParent,
+    val manifestDir = java.nio.file.Paths.get(
+      new java.net.URI(tableLocation(spark, ref.manifest))).toFile
+    val claimsDir = new java.io.File(manifestDir.getParentFile,
       s"${ref.manifest}_manifest_claims")
     val residue = Option(claimsDir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.getName.endsWith(".claim"))

@@ -247,7 +247,14 @@ object StateLog {
           case _: java.nio.file.NoSuchFileException => false // tmp swept
         }
       else
-        try fs.rename(tmp, marker) catch { case _: Exception => false }
+        // only the lost-race shapes are a "false" — HDFS reports an
+        // existing destination by RETURNING false, FileContext-style
+        // stores by throwing; a genuine IO failure must PROPAGATE, not
+        // masquerade as 16 rounds of phantom contention (r14 review)
+        try fs.rename(tmp, marker) catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     fs.delete(tmp, false): Unit
     won
   }
@@ -612,8 +619,19 @@ object StateLog {
     * reads stay correct, co-located-join pruning just does not apply to
     * a table this process did not write. */
   private def registerForeign(spark: SparkSession, ref: LogRef, gens: Seq[Gen]): Unit = {
+    // names verified once per JVM: table names are manifest-prefixed and
+    // globally unique, the in-memory external catalog is shared across
+    // sessions, and a later DROP (vacuum/sweep) must NOT re-register —
+    // so the check never needs repeating, keeping history() O(new
+    // tables) instead of O(5 per generation) catalog lookups per read
+    // (r14 review)
     val missing = gens.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur))
-      .distinct.filterNot(t => spark.catalog.tableExists(t))
+      .distinct.filterNot(foreignChecked.contains)
+      .filterNot { t =>
+        val known = spark.catalog.tableExists(t)
+        if (known) foreignChecked.add(t): Unit
+        known
+      }
     if (missing.nonEmpty) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.getTableMetadata(
@@ -622,13 +640,26 @@ object StateLog {
       val fs = hadoopFs(spark, root)
       missing.foreach { t =>
         val p = new org.apache.hadoop.fs.Path(root, t)
-        if (fs.exists(p))
-          try spark.sql(s"CREATE TABLE IF NOT EXISTS `$t` USING parquet " +
-            s"LOCATION '${p.toUri.getPath}'"): Unit
-          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        if (fs.exists(p)) {
+          registerExternalParquet(spark, t, p.toString)
+          foreignChecked.add(t): Unit
+        }
       }
     }
   }
+
+  private val foreignChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The one registration snippet (r14 review: it was hand-rolled in
+    * three places). `location` keeps its scheme/authority — stripping it
+    * to the bare path would silently re-root a log table from the shared
+    * store (hdfs://...) onto the session default filesystem. */
+  private[graft] def registerExternalParquet(spark: SparkSession,
+      table: String, location: String): Unit =
+    try spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING parquet " +
+      s"LOCATION '$location'"): Unit
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
 
   /** ATTACH to an existing log from a fresh session or a SECOND DRIVER
     * PROCESS (VERDICT r13 task 6): registers the manifest's external
@@ -643,8 +674,7 @@ object StateLog {
       root: String = sys.props("java.io.tmpdir")): LogRef = {
     val ref = LogRef(manifest)
     if (!spark.catalog.tableExists(manifest))
-      spark.sql(s"CREATE TABLE IF NOT EXISTS `$manifest` USING parquet " +
-        s"LOCATION '$root/${manifest}_manifest'"): Unit
+      registerExternalParquet(spark, manifest, s"$root/${manifest}_manifest")
     history(spark, ref): Unit // fail fast on a torn manifest; register gen tables
     ref
   }
