@@ -2049,6 +2049,36 @@ class PipelineSpec extends SparkSpec {
     assert(!claim4.exists(),
       "the torn claim is deleted and the winner's own claim self-drops " +
         "after its append — no residue on the slot")
+
+    // fail-LOUD contract (r14 review): a genuine IO failure in the claim
+    // publish must surface promptly, never masquerade as 16 rounds of
+    // phantom claim-race contention. Block the claims DIRECTORY with a
+    // regular file: mkdirs/create then throw a real IO error, which must
+    // propagate as such (not a ConcurrentModificationException) and fast.
+    val claimsDir = new java.io.File(
+      StateLog.claimMarkerPathForTest(spark, ref, 99L)).getParentFile
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(claimsDir)
+    java.nio.file.Files.write(claimsDir.toPath, "not a dir".getBytes("UTF-8"))
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[Exception] {
+        ingest(Seq((9000L, "volcanologists sample basalt near the caldera rim",
+          "en", "src", 48L)), 3L)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(!e.isInstanceOf[java.util.ConcurrentModificationException],
+        s"an IO failure must not read as claim-race contention: $e")
+      assert(sec < 60.0, f"the failure must surface promptly, took $sec%.1f s")
+    } finally {
+      claimsDir.delete(): Unit // unblock: later tests may share the tmpdir
+    }
+    // the log is intact: the failed attempt committed nothing, and the
+    // next commit (claims dir re-creatable again) lands normally
+    assert(ingest(Seq((9001L, "cartographers trace meanders of the braided river",
+      "en", "src", 52L)), 3L), "the log must recover once the store heals")
   }
 
   test("state log: the SAME batch id raced by two concurrent writers lands " +
