@@ -100,10 +100,10 @@ object StateLog {
   /** Table names currently being written by an in-flight attempt of THIS
     * process — [[sweep]]'s protection against reclaiming an attempt that
     * has not reached its commit point yet. Cross-process, sweep has no
-    * such registry: like every table-format GC, it must only run with
-    * foreign writers quiesced (or it could reclaim their in-flight
-    * attempts, which converge anyway — the replay recomputes — but would
-    * waste their work). */
+    * such registry: the zero-grace form must only run with foreign
+    * writers quiesced; the GRACED overload (r15) is the live-writer-safe
+    * form — it reclaims only candidates whose newest write is older than
+    * the grace window, which a live attempt never is. */
   private val inFlight =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -218,6 +218,48 @@ object StateLog {
       try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
 
+  /** HARD PRECONDITION of the claim CAS (ADVICE r14): the claim store
+    * must offer an atomic EXCLUSIVE publish primitive — a posix hard
+    * link (local) or a no-overwrite rename (HDFS and compatible). On a
+    * store whose rename is LAST-WINS (object stores: rename is a copy
+    * that silently replaces the destination), the read-back verify only
+    * NARROWS the double-commit window, it does not close it: A publishes
+    * and verifies its own payload, B then overwrites and also verifies
+    * its own — both proceed, both append, and two DISTINCT rows share a
+    * gen_id ([[history]] fails loudly, but the log then needs manual
+    * repair). KNOWN last-wins schemes are therefore refused up front;
+    * `spark.graft.statelog.claims.allowNonAtomicStore=true` accepts the
+    * residual window explicitly (legitimate only for single-writer
+    * deployments, where the CAS never races) and downgrades the refusal
+    * to a one-time warning. Schemes this list cannot know about are
+    * still caught at RUNTIME by the read-back verify whenever the
+    * interleaving allows (pinned by LastWinsClaimSpec) — the list is the
+    * fail-fast layer, the verify the best-effort net behind it. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cosn")
+  private val warnedNonAtomic =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def requireAtomicPublishStore(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, ref: LogRef): Unit =
+    if (NonAtomicRenameSchemes.contains(fs.getScheme)) {
+      if (!spark.conf.getOption("spark.graft.statelog.claims.allowNonAtomicStore")
+          .exists(_.toBoolean))
+        throw new UnsupportedOperationException(
+          s"state log ${ref.manifest}: the claim store (scheme " +
+            s"'${fs.getScheme}') has no atomic exclusive rename/link, so " +
+            "the commit-claim CAS cannot arbitrate concurrent writers (a " +
+            "double-publish resolves last-wins and BOTH writers can " +
+            "proceed). Put the log on a store with an atomic exclusive " +
+            "publish (local posix, HDFS), or accept the single-writer-only " +
+            "posture explicitly with " +
+            "spark.graft.statelog.claims.allowNonAtomicStore=true")
+      else if (warnedNonAtomic.add(s"${fs.getScheme}:${ref.manifest}"))
+        System.err.println(s"[statelog] WARNING: claim store scheme " +
+          s"'${fs.getScheme}' for ${ref.manifest} has no atomic exclusive " +
+          "publish — the commit-claim CAS is sound ONLY with a single " +
+          "writer (allowNonAtomicStore=true accepted the risk)")
+    }
+
   /** Publish `payload` at `marker` atomically and exclusively: the
     * content goes to an attempt-unique temp file first (complete before
     * publish), then ONE primitive moves it into place — a hard link
@@ -226,7 +268,9 @@ object StateLog {
     * fails on an existing destination). Returns whether this attempt
     * WON the slot; the temp file is always cleaned. Object stores whose
     * rename is last-wins can mis-report a win here — the caller's
-    * read-back verify catches that. */
+    * read-back verify catches the interleavings it can (it does NOT
+    * close the window: see [[requireAtomicPublishStore]], which refuses
+    * known last-wins schemes up front). */
   private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, marker: org.apache.hadoop.fs.Path,
       payload: Array[Byte]): Boolean = {
@@ -273,7 +317,15 @@ object StateLog {
 
   private def maxGen(spark: SparkSession, ref: LogRef): Long =
     withManifestRetry() {
-      freshManifest(spark, ref).agg(max(col("gen_id"))).head().getLong(0)
+      val r = freshManifest(spark, ref).agg(max(col("gen_id"))).head()
+      // every log starts at a genesis row, so an EMPTY manifest means the
+      // handle points at a location that is not a log — name the problem
+      // instead of NPE-ing in getLong on the null max (ADVICE r14)
+      require(!r.isNullAt(0),
+        s"state log ${ref.manifest}: the manifest is empty — this handle " +
+          "does not point at a log (attach with the root the log was " +
+          "created under?)")
+      r.getLong(0)
     }
 
   /** A manifest read can race [[checkpointManifest]]'s file swap: the
@@ -338,19 +390,23 @@ object StateLog {
     * shared-namespace operation. */
   private def commitOneFile(spark: SparkSession, ref: LogRef,
       df: DataFrame, destName: String): Unit = {
-    val stage = s"${sys.props("java.io.tmpdir")}/${ref.manifest}_stage_" +
-      s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
-    val fs = stagePath.getFileSystem(conf)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
+    // the stage lives beside the manifest ON THE MANIFEST'S OWN STORE
+    // (r15): a stage on the session-default filesystem breaks the commit
+    // rename whenever the log's root is a DIFFERENT store (defaultFS=file
+    // with an hdfs:// manifest, or any attached non-default root) —
+    // rename cannot cross filesystems. Crashed stage dirs are log-prefix
+    // siblings of the manifest, so the graced [[sweep]] reclaims them.
+    val stagePath = new org.apache.hadoop.fs.Path(loc.getParent,
+      s"${ref.manifest}_stage_${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}")
+    df.coalesce(1).write.mode("overwrite").parquet(stagePath.toString)
+    val fs = hadoopFs(spark, stagePath)
     val part = fs.listStatus(stagePath).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .head
-    val loc = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location
-    val dest = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(loc), destName)
+    val dest = new org.apache.hadoop.fs.Path(loc, destName)
     require(fs.rename(part, dest),
       s"state log ${ref.manifest}: commit-file rename failed for $destName")
     fs.delete(stagePath, true): Unit
@@ -375,6 +431,7 @@ object StateLog {
           "since this operation read its views")
       val dir = claimsDir(spark, ref)
       val fs = hadoopFs(spark, dir)
+      requireAtomicPublishStore(spark, fs, ref)
       val marker = new org.apache.hadoop.fs.Path(dir, markerName(expectedMaxGen + 1))
       if (fs.exists(marker)) {
         // another (crashed or foreign in-flight) claimant holds the slot:
@@ -403,6 +460,17 @@ object StateLog {
           fs.delete(marker, false): Unit
         stale(ref, s"manifest advanced ($expectedMaxGen -> $cur2) during the claim")
       }
+      // crash-drill hook (VERDICT r14 task 4, the SIGKILL analogue of
+      // claimMarkerPathForTest's planted markers): with this env var set,
+      // announce the published claim at the named sentinel path and hang
+      // INSIDE the claim→append window, so tools/two_process_drill.sh can
+      // SIGKILL this JVM mid-commit and a peer must roll the claim
+      // forward for real. Inert unless the var is set.
+      sys.env.get("GRAFT_TEST_HANG_AFTER_CLAIM").foreach { sentinel =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(sentinel),
+          claimPayload(g).getBytes("UTF-8"))
+        Thread.sleep(3600000L)
+      }
       appendManifestRow(spark, ref, g)
       // the row is durably in the manifest — the claim is inert from
       // this instant; drop it NOW so clean commits leave no residue
@@ -428,7 +496,14 @@ object StateLog {
       case Some(claimed) =>
         if (withManifestRetry() {
           freshManifest(spark, ref).filter(col("gen_id") === gen).isEmpty
-        }) appendManifestRow(spark, ref, claimed)
+        }) {
+          // operational visibility (and the crash drill's observable):
+          // finishing a dead claimant's commit is rare and worth a line
+          System.err.println(s"[statelog] rolling claim for generation " +
+            s"$gen (batch ${claimed.batchId}, kind ${claimed.kind}) " +
+            "forward on behalf of a dead or slow claimant")
+          appendManifestRow(spark, ref, claimed)
+        }
         // the row is in the manifest either way now — the claim is inert
         try { fs.delete(marker, false): Unit } catch { case _: Exception => () }
       case None =>
@@ -627,6 +702,7 @@ object StateLog {
     // (r14 review)
     val missing = gens.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur))
       .distinct.filterNot(foreignChecked.contains)
+      .filterNot(foreignMissing.contains)
       .filterNot { t =>
         val known = spark.catalog.tableExists(t)
         if (known) foreignChecked.add(t): Unit
@@ -643,12 +719,25 @@ object StateLog {
         if (fs.exists(p)) {
           registerExternalParquet(spark, t, p.toString)
           foreignChecked.add(t): Unit
-        }
+        } else foreignMissing.add(t): Unit
       }
     }
   }
 
   private val foreignChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Known-MISSING names (ADVICE r14): a manifest-referenced table whose
+    * data is absent from the shared root was vacuumed or swept — and,
+    * names being attempt-unique and every table fully written strictly
+    * BEFORE its manifest row commits, a missing table can never
+    * reappear, so the negative result is as permanently cacheable as the
+    * positive one. Without it, every [[history]] read (which runs on
+    * every commit) re-probes each vacuumed generation's five tables with
+    * a catalog lookup + fs.exists — driver overhead growing unboundedly
+    * with a long-lived log's vacuumed-table count. No invalidation is
+    * needed: our own drops only move tables TOWARD missing, consistent
+    * with the cache. */
+  private val foreignMissing =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The one registration snippet (r14 review: it was hand-rolled in
@@ -673,8 +762,23 @@ object StateLog {
   def attach(spark: SparkSession, manifest: String,
       root: String = sys.props("java.io.tmpdir")): LogRef = {
     val ref = LogRef(manifest)
-    if (!spark.catalog.tableExists(manifest))
-      registerExternalParquet(spark, manifest, s"$root/${manifest}_manifest")
+    if (!spark.catalog.tableExists(manifest)) {
+      // fail FAST on a wrong root (ADVICE r14): CREATE TABLE on a
+      // nonexistent location succeeds silently, registering an EMPTY
+      // external manifest whose first real use then dies far away (a
+      // null-max in maxGen) instead of naming the actual problem here
+      val dir = new org.apache.hadoop.fs.Path(s"$root/${manifest}_manifest")
+      val fs = hadoopFs(spark, dir)
+      require(fs.exists(dir),
+        s"state log $manifest: no manifest data at $dir — `root` must be " +
+          "the shared scratch root the log was created under (default " +
+          "java.io.tmpdir); nothing was registered")
+      registerExternalParquet(spark, manifest, dir.toString)
+    }
+    // the claim-store precondition holds for ATTACH too — a reader-only
+    // process loses nothing, and a would-be committer learns here, not
+    // at its first commit (ADVICE r14)
+    requireAtomicPublishStore(spark, hadoopFs(spark, claimsDir(spark, ref)), ref)
     history(spark, ref): Unit // fail fast on a torn manifest; register gen tables
     ref
   }
@@ -832,25 +936,79 @@ object StateLog {
     * ones), a pending claim's content (a peer may roll it forward), a
     * pending claim itself, or this process's in-flight attempt registry.
     * Claims whose generation is committed are inert and reclaimed too.
-    * Like every table-format GC, run it with foreign writers quiesced
-    * (in-process writers are protected by the registry). Returns the
-    * dropped names. */
-  def sweep(spark: SparkSession, ref: LogRef): Seq[String] = {
+    * Like every table-format GC, the zero-grace form must only run with
+    * foreign writers quiesced (in-process writers are protected by the
+    * registry); the GRACED overload below is the live-writer-safe form.
+    * Returns the dropped names. */
+  def sweep(spark: SparkSession, ref: LogRef): Seq[String] = sweep(spark, ref, 0L)
+
+  /** GRACE-WINDOW sweep (VERDICT r14 task 2) — the standard table-format
+    * GC trick that makes the sweep safe against LIVE foreign writers: a
+    * candidate is reclaimed only when its newest write is older than
+    * `graceMs`. A live peer's in-flight attempt (tables being written, no
+    * claim yet — the one shape the pending-claim protection cannot see)
+    * is by definition younger than any sane grace window, while a
+    * genuinely crashed attempt only gets older. Pick `graceMs` well above
+    * the longest single attempt's write→commit span (minutes, not
+    * seconds).
+    *
+    * The graced form also widens the candidate SCAN from this session's
+    * catalog to the shared STORE: directories under the log's root with
+    * this log's name prefix (the only place attempt tables and commit
+    * stages are minted — [[saveGen]], [[commitOneFile]]). A foreign
+    * process's crashed attempt never appears in any other catalog, so a
+    * catalog-only sweep could not reclaim exactly the orphans a
+    * multi-process deployment produces. The manifest and claims
+    * directories are the log's live spine and are never candidates.
+    * Publish temp files (`*.tmp`) respect the same grace — a live peer's
+    * between-create-and-link temp must not be yanked (it would read as a
+    * lost race and waste a retry). With `graceMs = 0` the behavior is the
+    * legacy quiesced-writers contract: catalog candidates only, all
+    * temps reclaimed. */
+  def sweep(spark: SparkSession, ref: LogRef, graceMs: Long): Seq[String] = {
     val hist = history(spark, ref)
     val referenced = hist.flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
     val committedGens = hist.map(_.genId).toSet
-    val candidates = listLogTables(spark, ref)
     val claimRefs = pendingClaimRefs(spark, ref)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
+    val root = loc.getParent
+    val rootFs = hadoopFs(spark, root)
+    val now = System.currentTimeMillis()
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = rootFs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +: rootFs.listStatus(p).toSeq.map(s =>
+        if (s.isDirectory) newestMtime(s.getPath) else s.getModificationTime)).max
+    }
+    // a path that vanishes or mutates mid-walk is a LIVE writer's — young
+    def aged(p: org.apache.hadoop.fs.Path): Boolean =
+      graceMs <= 0L || (try now - newestMtime(p) >= graceMs
+        catch { case _: java.io.FileNotFoundException => false })
+    val spine = Set(loc.getName, loc.getName + "_claims")
+    val storeCandidates =
+      if (graceMs <= 0L || !rootFs.exists(root)) Seq.empty
+      else rootFs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith(ref.manifest + "_") && !spine(p.getName))
+        .map(_.getName)
+    val candidates = (listLogTables(spark, ref) ++ storeCandidates).distinct
     val droppedTables = candidates.filter(t =>
-      !referenced(t) && !claimRefs(t) && !inFlight.contains(t)).sorted
-    droppedTables.foreach(dropTableAndData(spark, _))
+      !referenced(t) && !claimRefs(t) && !inFlight.contains(t) &&
+        aged(new org.apache.hadoop.fs.Path(root, t))).sorted
+    droppedTables.foreach { t =>
+      dropTableAndData(spark, t) // catalog entry + its recorded location
+      // store-only candidates (foreign orphans) have no catalog entry to
+      // resolve a location from — free the directory itself (idempotent
+      // for catalog candidates: same path by the minting convention)
+      try rootFs.delete(new org.apache.hadoop.fs.Path(root, t), true): Unit
+      catch { case _: java.io.FileNotFoundException => () }
+    }
     // claim residue on the store: markers of COMMITTED generations are
     // inert (the self-drop usually beat us here; a crashed winner's or a
-    // belt-and-braces loser's marker can survive) and reclaimed; PENDING
-    // markers are in-flight commit state — never swept. Publish temp
-    // files (`*.tmp`) are attempt-private leftovers of crashed
-    // publishes; with foreign writers quiesced (the sweep contract) any
-    // survivor is dead and reclaimed too.
+    // belt-and-braces loser's marker can survive) and reclaimed
+    // regardless of age — their generation is durably in the manifest;
+    // PENDING markers are in-flight commit state — never swept.
     val dir = claimsDir(spark, ref)
     val fs = hadoopFs(spark, dir)
     val inertClaims = listClaims(spark, ref, fs)
@@ -861,7 +1019,7 @@ object StateLog {
       }
     if (fs.exists(dir))
       fs.listStatus(dir).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".tmp"))
+        .filter(p => p.getName.endsWith(".tmp") && aged(p))
         .foreach(p => fs.delete(p, false): Unit)
     droppedTables ++ inertClaims.sorted
   }
@@ -1578,6 +1736,68 @@ object StateLog {
    * the drain trajectory (drain_calls=2, drain1_after=2,
    * drain2_after=1, manifest_files=1, manifest_rows=3,
    * replay_skipped=1). */
+
+  def eq153(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    compactLog(spark, ref)                                                // gen 2
+    // plant what a MULTI-PROCESS deployment's crashes leave on the store:
+    // a foreign attempt's table dir (store-only — no catalog here or
+    // anywhere ever saw it) and a dead commit stage, both aged a day; plus
+    // a YOUNG orphan standing in for a live foreign writer's in-flight
+    // attempt, which the grace window must protect
+    val root = new java.io.File(sys.props("java.io.tmpdir"))
+    def plant(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(root, name)
+      docs.limit(1).select(col("doc_id")).write.mode("overwrite").parquet(d.getPath)
+      if (ageMs > 0) {
+        val t = System.currentTimeMillis() - ageMs
+        def walk(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(walk)); f.setLastModified(t): Unit
+        }
+        walk(d)
+      }
+      d
+    }
+    val agedOrphan = plant(s"${ref.manifest}_hash_b9_aeq153dead_1", 86400000L)
+    val agedStage = plant(s"${ref.manifest}_stage_eq153_1", 86400000L)
+    val young = plant(s"${ref.manifest}_band_b9_aeq153live_1", 0L)
+    val dropped = sweep(spark, ref, graceMs = 600000L)
+    val keptYoung = young.exists() && !dropped.contains(young.getName)
+    val skipped = !ingestBatch(spark, ref, st,
+      docs.filter(DedupIndexSink.isNewCol), 0L)
+    // the young stand-in is litter once audited — reclaim it eagerly (the
+    // returned frame never reads it)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(young)
+    def flag(item: String, n: Long): DataFrame = {
+      import spark.implicits._
+      Seq((item, n)).toDF("item", "n")
+    }
+    auditItems(views(spark, ref), "")
+      .unionAll(corpusItems(corpus(spark, ref), ""))
+      .unionAll(flag("swept_aged", dropped.count(n =>
+        n == agedOrphan.getName || n == agedStage.getName).toLong))
+      .unionAll(flag("swept_total", dropped.size.toLong))
+      .unionAll(flag("kept_young", if (keptYoung) 1L else 0L))
+      .unionAll(flag("replay_skipped", if (skipped) 1L else 0L))
+      .orderBy("item")
+  }
+
+  /* eq153 — the GRACED SWEEP under the oracle (r15, VERDICT r14 task 2):
+   * eq147's committed state verbatim (ingest → fold — a store-level GC
+   * must not change a row any reader sees), with the live-writer-safe
+   * sweep's contract pinned: the aged foreign orphan and the dead commit
+   * stage — shapes only the STORE-level candidate scan can see, no
+   * catalog ever knew them — are reclaimed (swept_aged=2, and nothing
+   * else: swept_total=2), the young in-flight stand-in survives the
+   * grace window (kept_young=1), and the replay-skip set holds across
+   * the sweep (replay_skipped=1). */
 
   def eq151(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
