@@ -105,12 +105,40 @@ object TwoProcessDrill {
       ingest(workdir, first.toLong, count.toInt)
     case "checkpoint" :: workdir :: loops :: Nil =>
       checkpointLoop(workdir, loops.toInt)
+    case "sweeploop" :: workdir :: loops :: graceMs :: Nil =>
+      sweepLoop(workdir, loops.toInt, graceMs.toLong)
     case "check" :: workdir :: ids :: Nil =>
       check(workdir, ids.split(",").map(_.trim.toLong).toSeq)
     case other =>
       System.err.println(s"usage: prep <dir> | ingest <dir> <first> <n> | " +
-        s"checkpoint <dir> <loops> | check <dir> <idsCsv> — got $other")
+        s"checkpoint <dir> <loops> | sweeploop <dir> <loops> <graceMs> | " +
+        s"check <dir> <idsCsv> — got $other")
       sys.exit(2)
+  }
+
+  /** A FOURTH concurrent process class (VERDICT r14 task 2): GRACED
+    * sweeps in a loop against the two LIVE ingesters. The grace window
+    * protects their in-flight attempts (young writes) while the AGED
+    * foreign orphan `prep` planted — a crashed attempt from a process no
+    * live catalog ever saw — must be reclaimed from the store. Asserts
+    * the reclamation before exiting; `check` then proves no live
+    * generation was lost. */
+  private def sweepLoop(workdir: String, loops: Int, graceMs: Long): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+    val orphan = new java.io.File(p.getProperty("orphanDir"))
+    (0 until loops).foreach { i =>
+      val dropped = StateLog.sweep(spark, ref, graceMs)
+      println(s"[drill] pid=${ProcessHandle.current().pid()} sweep $i " +
+        s"(grace ${graceMs}ms): dropped=${dropped.size} ${dropped.take(4).mkString(",")}")
+      Thread.sleep(2000)
+    }
+    require(!orphan.exists(),
+      s"the aged foreign orphan $orphan must be reclaimed by a graced sweep")
+    println(s"[drill] sweep loop done: pid=${ProcessHandle.current().pid()} " +
+      "aged foreign orphan reclaimed, live writers untouched")
+    spark.stop()
   }
 
   /** A THIRD concurrent process class: manifest checkpoints in a loop
@@ -150,9 +178,23 @@ object TwoProcessDrill {
         p.setProperty(k, t)
         p.setProperty(s"path.$t", tableLocation(spark, t))
       }
+    // plant an AGED foreign orphan under the shared root: a crashed
+    // attempt's table dir with this log's name prefix that NO live
+    // catalog knows — only the graced store-level sweep can see it.
+    // Backdate every mtime well past any sane grace window.
+    val orphan = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${ref.manifest}_hash_b999_aforeigndead_1")
+    docs.limit(2).select("doc_id").write.mode("overwrite").parquet(orphan.getPath)
+    val old = System.currentTimeMillis() - 24L * 3600 * 1000
+    def backdate(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(backdate))
+      f.setLastModified(old): Unit
+    }
+    backdate(orphan)
+    p.setProperty("orphanDir", orphan.getPath)
     val out = java.nio.file.Files.newOutputStream(propsPath(workdir))
     try p.store(out, "graft two-process drill handle") finally out.close()
-    println(s"[drill] prep done: manifest=${ref.manifest}")
+    println(s"[drill] prep done: manifest=${ref.manifest} orphan=$orphan")
     spark.stop()
   }
 

@@ -2222,6 +2222,80 @@ class PipelineSpec extends SparkSpec {
     assert(StateLog.sweep(spark, ref).isEmpty, "nothing left to sweep")
   }
 
+  test("state log graced sweep: aged foreign orphans (store-only, no catalog " +
+    "entry) and dead stages are reclaimed; young candidates — a live writer's " +
+    "shape — survive until aged (VERDICT r14 task 2)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    val docs = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+    assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 0L)) // gen 1
+
+    val tmp = sys.props("java.io.tmpdir")
+    def backdate(dir: java.io.File, ageMs: Long): Unit = {
+      val t = System.currentTimeMillis() - ageMs
+      def walk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(walk))
+        f.setLastModified(t): Unit
+      }
+      walk(dir)
+    }
+    // a FOREIGN crashed attempt: parquet dirs under the shared root with
+    // the log's prefix that THIS session's catalog never saw (another
+    // process's catalog minted them) — the catalog-only sweep is blind to
+    // these by construction
+    def plantDir(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      Seq(("junk")).toDF("h").write.mode("overwrite").parquet(d.getPath)
+      backdate(d, ageMs)
+      d
+    }
+    val agedOrphan = plantDir(s"${ref.manifest}_hash_b8_aforeigndead_1", 3600000L)
+    val agedStage = plantDir(s"${ref.manifest}_stage_99999_7", 3600000L)
+    val youngOrphan = plantDir(s"${ref.manifest}_band_b8_aforeignlive_1", 0L)
+    // claim-publish temp files: an aged one is a crashed publish, a fresh
+    // one may be a live peer's between-create-and-link window
+    val claimsDir = new java.io.File(
+      StateLog.claimMarkerPathForTest(spark, ref, 1L)).getParentFile
+    claimsDir.mkdirs()
+    val agedTmp = new java.io.File(claimsDir, "g5.claim.1_1.tmp")
+    java.nio.file.Files.write(agedTmp.toPath, "dead".getBytes("UTF-8"))
+    agedTmp.setLastModified(System.currentTimeMillis() - 3600000L): Unit
+    val freshTmp = new java.io.File(claimsDir, "g6.claim.2_1.tmp")
+    java.nio.file.Files.write(freshTmp.toPath, "live".getBytes("UTF-8"))
+
+    val preHash = StateLog.views(spark, ref)._1.localCheckpoint()
+    val dropped = StateLog.sweep(spark, ref, graceMs = 60000L)
+    assert(dropped.contains(agedOrphan.getName),
+      s"the aged foreign orphan must be reclaimed from the store, got $dropped")
+    assert(!agedOrphan.exists(), "the orphan's data must leave the disk")
+    assert(dropped.contains(agedStage.getName) && !agedStage.exists(),
+      "a dead commit stage is a crashed-writer leftover and is reclaimed")
+    assert(!dropped.contains(youngOrphan.getName) && youngOrphan.exists(),
+      "a YOUNG unreferenced dir is a live writer's in-flight shape — kept")
+    assert(!agedTmp.exists(), "an aged publish temp is a crashed publish")
+    assert(freshTmp.exists(), "a fresh publish temp may be a live peer's")
+    // nothing live was touched
+    def sameSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"$what diverged")
+    sameSet(StateLog.views(spark, ref)._1, preHash, "live hash view across the graced sweep")
+    assert(!StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 0L),
+      "replay-skip must hold across the graced sweep")
+
+    // once the young candidates AGE past the window, the next graced
+    // sweep reclaims them too — the crashed-writer lifecycle completes
+    backdate(youngOrphan, 3600000L)
+    freshTmp.setLastModified(System.currentTimeMillis() - 3600000L): Unit
+    val dropped2 = StateLog.sweep(spark, ref, graceMs = 60000L)
+    assert(dropped2.contains(youngOrphan.getName) && !youngOrphan.exists())
+    assert(!freshTmp.exists())
+    // and the zero-grace legacy form still reports a clean store
+    assert(StateLog.sweep(spark, ref).isEmpty, "nothing left to sweep")
+  }
+
   test("state log: releasing the wrapped snapshot after fold+vacuum frees the " +
     "genesis tables; live state survives, as-of(0) is bounded (VERDICT r12 task 7)") {
     import graft.sources.{SnapshotStateSink, StateLog}

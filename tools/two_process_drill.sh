@@ -39,21 +39,60 @@ run prep "$WORK"
 
 # two REAL processes racing 4 batches each into the same log, plus a
 # THIRD process checkpointing the manifest in a loop against them (the
-# r13 checkpoint-under-live-committers rehearsal, cross-process)
+# r13 checkpoint-under-live-committers rehearsal, cross-process), plus
+# a FOURTH process running GRACED sweeps against the live writers
+# (VERDICT r14 task 2): the aged foreign orphan prep planted must be
+# reclaimed while no live generation is lost.
 run ingest "$WORK" 100 4 > "$WORK/ingest_a.log" 2>&1 &
 PA=$!
 run ingest "$WORK" 200 4 > "$WORK/ingest_b.log" 2>&1 &
 PB=$!
 run checkpoint "$WORK" 12 > "$WORK/checkpoint.log" 2>&1 &
 PC=$!
+run sweeploop "$WORK" 10 150000 > "$WORK/sweep.log" 2>&1 &
+PS=$!
 FAIL=0
 wait "$PA" || FAIL=1
 wait "$PB" || FAIL=1
 wait "$PC" || FAIL=1
-grep '\[drill\]' "$WORK/ingest_a.log" "$WORK/ingest_b.log" "$WORK/checkpoint.log" || true
+wait "$PS" || FAIL=1
+grep '\[drill\]' "$WORK/ingest_a.log" "$WORK/ingest_b.log" \
+  "$WORK/checkpoint.log" "$WORK/sweep.log" || true
 if [ "$FAIL" -ne 0 ]; then
   echo "[drill] FAIL: a drill process exited non-zero"; exit 1
 fi
 
-run check "$WORK" "100,101,102,103,200,201,202,203"
-echo "[drill] PASS: two-process rehearsal green (workdir kept: $WORK)"
+# REAL-CRASH roll-forward (VERDICT r14 task 4): a committer JVM is
+# SIGKILLed INSIDE its claim-published -> manifest-append window (the
+# GRAFT_TEST_HANG_AFTER_CLAIM hook announces the published claim at a
+# sentinel path and hangs); the next committer must roll the dead
+# claimant's batch forward AND land its own.
+SENTINEL="$WORK/claim_hang.sentinel"
+GRAFT_TEST_HANG_AFTER_CLAIM="$SENTINEL" run ingest "$WORK" 300 1 \
+  > "$WORK/ingest_c.log" 2>&1 &
+PCRASH=$!
+for i in $(seq 1 240); do
+  [ -f "$SENTINEL" ] && break
+  if ! kill -0 "$PCRASH" 2>/dev/null; then
+    echo "[drill] FAIL: the crash-target committer died before its claim"
+    exit 1
+  fi
+  sleep 1
+done
+if [ ! -f "$SENTINEL" ]; then
+  echo "[drill] FAIL: crash-target never published its claim"; kill -9 "$PCRASH"; exit 1
+fi
+kill -9 "$PCRASH"
+wait "$PCRASH" 2>/dev/null || true
+echo "[drill] SIGKILLed committer pid=$PCRASH inside the claim->append window"
+
+run ingest "$WORK" 400 1 > "$WORK/ingest_d.log" 2>&1
+grep '\[drill\]' "$WORK/ingest_d.log" || true
+if ! grep -q 'rolling claim for generation' "$WORK/ingest_d.log"; then
+  echo "[drill] FAIL: the survivor never rolled the dead claim forward"; exit 1
+fi
+echo "[drill] observed a REAL roll-forward of the SIGKILLed committer's claim"
+
+run check "$WORK" "100,101,102,103,200,201,202,203,300,400"
+echo "[drill] PASS: two-process rehearsal green — race + live-writer graced" \
+  "sweep + SIGKILL roll-forward (workdir kept: $WORK)"
