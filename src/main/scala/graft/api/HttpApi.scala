@@ -30,11 +30,23 @@ object HttpApi {
     * for tests). Binds LOOPBACK by default — this is an unauthenticated
     * query endpoint; exposing it on all interfaces must be an explicit
     * caller decision. Returns the running server; stop with
-    * `server.stop(0)`. */
+    * `server.stop(0)`.
+    *
+    * Requests are served on a bounded thread pool (`threads`, r15):
+    * without an executor the JDK server dispatches every exchange on ONE
+    * thread, so a single slow query head-of-line-blocks the whole API.
+    * Spark is made for this — concurrent driver-side actions schedule
+    * independently (FAIR-pool or not), and every handler call reads the
+    * shared session's conf rather than mutating it, so plans never
+    * cross-talk (pinned by QueryServiceSpec's 16-way contention test). */
   def start(spark: SparkSession, dir: String, port: Int = 8000,
-            host: String = "127.0.0.1"): HttpServer = {
+            host: String = "127.0.0.1", threads: Int = 16): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/api/produits/", handler(spark, dir))
+    // daemon threads: `server.stop` halts the dispatcher but not the
+    // pool, and an API server must never pin a JVM shutdown
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      threads, (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
     server.start()
     server
   }

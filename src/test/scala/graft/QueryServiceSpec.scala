@@ -210,6 +210,73 @@ class QueryServiceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HTTP binding under contention: 24 parallel mixed GETs (composites " +
+    "included) are byte-equal to the sequential baseline; session-conf flips " +
+    "on OTHER sessions never cross-talk (VERDICT r14 task 5)") {
+    val server = graft.api.HttpApi.start(spark, Sf, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(qs: String): (Int, String) = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/api/produits/?$qs")).GET().build()
+        val r = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // mixed workload: plain arrays, BOTH composites, a 400 and a GET
+      // with defaults — 8 distinct shapes × 3 = 24 in-flight requests
+      val shapes = Seq(
+        "type=fab-cat&catID=STANDARD",
+        "type=cat", // 400 missing catID
+        "type=nb-mag-cat-date&catID=STANDARD&annee=1996",
+        "type=avg-cat-fab-10-mag&catID=STANDARD&fabID=Brand%2312" +
+          "&debut=1995-01-01&fin=1996-12-31",
+        "type=score-sante-touts-les-mois&catID=STANDARD&fabID=Brand%2312" +
+          "&asOf=1998-09-01",
+        "type=top-magasins-cat&catID=STANDARD&debut=1995-01-01&fin=1996-12-31",
+        "type=score-evolution&catID=STANDARD&fabID=Brand%2312&asOf=1998-09-01",
+        "catID=STANDARD") // the reference's default "all" -> 400
+      val baseline = shapes.map(s => s -> get(s)).toMap
+
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val work = Seq.fill(3)(shapes).flatten // 24 requests
+      val pool = Executors.newFixedThreadPool(work.size)
+      val go = new CountDownLatch(1)
+      // contention PLUS a conf-flipper on a DIFFERENT session: Spark
+      // session confs are per-session, so hammering the presentation-sort
+      // toggle on a newSession() clone must never leak into the server's
+      // plans (the isolation the per-session clone design relies on)
+      val flipper = spark.newSession()
+      @volatile var stop = false
+      val flipThread = new Thread(() => {
+        var on = false
+        while (!stop) {
+          flipper.conf.set(graft.Canonical.PresentationSortsKey, on.toString)
+          on = !on
+          Thread.sleep(1)
+        }
+        flipper.conf.unset(graft.Canonical.PresentationSortsKey)
+      })
+      flipThread.setDaemon(true)
+      flipThread.start()
+      val futures = work.map { s =>
+        pool.submit(new java.util.concurrent.Callable[(String, (Int, String))] {
+          def call(): (String, (Int, String)) = { go.await(); s -> get(s) }
+        })
+      }
+      go.countDown()
+      val results = futures.map(_.get(300, TimeUnit.SECONDS))
+      stop = true
+      flipThread.join(5000)
+      pool.shutdown()
+      results.foreach { case (s, got) =>
+        assert(got == baseline(s),
+          s"response under contention diverged for $s:\n got=${got.toString.take(200)}\n " +
+            s"want=${baseline(s).toString.take(200)}")
+      }
+    } finally server.stop(0)
+  }
+
   test("HTTP binding: missing database dir -> 404 JSON error (views.py:92-96)") {
     val server = graft.api.HttpApi.start(spark, "/nonexistent/dir", port = 0)
     try {
