@@ -133,6 +133,13 @@ object Curation {
     * max window partition is ≤ the split threshold ~2·|corpus|/K
     * whenever ids are splittable (only duplicate-id single-value
     * buckets can exceed it — and unique doc_ids make those count ≤ 1).
+    * A corpus that VIOLATES the unique-doc_id contract degrades with a
+    * measured bound (r15, SkewSpec fixture 8): an over-threshold bucket
+    * is always a single-VALUE bucket, so the max partition is the max
+    * per-id multiplicity — the same floor the plain window has on that
+    * input, since an id's tied rows are one indivisible partition under
+    * any order-by-id prefix sum. Dedup upstream (eq1's exact pass) is
+    * the real fix for such a corpus, not the packer.
     * The BATCH-side windows ([[appendPackCount]]/[[appendPackSummary]])
     * keep the plain shape — batch-bounded by contract. The lang key is
     * null-safe via a PAIR (`lang IS NULL`, `coalesce(lang, '')`) — no

@@ -356,4 +356,52 @@ class SkewSpec extends SparkSpec {
       expect.select("doc_id", "cum").exceptAll(got.select("doc_id", "cum")).isEmpty,
       "refined two-phase cum diverged from the plain window")
   }
+
+  // ---- fixture 8: duplicate doc_ids vs the pack bucket re-split ------
+
+  test("duplicate-id pack corpus (contract violation): degradation is bounded " +
+    "by the max per-id multiplicity — every over-threshold bucket is a " +
+    "single-VALUE bucket, and the plain window pays the same (VERDICT r14 task 6)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Curation
+    // doc_id uniqueness is the documented corpus contract; this fixture
+    // VIOLATES it with one id repeated `mult` times. A single-value
+    // bucket (mn == mx) is unsplittable by the range rule BY DESIGN —
+    // and by ANY design: the plain window puts an id's tied rows in one
+    // partition too, so the bound below is the floor any order-by-id
+    // prefix sum has on this input, not a rewrite regression.
+    val mult = 30000L
+    val dupId = 5000000L
+    val docs = spark.range(1000).select(
+        col("id").as("doc_id"), lit("en").as("lang"),
+        (col("id") % 7).cast("long").as("n_tokens"))
+      .unionByName(spark.range(mult).select(
+        lit(dupId).as("doc_id"), lit("en").as("lang"),
+        lit(1L).as("n_tokens"))) // uniform: tie order cannot change cums
+      .unionByName(Seq((9000000L, "en", 3L), (9000001L, "en", 4L))
+        .toDF("doc_id", "lang", "n_tokens"))
+      .localCheckpoint()
+    val (_, stats, threshold) = Curation.packBucketed(docs)
+    val over = stats.filter(_.rows > threshold)
+    println(s"[skewspec] duplicate-id pack: mult=$mult threshold=$threshold " +
+      s"over=${over.map(s => (s.rows, s.mn, s.mx))} buckets=${stats.size}")
+    assert(over.nonEmpty && threshold < mult,
+      s"fixture must force an over-threshold bucket (threshold $threshold)")
+    assert(over.forall(s => s.mn == s.mx),
+      s"every over-threshold bucket must be single-VALUE (unsplittable), got " +
+        over.map(s => (s.rows, s.mn, s.mx)).mkString(", "))
+    assert(stats.map(_.rows).max == mult,
+      s"the degradation bound is the max per-id multiplicity $mult, got " +
+        s"${stats.map(_.rows).max}")
+    // values: with the duplicated id's rows uniform, the cum MULTISET is
+    // deterministic and equals the plain window's despite the tie order
+    val plainW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = docs.withColumn("cum",
+      coalesce(sum(col("n_tokens")).over(plainW), lit(0L)))
+    val got = Curation.packPrefixCum(docs)
+    assert(got.select("doc_id", "cum").exceptAll(expect.select("doc_id", "cum")).isEmpty &&
+      expect.select("doc_id", "cum").exceptAll(got.select("doc_id", "cum")).isEmpty,
+      "two-phase cum multiset diverged from the plain window on duplicate ids")
+  }
 }
