@@ -151,6 +151,7 @@ object Bench {
     // in the auto path is still a GUESS (max recorded + 1 assumes the
     // driver already closed the prior round — ADVICE r12); recorded runs
     // should set SPARK_GRAFT_ROUND or SPARK_GRAFT_BENCH_OUT explicitly.
+    var roundFile: Option[String] = None
     try if (only.isEmpty) {
       val target = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt) match {
         case Some(r) => Some(f"BENCH_r$r%02d.json")
@@ -180,10 +181,23 @@ object Bench {
             guess
           }
       }
-      target.foreach(t => java.nio.file.Files.write(
-        java.nio.file.Paths.get(t), json.getBytes("UTF-8")))
+      target.foreach { t =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(t), json.getBytes("UTF-8"))
+        roundFile = Some(t)
+      }
     } catch { case e: Exception =>
       System.err.println(s"[bench] round file sink failed: ${e.getMessage}") }
     spark.stop()
+    // LAST stdout line, marker-prefixed and compact (VERDICT r14 task 7):
+    // the driver's capture has recorded `parsed: null` two rounds running —
+    // it tails stdout and the full-record line above (per-query work maps
+    // included) has been truncated by capture before (ADVICE r7). This
+    // line carries the total, the per-query medians and a pointer to the
+    // full record file, WITHOUT the bulky work maps, and prints after
+    // spark.stop() so nothing can follow it.
+    val fileRef = (roundFile orElse sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .map(p => s""","results_file":"$p"""").getOrElse("")
+    println(s"""BENCH_JSON: {"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"sf":"$sfDir"$fileRef}""")
   }
 }
