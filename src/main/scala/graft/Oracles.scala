@@ -4489,6 +4489,28 @@ object Oracles {
           |UNION ALL SELECT 'manifest_rows', 3::BIGINT
           |UNION ALL SELECT 'replay_skipped', 1::BIGINT
           |ORDER BY item""".stripMargin)) +
+      // eq153 (r15): the GRACED SWEEP — a store-level GC with a grace
+      // window must not change a row any reader sees, so the state items
+      // are eq147's scratch rebuild verbatim; the accounting items pin
+      // the contract: exactly the two AGED planted shapes (a foreign
+      // attempt's table dir + a dead commit stage) are reclaimed, the
+      // young in-flight stand-in survives the grace window, and the
+      // replay-skip set holds across the sweep.
+      ("eq153_graced_sweep" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'corpus_docs',
+          |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8)::BIGINT
+          |  + (SELECT COUNT(*) FROM d_k8)::BIGINT
+          |UNION ALL SELECT 'corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'swept_aged', 2::BIGINT
+          |UNION ALL SELECT 'swept_total', 2::BIGINT
+          |UNION ALL SELECT 'kept_young', 1::BIGINT
+          |UNION ALL SELECT 'replay_skipped', 1::BIGINT
+          |ORDER BY item""".stripMargin)) +
       // eq151: post-retraction REPACK through the log — eq145's pack
       // re-accounting under the log's exactly-once discipline. The
       // retained membership is the curated OLD corpus UNION the delta
