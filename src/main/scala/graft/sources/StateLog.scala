@@ -1140,6 +1140,17 @@ object StateLog {
           new java.util.ArrayList(scala.jdk.CollectionConverters
             .SeqHasAsJava(rows).asJava), src.schema),
           s"part-ckpt-$nonce.parquet")
+        // crash-drill hook (r15, the checkpoint sibling of the commit
+        // hook): hang between the merged file's publish and the
+        // superseded-file deletes, so the drill can SIGKILL this JVM in
+        // the one checkpoint window that leaves residue — duplicate rows
+        // that must collapse on read and merge away at the next
+        // checkpoint. Inert unless the env var is set.
+        sys.env.get("GRAFT_TEST_HANG_AFTER_CKPT_MERGE").foreach { sentinel =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(sentinel),
+            s"${parts.size}".getBytes("UTF-8"))
+          Thread.sleep(3600000L)
+        }
         // bounded-parallel deletes: serial unlink of N merged files is a
         // needless O(N·rpc) driver stall on a remote store (ADVICE r13)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(

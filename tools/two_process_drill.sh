@@ -94,5 +94,40 @@ fi
 echo "[drill] observed a REAL roll-forward of the SIGKILLed committer's claim"
 
 run check "$WORK" "100,101,102,103,200,201,202,203,300,400"
+
+# CHECKPOINT-CRASH recovery (r15): SIGKILL a checkpointer between its
+# merged-file publish and its superseded-file deletes — the one window
+# that leaves residue (duplicate rows across old + merged files). The
+# log must stay readable (history() collapses byte-identical rows) and
+# the NEXT checkpoint must merge the residue down to one file.
+CKPT_SENTINEL="$WORK/ckpt_hang.sentinel"
+GRAFT_TEST_HANG_AFTER_CKPT_MERGE="$CKPT_SENTINEL" run checkpoint "$WORK" 1 \
+  > "$WORK/ckpt_crash.log" 2>&1 &
+PCKPT=$!
+for i in $(seq 1 240); do
+  [ -f "$CKPT_SENTINEL" ] && break
+  if ! kill -0 "$PCKPT" 2>/dev/null; then
+    # nothing to merge (manifest already at 1 file) exits cleanly
+    # without the sentinel — that would be a drill-SEQUENCING bug
+    echo "[drill] FAIL: checkpointer exited before its merge published"
+    exit 1
+  fi
+  sleep 1
+done
+if [ ! -f "$CKPT_SENTINEL" ]; then
+  echo "[drill] FAIL: checkpointer never published its merged file"; kill -9 "$PCKPT"; exit 1
+fi
+kill -9 "$PCKPT"
+wait "$PCKPT" 2>/dev/null || true
+echo "[drill] SIGKILLed checkpointer pid=$PCKPT after merge, before deletes" \
+  "(merged $(cat "$CKPT_SENTINEL") files' residue left behind)"
+
+run checkpoint "$WORK" 1 > "$WORK/ckpt_recover.log" 2>&1
+grep '\[drill\]' "$WORK/ckpt_recover.log" || true
+if ! grep -qE 'checkpoint 0: [0-9]+ -> 1 files' "$WORK/ckpt_recover.log"; then
+  echo "[drill] FAIL: the recovery checkpoint did not merge the crash residue to one file"
+  exit 1
+fi
+run check "$WORK" "100,101,102,103,200,201,202,203,300,400"
 echo "[drill] PASS: two-process rehearsal green — race + live-writer graced" \
-  "sweep + SIGKILL roll-forward (workdir kept: $WORK)"
+  "sweep + SIGKILL roll-forward + checkpoint-crash recovery (workdir kept: $WORK)"
