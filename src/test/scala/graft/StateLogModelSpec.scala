@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Dedup}
+import graft.sources.{SnapshotStateSink, StateLog}
+
+/** MODEL-BASED randomized soak of the state log (r15): a seeded random
+  * interleaving of every lifecycle operation — ingest, duplicate
+  * replay, retraction (including empty), fold, vacuum, graced sweep,
+  * full and incremental checkpoint, time-travel probe — checked after
+  * EVERY op against an independently maintained model of the corpus
+  * membership. The fixed-order soaks (StateLogSoakBench, the
+  * PipelineSpec lifecycle pins) prove the production sequence; this
+  * spec walks the op lattice in an order no one hand-picked, which is
+  * where maintenance-op interaction bugs live (retract-after-fold,
+  * checkpoint-mid-epoch, sweep-between-retract-and-fold, ...).
+  *
+  * The model is driver-side truth: batches have per-batch-unique
+  * vocabularies, so expected survivors are derived from the MODEL's own
+  * scratch index frames (never from the log under test), and a
+  * retraction's expected removals are a pure Scala filter. The seed is
+  * FIXED — the walk is deterministic, a failure is reproducible, and
+  * the op trace prints with every assertion. */
+class StateLogModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type DocRow = (Long, String, String, String, Long)
+
+  private def docsDf(rows: Seq[DocRow]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One mutually-inert batch per id (the two-process drill's shape):
+    * every token embeds (batch, doc, position), so no two docs anywhere
+    * share a shingle — survivors are exactly the quality-gate-passing
+    * batch rows, order-independent. */
+  private def batchRows(batchId: Long): Seq[DocRow] = {
+    def alpha(n: Long) = n.toString.map(c => ('a' + (c - '0')).toChar)
+    (0 until 24).map { i =>
+      val text = (0 until 12)
+        .map(j => s"x${alpha(batchId)}d${alpha(i.toLong)}t$j").mkString(" ")
+      (batchId * 1000L + i + 1000000L, text, "en", "src", text.length.toLong)
+    }
+  }
+
+  private def sameSet(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"$what diverged")
+
+  test("seeded random op walk: every interleaving of ingest/replay/retract/" +
+    "fold/vacuum/graced-sweep/checkpoint/as-of lands on the model's state") {
+    import HotBucketFixture.aDocs
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+
+    // the MODEL: corpus membership as driver-side rows + committed ids
+    var model: Vector[DocRow] = aDocs.toVector
+    var nextBatch = 0L
+    var nextRetract = 500L
+    val committedBatches = scala.collection.mutable.ArrayBuffer[Long]()
+    var genCount = 1L // genesis
+    val trace = new StringBuilder
+
+    def corpusIds(): Seq[Long] =
+      StateLog.corpus(spark, ref).select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    def checkMembership(op: String): Unit =
+      assert(corpusIds() == model.map(_._1).sorted,
+        s"corpus membership diverged from the model after [$op]; trace:\n$trace")
+    def fullCheck(op: String): Unit = {
+      val (sh, sb, _) = Dedup.indexBuildFrames(docsDf(model), lit(false))
+      sameSet(StateLog.views(spark, ref)._1, sh,
+        s"hash view vs model scratch after [$op]; trace:\n$trace")
+      // the band invariant under retraction is eq143's MONOTONE-guard
+      // semantics: the log's stop list is a union over committed history
+      // and is never shrunk by retraction, so the effective band is the
+      // retained membership's band rows minus the LOG's stop union (a
+      // scratch build over the smaller retained corpus computes a
+      // smaller stop list — any bucket over cap in the retained pop was
+      // over cap historically too, so logStop ⊇ scratchStop and the
+      // subtraction below is exact, found by this walk's first run)
+      val logStop = StateLog.views(spark, ref)._3.distinct()
+      sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+        sb.select("band", "band_key", "doc_id")
+          .join(broadcast(logStop), Seq("band", "band_key"), "left_anti"),
+        s"effective band vs model scratch after [$op]; trace:\n$trace")
+    }
+
+    val rnd = new scala.util.Random(20260816L)
+    val Ops = 22
+    (0 until Ops).foreach { step =>
+      // step 0 is always an ingest (a non-trivial state to walk from) and
+      // every 7th step is a FOLD — the seed must not be able to walk
+      // around the op whose interleavings (fold→retract, fold→ingest,
+      // vacuum-after-fold) are the likeliest bug nests; everything else
+      // is the seeded roll
+      val roll =
+        if (step == 0) 0
+        else if (step % 7 == 3) { rnd.nextInt(100): Unit; 65 }
+        else rnd.nextInt(100)
+      val op: String = roll match {
+        case r if r < 35 => // INGEST a fresh mutually-inert batch
+          val id = nextBatch; nextBatch += 1
+          val rows = batchRows(id)
+          // expected survivors from the MODEL's scratch frames, never
+          // from the log under test
+          val (shM, sbM, _) = Dedup.indexBuildFrames(docsDf(model), lit(false))
+          val exp = Curation.deltaSurvivorsFromState(
+            docsDf(model).withColumn("is_new", lit(false))
+              .unionByName(docsDf(rows).withColumn("is_new", lit(true))),
+            col("is_new"), shM, sbM.select("band", "band_key", "doc_id"),
+            spark.table(st.testVocab), spark.table(st.mixRates))
+            .select("doc_id", "text", "lang", "source", "n_chars").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+              r.getString(3), r.getLong(4))).toVector
+          assert(StateLog.ingestBatch(spark, ref, st, docsDf(rows), id),
+            s"fresh batch $id must apply; trace:\n$trace")
+          model ++= exp
+          committedBatches += id
+          genCount += 1
+          s"ingest($id, ${exp.size} survivors)"
+        case r if r < 45 => // REPLAY a committed batch id — must no-op
+          if (committedBatches.isEmpty) "noop(replay)"
+          else {
+            val id = committedBatches(rnd.nextInt(committedBatches.size))
+            assert(!StateLog.ingestBatch(spark, ref, st, docsDf(batchRows(id)), id),
+              s"replay of committed batch $id must be skipped; trace:\n$trace")
+            s"replay($id)"
+          }
+        case r if r < 60 => // RETRACT by predicate (possibly empty)
+          val m = 5 + rnd.nextInt(5); val rem = rnd.nextInt(m)
+          val id = nextRetract; nextRetract += 1
+          assert(StateLog.retractBatch(spark, ref,
+            col("doc_id") % m === rem, id),
+            s"retraction $id must commit (even empty); trace:\n$trace")
+          val before = model.size
+          model = model.filterNot { case (d, _, _, _, _) => d % m == rem }
+          genCount += 1
+          s"retract($id, %$m==$rem, ${before - model.size} docs)"
+        case r if r < 72 => // FOLD
+          StateLog.compactLog(spark, ref)
+          genCount += 1
+          "fold"
+        case r if r < 80 => // VACUUM
+          val dropped = StateLog.vacuum(spark, ref)
+          s"vacuum(${dropped.size})"
+        case r if r < 85 => // GRACED SWEEP with a planted aged orphan
+          val orphan = new java.io.File(sys.props("java.io.tmpdir"),
+            s"${ref.manifest}_hash_b9_amodel${step}_1")
+          Seq(("junk")).toDF("h").write.mode("overwrite").parquet(orphan.getPath)
+          def back(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(back))
+            f.setLastModified(System.currentTimeMillis() - 86400000L): Unit
+          }
+          back(orphan)
+          val dropped = StateLog.sweep(spark, ref, graceMs = 600000L)
+          assert(dropped.contains(orphan.getName) && !orphan.exists(),
+            s"graced sweep must reclaim the planted aged orphan; trace:\n$trace")
+          s"sweep(${dropped.size})"
+        case r if r < 95 => // CHECKPOINT (sometimes incremental)
+          val (b, a) =
+            if (rnd.nextBoolean()) StateLog.checkpointManifest(spark, ref)
+            else StateLog.checkpointManifest(spark, ref, maxFiles = 2)
+          assert(a <= b && a >= 1, s"checkpoint $b->$a malformed; trace:\n$trace")
+          s"checkpoint($b->$a)"
+        case _ => // TIME-TRAVEL probe: resolves, or is cleanly bounded
+          val gen = rnd.nextLong(genCount)
+          try {
+            StateLog.viewsAsOf(spark, ref, gen)._1.count(): Unit
+            s"asof($gen ok)"
+          } catch {
+            case e: IllegalStateException if e.getMessage.contains("bounded") =>
+              s"asof($gen bounded)"
+          }
+      }
+      trace.append(s"$step: $op\n")
+      checkMembership(op)
+      if (op == "fold" || step == Ops - 1) fullCheck(op)
+    }
+
+    // closing invariants: the walk's final state survives one more full
+    // maintenance pass and a scratch comparison on every layer
+    StateLog.compactLog(spark, ref)
+    StateLog.vacuum(spark, ref): Unit
+    StateLog.sweep(spark, ref, graceMs = 600000L): Unit
+    StateLog.checkpointManifest(spark, ref): Unit
+    checkMembership("closing pass")
+    fullCheck("closing pass")
+    // every committed batch id still replay-skips at the very end
+    committedBatches.foreach { id =>
+      assert(!StateLog.ingestBatch(spark, ref, st, docsDf(batchRows(id)), id),
+        s"batch $id must stay skipped after the walk; trace:\n$trace")
+    }
+    println(s"[modelspec] walk complete (${Ops} ops):\n$trace")
+  }
+}
