@@ -950,7 +950,10 @@ object StateLog {
     * is by definition younger than any sane grace window, while a
     * genuinely crashed attempt only gets older. Pick `graceMs` well above
     * the longest single attempt's write→commit span (minutes, not
-    * seconds).
+    * seconds) PLUS the worst clock skew between the sweeper and the
+    * store: ages compare the sweeper's wall clock against store-reported
+    * mtimes, so a sweeper whose clock runs ahead of the store's by S
+    * effectively shortens the window by S.
     *
     * The graced form also widens the candidate SCAN from this session's
     * catalog to the shared STORE: directories under the log's root with
