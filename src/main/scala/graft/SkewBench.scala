@@ -220,6 +220,36 @@ object SkewBench {
     val uniformSec = median3(
       graft.pipeline.Curation.packPrefixCum(uniform).agg(sum("cum")).collect())
 
+    // ---- 6. duplicate doc_ids vs the pack re-split (r15) --------------
+    // the CONTRACT-VIOLATING corpus: one id owns 300k of 1M rows. A
+    // single-VALUE bucket is unsplittable by the range rule (and by any
+    // design — the plain window puts an id's tied rows in one partition
+    // too), so the degradation must be bounded by the max per-id
+    // multiplicity, never by corpus size or layout. Measured: the
+    // refined max bucket (== multiplicity), that every over-threshold
+    // bucket is single-value, and the prefix-sum wall on the violating
+    // corpus vs the same mass deduped upstream (the real fix).
+    val dn = 1000000L
+    val dupMult = 300000L
+    val dupCorpus = spark.range(dn - dupMult).select(
+        (col("id") + 5000000000L).as("doc_id"), lit("en").as("lang"),
+        (col("id") % 7).cast("long").as("n_tokens"))
+      .union(spark.range(dupMult).select(
+        lit(5010000000L).as("doc_id"), lit("en").as("lang"),
+        lit(1L).as("n_tokens")))
+      .localCheckpoint()
+    val dedupedCorpus = dupCorpus.groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"), min(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint()
+    val (_, dupStats, dupThreshold) = graft.pipeline.Curation.packBucketed(dupCorpus)
+    val dupMax = dupStats.map(_.rows).max
+    val dupOverSingleValue =
+      dupStats.filter(_.rows > dupThreshold).forall(s => s.mn == s.mx)
+    val dupSec = median3(
+      graft.pipeline.Curation.packPrefixCum(dupCorpus).agg(sum("cum")).collect())
+    val dedupedSec = median3(
+      graft.pipeline.Curation.packPrefixCum(dedupedCorpus).agg(sum("cum")).collect())
+
     val json =
       s"""{"metric":"skewbench","unit":"sec","cpus":$cpus,""" +
         s""""hot_shingle":{"docs":20000,"hot_df":10000,""" +
@@ -240,7 +270,11 @@ object SkewBench {
         s""""clustered_pack":{"rows":${pn + 2},"level0_max_bucket":$level0Max,""" +
         s""""refined_max_bucket":$refinedMax,"threshold":$packThreshold,""" +
         s""""buckets":${packStats.size},""" +
-        s""""clustered_sec":$clusteredSec,"uniform_sec":$uniformSec}}"""
+        s""""clustered_sec":$clusteredSec,"uniform_sec":$uniformSec},""" +
+        s""""duplicate_pack":{"rows":$dn,"dup_multiplicity":$dupMult,""" +
+        s""""refined_max_bucket":$dupMax,"threshold":$dupThreshold,""" +
+        s""""over_threshold_all_single_value":$dupOverSingleValue,""" +
+        s""""violating_sec":$dupSec,"deduped_sec":$dedupedSec}}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEWBENCH_OUT", "SKEWBENCH.json")),
