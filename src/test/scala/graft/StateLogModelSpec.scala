@@ -129,7 +129,21 @@ class StateLogModelSpec extends SparkSpec {
               s"replay of committed batch $id must be skipped; trace:\n$trace")
             s"replay($id)"
           }
-        case r if r < 60 => // RETRACT by predicate (possibly empty)
+        case r if r < 52 => // caller-supplied REPACK (legal at any epoch)
+          val id = nextRetract; nextRetract += 1
+          val retained = docsDf(model).select(col("lang"), col("doc_id"),
+            graft.functions.TextCountExpressions.ws_token_count(col("text"))
+              .as("n_tokens"), col("n_chars"))
+          assert(StateLog.repackLog(spark, ref, retained, id),
+            s"repack $id must commit; trace:\n$trace")
+          genCount += 1
+          // at this instant the pack view IS the model's re-windowed
+          // summary (the next delta appends over it cumulatively)
+          sameSet(StateLog.views(spark, ref)._4,
+            Curation.packSummaryOf(retained),
+            s"pack view vs model summary after repack($id); trace:\n$trace")
+          s"repack($id)"
+        case r if r < 64 => // RETRACT by predicate (possibly empty)
           val m = 5 + rnd.nextInt(5); val rem = rnd.nextInt(m)
           val id = nextRetract; nextRetract += 1
           assert(StateLog.retractBatch(spark, ref,
@@ -139,14 +153,14 @@ class StateLogModelSpec extends SparkSpec {
           model = model.filterNot { case (d, _, _, _, _) => d % m == rem }
           genCount += 1
           s"retract($id, %$m==$rem, ${before - model.size} docs)"
-        case r if r < 72 => // FOLD
+        case r if r < 74 => // FOLD
           StateLog.compactLog(spark, ref)
           genCount += 1
           "fold"
-        case r if r < 80 => // VACUUM
+        case r if r < 81 => // VACUUM
           val dropped = StateLog.vacuum(spark, ref)
           s"vacuum(${dropped.size})"
-        case r if r < 85 => // GRACED SWEEP with a planted aged orphan
+        case r if r < 86 => // GRACED SWEEP with a planted aged orphan
           val orphan = new java.io.File(sys.props("java.io.tmpdir"),
             s"${ref.manifest}_hash_b9_amodel${step}_1")
           Seq(("junk")).toDF("h").write.mode("overwrite").parquet(orphan.getPath)
