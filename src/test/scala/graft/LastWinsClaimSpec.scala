@@ -125,6 +125,18 @@ class LastWinsClaimSpec extends SparkSpec {
       "hash view after the last-wins race vs scratch")
   }
 
+  test("attach with a wrong root fails fast naming the resolved location — " +
+    "no silent empty-manifest registration (ADVICE r14 low)") {
+    val e = intercept[IllegalArgumentException] {
+      StateLog.attach(spark.newSession(), "graft_no_such_log_xyz",
+        root = s"${sys.props("java.io.tmpdir")}/nonexistent_subdir")
+    }
+    assert(e.getMessage.contains("no manifest data at") &&
+      e.getMessage.contains("graft_no_such_log_xyz_manifest"), e.getMessage)
+    assert(!spark.catalog.tableExists("graft_no_such_log_xyz"),
+      "a failed attach must register NOTHING")
+  }
+
   test("claim CAS vs a KNOWN last-wins scheme: refused up front naming the " +
     "store requirement; allowNonAtomicStore accepts single-writer explicitly " +
     "(ADVICE r14 medium)") {
