@@ -117,7 +117,16 @@ object Bench {
     val wm = results.map { case (k, _, w) => "\"" + k + "\":" + w.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"work":$wm,"sf":"$sfDir"}"""
+    // interpolated PATHS are escaped (ADVICE r15): a quote or backslash in
+    // sfDir / the results-file path would break the very parse the JSON
+    // record exists to guarantee
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"work":$wm,"sf":"${jsonEsc(sfDir)}"}"""
     println(json)
     // Optional explicit file sink (the stdout JSON line has been
     // truncated by capture before, ADVICE r7). NOTE: no default filename
@@ -189,15 +198,16 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] round file sink failed: ${e.getMessage}") }
     spark.stop()
-    // LAST stdout line, marker-prefixed and compact (VERDICT r14 task 7):
-    // the driver's capture has recorded `parsed: null` two rounds running —
-    // it tails stdout and the full-record line above (per-query work maps
-    // included) has been truncated by capture before (ADVICE r7). This
-    // line carries the total, the per-query medians and a pointer to the
-    // full record file, WITHOUT the bulky work maps, and prints after
-    // spark.stop() so nothing can follow it.
+    // LAST stdout line, marker-prefixed and COMPACT (VERDICT r15 task 3):
+    // the driver tails stdout into a bounded buffer, and the r14/r15
+    // marker still carried the full 194-entry per-query map (~6 KB) —
+    // truncated head-first, so the driver's `parsed` stayed null three
+    // rounds running. The marker now carries ONLY the scalars and a
+    // pointer to the full record file (where the per-query map and work
+    // maps already live); ~200 bytes fits any sane tail buffer. Printed
+    // after spark.stop() so nothing can follow it.
     val fileRef = (roundFile orElse sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .map(p => s""","results_file":"$p"""").getOrElse("")
-    println(s"""BENCH_JSON: {"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"sf":"$sfDir"$fileRef}""")
+      .map(p => s""","results_file":"${jsonEsc(p)}"""").getOrElse("")
+    println(s"""BENCH_JSON: {"metric":"total","value":$total,"unit":"sec","n":${results.size},"setup_sec":$setupSec,"sf":"${jsonEsc(sfDir)}"$fileRef}""")
   }
 }

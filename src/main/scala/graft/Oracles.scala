@@ -4511,6 +4511,33 @@ object Oracles {
           |UNION ALL SELECT 'kept_young', 1::BIGINT
           |UNION ALL SELECT 'replay_skipped', 1::BIGINT
           |ORDER BY item""".stripMargin)) +
+      // eq154 (r16): the GRACED VACUUM — a retention GC must not change a
+      // row any reader sees, so the state items are eq147's scratch
+      // rebuild verbatim; the accounting items pin the reader-retention
+      // contract: nothing drops while the superseding fold is young
+      // (vacuumed_young=0) and a live as-of reader resolves below it
+      // (asof1_live=1); the aged fold releases exactly the superseded
+      // delta generation's five tables (vacuumed_aged=5); a reader's
+      // pre-resolved frames surface the clean bounded-time-travel error
+      // through guardAsOfRead, never a raw missing-file failure
+      // (asof1_guarded_bounded=1); and the replay-skip set holds across
+      // the GC (replay_skipped=1).
+      ("eq154_graced_vacuum" -> (advanceCtes + advanceItems +
+        """UNION ALL SELECT 'corpus_chars',
+          |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'corpus_docs',
+          |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8)::BIGINT
+          |  + (SELECT COUNT(*) FROM d_k8)::BIGINT
+          |UNION ALL SELECT 'corpus_id_checksum',
+          |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+          |  + (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM d_k8)
+          |UNION ALL SELECT 'vacuumed_young', 0::BIGINT
+          |UNION ALL SELECT 'vacuumed_aged', 5::BIGINT
+          |UNION ALL SELECT 'asof1_live', 1::BIGINT
+          |UNION ALL SELECT 'asof1_guarded_bounded', 1::BIGINT
+          |UNION ALL SELECT 'replay_skipped', 1::BIGINT
+          |ORDER BY item""".stripMargin)) +
       // eq151: post-retraction REPACK through the log — eq145's pack
       // re-accounting under the log's exactly-once discipline. The
       // retained membership is the curated OLD corpus UNION the delta

@@ -261,7 +261,73 @@ object ScaleBench {
         (incIndexSec, incProbeSec, incFlags, incIndexWork, incProbeWork),
         (advSec, advWork, compSec, compWork, rpSec, rpWork))
     }
+    // ---- state-log MAINTENANCE horizon (r16, VERDICT r15 task 7):
+    // checkpoint, graced sweep, graced vacuum at 1×/3×/10× the manifest
+    // length (2/6/20 committed generations over a fixed 2k-doc base).
+    // These are driver-side ops — listings, an mtime walk, a tiny
+    // merged-row write, catalog drops — so the recorded claim is driver
+    // SECONDS growing with manifest rows only, work proxies (files
+    // merged, tables dropped) exactly linear, and data movement
+    // manifest-row-sized (ScaleSpec pins the counts + byte class in CI).
+    import graft.sources.{SnapshotStateSink, StateLog}
+    def alphaL(c: org.apache.spark.sql.Column) =
+      translate(c.cast("string"), "0123456789", "abcdefghij")
+    def miniBatch(id: Long) = spark.range(20).select(
+      (lit(id) * 1000L + col("id") + 9000000L).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("q"), alphaL(lit(id)), lit("d"), alphaL(col("id")),
+          lit(s"t$j"))): _*).as("text"),
+      lit("en").as("lang"), lit("src").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    def backdate(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(backdate))
+      f.setLastModified(System.currentTimeMillis() - 86400000L): Unit
+    }
+    val maint = Seq(1, 3, 10).map { s =>
+      val gens = 2 * s
+      val old = corpus(spark, 2000L).localCheckpoint()
+      val st = SnapshotStateSink.write(spark, old, lit(false), lit(true))
+      val ref = StateLog.fromSnapshot(spark, st,
+        StateLog.writeCorpusStore(spark, old))
+      graft.pipeline.Dedup.clearDerivedCaches()
+      (0 until gens).foreach { i =>
+        require(StateLog.ingestBatch(spark, ref, st, miniBatch(i.toLong), i.toLong))
+      }
+      StateLog.compactLog(spark, ref)
+      val ckT0 = System.nanoTime()
+      var ck = (0L, 0L)
+      val wCk = meter { ck = StateLog.checkpointManifest(spark, ref) }
+      val ckSec = (System.nanoTime() - ckT0) / 1e9
+      val orphan = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${ref.manifest}_hash_b99_amaint${gens}_1")
+      miniBatch(99L).select("doc_id").write.mode("overwrite").parquet(orphan.getPath)
+      backdate(orphan)
+      val swT0 = System.nanoTime()
+      var swept = 0
+      val wSw = meter { swept = StateLog.sweep(spark, ref, graceMs = 600000L).size }
+      val swSec = (System.nanoTime() - swT0) / 1e9
+      val mdir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${ref.manifest}_manifest")
+      Option(mdir.listFiles()).foreach(_.filter(_.getName.startsWith("part-ckpt-"))
+        .foreach(f => f.setLastModified(System.currentTimeMillis() - 86400000L): Unit))
+      val vaT0 = System.nanoTime()
+      var vac = 0
+      val wVa = meter { vac = StateLog.vacuum(spark, ref, graceMs = 600000L).size }
+      val vaSec = (System.nanoTime() - vaT0) / 1e9
+      println(s"[scalebench] maint ${s}x: gens=$gens ckptFiles=${ck._1}->${ck._2} " +
+        s"ckptSec=$ckSec sweepSec=$swSec swept=$swept vacSec=$vaSec vacuumed=$vac " +
+        s"ckShufRead=${wCk.shuffleRead} swShufRead=${wSw.shuffleRead} " +
+        s"vaShufRead=${wVa.shuffleRead}")
+      s"""{"scale":$s,"gens":$gens,"ckpt_files_before":${ck._1},""" +
+        s""""ckpt_files_after":${ck._2},"ckpt_sec":$ckSec,""" +
+        s""""sweep_sec":$swSec,"swept":$swept,"vacuum_sec":$vaSec,""" +
+        s""""vacuumed":$vac,"ckpt_work":${wCk.json},""" +
+        s""""sweep_work":${wSw.json},"vacuum_work":${wVa.json}}"""
+    }
+
     val json = "{\"metric\":\"scalebench\",\"unit\":\"sec\",\"cpus\":" + cpus +
+      ",\"maintenance\":[" + maint.mkString(",") + "]" +
       ",\"base_docs\":" + baseN + ",\"scales\":[" +
       results.map { case (s, n, m, sp, e, c, p, d, cc, cw, k, mw, chw, inc, atRest) =>
         val (ii, ip, (fe, fn), iw, pw) = inc

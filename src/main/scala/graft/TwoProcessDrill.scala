@@ -107,13 +107,101 @@ object TwoProcessDrill {
       checkpointLoop(workdir, loops.toInt)
     case "sweeploop" :: workdir :: loops :: graceMs :: Nil =>
       sweepLoop(workdir, loops.toInt, graceMs.toLong)
+    case "fold" :: workdir :: Nil => fold(workdir)
+    case "asofreader" :: workdir :: gen :: loops :: Nil =>
+      asofReader(workdir, gen.toLong, loops.toInt)
+    case "vacuumloop" :: workdir :: loops :: graceMs :: Nil =>
+      vacuumLoop(workdir, loops.toInt, graceMs.toLong)
     case "check" :: workdir :: ids :: Nil =>
       check(workdir, ids.split(",").map(_.trim.toLong).toSeq)
     case other =>
       System.err.println(s"usage: prep <dir> | ingest <dir> <first> <n> | " +
         s"checkpoint <dir> <loops> | sweeploop <dir> <loops> <graceMs> | " +
-        s"check <dir> <idsCsv> — got $other")
+        s"fold <dir> | asofreader <dir> <gen> <loops> | " +
+        s"vacuumloop <dir> <loops> <graceMs> | check <dir> <idsCsv> — got $other")
       sys.exit(2)
+  }
+
+  /** Commit one FOLD — the supersession event the graced-vacuum phase
+    * ages. Prints the head generation so the script can name it. */
+  private def fold(workdir: String): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+    StateLog.compactLog(spark, ref)
+    spark.catalog.refreshTable(ref.manifest)
+    val head = spark.table(ref.manifest).distinct()
+      .agg(max(col("gen_id"))).head().getLong(0)
+    println(s"[drill] pid=${ProcessHandle.current().pid()} fold committed: head gen=$head")
+    spark.stop()
+  }
+
+  /** A LIVE AS-OF READER racing a vacuuming peer (VERDICT r15 task 2):
+    * loops a guarded historical read at `gen` (index views + corpus).
+    * Legal outcomes per loop: the read RESOLVES, or it surfaces the clean
+    * bounded-time-travel error (the peer's graced vacuum dropped the
+    * generation) — at which point the reader exits green. A raw
+    * missing-file failure crashes this process and fails the drill: that
+    * is precisely the seam guardAsOfRead + the graced window close.
+    * Requires at least one successful resolve (the script sequences the
+    * vacuum to land mid-loop). */
+  private def asofReader(workdir: String, gen: Long, loops: Int): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+    var resolved = 0
+    var bounded = false
+    var i = 0
+    while (i < loops && !bounded) {
+      try {
+        val n = StateLog.guardAsOfRead(spark, ref, gen) {
+          StateLog.viewsAsOf(spark, ref, gen)._1.count() +
+            StateLog.corpusAsOf(spark, ref, gen).count()
+        }
+        resolved += 1
+        println(s"[drill] pid=${ProcessHandle.current().pid()} " +
+          s"asof($gen) loop $i resolved (n=$n)")
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("bounded") =>
+          bounded = true
+          println(s"[drill] pid=${ProcessHandle.current().pid()} " +
+            s"asof($gen) loop $i BOUNDED cleanly after $resolved resolves")
+      }
+      Thread.sleep(1000)
+      i += 1
+    }
+    require(resolved > 0,
+      "the reader must resolve at least once before the window closes")
+    println(s"[drill] asof reader done: pid=${ProcessHandle.current().pid()} " +
+      s"resolved=$resolved bounded=$bounded")
+    spark.stop()
+  }
+
+  /** GRACED vacuums in a loop against the live reader: drops nothing
+    * while the superseding fold is young; once the script ages the fold's
+    * manifest row file past the grace, the superseded generations are
+    * reclaimed. Asserts the reclamation happened and the head still
+    * reads. */
+  private def vacuumLoop(workdir: String, loops: Int, graceMs: Long): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+    var total = 0
+    (0 until loops).foreach { i =>
+      val dropped = StateLog.vacuum(spark, ref, graceMs)
+      total += dropped.size
+      println(s"[drill] pid=${ProcessHandle.current().pid()} vacuum $i " +
+        s"(grace ${graceMs}ms): dropped=${dropped.size} ${dropped.take(4).mkString(",")}")
+      Thread.sleep(1500)
+    }
+    require(total > 0,
+      "the graced vacuum must reclaim the aged-fold's superseded generations")
+    val (hashV, _, _, _) = StateLog.views(spark, ref)
+    require(hashV.count() > 0 && StateLog.corpus(spark, ref).count() > 0,
+      "the head state must survive the vacuum")
+    println(s"[drill] vacuum loop done: pid=${ProcessHandle.current().pid()} " +
+      s"dropped=$total, head reads green")
+    spark.stop()
   }
 
   /** A FOURTH concurrent process class (VERDICT r14 task 2): GRACED

@@ -182,6 +182,71 @@ object StateLog {
   private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The log's shared root: the manifest directory's parent — where every
+    * generation table, commit stage and claim dir is minted, on the
+    * manifest's OWN store (scheme kept). [[saveGen]] minting HERE (r16,
+    * ADVICE r15) is what makes a log attached under a non-default root
+    * coherent: peers resolve committed tables from this root
+    * ([[registerForeign]]), and the graced [[sweep]]'s age walk finds
+    * them where the candidate scan looks. For a default-root log this is
+    * exactly the old java.io.tmpdir convention. */
+  private def logRoot(spark: SparkSession, ref: LogRef): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
+      .getParent
+
+  /** "Now" AS THE STORE SEES IT (VERDICT r15 task 5): the graced
+    * [[sweep]]/[[vacuum]] age candidates by store-reported mtimes, so a
+    * sweeper whose WALL clock is skewed from the store's would silently
+    * shrink (clock ahead) or stretch (clock behind) the grace window.
+    * Deriving the clock origin from the store itself — write one tiny
+    * probe file beside the claims, read its mtime back, delete it —
+    * makes the age comparison same-clock by construction: skew cancels.
+    * One create+stat+delete per sweep; falls back to the wall clock only
+    * if the store refuses the probe (degraded, pre-r16 behavior). */
+  private def storeNow(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long =
+    try {
+      fs.mkdirs(dir): Unit
+      val probe = new org.apache.hadoop.fs.Path(dir, s".graft_clock_probe_" +
+        s"${ProcessHandle.current().pid()}_${logSeq.incrementAndGet()}")
+      val out = fs.create(probe, true)
+      out.close()
+      try fs.getFileStatus(probe).getModificationTime
+      finally fs.delete(probe, false): Unit
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+
+  /** Test seam for the probe basis: the skew test reads the store clock
+    * through a deliberately skewed FileSystem and asserts the graced age
+    * decision follows the STORE's clock, not the JVM's. */
+  private[graft] def probedStoreNow(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): Long = storeNow(hadoopFs(spark, dir), dir)
+
+  /** The name shapes this log MINTS under its root — the only directories
+    * the store-level candidate scan may consider (`<manifest>_<layer>_<tag>`
+    * attempt tables from [[saveGen]], `<manifest>_stage_<nonce>` commit
+    * stages from [[commitOneFile]]). ADVICE r15: a bare prefix match would
+    * let user-named sibling logs (`mylog` / `mylog_v2`) reclaim each
+    * other's live directories. */
+  private val MintedSuffixes =
+    Seq("hash_", "band_", "stop_", "pack_", "cur_", "stage_")
+
+  /** `p`'s newest write is at least `graceMs` older than `storeNowMs`
+    * (both on the STORE's clock). A path that vanishes or mutates
+    * mid-walk is a live writer's — young. */
+  private[graft] def agedOnStore(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, storeNowMs: Long, graceMs: Long): Boolean = {
+    def newestMtime(q: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(q)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +: fs.listStatus(q).toSeq.map(s =>
+        if (s.isDirectory) newestMtime(s.getPath) else s.getModificationTime)).max
+    }
+    try storeNowMs - newestMtime(p) >= graceMs
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
   private def markerName(gen: Long): String = s"g$gen.claim"
   private val MarkerGenRe = """^g(\d+)\.claim$""".r
 
@@ -259,6 +324,22 @@ object StateLog {
           "publish — the commit-claim CAS is sound ONLY with a single " +
           "writer (allowNonAtomicStore=true accepted the risk)")
     }
+
+  /** The attach-time (read-entry) form of the precondition (ADVICE r15):
+    * pure readers proceed with no flag — reads carry no commit risk — but
+    * the coming refusal is named ONCE up front so a would-be committer is
+    * not surprised at its first commit. */
+  private def warnNonAtomicStoreOnAttach(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, ref: LogRef): Unit =
+    if (NonAtomicRenameSchemes.contains(fs.getScheme) &&
+        !spark.conf.getOption("spark.graft.statelog.claims.allowNonAtomicStore")
+          .exists(_.toBoolean) &&
+        warnedNonAtomic.add(s"attach:${fs.getScheme}:${ref.manifest}"))
+      System.err.println(s"[statelog] NOTE: ${ref.manifest} lives on scheme " +
+        s"'${fs.getScheme}', which has no atomic exclusive publish. Reads " +
+        "are unaffected; COMMITS will be refused unless " +
+        "spark.graft.statelog.claims.allowNonAtomicStore=true accepts the " +
+        "single-writer posture")
 
   /** Publish `payload` at `marker` atomically and exclusively: the
     * content goes to an attempt-unique temp file first (complete before
@@ -775,10 +856,13 @@ object StateLog {
           "java.io.tmpdir); nothing was registered")
       registerExternalParquet(spark, manifest, dir.toString)
     }
-    // the claim-store precondition holds for ATTACH too — a reader-only
-    // process loses nothing, and a would-be committer learns here, not
-    // at its first commit (ADVICE r14)
-    requireAtomicPublishStore(spark, hadoopFs(spark, claimsDir(spark, ref)), ref)
+    // the claim-store precondition is WARNED here, not enforced (ADVICE
+    // r15): attach is also the pure-reader entry point, and a reader on
+    // an object store accepts no commit risk — forcing the
+    // allowNonAtomicStore flag on it misstated the contract. A would-be
+    // committer still learns early (the warning names the refusal), and
+    // the hard refusal itself stays at the first commit ([[commitRow]]).
+    warnNonAtomicStoreOnAttach(spark, hadoopFs(spark, claimsDir(spark, ref)), ref)
     history(spark, ref): Unit // fail fast on a torn manifest; register gen tables
     ref
   }
@@ -911,19 +995,120 @@ object StateLog {
     * pointers — the keep-set and ownership-prefix checks cover both).
     * After a vacuum, [[viewsAsOf]] is bounded below by the latest fold —
     * the retention trade every versioned table format ships. Returns the
-    * dropped table names. */
-  def vacuum(spark: SparkSession, ref: LogRef): Seq[String] = {
+    * dropped table names.
+    *
+    * Like [[sweep]], the ZERO-GRACE form assumes no peer is mid-read at a
+    * pre-fold generation: a concurrent [[viewsAsOf]]/[[corpusAsOf]] scan
+    * can race the drop and die with a raw missing-file error instead of
+    * the clean bounded-time-travel one. The GRACED overload below is the
+    * reader-retention form. */
+  def vacuum(spark: SparkSession, ref: LogRef): Seq[String] =
+    vacuum(spark, ref, 0L)
+
+  /** GRACED vacuum (VERDICT r15 task 2) — the reader-retention window:
+    * a generation's tables are dropped only when the fold that SUPERSEDED
+    * it committed more than `graceMs` ago, so a peer reading
+    * [[viewsAsOf]]/[[corpusAsOf]] below the fold has a guaranteed window
+    * (resolve before the fold + grace, finish within it) before the data
+    * vanishes — the retention contract every versioned table format
+    * ships. Readers starting AFTER the window get the clean
+    * bounded-time-travel error from the resolution's existence check
+    * (and a scan unlucky enough to straddle the boundary maps to the
+    * same error through [[guardAsOfRead]]).
+    *
+    * Ages compare STORE mtimes against the store-probed clock
+    * ([[storeNow]] — skew-immune). The supersession instant is the fold's
+    * manifest ROW FILE mtime (written at the commit, exact; the newest is
+    * taken if a crash window left byte-identical duplicates); if a
+    * checkpoint merged that file away, the newest checkpoint file's
+    * mtime bounds it from above — the window only ever stretches, never
+    * shrinks. `graceMs = 0` is today's quiesced contract bit-for-bit. */
+  def vacuum(spark: SparkSession, ref: LogRef, graceMs: Long): Seq[String] = {
     val hist = history(spark, ref)
     val cut = hist.lastIndexWhere(g => g.kind == "base" || g.kind == "fold")
     val keep = hist.drop(cut)
       .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).toSet
-    val dropped = hist.take(cut)
-      .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct
+    val supersededLongEnough: Int => Boolean =
+      if (graceMs <= 0L) _ => true
+      else {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
+        val fs = hadoopFs(spark, loc)
+        val now = storeNow(fs, claimsDir(spark, ref))
+        val files = fs.listStatus(loc).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        val ckptNewest = files
+          .filter(_.getPath.getName.startsWith("part-ckpt-"))
+          .map(_.getModificationTime).maxOption
+        def foldCommitMs(genId: Long): Option[Long] = files
+          .filter(_.getPath.getName.startsWith(s"part-row-g$genId-"))
+          .map(_.getModificationTime).maxOption.orElse(ckptNewest)
+        val agedFolds = scala.collection.mutable.Map.empty[Long, Boolean]
+        i => {
+          // the first fold point AFTER generation i is its supersession
+          // event (hist is gen-ordered; one exists — the cut itself)
+          val fold = hist.drop(i + 1)
+            .find(g => g.kind == "base" || g.kind == "fold").get
+          agedFolds.getOrElseUpdate(fold.genId,
+            foldCommitMs(fold.genId).exists(t => now - t >= graceMs))
+        }
+      }
+    val dropped = hist.take(cut).zipWithIndex
+      .filter { case (_, i) => supersededLongEnough(i) }
+      .flatMap { case (g, _) => Seq(g.hash, g.band, g.stop, g.pack, g.cur) }
+      .distinct
       .filter(t => t.startsWith(ref.manifest + "_") && !keep(t))
       .filter(spark.catalog.tableExists) // already-vacuumed rows are a no-op
     dropped.foreach(dropTableAndData(spark, _))
     dropped
   }
+
+  /** Run a read over as-of views/corpus with the concurrent-GC race
+    * converted to the clean bounded-time-travel error (VERDICT r15
+    * task 2): a reader that resolved its as-of frames just before a peer's
+    * [[vacuum]]/[[releaseWrappedSnapshot]] dropped them would otherwise
+    * die mid-scan with a raw missing-file failure. On that shape the
+    * generation's tables are re-checked — if a GC took them, the precise
+    * `IllegalStateException` the resolution would throw today surfaces
+    * instead; if they all still exist the failure was something else and
+    * propagates untouched. Zero cost on the happy path.
+    *
+    * The re-check consults the STORE, not just this session's catalog: a
+    * peer PROCESS's vacuum drops the data and its own catalog entry, but
+    * this session's in-memory catalog still carries the registration — a
+    * catalog-only re-check would read "still exists" and rethrow the raw
+    * failure (found by the r16 live-reader drill). The shared store is
+    * the one truth every attached process provably shares. */
+  def guardAsOfRead[T](spark: SparkSession, ref: LogRef, gen: Long)(
+      action: => T): T =
+    try action catch {
+      case e: Throwable if missingFile(e, 8) =>
+        val hist = history(spark, ref)
+        require(hist.exists(_.genId == gen),
+          s"generation $gen was never committed to ${ref.manifest}")
+        val need = active(hist.filter(_.genId <= gen))
+          .flatMap(g => Seq(g.hash, g.band, g.stop, g.pack, g.cur)).distinct
+        val root = logRoot(spark, ref)
+        val fs = hadoopFs(spark, root)
+        val cat = spark.sessionState.catalog
+        need.foreach { t =>
+          val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+          val gone = !cat.tableExists(ident) || {
+            val p = (try cat.getTableMetadata(ident).storage.locationUri
+                .map(u => new org.apache.hadoop.fs.Path(u))
+              catch { case _: Exception => None })
+              .getOrElse(new org.apache.hadoop.fs.Path(root, t))
+            !fs.exists(p)
+          }
+          if (gone)
+            throw new IllegalStateException(s"as-of generation $gen needs " +
+              s"$t, which a vacuum or snapshot release dropped — time " +
+              "travel is bounded by the latest fold")
+        }
+        throw e
+    }
 
   /** Orphan sweep (VERDICT r12 task 2): [[vacuum]] walks manifest rows,
     * so an attempt that CRASHED before its commit point — its generation
@@ -950,10 +1135,11 @@ object StateLog {
     * is by definition younger than any sane grace window, while a
     * genuinely crashed attempt only gets older. Pick `graceMs` well above
     * the longest single attempt's write→commit span (minutes, not
-    * seconds) PLUS the worst clock skew between the sweeper and the
-    * store: ages compare the sweeper's wall clock against store-reported
-    * mtimes, so a sweeper whose clock runs ahead of the store's by S
-    * effectively shortens the window by S.
+    * seconds). Sweeper-vs-store clock skew does NOT erode the window
+    * (r16, VERDICT r15 task 5): ages compare store-reported mtimes
+    * against the STORE-PROBED clock origin ([[storeNow]] — one tiny
+    * probe write per sweep), so both sides of the comparison are on the
+    * same clock by construction.
     *
     * The graced form also widens the candidate SCAN from this session's
     * catalog to the shared STORE: directories under the log's root with
@@ -978,27 +1164,41 @@ object StateLog {
         org.apache.spark.sql.catalyst.TableIdentifier(ref.manifest)).location)
     val root = loc.getParent
     val rootFs = hadoopFs(spark, root)
-    val now = System.currentTimeMillis()
-    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
-      val st = rootFs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +: rootFs.listStatus(p).toSeq.map(s =>
-        if (s.isDirectory) newestMtime(s.getPath) else s.getModificationTime)).max
-    }
+    // the clock origin is the STORE's, not this JVM's (r16, VERDICT r15
+    // task 5): a skewed sweeper would otherwise silently shrink the window
+    val now = if (graceMs <= 0L) 0L else storeNow(rootFs, claimsDir(spark, ref))
     // a path that vanishes or mutates mid-walk is a LIVE writer's — young
     def aged(p: org.apache.hadoop.fs.Path): Boolean =
-      graceMs <= 0L || (try now - newestMtime(p) >= graceMs
-        catch { case _: java.io.FileNotFoundException => false })
+      graceMs <= 0L || agedOnStore(rootFs, p, now, graceMs)
+    // a CATALOG candidate ages at its RECORDED location (ADVICE r15: a
+    // pre-r16 table minted under tmpdir for a non-default-root log would
+    // FNF the Path(root, t) walk and read as never-aged forever); store
+    // candidates have no catalog entry — the minting convention is the path
+    def pathOf(t: String): org.apache.hadoop.fs.Path = {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+      val cat = spark.sessionState.catalog
+      (if (cat.tableExists(ident))
+        try cat.getTableMetadata(ident).storage.locationUri
+          .map(u => new org.apache.hadoop.fs.Path(u))
+        catch { case _: Exception => None }
+      else None).getOrElse(new org.apache.hadoop.fs.Path(root, t))
+    }
     val spine = Set(loc.getName, loc.getName + "_claims")
+    // only the MINTED shapes are store candidates (ADVICE r15): attach()
+    // accepts arbitrary manifest names, so a bare prefix match could let
+    // one user-named log (`mylog`) reclaim a sibling's (`mylog_v2`) live
+    // directories; attempt tables and commit stages are the only names
+    // this log ever mints under its root.
     val storeCandidates =
       if (graceMs <= 0L || !rootFs.exists(root)) Seq.empty
       else rootFs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith(ref.manifest + "_") && !spine(p.getName))
+        .filter(p => MintedSuffixes.exists(s =>
+          p.getName.startsWith(s"${ref.manifest}_$s")) && !spine(p.getName))
         .map(_.getName)
     val candidates = (listLogTables(spark, ref) ++ storeCandidates).distinct
     val droppedTables = candidates.filter(t =>
       !referenced(t) && !claimRefs(t) && !inFlight.contains(t) &&
-        aged(new org.apache.hadoop.fs.Path(root, t))).sorted
+        aged(pathOf(t))).sorted
     droppedTables.foreach { t =>
       dropTableAndData(spark, t) // catalog entry + its recorded location
       // store-only candidates (foreign orphans) have no catalog entry to
@@ -1209,8 +1409,15 @@ object StateLog {
       layer: String, tag: String, bucketCol: Option[String]): String = {
     val tbl = s"${ref.manifest}_${layer}_$tag"
     inFlight.add(tbl)
+    // minted BESIDE THE MANIFEST on its own store (r16, ADVICE r15) — not
+    // under java.io.tmpdir: for a log attached under a non-default root,
+    // tmpdir-minted tables would be invisible to peers' registerForeign
+    // walks and unreachable by the graced sweep's age check (both resolve
+    // Path(root, t)). Default-root logs are byte-unchanged: the manifest
+    // parent IS tmpdir there.
     val w = df.write.mode("overwrite")
-      .option("path", s"${sys.props("java.io.tmpdir")}/$tbl")
+      .option("path",
+        new org.apache.hadoop.fs.Path(logRoot(spark, ref), tbl).toString)
     bucketCol.fold(w)(c => w.bucketBy(DedupIndexSink.Buckets, c).sortBy(c))
       .saveAsTable(tbl)
     tbl
@@ -1812,6 +2019,61 @@ object StateLog {
    * else: swept_total=2), the young in-flight stand-in survives the
    * grace window (kept_young=1), and the replay-skip set holds across
    * the sweep (replay_skipped=1). */
+
+  def eq154(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val st = SnapshotStateSink.write(spark, docs)
+    val ref = fromSnapshot(spark, st,
+      writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
+    compactLog(spark, ref)                                                // gen 2
+    // a live as-of reader's frames, resolved BEFORE any GC (the existence
+    // checks pass) — the handle a concurrent scan would be holding
+    val asof1Hash = viewsAsOf(spark, ref, 1L)._1
+    val asof1Live = asof1Hash.count() >= 0
+    // graced vacuum against the YOUNG fold: the supersession is seconds
+    // old, well inside the 10-minute window — nothing may drop
+    val youngDrop = vacuum(spark, ref, graceMs = 600000L)
+    // age the fold's commit past the window: its manifest row file is the
+    // supersession instant (the one the graced basis reads)
+    val mdir = new java.io.File(sys.props("java.io.tmpdir"), s"${ref.manifest}_manifest")
+    Option(mdir.listFiles()).foreach(_.filter(_.getName.startsWith("part-row-g2-"))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 86400000L): Unit))
+    val agedDrop = vacuum(spark, ref, graceMs = 600000L)
+    // the reader's pre-resolved frames now point at dropped files: the
+    // guarded read must surface the clean bounded-time-travel error, not
+    // a raw missing-file failure
+    val guardedBounded =
+      try { guardAsOfRead(spark, ref, 1L)(asof1Hash.count()); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("bounded") }
+    val skipped = !ingestBatch(spark, ref, st,
+      docs.filter(DedupIndexSink.isNewCol), 0L)
+    def flag(item: String, n: Long): DataFrame = {
+      import spark.implicits._
+      Seq((item, n)).toDF("item", "n")
+    }
+    auditItems(views(spark, ref), "")
+      .unionAll(corpusItems(corpus(spark, ref), ""))
+      .unionAll(flag("vacuumed_young", youngDrop.size.toLong))
+      .unionAll(flag("vacuumed_aged", agedDrop.size.toLong))
+      .unionAll(flag("asof1_live", if (asof1Live) 1L else 0L))
+      .unionAll(flag("asof1_guarded_bounded", if (guardedBounded) 1L else 0L))
+      .unionAll(flag("replay_skipped", if (skipped) 1L else 0L))
+      .orderBy("item")
+  }
+
+  /* eq154 — the GRACED VACUUM under the oracle (r16, VERDICT r15 task 2):
+   * eq147's committed state verbatim (ingest → fold — a retention GC must
+   * not change a row any reader sees), with the reader-retention contract
+   * pinned end to end: a graced vacuum against the YOUNG fold drops
+   * nothing (vacuumed_young=0) while a live as-of reader resolves below
+   * it (asof1_live=1); once the fold's supersession instant is aged past
+   * the window the superseded delta generation's five tables are
+   * reclaimed (vacuumed_aged=5); the reader's PRE-RESOLVED frames — the
+   * exact handle a scan racing the drop would hold — surface the clean
+   * bounded-time-travel error through guardAsOfRead, never a raw
+   * missing-file failure (asof1_guarded_bounded=1); and the replay-skip
+   * set holds across the GC (replay_skipped=1). */
 
   def eq151(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")

@@ -156,9 +156,17 @@ class LastWinsClaimSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("atomic exclusive") &&
       e.getMessage.contains("allowNonAtomicStore"), e.getMessage)
-    // attach from a "fresh" session fails just as early (reader contract)
+    // attach is the READ entry point and succeeds with no flag (ADVICE
+    // r15: a pure reader accepts no commit risk — forcing risk-acceptance
+    // on it misstated the contract); the refusal stays at the first
+    // commit, which the attached session hits exactly like `e` above
+    val s2 = spark.newSession()
+    val ref2 = StateLog.attach(s2, ref.manifest)
+    assert(ref2.manifest == ref.manifest, "a reader attach on a known " +
+      "last-wins store must succeed (warn-only)")
     val e2 = intercept[UnsupportedOperationException] {
-      StateLog.attach(spark.newSession(), ref.manifest)
+      // the self-contained form: the corpus resolves from the log itself
+      StateLog.ingestBatch(s2, ref2, st, docsDf(bDocs), 0L)
     }
     assert(e2.getMessage.contains("atomic exclusive"), e2.getMessage)
 
@@ -170,5 +178,49 @@ class LastWinsClaimSpec extends SparkSpec {
       spark.catalog.refreshTable(ref.manifest)
       assert(spark.table(ref.manifest).distinct().count() == 2)
     } finally spark.conf.unset("spark.graft.statelog.claims.allowNonAtomicStore")
+  }
+
+  test("graced age decisions follow the STORE's clock, not the JVM's — the " +
+    "probe basis cancels skew (VERDICT r15 task 5)") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.skewclock.impl", classOf[SkewedClockFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toFile
+    val live = new java.io.File(dir, "live_candidate")
+    live.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(live, "part-x.parquet").toPath, "x")
+    val root = new org.apache.hadoop.fs.Path(s"skewclock://${dir.getAbsolutePath}")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val grace = 600000L
+    val livePath = new org.apache.hadoop.fs.Path(root, "live_candidate")
+
+    // this store's clock runs 2h behind the JVM's: a WALL-clock basis ages
+    // the just-written candidate by the full skew — far past the grace —
+    // and would reclaim a live writer's in-flight attempt
+    val wallNow = System.currentTimeMillis()
+    assert(StateLog.agedOnStore(fs, livePath, wallNow, grace),
+      "sanity: the wall-clock basis mis-ages a live candidate under this skew")
+
+    // the probe basis reads "now" through the same skewed store — the two
+    // sides of the age comparison are on ONE clock, so the skew cancels
+    val probedNow = StateLog.probedStoreNow(spark, root)
+    assert(math.abs(probedNow - (wallNow - SkewedClockFileSystem.SkewMs)) < 60000L,
+      s"the probe must report the STORE's clock (got $probedNow vs wall $wallNow)")
+    assert(!StateLog.agedOnStore(fs, livePath, probedNow, grace),
+      "the store-probed basis must keep a just-written candidate under skew")
+
+    // a genuinely crashed (day-old) candidate is still reclaimed
+    val aged = new java.io.File(dir, "aged_candidate")
+    aged.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(aged, "part-y.parquet").toPath, "y")
+    def backdate(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(backdate))
+      f.setLastModified(System.currentTimeMillis() - 86400000L): Unit
+    }
+    backdate(aged)
+    assert(StateLog.agedOnStore(fs,
+      new org.apache.hadoop.fs.Path(root, "aged_candidate"), probedNow, grace),
+      "a day-old candidate must age out under the probe basis too")
   }
 }

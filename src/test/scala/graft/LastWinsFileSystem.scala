@@ -82,6 +82,29 @@ class FakeS3aFileSystem extends LocalBackedSchemeFs {
   }
 }
 
+/** A local filesystem whose REPORTED mtimes run two hours BEHIND the
+  * JVM's wall clock — the store-clock-skew posture the graced GC's probe
+  * basis (`StateLog.storeNow`) exists for (VERDICT r15 task 5). With a
+  * wall-clock "now", a just-written file on this store reads as two
+  * hours old — past any sane grace window — and a live writer's
+  * in-flight attempt would be reclaimed; probing "now" through the same
+  * store cancels the skew exactly. */
+class SkewedClockFileSystem extends LocalBackedSchemeFs {
+  override def getScheme: String = "skewclock"
+  override def getUri: java.net.URI = java.net.URI.create("skewclock:///")
+  private def shift(st: FileStatus): FileStatus = new FileStatus(
+    st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
+    st.getModificationTime - SkewedClockFileSystem.SkewMs, st.getAccessTime,
+    org.apache.hadoop.fs.permission.FsPermission.getDefault,
+    "graft", "graft", st.getPath)
+  override def getFileStatus(f: Path): FileStatus = shift(super.getFileStatus(f))
+  override def listStatus(f: Path): Array[FileStatus] = super.listStatus(f).map(shift)
+}
+
+object SkewedClockFileSystem {
+  val SkewMs: Long = 7200000L
+}
+
 object LastWinsFileSystem {
   val armRace = new AtomicBoolean(false)
   val barrier = new CyclicBarrier(2)

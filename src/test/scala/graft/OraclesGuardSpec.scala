@@ -16,19 +16,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * before re-pinning. */
 class OraclesGuardSpec extends AnyFunSuite {
 
-  /** Recorded over the round-15 oracle set (re-pinned in r15: the new
-    * eq153 oracle legitimately reuses the advance-chain prefix like
-    * eq152 did — adjudicated +1 on exactly the chain CTEs it contains,
-    * nothing else moved). Update ONLY after verifying every new match is
-    * a genuine chain CTE. */
+  /** Recorded over the round-16 oracle set (re-pinned in r16: the new
+    * eq154 oracle legitimately reuses the advance-chain prefix like
+    * eq152/eq153 did — adjudicated +1 on exactly the chain CTEs it
+    * contains, nothing else moved). Update ONLY after verifying every new
+    * match is a genuine chain CTE. */
   private val Expected: Map[String, Int] = Map(
-    "toks" -> 55, "shingled" -> 55, "s" -> 55, "xx" -> 20, "mins" -> 20,
-    "keys" -> 20, "kk" -> 3, "cand" -> 12, "ver" -> 5, "j" -> 20,
-    "zq" -> 16, "o_cs" -> 14, "d_cs" -> 14, "o_k6" -> 14, "d_k6" -> 14,
-    "o_k7" -> 14, "d_k7" -> 14, "d_k8" -> 14, "o_ex" -> 14, "d_ex" -> 14,
-    "o_tv" -> 14, "oldh" -> 17, "old_keys" -> 17, "new_keys" -> 17,
-    "po" -> 17, "okb" -> 14, "stopb" -> 2, "del" -> 1, "ret_keys" -> 1,
-    "mm" -> 15)
+    "toks" -> 56, "shingled" -> 56, "s" -> 56, "xx" -> 21, "mins" -> 21,
+    "keys" -> 21, "kk" -> 3, "cand" -> 12, "ver" -> 5, "j" -> 20,
+    "zq" -> 17, "o_cs" -> 15, "d_cs" -> 15, "o_k6" -> 15, "d_k6" -> 15,
+    "o_k7" -> 15, "d_k7" -> 15, "d_k8" -> 15, "o_ex" -> 15, "d_ex" -> 15,
+    "o_tv" -> 15, "oldh" -> 18, "old_keys" -> 18, "new_keys" -> 18,
+    "po" -> 18, "okb" -> 15, "stopb" -> 2, "del" -> 1, "ret_keys" -> 1,
+    "mm" -> 16)
 
   private def hitsOf(sqls: Iterable[String]): Map[String, Int] =
     sqls.toSeq.flatMap(Oracles.sharedCteHits)

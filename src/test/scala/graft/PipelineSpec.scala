@@ -1718,6 +1718,63 @@ class PipelineSpec extends SparkSpec {
       "the second fold supersedes the first — vacuumable again")
   }
 
+  test("state log graced vacuum: a young fold retains its superseded generation, " +
+    "an aged one releases it, and a racing reader maps to the bounded error — " +
+    "never a raw missing-file failure (VERDICT r15 task 2)") {
+    import graft.sources.{SnapshotStateSink, StateLog}
+    import HotBucketFixture.{aDocs, bDocs}
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+    val docs = oldDocs.withColumn("is_new", lit(false))
+      .unionByName(docsDf(bDocs).withColumn("is_new", lit(true)))
+    assert(StateLog.ingestBatch(spark, ref, st, docs, col("is_new"), 0L)) // gen 1
+    StateLog.compactLog(spark, ref)                                       // gen 2
+
+    // a live reader's frames, resolved below the fold BEFORE any GC — the
+    // handle a concurrent as-of scan holds
+    val asof1 = StateLog.viewsAsOf(spark, ref, 1L)._1
+    assert(asof1.count() > 0)
+
+    // graced vacuum against the YOUNG fold: the supersession is seconds
+    // old — nothing may drop, and the pre-fold read still resolves
+    assert(StateLog.vacuum(spark, ref, graceMs = 600000L).isEmpty,
+      "a generation superseded inside the grace window must survive")
+    assert(StateLog.viewsAsOf(spark, ref, 1L)._1.count() > 0,
+      "as-of below the young fold must still resolve")
+
+    // age the fold's COMMIT (its manifest row file is the supersession
+    // instant the graced basis reads) past the window
+    val mdir = new java.io.File(sys.props("java.io.tmpdir"), s"${ref.manifest}_manifest")
+    val foldRows = Option(mdir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.startsWith("part-row-g2-"))
+    assert(foldRows.nonEmpty, "the fold's manifest row file must exist")
+    foldRows.foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 86400000L): Unit)
+    val dropped = StateLog.vacuum(spark, ref, graceMs = 600000L)
+    assert(dropped.size == 5,
+      s"the aged fold must release the superseded delta's five tables, got $dropped")
+
+    // the reader's PRE-RESOLVED frames — the exact shape racing the drop:
+    // the raw missing-file failure maps to the clean bounded error
+    val e = intercept[IllegalStateException] {
+      StateLog.guardAsOfRead(spark, ref, 1L)(asof1.count())
+    }
+    assert(e.getMessage.contains("bounded"), e.getMessage)
+    // a FRESH resolution is bounded the classic way
+    val e2 = intercept[IllegalStateException] { StateLog.viewsAsOf(spark, ref, 1L) }
+    assert(e2.getMessage.contains("bounded"), e2.getMessage)
+    // the guard is transparent on the happy path...
+    assert(StateLog.guardAsOfRead(spark, ref, 2L)(
+      StateLog.viewsAsOf(spark, ref, 2L)._1.count()) > 0)
+    // ...and an unrelated failure inside it propagates untouched
+    val boom = intercept[RuntimeException] {
+      StateLog.guardAsOfRead(spark, ref, 2L)(
+        (throw new RuntimeException("unrelated")): Long)
+    }
+    assert(boom.getMessage == "unrelated")
+  }
+
   test("state log soak: four batches, two folds, a retraction, vacuums and replays interleaved — the final state still equals scratch") {
     import graft.sources.{SnapshotStateSink, StateLog}
     import HotBucketFixture.{aDocs, fam}

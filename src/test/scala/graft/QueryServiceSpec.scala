@@ -43,6 +43,29 @@ class QueryServiceSpec extends SparkSpec {
     assert(top.sameElements(frozenTop))
   }
 
+  test("cat slice is row-capped: default cap bounds the driver collect, an " +
+    "explicit limit pages it, limit<=0 is a typed 400 (VERDICT r15 task 6)") {
+    // reference scale: the slice is far below the default cap — unchanged
+    val full = QueryService.run(spark, Sf, "cat",
+      Params(catId = Some("STANDARD"))).toOption.get.count()
+    assert(full > 1 && full < QueryService.DefaultRowCap,
+      s"fixture sanity: the STANDARD slice ($full rows) sits under the cap")
+    // an explicit limit pages the slice
+    val paged = QueryService.run(spark, Sf, "cat",
+      Params(catId = Some("STANDARD"), limit = Some(1))).toOption.get
+    assert(paged.count() == 1)
+    // the default cap is a real plan-level bound, not a collect-side trim:
+    // a GlobalLimit must sit in the executed plan
+    val capped = QueryService.run(spark, Sf, "cat",
+      Params(catId = Some("STANDARD"))).toOption.get
+    assert(capped.queryExecution.executedPlan.toString.contains("Limit"),
+      "the cap must bound the PLAN (driver collect stays bounded at any scale)")
+    // limit <= 0 is a typed 400, never a planner error
+    val bad = QueryService.run(spark, Sf, "cat",
+      Params(catId = Some("STANDARD"), limit = Some(0)))
+    assert(bad == Left(QueryService.ApiError.InvalidParam("limit", "0")))
+  }
+
   test("malformed asOf -> typed 400 InvalidParam, never a parse exception or silent empty result") {
     val r = QueryService.run(spark, Sf, "score-sante-touts-les-mois", Params(
       catId = Some("STANDARD"), fabId = Some("Brand#12"),

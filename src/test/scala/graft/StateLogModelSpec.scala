@@ -209,4 +209,152 @@ class StateLogModelSpec extends SparkSpec {
     }
     println(s"[modelspec] walk complete (${Ops} ops):\n$trace")
   }
+
+  test("concurrent two-writer walk: randomized op sequences raced through the " +
+    "claim CAS land on the model replayed in COMMITTED manifest order " +
+    "(VERDICT r15 task 4)") {
+    import HotBucketFixture.aDocs
+    val oldDocs = docsDf(aDocs).localCheckpoint()
+    val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
+    val ref = StateLog.fromSnapshot(spark, st, StateLog.writeCorpusStore(spark, oldDocs))
+
+    // each writer is its own SESSION with the in-process commit mutex OFF
+    // (the eq148 posture): every interleaving is arbitrated by the durable
+    // claim CAS alone, exactly like two driver processes — the fixed-script
+    // two-process drill taken onto a seeded RANDOM op lattice. The model
+    // cannot predict the race's serialization, so it is updated from the
+    // COMMITTED manifest order after each round's quiesce point: the order
+    // the CAS durably chose IS the truth the views must replay.
+    val sessions = Vector(spark.newSession(), spark.newSession())
+    val rnd = new scala.util.Random(20260817L)
+    var model: Vector[DocRow] = aDocs.toVector
+    val trace = new StringBuilder
+    val retractSpec = scala.collection.mutable.Map[Long, (Int, Int)]()
+    var nextBatch = Vector(0L, 1L)      // writer w mints ids ≡ w (mod 2)
+    var nextRetract = Vector(500L, 501L)
+    var lastSeenGen = 0L
+    val committedBatches = scala.collection.mutable.ArrayBuffer[Long]()
+
+    def corpusIds(): Seq[Long] =
+      StateLog.corpus(spark, ref).select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    def fullCheck(op: String): Unit = {
+      val (sh, sb, _) = Dedup.indexBuildFrames(docsDf(model), lit(false))
+      sameSet(StateLog.views(spark, ref)._1, sh,
+        s"hash view vs model scratch after [$op]; trace:\n$trace")
+      val logStop = StateLog.views(spark, ref)._3.distinct()
+      sameSet(StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+        sb.select("band", "band_key", "doc_id")
+          .join(broadcast(logStop), Seq("band", "band_key"), "left_anti"),
+        s"effective band vs model scratch after [$op]; trace:\n$trace")
+    }
+
+    val Rounds = 6
+    StateLog.simulateCrossProcessWriters(ref.manifest, on = true)
+    try {
+      (0 until Rounds).foreach { round =>
+        // one seeded random op per writer, the pair raced concurrently
+        // (round 0 is two ingests — a non-trivial state to walk from)
+        val plans: Seq[(Int, String, Long)] = (0 until 2).map { w =>
+          val roll = if (round == 0) 0 else rnd.nextInt(100)
+          if (roll < 40) {
+            val id = nextBatch(w); nextBatch = nextBatch.updated(w, id + 2)
+            (w, "ingest", id)
+          } else if (roll < 65) {
+            val id = nextRetract(w); nextRetract = nextRetract.updated(w, id + 2)
+            retractSpec(id) = (5 + rnd.nextInt(5), rnd.nextInt(5))
+            (w, "retract", id)
+          } else if (roll < 85) (w, "fold", -1L)
+          else (w, "checkpoint", -1L)
+        }
+        trace.append(s"round $round: ${plans.map(p => s"w${p._1}:${p._2}(${p._3})").mkString(" || ")}\n")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val go = new java.util.concurrent.CountDownLatch(1)
+        val futs = plans.map { case (w, kind, id) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              go.await()
+              val s = sessions(w)
+              kind match {
+                case "ingest" =>
+                  assert(StateLog.ingestBatch(s, ref, st, docsDf(batchRows(id)), id),
+                    s"fresh batch $id must apply; trace:\n$trace")
+                case "retract" =>
+                  assert(StateLog.retractBatch(s, ref,
+                    col("doc_id") % retractSpec(id)._1 === retractSpec(id)._2, id),
+                    s"retraction $id must commit; trace:\n$trace")
+                case "fold" => StateLog.compactLog(s, ref)
+                case "checkpoint" =>
+                  val (b, a) = StateLog.checkpointManifest(s, ref)
+                  assert(a <= b && a >= 1, s"checkpoint $b->$a malformed")
+              }
+            }
+          })
+        }
+        go.countDown()
+        futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS): Unit)
+        pool.shutdown()
+
+        // QUIESCE POINT: replay the round's committed rows IN GEN ORDER —
+        // the serialization the claim CAS chose — into the model
+        spark.catalog.refreshTable(ref.manifest)
+        val newRows = spark.table(ref.manifest).distinct()
+          .filter(col("gen_id") > lastSeenGen)
+          .orderBy("gen_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        assert(newRows.nonEmpty, s"round $round committed nothing; trace:\n$trace")
+        newRows.foreach { case (gen, bid, kind) =>
+          kind match {
+            case "delta" =>
+              // expected survivors from the MODEL's scratch frames at this
+              // point of the committed order, never from the log under test
+              val (shM, sbM, _) = Dedup.indexBuildFrames(docsDf(model), lit(false))
+              val exp = Curation.deltaSurvivorsFromState(
+                docsDf(model).withColumn("is_new", lit(false))
+                  .unionByName(docsDf(batchRows(bid)).withColumn("is_new", lit(true))),
+                col("is_new"), shM, sbM.select("band", "band_key", "doc_id"),
+                spark.table(st.testVocab), spark.table(st.mixRates))
+                .select("doc_id", "text", "lang", "source", "n_chars").collect()
+                .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                  r.getString(3), r.getLong(4))).toVector
+              model ++= exp
+              committedBatches += bid
+              trace.append(s"  g$gen delta($bid, ${exp.size} survivors)\n")
+            case "retract" =>
+              val (m, rem) = retractSpec(bid)
+              val before = model.size
+              model = model.filterNot { case (d, _, _, _, _) => d % m == rem }
+              trace.append(s"  g$gen retract($bid, %$m==$rem, ${before - model.size} docs)\n")
+            case other =>
+              trace.append(s"  g$gen $other\n")
+          }
+          lastSeenGen = gen
+        }
+        assert(corpusIds() == model.map(_._1).sorted,
+          s"corpus membership diverged after round $round; trace:\n$trace")
+        if (newRows.exists(_._3 == "fold")) fullCheck(s"round $round fold")
+      }
+    } finally StateLog.simulateCrossProcessWriters(ref.manifest, on = false)
+
+    // closing invariants: dense unique gen_ids (the CAS never minted a
+    // duplicate or a gap), zero claim residue, full scratch comparison,
+    // and every committed batch id still replay-skips
+    spark.catalog.refreshTable(ref.manifest)
+    val genIds = spark.table(ref.manifest).distinct().orderBy("gen_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(genIds == (0L to lastSeenGen),
+      s"gen_ids must be dense and unique, got $genIds; trace:\n$trace")
+    val claims = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${ref.manifest}_manifest_claims")
+    val residue = Option(claims.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.endsWith(".claim"))
+    assert(residue.isEmpty, s"claims must self-drop, found $residue")
+    fullCheck("closing")
+    committedBatches.foreach { id =>
+      assert(!StateLog.ingestBatch(spark, ref, st, docsDf(batchRows(id)), id),
+        s"batch $id must stay skipped after the walk; trace:\n$trace")
+    }
+    println(s"[modelspec] concurrent walk complete ($Rounds rounds, " +
+      s"${lastSeenGen} generations):\n$trace")
+  }
 }

@@ -129,5 +129,50 @@ if ! grep -qE 'checkpoint 0: [0-9]+ -> 1 files' "$WORK/ckpt_recover.log"; then
   exit 1
 fi
 run check "$WORK" "100,101,102,103,200,201,202,203,300,400"
+
+# GRACED VACUUM vs a LIVE AS-OF READER (VERDICT r15 task 2): fold the log
+# (the supersession event), start a reader process looping GUARDED
+# historical reads below the fold, age the fold's manifest row file past
+# the grace window mid-loop, then run graced vacuums from a peer process
+# against the live reader. The reader must resolve at least once and then
+# either keep resolving or end on the clean bounded-time-travel error —
+# a raw FileNotFoundException crashes it and fails the drill. (This is
+# the cross-process seam: the reader's in-memory catalog never sees the
+# peer's drop, so guardAsOfRead's re-check must consult the STORE.)
+run fold "$WORK" > "$WORK/fold.log" 2>&1
+grep '\[drill\]' "$WORK/fold.log" || true
+FOLDGEN=$(grep -oE 'head gen=[0-9]+' "$WORK/fold.log" | grep -oE '[0-9]+$')
+if [ -z "$FOLDGEN" ]; then echo "[drill] FAIL: fold did not report its gen"; exit 1; fi
+run asofreader "$WORK" 1 40 > "$WORK/asof_reader.log" 2>&1 &
+PR=$!
+for i in $(seq 1 180); do
+  grep -q 'resolved' "$WORK/asof_reader.log" && break
+  if ! kill -0 "$PR" 2>/dev/null; then
+    echo "[drill] FAIL: the as-of reader died before its first resolve"; exit 1
+  fi
+  sleep 1
+done
+if ! grep -q 'resolved' "$WORK/asof_reader.log"; then
+  echo "[drill] FAIL: the as-of reader never resolved"; kill -9 "$PR"; exit 1
+fi
+MANIFEST=$(grep '^manifest=' "$WORK/drill.properties" | cut -d= -f2)
+touch -d '1 day ago' "/tmp/${MANIFEST}_manifest/part-row-g${FOLDGEN}-"*.parquet
+echo "[drill] aged fold gen=$FOLDGEN's manifest row file past the grace window"
+run vacuumloop "$WORK" 4 300000 > "$WORK/vacuum.log" 2>&1 || {
+  grep '\[drill\]' "$WORK/vacuum.log" || true
+  echo "[drill] FAIL: the graced vacuum loop failed"; kill -9 "$PR" 2>/dev/null; exit 1
+}
+grep '\[drill\]' "$WORK/vacuum.log" || true
+if ! wait "$PR"; then
+  grep '\[drill\]' "$WORK/asof_reader.log" || true
+  echo "[drill] FAIL: the as-of reader crashed (raw missing-file leaked through?)"
+  exit 1
+fi
+grep '\[drill\]' "$WORK/asof_reader.log" || true
+if ! grep -q 'BOUNDED cleanly' "$WORK/asof_reader.log"; then
+  echo "[drill] FAIL: the reader never observed the clean bounded error"; exit 1
+fi
+
 echo "[drill] PASS: two-process rehearsal green — race + live-writer graced" \
-  "sweep + SIGKILL roll-forward + checkpoint-crash recovery (workdir kept: $WORK)"
+  "sweep + SIGKILL roll-forward + checkpoint-crash recovery + graced-vacuum" \
+  "live-reader retention (workdir kept: $WORK)"
