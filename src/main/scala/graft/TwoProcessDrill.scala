@@ -114,12 +114,152 @@ object TwoProcessDrill {
       vacuumLoop(workdir, loops.toInt, graceMs.toLong)
     case "check" :: workdir :: ids :: Nil =>
       check(workdir, ids.split(",").map(_.trim.toLong).toSeq)
+    case "randwalk" :: workdir :: writer :: seed :: rounds :: Nil =>
+      randWalk(workdir, writer.toInt, seed.toLong, rounds.toInt)
+    case "checkrand" :: workdir :: Nil => checkRand(workdir)
     case other =>
       System.err.println(s"usage: prep <dir> | ingest <dir> <first> <n> | " +
         s"checkpoint <dir> <loops> | sweeploop <dir> <loops> <graceMs> | " +
         s"fold <dir> | asofreader <dir> <gen> <loops> | " +
-        s"vacuumloop <dir> <loops> <graceMs> | check <dir> <idsCsv> — got $other")
+        s"vacuumloop <dir> <loops> <graceMs> | check <dir> <idsCsv> | " +
+        s"randwalk <dir> <writer> <seed> <rounds> | checkrand <dir> — got $other")
       sys.exit(2)
+  }
+
+  /** The retract predicate derived FROM the op id alone — the randomized
+    * walkers and their checker must agree on what a retraction meant
+    * without any side channel beyond the manifest's (batch_id, kind). */
+  private def randRetract(id: Long): (Int, Int) =
+    (5 + (id % 5).toInt, (id % 3).toInt)
+
+  /** RANDOMIZED cross-process walk (r16): the in-process concurrent model
+    * walk taken onto REAL processes. Each of two JVMs draws a seeded
+    * random op per round — ingest, retract, fold, checkpoint, zero-grace
+    * vacuum, graced sweep — and races it against whatever the peer drew,
+    * arbitrated only by the filesystem claim CAS. No process knows the
+    * other's plan; the committed manifest order is the one truth, and
+    * [[checkRand]] replays exactly that order into a scratch log and
+    * demands set-equal state. Writer w mints ids ≡ w (mod 2) so the two
+    * plans can never collide on an id. */
+  private def randWalk(workdir: String, writer: Int, seed: Long,
+      rounds: Int): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+    val st = stateTablesOf(p)
+    val rnd = new scala.util.Random(seed * 2 + writer)
+    var nextIngest = 500L + writer
+    var nextRetract = 700L + writer
+    val hist = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    (0 until rounds).foreach { i =>
+      // round 0 always ingests: both walkers start by racing the CAS on
+      // real appends, and the corpus walks from a non-trivial state.
+      // round 2 forces fold||sweep so neither kind depends on where the
+      // seed walks — the fold gives later vacuums something to take, the
+      // sweep races the peer's live op cross-process.
+      val roll =
+        if (i == 0) 0
+        else if (i == 2) { rnd.nextInt(100): Unit; if (writer == 0) 70 else 95 }
+        else rnd.nextInt(100)
+      val op = roll match {
+        case r if r < 45 =>
+          val id = nextIngest; nextIngest += 2
+          require(StateLog.ingestBatch(spark, ref, st, batchDocs(spark, id), id),
+            s"fresh batch $id must apply")
+          s"ingest($id)"
+        case r if r < 65 =>
+          val id = nextRetract; nextRetract += 2
+          val (m, rem) = randRetract(id)
+          require(StateLog.retractBatch(spark, ref,
+            col("doc_id") % m === rem, id), s"retraction $id must commit")
+          s"retract($id,%$m==$rem)"
+        case r if r < 80 =>
+          StateLog.compactLog(spark, ref); "fold"
+        case r if r < 87 =>
+          val (b, a) = StateLog.checkpointManifest(spark, ref)
+          require(a <= b && a >= 1, s"checkpoint $b->$a malformed")
+          s"checkpoint($b->$a)"
+        case r if r < 94 =>
+          // zero-grace vacuum is legal against live WRITERS: only as-of
+          // readers touch pre-fold generations, and none run here
+          s"vacuum(${StateLog.vacuum(spark, ref).size})"
+        case _ =>
+          // the graced form is the only sweep legal against a live peer
+          s"sweep(${StateLog.sweep(spark, ref, graceMs = 150000L).size})"
+      }
+      hist(op.takeWhile(_ != '(')) += 1
+      println(s"[drill] pid=${ProcessHandle.current().pid()} w$writer " +
+        s"round $i: $op")
+    }
+    println(s"[drill] randwalk done: pid=${ProcessHandle.current().pid()} " +
+      s"w$writer ops=${hist.toSeq.sorted.map { case (k, n) => s"$k:$n" }.mkString(",")}")
+    spark.stop()
+  }
+
+  /** Check the randomized walk: gen_ids dense and unique, zero claim
+    * residue, and — the strong half — a FRESH scratch log replayed in the
+    * COMMITTED manifest order (the serialization the CAS durably chose,
+    * retractions re-derived from their op ids) lands set-equal on the
+    * hash view, the effective band, and the corpus. A raced GC that ate
+    * one live row, one duplicated append, or one lost retraction would
+    * all surface here. */
+  private def checkRand(workdir: String): Unit = {
+    val spark = session()
+    val p = loadProps(workdir)
+    val ref = attachAll(spark, p)
+
+    spark.catalog.refreshTable(ref.manifest)
+    val manifest = spark.table(ref.manifest).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val genIds = manifest.map(_._1)
+    require(genIds == (0L until genIds.size.toLong),
+      s"gen_ids must be dense and unique from 0, got $genIds")
+    val manifestDir = java.nio.file.Paths.get(
+      new java.net.URI(tableLocation(spark, ref.manifest))).toFile
+    val claimsDir = new java.io.File(manifestDir.getParentFile,
+      s"${ref.manifest}_manifest_claims")
+    val residue = Option(claimsDir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.endsWith(".claim"))
+    require(residue.isEmpty,
+      s"clean commits must self-drop their claims, found $residue")
+
+    val docs = baseDocs(spark)
+    val st2 = SnapshotStateSink.write(spark, docs, lit(false), lit(true))
+    val scratch = StateLog.fromSnapshot(spark, st2,
+      StateLog.writeCorpusStore(spark, docs))
+    manifest.foreach { case (gen, bid, kind) =>
+      kind match {
+        case "base" => ()
+        case "delta" =>
+          require(StateLog.ingestBatch(spark, scratch, st2,
+            batchDocs(spark, bid), bid),
+            s"scratch replay of batch $bid (gen $gen) must apply")
+        case "retract" =>
+          val (m, rem) = randRetract(bid)
+          require(StateLog.retractBatch(spark, scratch,
+            col("doc_id") % m === rem, bid),
+            s"scratch replay of retraction $bid (gen $gen) must commit")
+        case "fold" => StateLog.compactLog(spark, scratch)
+        case other => sys.error(s"unexpected manifest kind $other at gen $gen")
+      }
+    }
+    def sameSet(a: DataFrame, b: DataFrame, what: String): Unit =
+      require(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what diverged between the raced log and the scratch replay")
+    sameSet(StateLog.views(spark, ref)._1, StateLog.views(spark, scratch)._1,
+      "hash view")
+    sameSet(
+      StateLog.effectiveBand(spark, ref).select("band", "band_key", "doc_id"),
+      StateLog.effectiveBand(spark, scratch).select("band", "band_key", "doc_id"),
+      "effective band")
+    sameSet(StateLog.corpus(spark, ref), StateLog.corpus(spark, scratch),
+      "corpus")
+    val kinds = manifest.groupBy(_._3).view.mapValues(_.size).toMap
+    println(s"[drill] checkrand OK: ${genIds.size} gens " +
+      s"(${kinds.toSeq.sorted.map { case (k, n) => s"$k:$n" }.mkString(",")}), " +
+      "raced state == committed-order scratch replay, zero claim residue")
+    spark.stop()
   }
 
   /** Commit one FOLD — the supersession event the graced-vacuum phase

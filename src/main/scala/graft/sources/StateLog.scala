@@ -448,6 +448,23 @@ object StateLog {
         case _ => false
       }) || missingFile(e.getCause, depth - 1))
 
+  /** The SAME-PROCESS twin of [[missingFile]] (r16, found by the raced
+    * maintenance walk): a session sharing this JVM's external catalog
+    * with a vacuuming one loses the table ENTRY, not just the files, so
+    * an as-of read racing the drop fails ANALYSIS with
+    * TABLE_OR_VIEW_NOT_FOUND before any path is touched. Only
+    * [[guardAsOfRead]] consults this shape — its store re-check decides
+    * whether the table is genuinely gone. A manifest read must NEVER
+    * retry through it: the manifest table always exists, and a missing
+    * one is a misconfiguration to surface, so [[withManifestRetry]]
+    * stays on [[missingFile]] alone. */
+  private def missingLogTable(e: Throwable, depth: Int): Boolean =
+    e != null && depth > 0 && ((e match {
+      case a: org.apache.spark.sql.AnalysisException =>
+        Option(a.getCondition).exists(_.contains("TABLE_OR_VIEW_NOT_FOUND"))
+      case _ => false
+    }) || missingLogTable(e.getCause, depth - 1))
+
   /** Append one manifest row as ONE uniquely-named parquet file, staged
     * at a private path and RENAMED into the table directory — the
     * append-only-log file pattern. A `saveAsTable("append")` stages
@@ -1080,11 +1097,20 @@ object StateLog {
     * this session's in-memory catalog still carries the registration — a
     * catalog-only re-check would read "still exists" and rethrow the raw
     * failure (found by the r16 live-reader drill). The shared store is
-    * the one truth every attached process provably shares. */
+    * the one truth every attached process provably shares.
+    *
+    * A vacuum racing from a session in the SAME process is the mirrored
+    * shape (found by the r16 raced maintenance walk): the sessions share
+    * one external catalog, so the drop removes the table ENTRY between
+    * the resolution's existence check and the frame build, and the read
+    * dies in ANALYSIS with TABLE_OR_VIEW_NOT_FOUND before any path is
+    * touched. That shape is caught here too ([[missingLogTable]]) and
+    * runs the same re-check — gone maps to the bounded error, still-there
+    * rethrows the original failure untouched. */
   def guardAsOfRead[T](spark: SparkSession, ref: LogRef, gen: Long)(
       action: => T): T =
     try action catch {
-      case e: Throwable if missingFile(e, 8) =>
+      case e: Throwable if missingFile(e, 8) || missingLogTable(e, 8) =>
         val hist = history(spark, ref)
         require(hist.exists(_.genId == gen),
           s"generation $gen was never committed to ${ref.manifest}")

@@ -212,7 +212,7 @@ class StateLogModelSpec extends SparkSpec {
 
   test("concurrent two-writer walk: randomized op sequences raced through the " +
     "claim CAS land on the model replayed in COMMITTED manifest order " +
-    "(VERDICT r15 task 4)") {
+    "(VERDICT r15 task 4; r16 adds the MAINTENANCE ops to the race)") {
     import HotBucketFixture.aDocs
     val oldDocs = docsDf(aDocs).localCheckpoint()
     val st = SnapshotStateSink.write(spark, oldDocs, lit(false), lit(true))
@@ -225,6 +225,20 @@ class StateLogModelSpec extends SparkSpec {
     // cannot predict the race's serialization, so it is updated from the
     // COMMITTED manifest order after each round's quiesce point: the order
     // the CAS durably chose IS the truth the views must replay.
+    //
+    // r16 widens the raced op set to the MAINTENANCE side: zero-grace
+    // vacuum (legal against writers — only as-of readers touch pre-fold
+    // generations, and those race guarded), the GRACED sweep (the
+    // live-writer-safe form; zero-grace sweep is quiesced-only BY
+    // CONTRACT — it reclaims every in-flight temp), and guardAsOfRead
+    // probes. The GC invariants here are implicit and strict: a raced
+    // vacuum/sweep must never take a LIVE table (the membership and
+    // scratch checks after the quiesce would diverge), must reclaim a
+    // planted aged orphan (whichever racer gets there), and must be
+    // IDEMPOTENT under a concurrent twin (both-vacuum / both-sweep
+    // rounds drop overlapping sets — "already gone" is success, never a
+    // crash). A guarded as-of probe racing a vacuum must land on resolve
+    // or the clean bounded error, never a raw missing-file failure.
     val sessions = Vector(spark.newSession(), spark.newSession())
     val rnd = new scala.util.Random(20260817L)
     var model: Vector[DocRow] = aDocs.toVector
@@ -249,24 +263,55 @@ class StateLogModelSpec extends SparkSpec {
         s"effective band vs model scratch after [$op]; trace:\n$trace")
     }
 
-    val Rounds = 6
+    val Rounds = 9
+    val opHist = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     StateLog.simulateCrossProcessWriters(ref.manifest, on = true)
     try {
       (0 until Rounds).foreach { round =>
         // one seeded random op per writer, the pair raced concurrently
-        // (round 0 is two ingests — a non-trivial state to walk from)
+        // (round 0 is two ingests — a non-trivial state to walk from;
+        // round 2 forces vacuum||sweep, round 3 forces fold||ingest so a
+        // superseded generation exists, round 5 forces asof||vacuum, and
+        // round 7 forces checkpoint||ingest — the seed cannot walk around
+        // the maintenance races this test exists to pin, and the round-5
+        // vacuum has pre-fold tables to take from under the guarded probe)
         val plans: Seq[(Int, String, Long)] = (0 until 2).map { w =>
-          val roll = if (round == 0) 0 else rnd.nextInt(100)
-          if (roll < 40) {
+          val roll =
+            if (round == 0) 0
+            else if (round == 2) { rnd.nextInt(100): Unit; if (w == 0) 76 else 84 }
+            else if (round == 3) { rnd.nextInt(100): Unit; if (w == 0) 56 else 0 }
+            else if (round == 5) { rnd.nextInt(100): Unit; if (w == 0) 95 else 76 }
+            else if (round == 7) { rnd.nextInt(100): Unit; if (w == 0) 70 else 0 }
+            else rnd.nextInt(100)
+          if (roll < 35) {
             val id = nextBatch(w); nextBatch = nextBatch.updated(w, id + 2)
             (w, "ingest", id)
-          } else if (roll < 65) {
+          } else if (roll < 55) {
             val id = nextRetract(w); nextRetract = nextRetract.updated(w, id + 2)
             retractSpec(id) = (5 + rnd.nextInt(5), rnd.nextInt(5))
             (w, "retract", id)
-          } else if (roll < 85) (w, "fold", -1L)
-          else (w, "checkpoint", -1L)
+          } else if (roll < 67) (w, "fold", -1L)
+          else if (roll < 75) (w, "checkpoint", -1L)
+          else if (roll < 83) (w, "vacuum", -1L)
+          else if (roll < 91) (w, "sweep", -1L)
+          else (w, "asof", rnd.nextLong(lastSeenGen + 1))
         }
+        plans.foreach(p => opHist(p._2) += 1)
+        // a planted aged orphan when a sweep is in the round: whichever
+        // racer sweeps first reclaims it — asserted gone after the quiesce
+        val orphan: Option[java.io.File] =
+          if (!plans.exists(_._2 == "sweep")) None
+          else {
+            val f = new java.io.File(sys.props("java.io.tmpdir"),
+              s"${ref.manifest}_hash_b9_race${round}_1")
+            Seq(("junk")).toDF("h").write.mode("overwrite").parquet(f.getPath)
+            def back(x: java.io.File): Unit = {
+              Option(x.listFiles()).foreach(_.foreach(back))
+              x.setLastModified(System.currentTimeMillis() - 86400000L): Unit
+            }
+            back(f)
+            Some(f)
+          }
         trace.append(s"round $round: ${plans.map(p => s"w${p._1}:${p._2}(${p._3})").mkString(" || ")}\n")
         val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
         val go = new java.util.concurrent.CountDownLatch(1)
@@ -287,6 +332,18 @@ class StateLogModelSpec extends SparkSpec {
                 case "checkpoint" =>
                   val (b, a) = StateLog.checkpointManifest(s, ref)
                   assert(a <= b && a >= 1, s"checkpoint $b->$a malformed")
+                case "vacuum" => StateLog.vacuum(s, ref): Unit
+                case "sweep" => StateLog.sweep(s, ref, graceMs = 600000L): Unit
+                case "asof" =>
+                  // a committed gen raced against a possible vacuum: the
+                  // guard's contract is resolve OR the clean bounded
+                  // error — a raw missing-file failure fails the walk
+                  try StateLog.guardAsOfRead(s, ref, id) {
+                    StateLog.corpusAsOf(s, ref, id).count(): Unit
+                  } catch {
+                    case e: IllegalStateException
+                      if e.getMessage.contains("bounded") => ()
+                  }
               }
             }
           })
@@ -294,6 +351,8 @@ class StateLogModelSpec extends SparkSpec {
         go.countDown()
         futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS): Unit)
         pool.shutdown()
+        orphan.foreach(f => assert(!f.exists(),
+          s"round $round's planted aged orphan must be swept; trace:\n$trace"))
 
         // QUIESCE POINT: replay the round's committed rows IN GEN ORDER —
         // the serialization the claim CAS chose — into the model
@@ -302,7 +361,9 @@ class StateLogModelSpec extends SparkSpec {
           .filter(col("gen_id") > lastSeenGen)
           .orderBy("gen_id").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        assert(newRows.nonEmpty, s"round $round committed nothing; trace:\n$trace")
+        val rowCommitting = Set("ingest", "retract", "fold")
+        assert(newRows.nonEmpty || !plans.exists(p => rowCommitting(p._2)),
+          s"round $round committed nothing; trace:\n$trace")
         newRows.foreach { case (gen, bid, kind) =>
           kind match {
             case "delta" =>
@@ -354,7 +415,12 @@ class StateLogModelSpec extends SparkSpec {
       assert(!StateLog.ingestBatch(spark, ref, st, docsDf(batchRows(id)), id),
         s"batch $id must stay skipped after the walk; trace:\n$trace")
     }
+    // the forced rounds guarantee the maintenance races happened no
+    // matter where the seed walked
+    Seq("vacuum", "sweep", "asof", "checkpoint").foreach(k =>
+      assert(opHist(k) >= 1, s"the walk must race at least one $k; got $opHist"))
     println(s"[modelspec] concurrent walk complete ($Rounds rounds, " +
-      s"${lastSeenGen} generations):\n$trace")
+      s"${lastSeenGen} generations, ops ${opHist.toSeq.sorted.mkString(", ")}):" +
+      s"\n$trace")
   }
 }

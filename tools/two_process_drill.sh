@@ -173,6 +173,37 @@ if ! grep -q 'BOUNDED cleanly' "$WORK/asof_reader.log"; then
   echo "[drill] FAIL: the reader never observed the clean bounded error"; exit 1
 fi
 
+# RANDOMIZED cross-process walk (r16): the in-process concurrent model
+# walk taken onto REAL processes — two JVMs each drawing a SEEDED random
+# op per round (ingest / retract / fold / checkpoint / zero-grace vacuum
+# / graced sweep), neither knowing the other's plan, every interleaving
+# arbitrated by the claim CAS alone. A fresh workdir: the fixed phases
+# above assert exact batch sets this walk would perturb. The checker
+# replays the COMMITTED manifest order (retractions re-derived from
+# their op ids) into a scratch log and demands set-equal hash view,
+# effective band, and corpus.
+WORK2=$(mktemp -d /tmp/graft_2proc_rand.XXXXXX)
+echo "[drill] randwalk workdir: $WORK2"
+run prep "$WORK2" > "$WORK2/prep.log" 2>&1
+run randwalk "$WORK2" 0 20260816 6 > "$WORK2/walk_a.log" 2>&1 &
+WA=$!
+run randwalk "$WORK2" 1 20260816 6 > "$WORK2/walk_b.log" 2>&1 &
+WB=$!
+RFAIL=0
+wait "$WA" || RFAIL=1
+wait "$WB" || RFAIL=1
+grep '\[drill\]' "$WORK2/walk_a.log" "$WORK2/walk_b.log" || true
+if [ "$RFAIL" -ne 0 ]; then
+  echo "[drill] FAIL: a randomized walker exited non-zero"; exit 1
+fi
+run checkrand "$WORK2" > "$WORK2/checkrand.log" 2>&1 || {
+  grep '\[drill\]\|requirement' "$WORK2/checkrand.log" || true
+  echo "[drill] FAIL: the randomized walk's committed-order replay diverged"
+  exit 1
+}
+grep '\[drill\]' "$WORK2/checkrand.log" || true
+
 echo "[drill] PASS: two-process rehearsal green — race + live-writer graced" \
   "sweep + SIGKILL roll-forward + checkpoint-crash recovery + graced-vacuum" \
-  "live-reader retention (workdir kept: $WORK)"
+  "live-reader retention + randomized cross-process walk (workdirs kept:" \
+  "$WORK $WORK2)"
