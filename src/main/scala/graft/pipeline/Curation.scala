@@ -89,6 +89,19 @@ object Curation {
   def curatedDocsDf(docs: DataFrame): DataFrame =
     shardAssign(chainOf(docs).s7)
 
+  /** The curated MEMBERSHIP (the stage-7 survivor frame) WITHOUT the
+    * shard assignment (r16 optimization): consumers that re-window from
+    * scratch anyway — the post-retraction repack family, the log's
+    * curated-retained resolution — used to call [[curatedDocsDf]] and
+    * immediately drop `shard_id`, paying [[packPrefixCum]]'s eager
+    * per-bucket stats collects (driver jobs at frame-BUILD time, so not
+    * even column pruning could remove them) for a column they discard.
+    * [[shardAssign]] is row-preserving (its joins are against per-key
+    * frames derived from the same corpus), so this frame is exactly
+    * `curatedDocsDf(docs).drop("shard_id")`. */
+  private[graft] def curatedMembership(docs: DataFrame): DataFrame =
+    chainOf(docs).s7
+
   /** Exclusive per-lang prefix sum of `n_tokens` in `doc_id` order — the
     * pack family's one primitive — computed as a TWO-PHASE distributed
     * scan instead of a single per-lang window (r13). A plain
@@ -647,9 +660,21 @@ object Curation {
   private[graft] def deltaSurvivorsFromState(docs: DataFrame, isNew: Column,
       hashIdx: DataFrame, bandIdx: DataFrame, testVocab: DataFrame,
       mixRates: DataFrame): DataFrame =
-    deltaStages(docs.filter(isNew), FrozenState(
-      Dedup.storedMatchedHashes(docs.filter(isNew), hashIdx),
-      Dedup.storedNearIds(docs, isNew, bandIdx),
+    deltaSurvivorsSplit(docs.filter(isNew), docs.filter(!isNew),
+      hashIdx, bandIdx, testVocab, mixRates)
+
+  /** [[deltaSurvivorsFromState]] with the batch and the indexed corpus as
+    * SEPARATE frames (r16 optimization, the [[Dedup.storedNearIdsSplit]]
+    * seam): lets the state log hand the batch's own stable plan so the
+    * per-batch signing/labeling memos key on the batch, not on a union
+    * plan that embeds per-log table names. Row-identical to the filter
+    * split. */
+  private[graft] def deltaSurvivorsSplit(batch: DataFrame, oldDocs: DataFrame,
+      hashIdx: DataFrame, bandIdx: DataFrame, testVocab: DataFrame,
+      mixRates: DataFrame): DataFrame =
+    deltaStages(batch, FrozenState(
+      Dedup.storedMatchedHashes(batch, hashIdx),
+      Dedup.storedNearIdsSplit(batch, oldDocs, bandIdx),
       testVocab.withColumn("hit", lit(1)),
       mixRates)).d8
 

@@ -133,7 +133,18 @@ object Dedup {
   private[graft] def pairTableMisses: Long = pairTableCache.misses.get
 
   def jaccardPairsDf(docs: DataFrame): DataFrame =
-    pairTableCache(docs)(jaccardPairsPrefixDf(docs))
+    // the checkpoint makes the memo a MATERIALIZATION, not a shared lazy
+    // plan (r16 optimization): without it every consumer re-ran the
+    // prefix path's verify join — computeNeardupLabels' symmetric edge
+    // union paid it twice per labeling — which is exactly the re-mining
+    // the memo exists to prevent (signatureParts/minhashParts already
+    // checkpoint for the same reason). Qualifying pairs only — small.
+    // The checkpoint holds the UNSORTED pairs (the sort would re-run the
+    // verify join in its range-sampling pass); the canonical order is
+    // layered on the returned frame, where aggregate/join consumers
+    // shed it via EliminateSorts and eq12's declared output keeps it.
+    pairTableCache(docs)(jaccardPairsPrefixUnsortedDf(docs).localCheckpoint())
+      .orderBy("doc_a", "doc_b")
 
   /** Plain inverted-index self-join: explode shingle hashes (8-byte keys
     * from the native [[graft.functions.ShingleExpressions.ShingleHashes]]
@@ -180,7 +191,20 @@ object Dedup {
     *
     * The join then fans out only on rare shingles. Pinned equal to the
     * plain variant by test. */
-  def jaccardPairsPrefixDf(docs: DataFrame): DataFrame = {
+  def jaccardPairsPrefixDf(docs: DataFrame): DataFrame =
+    jaccardPairsPrefixUnsortedDf(docs).orderBy("doc_a", "doc_b")
+
+  /** The prefix path WITHOUT the terminal presentation sort (r16
+    * optimization): the sort's range partitioning SAMPLES its input, so
+    * sorting before the memo's checkpoint ran the verify join twice per
+    * materialization — and every non-terminal consumer (labels, overlap
+    * roll-ups, estimate joins) re-aggregates anyway, where Catalyst's
+    * EliminateSorts drops the order. The memo stores this unsorted
+    * materialization; [[jaccardPairsPrefixDf]] (and with it eq12's
+    * declared frame) layers the canonical order on top — same multiset,
+    * same hash (the driver/golden compare is row-order-insensitive by
+    * construction: rows are sorted during canonical serialization). */
+  private def jaccardPairsPrefixUnsortedDf(docs: DataFrame): DataFrame = {
     val t = JaccardThreshold
     val sets = shingleSets(docs)
     prefixCandidatesDf(docs)
@@ -191,7 +215,6 @@ object Dedup {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The prefix path's CANDIDATE pairs (before exact verification) —
@@ -745,11 +768,24 @@ object Dedup {
     * (array_distinct ∘ shingles, empty sets dropped), fetched as a
     * broadcast-pruned point read of the corpus store (≤ batch ×
     * [[MaxBucket]] ids). Returns the distinct batch doc_ids that verify. */
-  private[graft] def storedNearIds(docs: DataFrame, isNew: Column, bandIdx: DataFrame): DataFrame = {
-    val (batchSets, _, batchBanded) = signatureParts(docs.filter(isNew))
+  private[graft] def storedNearIds(docs: DataFrame, isNew: Column, bandIdx: DataFrame): DataFrame =
+    storedNearIdsSplit(docs.filter(isNew), docs.filter(!isNew), bandIdx)
+
+  /** [[storedNearIds]] with the two corpus sides supplied as SEPARATE
+    * frames (r16 optimization): the self-contained state-log ingest used
+    * to pass `(corpus-resolution ∪ batch).filter(is_new)` as the batch
+    * side, whose canonicalized plan embeds the per-log generation TABLE
+    * NAMES — so the batch signing (the memoized [[signatureParts]] pass)
+    * could never be shared across logs or repeated runs even though the
+    * batch frame itself is stable. Splitting the sides lets the caller
+    * hand the batch's own stable plan; the frames are row-identical to
+    * the filter split (`docs.filter(isNew)` / `docs.filter(!isNew)`). */
+  private[graft] def storedNearIdsSplit(batch: DataFrame, oldDocs: DataFrame,
+      bandIdx: DataFrame): DataFrame = {
+    val (batchSets, _, batchBanded) = signatureParts(batch)
     val cands = probeCandidates(batchBanded, bandIdx).distinct()
     val oldCandIds = cands.select(col("old_id").as("doc_id")).distinct()
-    val oldSets = docs.filter(!isNew)
+    val oldSets = oldDocs
       .join(broadcast(oldCandIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(graft.functions.ShingleExpressions.shingles(col("text"), 3)).as("shd"))
@@ -992,10 +1028,26 @@ object Dedup {
           col("label").as("old")))
         .groupBy("doc_id")
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      // PATH-HALVING hop (r16 optimization): follow each vertex's label
+      // one more step — label := label's OWN current label. Every label
+      // value IS a vertex id of the same graph (labels start as vertex
+      // ids and min() only selects among them), and min-propagation is
+      // monotone, so the hop can only lower a label toward the component
+      // min: the fixpoint (every label = component min) is unchanged,
+      // but convergence needs O(log diameter) rounds instead of
+      // O(diameter) — a 50-round chain cluster resolves in ~7. One extra
+      // tiny self-join per round against rounds-halved-repeatedly; the
+      // non-convergence guard below is unchanged.
+      val lmap = propagated.select(col("doc_id").as("label"), col("label").as("l2"))
+      val jumped = propagated.join(lmap, Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("l2"), col("label")).as("label"), col("old"))
         .localCheckpoint()
-      converged = propagated.filter(col("label") < col("old")).isEmpty
-      labels = propagated.drop("old")
+      converged = jumped.filter(col("label") < col("old")).isEmpty
+      labels = jumped.drop("old")
       rounds += 1
+      if (sys.env.contains("GRAFT_PROBE_CC"))
+        System.err.println(s"[cc] round $rounds converged=$converged at ${System.nanoTime()}")
     }
     require(converged,
       s"near-dup cluster labeling did not converge in $rounds rounds " +

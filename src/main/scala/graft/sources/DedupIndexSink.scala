@@ -143,12 +143,13 @@ object DedupIndexSink {
     val orphaned = delHashes.join(broadcast(surviving), Seq("h"), "left_anti")
     val tomb = TombTables(
       s"graft_dedup_idx_tombd_$id", s"graft_dedup_idx_tombh_$id")
-    deleted.select("doc_id").write.mode("overwrite")
-      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_tombd")
-      .saveAsTable(tomb.docs)
-    orphaned.write.mode("overwrite")
-      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_tombh")
-      .saveAsTable(tomb.hash)
+    SinkPar.run(Seq(
+      () => deleted.select("doc_id").write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_${id}_tombd")
+        .saveAsTable(tomb.docs),
+      () => orphaned.write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_${id}_tombh")
+        .saveAsTable(tomb.hash)))
     t.copy(tomb = Some(tomb))
   }
 
@@ -162,23 +163,27 @@ object DedupIndexSink {
       s"graft_dedup_idx_stop_$id", s"graft_dedup_idx_meta_$id")
     val (hash, band, stopKeys) = Dedup.indexBuildFrames(docs, isNew)
     val tmp = sys.props("java.io.tmpdir")
-    hash.write.mode("overwrite")
-      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_hash")
-      .bucketBy(Buckets, "h").sortBy("h")
-      .saveAsTable(t.hash)
-    band.write.mode("overwrite")
-      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_band")
-      .bucketBy(Buckets, "band_key").sortBy("band_key")
-      .saveAsTable(t.band)
     // the stop-key list is computed ONCE here; the meta count derives
     // from the stored keys so the two can never disagree
     val stopCk = stopKeys.localCheckpoint()
-    stopCk.write.mode("overwrite")
-      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_stop")
-      .saveAsTable(t.stop)
-    stopCk.agg(count(lit(1)).as("n_stop_buckets")).write.mode("overwrite")
-      .option("path", s"$tmp/graft_dedup_idx_sink_${id}_meta")
-      .saveAsTable(t.meta)
+    // four independent tables — written concurrently (r16 optimization,
+    // guide §2.6): stop and meta both read the already-materialized
+    // stopCk, so no write depends on another's output
+    SinkPar.run(Seq(
+      () => hash.write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_${id}_hash")
+        .bucketBy(Buckets, "h").sortBy("h")
+        .saveAsTable(t.hash),
+      () => band.write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_${id}_band")
+        .bucketBy(Buckets, "band_key").sortBy("band_key")
+        .saveAsTable(t.band),
+      () => stopCk.write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_${id}_stop")
+        .saveAsTable(t.stop),
+      () => stopCk.agg(count(lit(1)).as("n_stop_buckets")).write.mode("overwrite")
+        .option("path", s"$tmp/graft_dedup_idx_sink_${id}_meta")
+        .saveAsTable(t.meta)))
     t
   }
 

@@ -73,9 +73,6 @@ object SnapshotStateSink {
     * a 3-way snapshot through it. */
   def write(spark: SparkSession, docs: DataFrame,
       isNew: org.apache.spark.sql.Column, isOld: org.apache.spark.sql.Column): StateTables = {
-    val idx = DedupIndexSink.write(spark, docs, isNew)
-    val (testVocab, mixRates, bpeEnc, packSummary) =
-      Curation.snapshotArtifactFrames(docs.filter(isOld))
     val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
     val tmp = sys.props("java.io.tmpdir")
     def save(df: DataFrame, name: String): String = {
@@ -86,8 +83,22 @@ object SnapshotStateSink {
        else w).saveAsTable(tbl)
       tbl
     }
-    StateTables(idx, save(testVocab, "test_vocab"), save(mixRates, "mix_rates"),
-      save(bpeEnc, "bpe_enc"), save(packSummary, "pack_summary"))
+    // the index write and the four artifact writes are independent table
+    // writes off shared memoized frames — overlapped (r16 optimization,
+    // guide §2.6); concurrent first-forcing of a shared memo is safe (the
+    // PlanMemo cell serializes the mining, every thread reads the one
+    // materialization)
+    val (idx, artifacts) = SinkPar.run2(
+      DedupIndexSink.write(spark, docs, isNew), {
+        val (testVocab, mixRates, bpeEnc, packSummary) =
+          Curation.snapshotArtifactFrames(docs.filter(isOld))
+        SinkPar.run(Seq(
+          () => save(testVocab, "test_vocab"),
+          () => save(mixRates, "mix_rates"),
+          () => save(bpeEnc, "bpe_enc"),
+          () => save(packSummary, "pack_summary")))
+      })
+    StateTables(idx, artifacts(0), artifacts(1), artifacts(2), artifacts(3))
   }
 
   /** The next delta ingest: the eq137 funnel over the incoming batch
@@ -188,27 +199,32 @@ object SnapshotStateSink {
       .join(stopIdx, Seq("band", "band_key"), "left_anti")
       .localCheckpoint()
 
-    // pack layer: the advanced summary, versioned
+    // pack layer: the advanced summary, versioned; written CONCURRENTLY
+    // with the three index appends (r16 optimization, guide §2.6 — all
+    // four read only pre-materialized checkpoints or frozen tables). The
+    // meta re-derivation is the one ordered pair: it reads the stop table
+    // AFTER the newlyHot append, so the two stay sequential in one thunk.
     val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
     val tmp = sys.props("java.io.tmpdir")
     val ps2 = s"${t.packSummary}_adv_$id"
-    Curation.appendPackSummary(spark.table(t.packSummary), survivors)
-      .write.mode("overwrite")
-      .option("path", s"$tmp/graft_snapshot_state_${id}_pack_adv")
-      .saveAsTable(ps2)
-
-    // appends (lineage already cut above)
-    newHashes.write.mode("append")
-      .bucketBy(DedupIndexSink.Buckets, "h").sortBy("h").saveAsTable(t.index.hash)
-    survBanded.select("band", "band_key", "doc_id").write.mode("append")
-      .bucketBy(DedupIndexSink.Buckets, "band_key").sortBy("band_key")
-      .saveAsTable(t.index.band)
-    newlyHot.write.mode("append").saveAsTable(t.index.stop)
     val meta2 = s"${t.index.meta}_adv_$id"
-    spark.table(t.index.stop).agg(count(lit(1)).as("n_stop_buckets"))
-      .write.mode("overwrite")
-      .option("path", s"$tmp/graft_snapshot_state_${id}_meta_adv")
-      .saveAsTable(meta2)
+    SinkPar.run(Seq(
+      () => Curation.appendPackSummary(spark.table(t.packSummary), survivors)
+        .write.mode("overwrite")
+        .option("path", s"$tmp/graft_snapshot_state_${id}_pack_adv")
+        .saveAsTable(ps2),
+      () => newHashes.write.mode("append")
+        .bucketBy(DedupIndexSink.Buckets, "h").sortBy("h").saveAsTable(t.index.hash),
+      () => survBanded.select("band", "band_key", "doc_id").write.mode("append")
+        .bucketBy(DedupIndexSink.Buckets, "band_key").sortBy("band_key")
+        .saveAsTable(t.index.band),
+      () => {
+        newlyHot.write.mode("append").saveAsTable(t.index.stop)
+        spark.table(t.index.stop).agg(count(lit(1)).as("n_stop_buckets"))
+          .write.mode("overwrite")
+          .option("path", s"$tmp/graft_snapshot_state_${id}_meta_adv")
+          .saveAsTable(meta2)
+      }))
     t.copy(index = t.index.copy(meta = meta2), packSummary = ps2)
   }
 
@@ -313,8 +329,11 @@ object SnapshotStateSink {
       isOld: org.apache.spark.sql.Column): StateTables = {
     require(t.index.tomb.isEmpty,
       "repack follows compaction — apply the pending tombstones first")
-    val retained = Curation.curatedDocsDf(docs.filter(isOld))
-      .filter(!isDeleted).drop("shard_id")
+    // membership only (r16 optimization): curatedDocsDf's shard_id was
+    // computed by the eager two-phase prefix sum and dropped on the next
+    // line — the repack re-windows from a zero prefix sum anyway
+    val retained = Curation.curatedMembership(docs.filter(isOld))
+      .filter(!isDeleted)
     val id = s"${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}"
     val tmp = sys.props("java.io.tmpdir")
     val ps2 = s"${t.packSummary}_rpk_$id"
@@ -335,8 +354,8 @@ object SnapshotStateSink {
       isDeleted: org.apache.spark.sql.Column,
       isOld: org.apache.spark.sql.Column, t: StateTables): DataFrame = {
     val repacked = Curation.shardAssign(
-      Curation.curatedDocsDf(docs.filter(isOld))
-        .filter(!isDeleted).drop("shard_id"))
+      Curation.curatedMembership(docs.filter(isOld))
+        .filter(!isDeleted))
     val checks = repacked.groupBy("lang")
       .agg(sum(col("doc_id") * (col("shard_id") + lit(1L))).as("shard_checksum"))
     spark.table(t.packSummary)

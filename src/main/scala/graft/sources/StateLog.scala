@@ -398,15 +398,18 @@ object StateLog {
 
   private def maxGen(spark: SparkSession, ref: LogRef): Long =
     withManifestRetry() {
-      val r = freshManifest(spark, ref).agg(max(col("gen_id"))).head()
+      // manifest-sized driver read (r16 optimization): the manifest is the
+      // log's one deliberate driver-side read, so take the max on the
+      // driver instead of paying a two-stage agg exchange per commit check
+      val rows = freshManifest(spark, ref).select(col("gen_id")).collect()
       // every log starts at a genesis row, so an EMPTY manifest means the
       // handle points at a location that is not a log — name the problem
       // instead of NPE-ing in getLong on the null max (ADVICE r14)
-      require(!r.isNullAt(0),
+      require(rows.nonEmpty,
         s"state log ${ref.manifest}: the manifest is empty — this handle " +
           "does not point at a log (attach with the root the log was " +
           "created under?)")
-      r.getLong(0)
+      rows.iterator.map(_.getLong(0)).max
     }
 
   /** A manifest read can race [[checkpointManifest]]'s file swap: the
@@ -768,11 +771,18 @@ object StateLog {
     * rows sharing a gen_id mean a writer bypassed the claim protocol and
     * fail loudly. */
   private def history(spark: SparkSession, ref: LogRef): Seq[Gen] = {
+    // dedupe + sort on the DRIVER (r16 optimization): the read is
+    // manifest-sized by design, and the DataFrame `distinct().orderBy()`
+    // formulation paid two exchanges per read — on the hottest call in
+    // the log (every ingest, commit, audit and resolution reads history).
+    // Gen is a case class over the same 8 fields, so Seq#distinct is the
+    // row-identical dedupe and sortBy(genId) the same order (gen_ids are
+    // unique after the dedupe — enforced right below).
     val gens = withManifestRetry() {
-      freshManifest(spark, ref).distinct()
-        .orderBy("gen_id").collect().toSeq
+      freshManifest(spark, ref).collect().toSeq
     }.map(r => Gen(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getString(4), r.getString(5), r.getString(6), r.getString(7)))
+      .distinct.sortBy(_.genId)
     require(gens.map(_.genId).distinct.size == gens.size,
       s"state log ${ref.manifest}: conflicting manifest rows share a " +
         "gen_id — a writer bypassed the commit-claim protocol")
@@ -968,8 +978,14 @@ object StateLog {
     * with a clear bounded-time-travel error, not a missing-table
     * resolve. */
   private def asOfGens(spark: SparkSession, ref: LogRef, gen: Long,
-      layers: Gen => Seq[String]): Seq[Gen] = {
-    val hist = history(spark, ref)
+      layers: Gen => Seq[String]): Seq[Gen] =
+    asOfGensOf(spark, ref, history(spark, ref), gen, layers)
+
+  /** [[asOfGens]] over an already-read manifest snapshot (r16
+    * optimization): multi-point audits resolve several as-of frames from
+    * ONE history read instead of re-reading the manifest per point. */
+  private def asOfGensOf(spark: SparkSession, ref: LogRef, hist: Seq[Gen],
+      gen: Long, layers: Gen => Seq[String]): Seq[Gen] = {
     require(hist.exists(_.genId == gen),
       s"generation $gen was never committed to ${ref.manifest}")
     val need = active(hist.filter(_.genId <= gen))
@@ -1357,8 +1373,11 @@ object StateLog {
       val parts = all.take(math.max(2, maxFiles))
       if (all.size <= 1 || parts.size <= 1) (all.size.toLong, all.size.toLong)
       else {
-        val src = spark.read.parquet(parts.map(_.toString): _*).distinct()
-        val rows = src.collect().toSeq
+        // dedupe on the DRIVER (r16 optimization): the read is already a
+        // driver-side collect of manifest-sized rows by design, so the
+        // DataFrame distinct() only added an exchange per checkpoint
+        val src = spark.read.parquet(parts.map(_.toString): _*)
+        val rows = src.collect().toSeq.distinct
         // the history() invariant, re-checked BEFORE any file is touched:
         // a torn manifest must fail loudly, never get baked into one file
         require(rows.map(_.getLong(0)).distinct.size == rows.size,
@@ -1474,7 +1493,8 @@ object StateLog {
     * converges to the same committed state. */
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       docs: DataFrame, isNew: Column, batchId: Long): Boolean = withCommitRetry() {
-    ingestOnce(spark, ref, st, history(spark, ref), docs, isNew, batchId)
+    ingestOnce(spark, ref, st, history(spark, ref),
+      docs.filter(isNew), docs.filter(!isNew), batchId)
   }
 
   /** `hist` is the ONE manifest snapshot this attempt works from: the
@@ -1483,10 +1503,15 @@ object StateLog {
     * landing after the snapshot ALWAYS aborts the attempt (no window in
     * which half the inputs see the newer state — r12 review). */
   private def ingestOnce(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
-      hist: Seq[Gen], docs: DataFrame, isNew: Column, batchId: Long): Boolean = {
+      hist: Seq[Gen], batch: DataFrame, oldDocs: DataFrame, batchId: Long): Boolean = {
     if (hist.exists(g => g.batchId == batchId && g.kind == "delta")) return false
     val (hashV, bandRawV, stopV, packV) = viewsOf(spark, active(hist))
-    val survivors = Curation.deltaSurvivorsFromState(docs, isNew,
+    // (batch, oldDocs) arrive as SEPARATE frames (r16 optimization): the
+    // self-contained path used to pass `(corpus ∪ batch).filter(is_new)`,
+    // whose plan embeds this log's generation table names — so the batch
+    // signing/labeling memos missed on every log instance even though the
+    // batch frame itself is stable. The frames are row-identical.
+    val survivors = Curation.deltaSurvivorsSplit(batch, oldDocs,
       hashV, effectiveBandOf(bandRawV, stopV),
       spark.table(st.testVocab), spark.table(st.mixRates))
       .localCheckpoint()
@@ -1500,7 +1525,7 @@ object StateLog {
       .filter(col("h").isNotNull).distinct()
     val matchedHashes = hashV.join(broadcast(survHashes), Seq("h"), "left_semi")
     val newHashes = survHashes.join(broadcast(matchedHashes), Seq("h"), "left_anti")
-    val survBanded = Dedup.batchBandKeys(docs.filter(isNew))
+    val survBanded = Dedup.batchBandKeys(batch)
       .join(broadcast(survivors.select("doc_id")), Seq("doc_id"), "left_semi")
       .select("band", "band_key", "doc_id")
       .localCheckpoint()
@@ -1516,14 +1541,18 @@ object StateLog {
     val pack = Curation.appendPackSummary(packV, survivors)
 
     // this attempt's private generation tables (unique names — bound to
-    // the log only if the manifest row below commits)
+    // the log only if the manifest row below commits), written as
+    // CONCURRENT independent jobs (r16 optimization, guide §2.6): the
+    // five layer tables share no data dependency, so the scheduler
+    // back-fills one write's task tail with the next write's tasks
     val tag = attemptTag(s"b$batchId")
-    val hashT = saveGen(spark, ref, newHashes, "hash", tag, Some("h"))
-    val bandT = saveGen(spark, ref, survBanded, "band", tag, Some("band_key"))
-    val stopT = saveGen(spark, ref, newlyHot, "stop", tag, None)
-    val packT = saveGen(spark, ref, pack, "pack", tag, None)
-    val curT = saveGen(spark, ref,
-      survivors.select(StoreCols.map(col): _*), "cur", tag, None)
+    val Seq(hashT, bandT, stopT, packT, curT) = SinkPar.run(Seq(
+      () => saveGen(spark, ref, newHashes, "hash", tag, Some("h")),
+      () => saveGen(spark, ref, survBanded, "band", tag, Some("band_key")),
+      () => saveGen(spark, ref, newlyHot, "stop", tag, None),
+      () => saveGen(spark, ref, pack, "pack", tag, None),
+      () => saveGen(spark, ref,
+        survivors.select(StoreCols.map(col): _*), "cur", tag, None)))
 
     // THE COMMIT POINT: one manifest row, iff the manifest is still at
     // the max gen_id the views above were read at AND the durable claim
@@ -1543,10 +1572,12 @@ object StateLog {
   def ingestBatch(spark: SparkSession, ref: LogRef, st: SnapshotStateSink.StateTables,
       batch: DataFrame, batchId: Long): Boolean = withCommitRetry() {
     val hist = history(spark, ref)
-    val docs = corpusOf(spark, active(hist)).withColumn("is_new", lit(false))
-      .unionByName(batch.select(StoreCols.map(col): _*)
-        .withColumn("is_new", lit(true)))
-    ingestOnce(spark, ref, st, hist, docs, col("is_new"), batchId)
+    // the sides stay separate frames all the way down (r16 optimization):
+    // the old `corpus ∪ batch` + `filter(is_new)` construction re-split
+    // what this call site already had split, and its union plan keyed the
+    // batch's signing/labeling memos on this log's table names
+    ingestOnce(spark, ref, st, hist,
+      batch.select(StoreCols.map(col): _*), corpusOf(spark, active(hist)), batchId)
   }
 
   /** Exactly-once RETRACTION through the log — eq143's tombstones as a
@@ -1599,8 +1630,9 @@ object StateLog {
     val orphaned = delHashes.join(broadcast(surviving), Seq("h"), "left_anti")
 
     val tag = attemptTag(s"r$opId")
-    val tombDocsT = saveGen(spark, ref, deleted.select("doc_id"), "band", tag, None)
-    val tombHashT = saveGen(spark, ref, orphaned, "hash", tag, None)
+    val Seq(tombDocsT, tombHashT) = SinkPar.run(Seq(
+      () => saveGen(spark, ref, deleted.select("doc_id"), "band", tag, None),
+      () => saveGen(spark, ref, orphaned, "hash", tag, None)))
     // stop/pack slots carry pointers (never read through a retract row:
     // the stop union and the latest pack resolve over delta rows only);
     // the cur slot names the doc-tombstone table — corpus resolution
@@ -1653,7 +1685,11 @@ object StateLog {
     }
     def contrib(g: Gen): DataFrame =
       if (g.kind == "base")
-        Curation.curatedDocsDf(spark.table(g.cur))
+        // membership only (r16 optimization): curatedDocsDf would attach
+        // shard_id via the eager two-phase prefix sum and this select
+        // would immediately discard it — the repack re-windows from
+        // scratch anyway. Row-identical (shardAssign is row-preserving).
+        Curation.curatedMembership(spark.table(g.cur))
           .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"))
       else spark.table(g.cur).select(col("doc_id"), col("lang"),
         ws_token_count(col("text")).cast("long").as("n_tokens"), col("n_chars"))
@@ -1713,11 +1749,12 @@ object StateLog {
     val gens = active(hist)
     val (hashV, bandRawV, stopV, _) = viewsOf(spark, gens)
     val tag = attemptTag(s"p$opId")
-    val hashT = saveGen(spark, ref, hashV.limit(0), "hash", tag, Some("h"))
-    val bandT = saveGen(spark, ref, bandRawV.limit(0), "band", tag, Some("band_key"))
-    val stopT = saveGen(spark, ref, stopV.limit(0), "stop", tag, None)
-    val packT = saveGen(spark, ref, ps, "pack", tag, None)
-    val curT = saveGen(spark, ref, corpusOf(spark, gens).limit(0), "cur", tag, None)
+    val Seq(hashT, bandT, stopT, packT, curT) = SinkPar.run(Seq(
+      () => saveGen(spark, ref, hashV.limit(0), "hash", tag, Some("h")),
+      () => saveGen(spark, ref, bandRawV.limit(0), "band", tag, Some("band_key")),
+      () => saveGen(spark, ref, stopV.limit(0), "stop", tag, None),
+      () => saveGen(spark, ref, ps, "pack", tag, None),
+      () => saveGen(spark, ref, corpusOf(spark, gens).limit(0), "cur", tag, None)))
     val base = hist.map(_.genId).max
     commitAttempt(spark, ref, base, Gen(base + 1, opId, "repack",
       hashT, bandT, stopT, packT, curT))
@@ -1742,11 +1779,12 @@ object StateLog {
     val (hashV, bandLiveV, stopV, packV) = viewsOf(spark, gens)
     val base = hist.map(_.genId).max
     val tag = attemptTag(s"c$base")
-    val hashT = saveGen(spark, ref, hashV, "hash", tag, Some("h"))
-    val bandT = saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key"))
-    val stopT = saveGen(spark, ref, stopV.distinct(), "stop", tag, None)
-    val packT = saveGen(spark, ref, packV, "pack", tag, None)
-    val curT = saveGen(spark, ref, corpusOf(spark, gens), "cur", tag, None)
+    val Seq(hashT, bandT, stopT, packT, curT) = SinkPar.run(Seq(
+      () => saveGen(spark, ref, hashV, "hash", tag, Some("h")),
+      () => saveGen(spark, ref, effectiveBandOf(bandLiveV, stopV), "band", tag, Some("band_key")),
+      () => saveGen(spark, ref, stopV.distinct(), "stop", tag, None),
+      () => saveGen(spark, ref, packV, "pack", tag, None),
+      () => saveGen(spark, ref, corpusOf(spark, gens), "cur", tag, None)))
     commitAttempt(spark, ref, base, Gen(base + 1, hist.map(_.batchId).max, "fold",
       hashT, bandT, stopT, packT, curT))
   }
@@ -1758,9 +1796,9 @@ object StateLog {
 
   def eq144(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs, DedupIndexSink.isNewCol, 0L)
     compactLog(spark, ref)
     auditFolded(spark, ref)
@@ -1783,20 +1821,32 @@ object StateLog {
     val eff = effectiveBandOf(bandLive, stopV)
     def one(item: String, df: DataFrame): DataFrame =
       df.select(lit(prefix + item).as("item"), col("n"))
+    // the four pack totals come from ONE aggregate over the summary,
+    // pivoted to rows by a bounded explode (r16 optimization): the
+    // four-branch formulation scanned the pack table four times — same
+    // rows, same values, one pass (the eq74 profiler pattern)
+    val packItems = packV.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("pd"),
+        coalesce(sum(col("t_tokens")), lit(0L)).as("pt"),
+        coalesce(sum(col("t_chars")), lit(0L)).as("pc"),
+        coalesce(sum(col("n_shards")), lit(0L)).as("ps"))
+      .select(explode(array(
+        struct(lit(prefix + "pack_docs").as("item"), col("pd").as("n")),
+        struct(lit(prefix + "pack_tokens").as("item"), col("pt").as("n")),
+        struct(lit(prefix + "pack_chars").as("item"), col("pc").as("n")),
+        struct(lit(prefix + "pack_shards").as("item"), col("ps").as("n")))).as("p"))
+      .select(col("p.item").as("item"), col("p.n").as("n"))
     one("idx_hash_entries", hashV.agg(count(lit(1)).as("n")))
       .unionAll(one("idx_band_entries", eff.agg(count(lit(1)).as("n"))))
       .unionAll(one("idx_stop_buckets", stopV.distinct().agg(count(lit(1)).as("n"))))
-      .unionAll(one("pack_docs", packV.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"))))
-      .unionAll(one("pack_tokens", packV.agg(coalesce(sum(col("t_tokens")), lit(0L)).as("n"))))
-      .unionAll(one("pack_chars", packV.agg(coalesce(sum(col("t_chars")), lit(0L)).as("n"))))
-      .unionAll(one("pack_shards", packV.agg(coalesce(sum(col("n_shards")), lit(0L)).as("n"))))
+      .unionAll(packItems)
   }
 
   def eq146(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs, DedupIndexSink.isNewCol, 0L)
     compactLog(spark, ref)
     auditTimeTravel(spark, ref)
@@ -1812,16 +1862,20 @@ object StateLog {
     * numbers) while the head equals the scratch MERGED state (eq141's),
     * proving manifest-prefix resolution reconstructs committed history,
     * not just the head. */
-  private[graft] def auditTimeTravel(spark: SparkSession, ref: LogRef): DataFrame =
-    auditItems(viewsAsOf(spark, ref, 0L), "g0_")
-      .unionAll(auditItems(views(spark, ref), "live_"))
+  private[graft] def auditTimeTravel(spark: SparkSession, ref: LogRef): DataFrame = {
+    // one manifest read for both points (r16 optimization)
+    val hist = history(spark, ref)
+    auditItems(viewsOf(spark, asOfGensOf(spark, ref, hist, 0L,
+        g => Seq(g.hash, g.band, g.stop, g.pack, g.cur))), "g0_")
+      .unionAll(auditItems(viewsOf(spark, active(hist)), "live_"))
       .orderBy("item")
+  }
 
   def eq147(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     // the caller hands over ONLY the batch — the store comes from the log
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L)
     compactLog(spark, ref)
@@ -1837,28 +1891,39 @@ object StateLog {
     * proving the store itself: the resolved corpus's row count, char
     * mass, and doc_id checksum must equal the scratch population (old
     * corpus ∪ the funnel's delta survivors) rebuilt in DuckDB. */
-  private[graft] def auditSelfContained(spark: SparkSession, ref: LogRef): DataFrame = {
-    val c = corpus(spark, ref)
-    auditItems(views(spark, ref), "")
-      .unionAll(corpusItems(c, ""))
-      .orderBy("item")
+  private[graft] def auditSelfContained(spark: SparkSession, ref: LogRef): DataFrame =
+    auditWithCorpus(spark, ref).orderBy("item")
+
+  /** The seven index/pack items + three corpus items off ONE manifest
+    * read (r16 optimization): `views` and `corpus` each re-read history,
+    * and the audits composed both. */
+  private def auditWithCorpus(spark: SparkSession, ref: LogRef): DataFrame = {
+    val gens = active(history(spark, ref))
+    auditItems(viewsOf(spark, gens), "")
+      .unionAll(corpusItems(corpusOf(spark, gens), ""))
   }
 
-  private def corpusItems(c: DataFrame, prefix: String): DataFrame = {
-    def one(item: String, df: DataFrame): DataFrame =
-      df.select(lit(prefix + item).as("item"), col("n"))
-    one("corpus_docs", c.agg(count(lit(1)).as("n")))
-      .unionAll(one("corpus_chars",
-        c.agg(coalesce(sum(col("n_chars")), lit(0L)).as("n"))))
-      .unionAll(one("corpus_id_checksum",
-        c.agg(coalesce(sum(col("doc_id")), lit(0L)).as("n"))))
-  }
+  /** The three corpus accounting items from ONE aggregate over the
+    * corpus resolution (r16 optimization): the three-branch union scanned
+    * the resolved corpus — a union + anti-join over the generation
+    * tables, the audit's most expensive input — three times. Same rows,
+    * same values, one pass (the eq74 profiler pattern). */
+  private def corpusItems(c: DataFrame, prefix: String): DataFrame =
+    c.agg(
+        count(lit(1)).as("cd"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("cc"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("ck"))
+      .select(explode(array(
+        struct(lit(prefix + "corpus_docs").as("item"), col("cd").as("n")),
+        struct(lit(prefix + "corpus_chars").as("item"), col("cc").as("n")),
+        struct(lit(prefix + "corpus_id_checksum").as("item"), col("ck").as("n")))).as("p"))
+      .select(col("p.item").as("item"), col("p.n").as("n"))
 
   def eq148(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     retractBatch(spark, ref, col("doc_id") % 7 === 3, 1L)                 // gen 2
     compactLog(spark, ref)                                                // gen 3
@@ -1867,9 +1932,9 @@ object StateLog {
 
   def eq149(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     compactLog(spark, ref)                                                // gen 2
     val vacuumed = vacuum(spark, ref)
@@ -1899,8 +1964,7 @@ object StateLog {
       import spark.implicits._
       Seq((item, n)).toDF("item", "n")
     }
-    auditItems(views(spark, ref), "")
-      .unionAll(corpusItems(corpus(spark, ref), ""))
+    auditWithCorpus(spark, ref)
       .unionAll(flag("vacuumed_tables", vacuumed.size.toLong))
       .unionAll(flag("released_tables", released.size.toLong))
       .unionAll(flag("asof0_bounded", if (bounded) 1L else 0L))
@@ -1909,9 +1973,9 @@ object StateLog {
 
   def eq150(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     checkpointManifest(spark, ref)        // 2 row files -> 1
     compactLog(spark, ref)                // gen 2, appended AFTER the checkpoint
@@ -1939,8 +2003,7 @@ object StateLog {
       import spark.implicits._
       Seq((item, n)).toDF("item", "n")
     }
-    auditItems(views(spark, ref), "")
-      .unionAll(corpusItems(corpus(spark, ref), ""))
+    auditWithCorpus(spark, ref)
       .unionAll(flag("manifest_files", filesAfter))
       .unionAll(flag("manifest_rows", history(spark, ref).size.toLong))
       .unionAll(flag("replay_skipped", if (skipped) 1L else 0L))
@@ -1949,9 +2012,9 @@ object StateLog {
 
   def eq152(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     compactLog(spark, ref)                                                // gen 2
     // INCREMENTAL drain (r14): the three one-row manifest files merged
@@ -1986,9 +2049,9 @@ object StateLog {
 
   def eq153(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     compactLog(spark, ref)                                                // gen 2
     // plant what a MULTI-PROCESS deployment's crashes leave on the store:
@@ -2026,8 +2089,7 @@ object StateLog {
       import spark.implicits._
       Seq((item, n)).toDF("item", "n")
     }
-    auditItems(views(spark, ref), "")
-      .unionAll(corpusItems(corpus(spark, ref), ""))
+    auditWithCorpus(spark, ref)
       .unionAll(flag("swept_aged", dropped.count(n =>
         n == agedOrphan.getName || n == agedStage.getName).toLong))
       .unionAll(flag("swept_total", dropped.size.toLong))
@@ -2048,9 +2110,9 @@ object StateLog {
 
   def eq154(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     compactLog(spark, ref)                                                // gen 2
     // a live as-of reader's frames, resolved BEFORE any GC (the existence
@@ -2078,8 +2140,7 @@ object StateLog {
       import spark.implicits._
       Seq((item, n)).toDF("item", "n")
     }
-    auditItems(views(spark, ref), "")
-      .unionAll(corpusItems(corpus(spark, ref), ""))
+    auditWithCorpus(spark, ref)
       .unionAll(flag("vacuumed_young", youngDrop.size.toLong))
       .unionAll(flag("vacuumed_aged", agedDrop.size.toLong))
       .unionAll(flag("asof1_live", if (asof1Live) 1L else 0L))
@@ -2103,9 +2164,9 @@ object StateLog {
 
   def eq151(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
-    val st = SnapshotStateSink.write(spark, docs)
-    val ref = fromSnapshot(spark, st,
+    val (st, store) = SinkPar.run2(SnapshotStateSink.write(spark, docs),
       writeCorpusStore(spark, docs.filter(!DedupIndexSink.isNewCol)))
+    val ref = fromSnapshot(spark, st, store)
     ingestBatch(spark, ref, st, docs.filter(DedupIndexSink.isNewCol), 0L) // gen 1
     retractBatch(spark, ref, col("doc_id") % 7 === 3, 1L)                 // gen 2
     repackLog(spark, ref, 2L)                                             // gen 3
@@ -2126,10 +2187,13 @@ object StateLog {
     * difference from eq145's snapshot-only retained set), re-windowed
     * from a zero prefix sum. */
   private[graft] def auditLogRepacked(spark: SparkSession, ref: LogRef): DataFrame = {
-    val retained = curatedRetained(spark, history(spark, ref))
+    // one manifest read for the retained resolution AND the views
+    // (r16 optimization)
+    val hist = history(spark, ref)
+    val retained = curatedRetained(spark, hist)
     val checks = Curation.shardAssign(retained).groupBy("lang")
       .agg(sum(col("doc_id") * (col("shard_id") + lit(1L))).as("shard_checksum"))
-    val (_, _, _, packV) = views(spark, ref)
+    val (_, _, _, packV) = viewsOf(spark, active(hist))
     packV.join(checks, Seq("lang"), "left_outer").orderBy("lang")
   }
 
@@ -2144,9 +2208,14 @@ object StateLog {
     * tombstones apply order-aware in as-of resolutions too), and the
     * live head (the fold's merged store, deletion applied). Count, char
     * mass, and doc_id checksum per point. */
-  private[graft] def auditCorpusTravel(spark: SparkSession, ref: LogRef): DataFrame =
-    corpusItems(corpusAsOf(spark, ref, 0L), "g0_")
-      .unionAll(corpusItems(corpusAsOf(spark, ref, 1L), "g1_"))
-      .unionAll(corpusItems(corpus(spark, ref), "live_"))
+  private[graft] def auditCorpusTravel(spark: SparkSession, ref: LogRef): DataFrame = {
+    // one manifest read for all three points (r16 optimization)
+    val hist = history(spark, ref)
+    def corpusLayers(g: Gen): Seq[String] =
+      if (g.kind == "retract") Seq(g.band, g.cur).distinct else Seq(g.cur)
+    corpusItems(corpusOf(spark, asOfGensOf(spark, ref, hist, 0L, corpusLayers)), "g0_")
+      .unionAll(corpusItems(corpusOf(spark, asOfGensOf(spark, ref, hist, 1L, corpusLayers)), "g1_"))
+      .unionAll(corpusItems(corpusOf(spark, active(hist)), "live_"))
       .orderBy("item")
+  }
 }
