@@ -436,6 +436,20 @@ object EventOps {
   def profileColumnsDf(events: DataFrame): DataFrame = {
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"${c}_nulls")
+    // STRING min/max live in their OWN keyless aggregate (r16
+    // optimization): a string-buffered min/max is not hash-aggregable, so
+    // keeping them in the multi-distinct aggregate forced the WHOLE thing
+    // — including the 7× Expand the six distincts produce — through
+    // SortAggregate with a full sort of the expanded corpus. Split out,
+    // the Expand aggregate goes hash-based (primitive buffers only) and
+    // the string pass is one keyless SortAggregate with no sort (global
+    // aggregation has no ordering requirement). Same values, same schema:
+    // the two 1-row frames recombine by broadcast cross join.
+    val aggStr = events.agg(
+      min(col("event_type")).as("event_type_min"),
+      max(col("event_type")).as("event_type_max"),
+      min(col("props")).as("props_min"),
+      max(col("props")).as("props_max"))
     val agg = events.agg(
       nulls("event_id"), countDistinct(col("event_id")).as("event_id_d"),
       min(col("event_id")).cast("string").as("event_id_min"),
@@ -447,14 +461,11 @@ object EventOps {
       min(col("user_id")).cast("string").as("user_id_min"),
       max(col("user_id")).cast("string").as("user_id_max"),
       nulls("event_type"), countDistinct(col("event_type")).as("event_type_d"),
-      min(col("event_type")).as("event_type_min"),
-      max(col("event_type")).as("event_type_max"),
       nulls("value"), countDistinct(col("value")).as("value_d"),
       format_string("%.6f", min(col("value"))).as("value_min"),
       format_string("%.6f", max(col("value"))).as("value_max"),
-      nulls("props"), countDistinct(col("props")).as("props_d"),
-      min(col("props")).as("props_min"),
-      max(col("props")).as("props_max"))
+      nulls("props"), countDistinct(col("props")).as("props_d"))
+      .crossJoin(broadcast(aggStr))
     def cell(c: String) = struct(
       lit(c).as("col_name"), col(s"${c}_nulls").as("n_null"),
       col(s"${c}_d").as("n_distinct"),
